@@ -1,0 +1,56 @@
+"""Property tests: the tokenizer is total — any input produces a valid
+token stream with known error ids, and text round-trips when markup-free.
+The reference has no randomized tests (SURVEY §5.4); this guards the
+100 TB case where arbitrary byte soup reaches the pipeline.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zhtml_spark.errors import SPEC_ERROR_IDS
+from zhtml_spark.tokenizer import INITIAL_STATES, tokenize
+
+_VALID_KINDS = {"Character", "StartTag", "EndTag", "Comment", "DOCTYPE"}
+
+# Surrogates can't appear in decoded input (Arrow/UTF-8 guarantees this
+# on the Spark path), so exclude them from generation.
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+_markupish = st.text(
+    alphabet='<>&;!-/=" \'abAB#x09[]?\x00\r\n\t',
+    max_size=300,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_markupish)
+def test_tokenizer_total_on_markup_soup(s: str) -> None:
+    for state in ("Data", "RCDATA", "RAWTEXT", "ScriptData", "PLAINTEXT",
+                  "CDATASection"):
+        tokens, errors = tokenize(s, initial_state=state, last_start_tag="a")
+        assert all(t[0] in _VALID_KINDS for t in tokens)
+        assert all(e in SPEC_ERROR_IDS for e in errors)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_plain_text_round_trips(s: str) -> None:
+    # No markup trigger chars → Data state must emit the text verbatim
+    # (modulo CR normalization).
+    if any(c in s for c in "<&\x00"):
+        return
+    tokens, errors = tokenize(s)
+    norm = s.replace("\r\n", "\n").replace("\r", "\n")
+    got = "".join(t[1] for t in tokens if t[0] == "Character")
+    assert got == norm
+    assert errors == []
+
+
+def test_initial_state_names_cover_reference_harness() -> None:
+    # /root/reference/test/tokenizer-html5lib.zig:260-270
+    for name in ("Data", "PLAINTEXT", "RCDATA", "RAWTEXT", "ScriptData",
+                 "CDATA section state"):
+        assert name in INITIAL_STATES
