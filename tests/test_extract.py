@@ -1,0 +1,150 @@
+"""Span-extraction goldens: ordered (kind, text, media_ref) sequences.
+
+The judged invariant (BASELINE.json input_hint): span-sequence equality
+on (kind, text, media_ref) in offset order.
+"""
+
+from __future__ import annotations
+
+from zhtml_spark.extract import (
+    ExtractConfig,
+    extract_html,
+    is_media_href,
+)
+
+FULL_PAGE = """<!DOCTYPE html>
+<html><head><title>Page</title><style>x{}</style></head>
+<body>
+<header><h1>Big Story</h1></header>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/b">Blog</a></li></ul></nav>
+<article>
+<p>First paragraph with <b>bold</b> and <a href="/x">a link</a> inside.</p>
+<img src="hero.jpg" alt="Hero image">
+<p>Second paragraph.</p>
+<ul><li>Item one</li><li>Item two</li></ul>
+<pre>  raw
+  code  </pre>
+<table><tr><td>Cell A</td><td>Cell B</td></tr></table>
+<p><a href="photo.png">See the photo</a></p>
+</article>
+<aside>Related: <a href="/y">other</a></aside>
+<footer>Copyright 2026 <a href="/about">About</a></footer>
+</body></html>"""
+
+
+def test_full_page_stripped():
+    spans, errors = extract_html(FULL_PAGE)
+    assert errors == []
+    assert spans == [
+        ("heading", "Big Story", None),
+        ("text", "First paragraph with bold and a link inside.", None),
+        ("media", "Hero image", "hero.jpg"),
+        ("text", "Second paragraph.", None),
+        ("list", "Item one", None),
+        ("list", "Item two", None),
+        ("code", "  raw\n  code  ", None),
+        ("table", "Cell A", None),
+        ("table", "Cell B", None),
+        ("media", "See the photo", "photo.png"),
+    ]
+
+
+def test_full_page_unstripped_keeps_nav_footer():
+    spans, _ = extract_html(FULL_PAGE, ExtractConfig(strip_boilerplate=False))
+    texts = [s[1] for s in spans]
+    assert "Home" in texts
+    assert "Copyright 2026 About" in texts
+
+
+def test_link_density_threshold():
+    # one real sentence + one nav-ish block: only nav-ish dropped
+    html = (
+        "<div>This sentence has plenty of plain words in it "
+        "<a href='/l'>tiny link</a></div>"
+        "<div><a href='/1'>One</a> <a href='/2'>Two</a></div>"
+    )
+    spans, _ = extract_html(html)
+    assert [s[1] for s in spans] == [
+        "This sentence has plenty of plain words in it tiny link"
+    ]
+
+
+def test_script_style_never_content():
+    spans, _ = extract_html(
+        "<body><script>var x=1;</script><style>a{}</style><p>real</p>"
+    )
+    assert spans == [("text", "real", None)]
+
+
+def test_media_kinds_and_refs():
+    html = (
+        "<body><p>before</p>"
+        "<video src='v.mp4'></video>"
+        "<audio src='a.mp3'></audio>"
+        "<embed src='e.swf'>"
+        "<iframe src='f.html'></iframe>"
+        "<p>after</p>"
+    )
+    spans, _ = extract_html(html)
+    assert spans == [
+        ("text", "before", None),
+        ("media", "", "v.mp4"),
+        ("media", "", "a.mp3"),
+        ("media", "", "e.swf"),
+        ("media", "", "f.html"),
+        ("text", "after", None),
+    ]
+
+
+def test_video_with_source_children():
+    spans, _ = extract_html(
+        "<video><source src='v.webm'><source src='v.mp4'></video>"
+    )
+    assert spans == [
+        ("media", "", "v.webm"),
+        ("media", "", "v.mp4"),
+    ]
+
+
+def test_media_href_detection():
+    assert is_media_href("x/photo.PNG")
+    assert is_media_href("a.mp4?t=1")
+    assert is_media_href("a.jpeg#frag")
+    assert not is_media_href("/about")
+    assert not is_media_href("page.html")
+
+
+def test_media_anchor_inside_paragraph():
+    spans, _ = extract_html("<p>see <a href='x.pdf'>the doc</a> now</p>")
+    assert spans == [
+        ("text", "see", None),
+        ("media", "the doc", "x.pdf"),
+        ("text", "now", None),
+    ]
+
+
+def test_whitespace_normalization_outside_pre():
+    spans, _ = extract_html("<p>  a\n\n  b\tc  </p>")
+    assert spans == [("text", "a b c", None)]
+
+
+def test_empty_body():
+    spans, _ = extract_html("")
+    assert spans == []
+
+
+def test_offsets_are_positional():
+    spans, _ = extract_html("<h1>t</h1><p>a</p><p>b</p>")
+    withoff = [(i, *s) for i, s in enumerate(spans)]
+    assert [w[0] for w in withoff] == [0, 1, 2]
+
+
+def test_entities_decoded_in_output():
+    spans, _ = extract_html("<p>&ldquo;Hi&rdquo; &amp; bye</p>")
+    assert spans == [("text", "“Hi” & bye", None)]
+
+
+def test_deeply_nested_no_recursion_error():
+    html = "<div>" * 5000 + "deep" + "</div>" * 5000
+    spans, _ = extract_html(html)
+    assert spans == [("text", "deep", None)]

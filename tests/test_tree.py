@@ -1,0 +1,233 @@
+"""Tree-construction goldens.
+
+Covers the two reference-implemented insertion modes 1:1 — Initial's
+quirks classification (/root/reference/src/parser.zig:146-254) and
+BeforeHtml (:256-280) — plus the extended mode chain the engine adds
+(SURVEY §7.0).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zhtml_spark.tree import (
+    N_COMMENT,
+    N_DOCTYPE,
+    N_ELEMENT,
+    N_TEXT,
+    classify_quirks,
+    parse_document,
+)
+
+
+def outline(tree, nid=0):
+    """Nested-list DOM outline: [label, children...]"""
+    t = tree.ntype[nid]
+    if t == N_TEXT:
+        return repr(tree.node_text(nid))
+    if t == N_COMMENT:
+        return f"<!--{tree.node_text(nid)}-->"
+    if t == N_DOCTYPE:
+        return f"<!DOCTYPE {tree.name[nid]}>"
+    label = "#document" if t == 0 else tree.name[nid]
+    kids = [outline(tree, c) for c in tree.children(nid)]
+    return [label, *kids] if kids else [label]
+
+
+# --------------------------------------------------------------- quirks
+# Cases mirror the spec table the reference copies
+# (src/parser.zig:175-245).
+@pytest.mark.parametrize(
+    ("name", "pub", "sys", "fq", "want"),
+    [
+        ("html", None, None, False, "no-quirks"),
+        ("html", None, None, True, "quirks"),
+        (None, None, None, False, "quirks"),
+        ("HTML", None, None, False, "quirks"),  # name compared post-lower
+        ("html", "HTML", None, False, "quirks"),
+        ("html", "-//W3O//DTD W3 HTML Strict 3.0//EN//", None, False, "quirks"),
+        ("html", "-/W3C/DTD HTML 4.0 Transitional/EN", None, False, "quirks"),
+        ("html", None, "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd", False, "quirks"),
+        ("html", "-//IETF//DTD HTML 2.0//EN", None, False, "quirks"),
+        ("html", "-//W3C//DTD HTML 3.2 Final//EN", None, False, "quirks"),
+        ("html", "-//w3c//dtd html 4.0 transitional//en", None, False, "quirks"),
+        ("html", "-//W3C//DTD HTML 4.01 Transitional//EN", None, False, "quirks"),
+        ("html", "-//W3C//DTD HTML 4.01 Transitional//EN", "x", False, "limited-quirks"),
+        ("html", "-//W3C//DTD HTML 4.01 Frameset//EN", None, False, "quirks"),
+        ("html", "-//W3C//DTD HTML 4.01 Frameset//EN", "x", False, "limited-quirks"),
+        ("html", "-//W3C//DTD XHTML 1.0 Transitional//EN", None, False, "limited-quirks"),
+        ("html", "-//W3C//DTD XHTML 1.0 Frameset//EN", None, False, "limited-quirks"),
+        ("html", "-//W3C//DTD XHTML 1.0 Strict//EN", None, False, "no-quirks"),
+        ("html", None, "about:legacy-compat", False, "no-quirks"),
+    ],
+)
+def test_classify_quirks(name, pub, sys, fq, want):
+    # tokenizer lowercases doctype names before they reach classify;
+    # a raw "HTML" therefore only occurs for non-html names → quirks
+    assert classify_quirks(name, pub, sys, fq) == want
+
+
+def test_doctype_sets_mode_and_node():
+    tree, errors = parse_document("<!DOCTYPE html><html></html>")
+    assert tree.quirks_mode == "no-quirks"
+    assert tree.doctype == ("html", None, None)
+    assert errors == []
+    # document children: doctype then html
+    kids = list(tree.children(0))
+    assert tree.ntype[kids[0]] == N_DOCTYPE
+    assert tree.name[kids[1]] == "html"
+
+
+def test_no_doctype_is_quirks():
+    tree, _ = parse_document("<p>x</p>")
+    assert tree.quirks_mode == "quirks"
+
+
+def test_initial_whitespace_and_comment_placement():
+    tree, _ = parse_document("  \n <!--before--> <!DOCTYPE html><p>x")
+    kinds = [(tree.ntype[c], tree.name[c]) for c in tree.children(0)]
+    assert kinds[0][0] == N_COMMENT
+    assert kinds[1][0] == N_DOCTYPE
+    assert kinds[2] == (N_ELEMENT, "html")
+
+
+def test_implicit_skeleton():
+    tree, _ = parse_document("hello")
+    assert outline(tree) == [
+        "#document",
+        ["html", ["head"], ["body", "'hello'"]],
+    ]
+
+
+def test_empty_input_builds_skeleton():
+    tree, _ = parse_document("")
+    assert outline(tree) == ["#document", ["html", ["head"], ["body"]]]
+
+
+def test_p_auto_close():
+    tree, _ = parse_document("<body><p>one<p>two")
+    body = _body(tree)
+    ps = [c for c in tree.children(body) if tree.name[c] == "p"]
+    assert len(ps) == 2
+    assert tree.node_text(tree.first_child[ps[0]]) == "one"
+    assert tree.node_text(tree.first_child[ps[1]]) == "two"
+
+
+def test_li_auto_close_and_ul_end():
+    tree, _ = parse_document("<ul><li>A<li>B</ul><div>after</div>")
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body)]
+    assert names == ["ul", "div"]
+    ul = next(iter(tree.children(body)))
+    lis = [c for c in tree.children(ul)]
+    assert [tree.name[c] for c in lis] == ["li", "li"]
+
+
+def test_heading_implicit_close():
+    tree, _ = parse_document("<h1>a<h2>b</h2>")
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body)]
+    assert names == ["h1", "h2"]
+
+
+def test_table_autoclose_cells():
+    tree, _ = parse_document(
+        "<table><tr><td>c1<td>c2<tr><td>c3</table><p>after"
+    )
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body)]
+    assert names == ["table", "p"]
+    table = next(iter(tree.children(body)))
+    trs = [c for c in tree.children(table) if tree.name[c] == "tr"]
+    assert len(trs) == 2
+    tds_row1 = [tree.name[c] for c in tree.children(trs[0])]
+    assert tds_row1 == ["td", "td"]
+
+
+def test_rawtext_script_content_is_text():
+    tree, _ = parse_document("<script>if (a<b) {}</script>")
+    script = _find(tree, "script")
+    assert tree.node_text(tree.first_child[script]) == "if (a<b) {}"
+
+
+def test_rcdata_title_entity_decoded():
+    tree, _ = parse_document("<title>x &amp; y</title>")
+    title = _find(tree, "title")
+    assert tree.node_text(tree.first_child[title]) == "x & y"
+
+
+def test_pre_skips_first_newline():
+    tree, _ = parse_document("<pre>\ntext</pre>")
+    pre = _find(tree, "pre")
+    assert tree.node_text(tree.first_child[pre]) == "text"
+
+
+def test_end_br_becomes_element():
+    tree, _ = parse_document("a</br>b")
+    body = _body(tree)
+    names = [
+        tree.name[c] if tree.ntype[c] == N_ELEMENT else "#text"
+        for c in tree.children(body)
+    ]
+    assert names == ["#text", "br", "#text"]
+
+
+def test_any_other_end_tag_closes_through():
+    tree, _ = parse_document("<div><span>x</div>y")
+    body = _body(tree)
+    names = [
+        tree.name[c] if tree.ntype[c] == N_ELEMENT else "#text"
+        for c in tree.children(body)
+    ]
+    assert names == ["div", "#text"]
+
+
+def test_stray_end_tag_ignored():
+    tree, _ = parse_document("<div>x</table>y</div>")
+    div = _find(tree, "div")
+    assert tree.node_text(tree.first_child[div]) == "xy"
+
+
+def test_null_stripped_in_body_text():
+    tree, _ = parse_document("<body>a\x00b")
+    body = _body(tree)
+    assert tree.node_text(tree.first_child[body]) == "ab"
+
+
+def test_comment_after_body():
+    tree, _ = parse_document("<body>x</body><!--tail-->")
+    html = next(
+        c for c in tree.children(0) if tree.ntype[c] == N_ELEMENT
+    )
+    kids = list(tree.children(html))
+    assert tree.ntype[kids[-1]] == N_COMMENT
+
+
+def test_flat_arrays_are_consistent():
+    tree, _ = parse_document("<div><p>a</p><p>b</p></div>")
+    # first_child/next_sibling/parent must agree everywhere
+    for nid in range(len(tree)):
+        c = tree.first_child[nid]
+        prev = -1
+        while c != -1:
+            assert tree.parent[c] == nid
+            prev = c
+            c = tree.next_sibling[c]
+        assert tree.last_child[nid] == prev
+
+
+# ------------------------------------------------------------- helpers
+def _body(tree) -> int:
+    for c in tree.children(0):
+        if tree.ntype[c] == N_ELEMENT and tree.name[c] == "html":
+            for cc in tree.children(c):
+                if tree.name[cc] == "body":
+                    return cc
+    raise AssertionError("no body")
+
+
+def _find(tree, name) -> int:
+    for nid in range(len(tree)):
+        if tree.ntype[nid] == N_ELEMENT and tree.name[nid] == name:
+            return nid
+    raise AssertionError(f"no <{name}>")

@@ -1,0 +1,241 @@
+"""Main-content span extraction over the flat node-array DOM.
+
+This is the tier the reference stops short of (zhtml returns the
+`Document` in memory and goes no further — /root/reference/src/parser.zig,
+README.md:17-40); the span shape and judged invariant come from
+BASELINE.json.input_hint: ordered ``(kind, text, media_ref, offset)``
+per document, span-sequence equality on ``(kind, text, media_ref)`` in
+offset order.
+
+Pipeline per document (pure Python over DocTree arrays; iterative DFS,
+no recursion, no per-node objects):
+
+1. walk the body subtree, skipping non-content containers;
+2. segment text into blocks at block-element boundaries;
+3. classify each block's kind from its innermost semantic ancestor
+   (heading / list / code / table / text);
+4. emit media spans for media elements (``img/video/audio/embed/
+   iframe/source`` src + media-like ``a href`` targets);
+5. boilerplate strip: drop blocks with high link density and blocks
+   under nav/footer/aside containers (text-density/link-density block
+   scoring per the north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .tree import DocTree, N_ELEMENT, N_TEXT
+
+BLOCK_TAGS = frozenset(
+    """address article aside blockquote body caption dd details dialog
+    div dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6
+    header hgroup hr li main menu nav ol p pre section summary table
+    tbody td tfoot th thead tr ul br""".split()
+)
+
+KIND_BY_TAG = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading",
+    "li": "list", "dt": "list", "dd": "list",
+    "pre": "code", "code": "code",
+    "td": "table", "th": "table", "caption": "table",
+}
+
+# whitespace preserved inside these
+PRE_TAGS = frozenset(["pre", "code", "textarea", "plaintext", "xmp"])
+
+# subtrees that are never content
+SKIP_TAGS = frozenset(
+    """script style template noframes noembed select option optgroup
+    button datalist input textarea head""".split()
+)
+
+MEDIA_SRC_TAGS = frozenset(
+    ["img", "video", "audio", "embed", "iframe", "source", "track"]
+)
+
+MEDIA_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".avif", ".bmp",
+    ".ico", ".mp4", ".webm", ".mkv", ".avi", ".mov", ".mp3", ".wav",
+    ".ogg", ".oga", ".flac", ".m4a", ".pdf",
+)
+
+
+def is_media_href(href: str) -> bool:
+    base = href.split("?", 1)[0].split("#", 1)[0].lower()
+    return base.endswith(MEDIA_EXTENSIONS)
+
+
+@dataclass
+class ExtractConfig:
+    strip_boilerplate: bool = True
+    max_link_density: float = 0.66
+    # blocks under these containers are dropped in strip mode
+    semantic_skip: frozenset = field(
+        default_factory=lambda: frozenset(["nav", "footer", "aside"])
+    )
+    min_block_chars: int = 1
+
+
+_WS_NORM = None  # lazy regex
+
+
+def _normalize(s: str) -> str:
+    global _WS_NORM
+    if _WS_NORM is None:
+        import re
+
+        _WS_NORM = re.compile(r"\s+")
+    return _WS_NORM.sub(" ", s).strip()
+
+
+def extract_spans(
+    tree: DocTree, config: ExtractConfig | None = None
+) -> list[tuple[str, str, str | None]]:
+    """Extract ordered content spans: list of (kind, text, media_ref).
+
+    Offsets are positional (the caller enumerates); media spans carry
+    the resolved-later ``media_ref`` and their alt/anchor text.
+    """
+    cfg = config or ExtractConfig()
+
+    # locate body: html is a child of document 0, body a child of html
+    body = -1
+    for c in tree.children(0):
+        if tree.ntype[c] == N_ELEMENT and tree.name[c] == "html":
+            for cc in tree.children(c):
+                if tree.ntype[cc] == N_ELEMENT and tree.name[cc] == "body":
+                    body = cc
+                    break
+            break
+    if body == -1:
+        return []
+
+    spans: list[tuple[str, str, str | None]] = []
+
+    # current block accumulator
+    parts: list[str] = []
+    anchor_chars = 0
+    total_chars = 0
+
+    kind_stack: list[str] = []       # innermost semantic kind
+    pre_depth = 0
+    anchor_depth = 0
+    semantic_skip_depth = 0
+    media_anchor: list[str] | None = None  # text collector inside media <a>
+    media_anchor_href = ""
+
+    def flush() -> None:
+        nonlocal parts, anchor_chars, total_chars
+        if not parts:
+            return
+        raw = "".join(parts)
+        text = raw if pre_depth > 0 else _normalize(raw)
+        keep = bool(text) and len(text) >= cfg.min_block_chars
+        if keep and cfg.strip_boilerplate:
+            if semantic_skip_depth > 0:
+                keep = False
+            elif total_chars > 0 and anchor_chars / total_chars > cfg.max_link_density:
+                keep = False
+        if keep:
+            spans.append((kind_stack[-1] if kind_stack else "text", text, None))
+        parts = []
+        anchor_chars = 0
+        total_chars = 0
+
+    # iterative DFS with enter/exit events over the flat arrays
+    stack: list[tuple[int, bool]] = [(body, False)]
+    while stack:
+        nid, is_exit = stack.pop()
+        ntype = tree.ntype[nid]
+
+        if ntype == N_TEXT:
+            data = tree.node_text(nid)
+            if media_anchor is not None:
+                media_anchor.append(data)
+            elif data:
+                parts.append(data)
+                stripped = len(data.strip())
+                total_chars += stripped
+                if anchor_depth > 0:
+                    anchor_chars += stripped
+            continue
+        if ntype != N_ELEMENT:
+            continue
+
+        name = tree.name[nid]
+
+        if not is_exit:
+            if name in SKIP_TAGS and nid != body:
+                continue  # prune subtree
+
+            if name in MEDIA_SRC_TAGS:
+                src = (tree.attrs[nid] or {}).get("src") or ""
+                if src:
+                    flush()
+                    alt = (tree.attrs[nid] or {}).get("alt") or ""
+                    spans.append(("media", _normalize(alt), src))
+                # still walk children (video > source etc.)
+
+            if name == "a" and media_anchor is None:
+                href = (tree.attrs[nid] or {}).get("href") or ""
+                if href and is_media_href(href):
+                    flush()
+                    media_anchor = []
+                    media_anchor_href = href
+                    stack.append((nid, True))
+                    for cids in _reversed_children(tree, nid):
+                        stack.append((cids, False))
+                    continue
+
+            if name in BLOCK_TAGS:
+                flush()
+            if name in cfg.semantic_skip:
+                semantic_skip_depth += 1
+            if name in KIND_BY_TAG:
+                kind_stack.append(KIND_BY_TAG[name])
+            if name in PRE_TAGS:
+                pre_depth += 1
+            if name == "a":
+                anchor_depth += 1
+
+            stack.append((nid, True))
+            for cid in _reversed_children(tree, nid):
+                stack.append((cid, False))
+        else:
+            if name == "a" and media_anchor is not None:
+                text = _normalize("".join(media_anchor))
+                spans.append(("media", text, media_anchor_href))
+                media_anchor = None
+                media_anchor_href = ""
+                continue
+            if name in BLOCK_TAGS:
+                flush()
+            if name in cfg.semantic_skip:
+                semantic_skip_depth -= 1
+            if name in KIND_BY_TAG:
+                kind_stack.pop()
+            if name in PRE_TAGS:
+                pre_depth -= 1
+            if name == "a":
+                anchor_depth -= 1
+
+    flush()
+    return spans
+
+
+def _reversed_children(tree: DocTree, nid: int) -> list[int]:
+    kids = list(tree.children(nid))
+    kids.reverse()
+    return kids
+
+
+def extract_html(
+    html: str, config: ExtractConfig | None = None
+) -> tuple[list[tuple[str, str, str | None]], list[str]]:
+    """Convenience: parse + extract one HTML string → (spans, errors)."""
+    from .tree import parse_document
+
+    tree, errors = parse_document(html)
+    return extract_spans(tree, config), errors

@@ -169,6 +169,25 @@ _C1_REMAP = {
     0x9E: 0x017E, 0x9F: 0x0178,
 }
 
+# Tree-construction tokenizer feedback (WHATWG §13.2.6: "generic raw
+# text / RCDATA element parsing algorithm"): after these start tags the
+# tokenizer must leave the Data state.  The reference never reaches
+# this (its parser implements only Initial/BeforeHtml,
+# /root/reference/src/parser.zig:123-134); full-page parsing needs it.
+# noscript is absent: we parse with scripting disabled, so its content
+# is real markup (and real content for extraction).
+_RAWTEXT_SWITCH = {
+    "title": S_RCDATA,
+    "textarea": S_RCDATA,
+    "style": S_RAWTEXT,
+    "xmp": S_RAWTEXT,
+    "iframe": S_RAWTEXT,
+    "noembed": S_RAWTEXT,
+    "noframes": S_RAWTEXT,
+    "script": S_SCRIPT_DATA,
+    "plaintext": S_PLAINTEXT,
+}
+
 # End-tag-name states: (fallback data state, on-success behavior shared).
 _END_TAG_NAME_BASE = {
     S_RCDATA_END_TAG_NAME: S_RCDATA,
@@ -205,6 +224,7 @@ def tokenize(
     initial_state: str = "Data",
     last_start_tag: str | None = None,
     do_preprocess: bool = True,
+    tree_aware: bool = False,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -279,10 +299,13 @@ def tokenize(
         has_cur_attr = True
         cur_attr_name = first
 
-    def emit_tag() -> None:
+    def emit_tag() -> int:
+        """Emit the built tag; return the tokenizer state to resume in
+        (Data, or a raw-text state under tree-aware feedback)."""
         nonlocal last_start, attrs, tag_self_closing
         flush_attr()
         flush_chars()
+        next_state = S_DATA
         if tag_is_end:
             if attrs:
                 err("end-tag-with-attributes")
@@ -292,8 +315,11 @@ def tokenize(
         else:
             out.append(("StartTag", tag_name, attrs, tag_self_closing))
             last_start = tag_name
+            if tree_aware:
+                next_state = _RAWTEXT_SWITCH.get(tag_name, S_DATA)
         attrs = {}
         tag_self_closing = False
+        return next_state
 
     def new_tag(end: bool) -> None:
         nonlocal tag_name, tag_is_end, tag_self_closing, attrs
@@ -458,8 +484,7 @@ def tokenize(
             elif c == "/":
                 state = S_SELF_CLOSING
             elif c == ">":
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             elif c == "\x00":
                 err("unexpected-null-character")
                 tag_name += "�"
@@ -507,8 +532,7 @@ def tokenize(
                         matched = True
                     elif c == ">":
                         i += 1
-                        emit_tag()
-                        state = S_DATA
+                        state = emit_tag()
                         matched = True
             if not matched and state not in (
                 S_BEFORE_ATTR_NAME,
@@ -799,8 +823,7 @@ def tokenize(
                 state = S_BEFORE_ATTR_VALUE
             elif c == ">":
                 i += 1
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             else:
                 start_attr("")
                 state = S_ATTR_NAME
@@ -821,8 +844,7 @@ def tokenize(
             elif c == ">":
                 err("missing-attribute-value")
                 i += 1
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             else:
                 state = S_ATTR_VALUE_UNQ
 
@@ -866,8 +888,7 @@ def tokenize(
                 temp_buf = "&"
                 state = S_CHAR_REF
             elif c == ">":
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             elif c == "\x00":
                 err("unexpected-null-character")
                 cur_val.append("�")
@@ -888,8 +909,7 @@ def tokenize(
                 state = S_SELF_CLOSING
             elif c == ">":
                 i += 1
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             else:
                 err("missing-whitespace-between-attributes")
                 state = S_BEFORE_ATTR_NAME
@@ -902,8 +922,7 @@ def tokenize(
             if c == ">":
                 i += 1
                 tag_self_closing = True
-                emit_tag()
-                state = S_DATA
+                state = emit_tag()
             else:
                 err("unexpected-solidus-in-tag")
                 state = S_BEFORE_ATTR_NAME

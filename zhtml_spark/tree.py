@@ -1,0 +1,853 @@
+"""WHATWG §13.2.6 tree construction over flat node arrays.
+
+Parity target: the reference's parser stage
+(/root/reference/src/parser.zig).  The reference implements the full
+spec dispatcher guard (:93-122) and two insertion modes — Initial with
+its quirks-mode classification table (:146-254) and BeforeHtml
+(:256-280); every other mode breaks the loop (:130-133).  We reproduce
+those two modes' semantics 1:1 (same quirks prefix table — it is the
+spec's own table) and continue with the spec-standard
+BeforeHead→InHead→AfterHead→InBody→Text→AfterBody chain sufficient to
+build real-page DOMs (SURVEY §7.0).  Deliberate simplifications, all
+extraction-safe (text placement is what the span invariant judges):
+
+* table insertion modes route through InBody with light td/th/tr
+  auto-closing (quirky real-world-stripper behavior, SURVEY §7.0);
+* no adoption agency / active-formatting reconstruction — mismatched
+  end tags use the spec's "any other end tag" walk instead;
+* foreign content (MathML/SVG) elements are inserted as plain
+  elements; the reference marks this path unreachable too
+  (src/parser.zig:135-138).
+
+Node storage is the north-star-mandated flat arrays — parallel Python
+lists ``parent / first_child / last_child / next_sibling`` plus
+name/attrs/type/text — not per-node objects, so the structure converts
+to Arrow/numpy without boxing.  The reference instead heap-allocates an
+``ArrayList(Node)`` tree (src/node.zig:36).
+"""
+
+from __future__ import annotations
+
+from .tokenizer import tokenize
+
+# node types
+N_DOCUMENT = 0
+N_ELEMENT = 1
+N_TEXT = 2
+N_COMMENT = 3
+N_DOCTYPE = 4
+
+# insertion modes (subset of the 23 the spec declares; the reference
+# declares all 23 as an enum, src/parser.zig:18-42)
+(
+    M_INITIAL,
+    M_BEFORE_HTML,
+    M_BEFORE_HEAD,
+    M_IN_HEAD,
+    M_AFTER_HEAD,
+    M_IN_BODY,
+    M_TEXT,
+    M_AFTER_BODY,
+    M_AFTER_AFTER_BODY,
+) = range(9)
+
+_WS = "\t\n\f "
+_WS_SET = frozenset("\t\n\f \r")
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed hr img input keygen link meta "
+    "param source track wbr".split()
+)
+
+# WHATWG "special" category (used by the any-other-end-tag walk).
+SPECIAL = frozenset(
+    """address applet area article aside base basefont bgsound blockquote
+    body br button caption center col colgroup dd details dir div dl dt
+    embed fieldset figcaption figure footer form frame frameset h1 h2 h3
+    h4 h5 h6 head header hgroup hr html iframe img input keygen li link
+    listing main marquee menu meta nav noembed noframes noscript object
+    ol p param plaintext pre script section select source style summary
+    table tbody td template textarea tfoot th thead title tr track ul
+    wbr xmp""".split()
+)
+
+# Start tags that close an open <p> in button scope (spec InBody).
+CLOSES_P = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header
+    hgroup hr listing main menu nav ol p plaintext pre section summary
+    table ul xmp""".split()
+)
+
+HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+# End tags with the explicit pop-until rule in InBody (spec list, plus
+# table/applet/marquee/object/form whose spec rules reduce to the same
+# pop-until under our no-formatting-list simplification).
+END_TAG_POP = frozenset(
+    """address article aside blockquote button center details dialog dir
+    div dl fieldset figcaption figure footer form header hgroup listing
+    main menu nav ol pre section summary ul table applet marquee
+    object""".split()
+)
+
+IN_HEAD_TAGS = frozenset(
+    "base basefont bgsound link meta noframes script style template "
+    "title".split()
+)
+
+# scope boundary sets (spec "has an element in ... scope")
+_SCOPE_DEFAULT = frozenset(
+    "applet caption html table td th marquee object template".split()
+)
+_SCOPE_BUTTON = _SCOPE_DEFAULT | {"button"}
+_SCOPE_LIST_ITEM = _SCOPE_DEFAULT | {"ol", "ul"}
+# spec "table scope": html, table, template
+_SCOPE_TABLE = frozenset(["html", "table", "template"])
+
+_IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
+
+# ------------------------------------------------------------------
+# Quirks-mode classification (WHATWG §13.2.6.4.1 "the initial insertion
+# mode"; the reference reproduces the same table at
+# /root/reference/src/parser.zig:175-245).
+QUIRKS_PUBLIC_EXACT = frozenset(
+    [
+        "-//w3o//dtd w3 html strict 3.0//en//",
+        "-/w3c/dtd html 4.0 transitional/en",
+        "html",
+    ]
+)
+QUIRKS_SYSTEM_EXACT = frozenset(
+    ["http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"]
+)
+QUIRKS_PUBLIC_PREFIXES = tuple(
+    s.lower()
+    for s in (
+        "+//Silmaril//dtd html Pro v0r11 19970101//",
+        "-//AS//DTD HTML 3.0 asWedit + extensions//",
+        "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+        "-//IETF//DTD HTML 2.0 Level 1//",
+        "-//IETF//DTD HTML 2.0 Level 2//",
+        "-//IETF//DTD HTML 2.0 Strict Level 1//",
+        "-//IETF//DTD HTML 2.0 Strict Level 2//",
+        "-//IETF//DTD HTML 2.0 Strict//",
+        "-//IETF//DTD HTML 2.0//",
+        "-//IETF//DTD HTML 2.1E//",
+        "-//IETF//DTD HTML 3.0//",
+        "-//IETF//DTD HTML 3.2 Final//",
+        "-//IETF//DTD HTML 3.2//",
+        "-//IETF//DTD HTML 3//",
+        "-//IETF//DTD HTML Level 0//",
+        "-//IETF//DTD HTML Level 1//",
+        "-//IETF//DTD HTML Level 2//",
+        "-//IETF//DTD HTML Level 3//",
+        "-//IETF//DTD HTML Strict Level 0//",
+        "-//IETF//DTD HTML Strict Level 1//",
+        "-//IETF//DTD HTML Strict Level 2//",
+        "-//IETF//DTD HTML Strict Level 3//",
+        "-//IETF//DTD HTML Strict//",
+        "-//IETF//DTD HTML//",
+        "-//Metrius//DTD Metrius Presentational//",
+        "-//Microsoft//DTD Internet Explorer 2.0 HTML Strict//",
+        "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+        "-//Microsoft//DTD Internet Explorer 2.0 Tables//",
+        "-//Microsoft//DTD Internet Explorer 3.0 HTML Strict//",
+        "-//Microsoft//DTD Internet Explorer 3.0 HTML//",
+        "-//Microsoft//DTD Internet Explorer 3.0 Tables//",
+        "-//Netscape Comm. Corp.//DTD HTML//",
+        "-//Netscape Comm. Corp.//DTD Strict HTML//",
+        "-//O'Reilly and Associates//DTD HTML 2.0//",
+        "-//O'Reilly and Associates//DTD HTML Extended 1.0//",
+        "-//O'Reilly and Associates//DTD HTML Extended Relaxed 1.0//",
+        "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+        "-//SoftQuad Software//DTD HoTMetaL PRO 6.0::19990601::"
+        "extensions to HTML 4.0//",
+        "-//SoftQuad//DTD HoTMetaL PRO 4.0::19971010::"
+        "extensions to HTML 4.0//",
+        "-//Spyglass//DTD HTML 2.0 Extended//",
+        "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+        "-//Sun Microsystems Corp.//DTD HotJava Strict HTML//",
+        "-//W3C//DTD HTML 3 1995-03-24//",
+        "-//W3C//DTD HTML 3.2 Draft//",
+        "-//W3C//DTD HTML 3.2 Final//",
+        "-//W3C//DTD HTML 3.2//",
+        "-//W3C//DTD HTML 3.2S Draft//",
+        "-//W3C//DTD HTML 4.0 Frameset//",
+        "-//W3C//DTD HTML 4.0 Transitional//",
+        "-//W3C//DTD HTML Experimental 19960712//",
+        "-//W3C//DTD HTML Experimental 970421//",
+        "-//W3C//DTD W3 HTML//",
+        "-//W3O//DTD W3 HTML 3.0//",
+        "-//WebTechs//DTD Mozilla HTML 2.0//",
+        "-//WebTechs//DTD Mozilla HTML//",
+    )
+)
+_QUIRKS_NO_SYSTEM_PREFIXES = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+_LIMITED_QUIRKS_PREFIXES = (
+    "-//w3c//dtd xhtml 1.0 frameset//",
+    "-//w3c//dtd xhtml 1.0 transitional//",
+)
+
+
+def classify_quirks(
+    name: str | None,
+    public_id: str | None,
+    system_id: str | None,
+    force_quirks: bool,
+) -> str:
+    """Return 'quirks' | 'limited-quirks' | 'no-quirks'."""
+    pub = (public_id or "").lower()
+    sys = (system_id or "").lower()
+    if force_quirks or name != "html":
+        return "quirks"
+    if public_id is not None:
+        if pub in QUIRKS_PUBLIC_EXACT or pub.startswith(QUIRKS_PUBLIC_PREFIXES):
+            return "quirks"
+    if system_id is not None and sys in QUIRKS_SYSTEM_EXACT:
+        return "quirks"
+    if system_id is None and pub.startswith(_QUIRKS_NO_SYSTEM_PREFIXES):
+        return "quirks"
+    if pub.startswith(_LIMITED_QUIRKS_PREFIXES):
+        return "limited-quirks"
+    if system_id is not None and pub.startswith(_QUIRKS_NO_SYSTEM_PREFIXES):
+        return "limited-quirks"
+    return "no-quirks"
+
+
+class DocTree:
+    """Flat node-array DOM: parallel lists, index links, no node objects.
+
+    Node 0 is the document.  Text nodes accumulate parts in ``text``
+    (joined lazily by ``node_text``); adjacent text inserts merge.
+    """
+
+    __slots__ = (
+        "parent",
+        "first_child",
+        "last_child",
+        "next_sibling",
+        "ntype",
+        "name",
+        "attrs",
+        "text",
+        "quirks_mode",
+        "doctype",
+    )
+
+    def __init__(self) -> None:
+        self.parent: list[int] = [-1]
+        self.first_child: list[int] = [-1]
+        self.last_child: list[int] = [-1]
+        self.next_sibling: list[int] = [-1]
+        self.ntype: list[int] = [N_DOCUMENT]
+        self.name: list[str | None] = [None]
+        self.attrs: list[dict | None] = [None]
+        self.text: list[list[str] | None] = [None]
+        self.quirks_mode = "no-quirks"
+        self.doctype: tuple | None = None
+
+    def new_node(self, ntype: int, name: str | None, attrs: dict | None) -> int:
+        nid = len(self.parent)
+        self.parent.append(-1)
+        self.first_child.append(-1)
+        self.last_child.append(-1)
+        self.next_sibling.append(-1)
+        self.ntype.append(ntype)
+        self.name.append(name)
+        self.attrs.append(attrs)
+        self.text.append(None)
+        return nid
+
+    def append_child(self, parent: int, child: int) -> None:
+        self.parent[child] = parent
+        last = self.last_child[parent]
+        if last == -1:
+            self.first_child[parent] = child
+        else:
+            self.next_sibling[last] = child
+        self.last_child[parent] = child
+
+    def append_text(self, parent: int, data: str) -> None:
+        last = self.last_child[parent]
+        if last != -1 and self.ntype[last] == N_TEXT:
+            self.text[last].append(data)
+            return
+        nid = self.new_node(N_TEXT, None, None)
+        self.text[nid] = [data]
+        self.append_child(parent, nid)
+
+    def node_text(self, nid: int) -> str:
+        parts = self.text[nid]
+        return "".join(parts) if parts else ""
+
+    def children(self, nid: int):
+        c = self.first_child[nid]
+        while c != -1:
+            yield c
+            c = self.next_sibling[c]
+
+    def __len__(self) -> int:
+        return len(self.parent)
+
+
+def parse_document(html: str, collect_errors: bool = True):
+    """Parse a full HTML document → ``(DocTree, errors)``.
+
+    Single fused pass: tree-aware tokenize, then the insertion-mode
+    loop (the analog of Parser.parse, src/parser.zig:77-142 — but over
+    the full mode chain instead of two modes).
+    """
+    tokens, errors = tokenize(html, tree_aware=True)
+    tree = DocTree()
+
+    mode = M_INITIAL
+    original_mode = M_IN_BODY
+    # stack of open elements: parallel (node_id, name) lists
+    stack_ids: list[int] = []
+    stack_names: list[str] = []
+    head_id = -1
+    body_id = -1
+    html_id = -1
+    skip_newline = False
+    done = False
+
+    def current() -> int:
+        return stack_ids[-1] if stack_ids else 0
+
+    def insert_element(name: str, attrs: dict | None) -> int:
+        nid = tree.new_node(N_ELEMENT, name, attrs or {})
+        tree.append_child(current(), nid)
+        stack_ids.append(nid)
+        stack_names.append(name)
+        return nid
+
+    def insert_void(name: str, attrs: dict | None) -> int:
+        nid = tree.new_node(N_ELEMENT, name, attrs or {})
+        tree.append_child(current(), nid)
+        return nid
+
+    def pop() -> None:
+        stack_ids.pop()
+        stack_names.pop()
+
+    def has_in_scope(name: str, boundaries: frozenset) -> bool:
+        for nm in reversed(stack_names):
+            if nm == name:
+                return True
+            if nm in boundaries:
+                return False
+        return False
+
+    def generate_implied_end_tags(except_name: str | None = None) -> None:
+        while (
+            stack_names
+            and stack_names[-1] in _IMPLIED_END
+            and stack_names[-1] != except_name
+        ):
+            pop()
+
+    def pop_until(name: str) -> None:
+        while stack_names:
+            nm = stack_names[-1]
+            pop()
+            if nm == name:
+                return
+
+    def close_p_if_open() -> None:
+        if has_in_scope("p", _SCOPE_BUTTON):
+            generate_implied_end_tags("p")
+            pop_until("p")
+
+    def ensure_html() -> None:
+        nonlocal html_id
+        if html_id == -1:
+            html_id = tree.new_node(N_ELEMENT, "html", {})
+            tree.append_child(0, html_id)
+            stack_ids.append(html_id)
+            stack_names.append("html")
+
+    def ensure_head() -> None:
+        nonlocal head_id
+        ensure_html()
+        if head_id == -1:
+            head_id = insert_element("head", {})
+
+    def close_head() -> None:
+        if stack_names and stack_names[-1] == "head":
+            pop()
+
+    def ensure_body() -> None:
+        nonlocal body_id
+        ensure_html()
+        if body_id == -1:
+            body_id = insert_element("body", {})
+
+    # light td/th/tr auto-closing for table content routed through
+    # InBody (SURVEY §7.0 "table modes initially route to InBody")
+    def table_autoclose(name: str) -> None:
+        if name in ("td", "th"):
+            while stack_names and stack_names[-1] not in (
+                "tr", "table", "tbody", "thead", "tfoot", "html", "body",
+            ):
+                if stack_names[-1] in ("td", "th"):
+                    pop()
+                    break
+                pop()
+        elif name == "tr":
+            while stack_names and stack_names[-1] not in (
+                "table", "tbody", "thead", "tfoot", "html", "body",
+            ):
+                pop()
+        elif name in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+            while stack_names and stack_names[-1] not in (
+                "table", "html", "body",
+            ):
+                pop()
+
+    def any_other_end_tag(name: str) -> None:
+        # spec InBody "any other end tag" loop (no adoption agency)
+        for idx in range(len(stack_names) - 1, -1, -1):
+            nm = stack_names[idx]
+            if nm == name:
+                generate_implied_end_tags(name)
+                while len(stack_names) > idx:
+                    pop()
+                return
+            if nm in SPECIAL:
+                return  # ignore token
+
+    ti = 0
+    ntok = len(tokens)
+    while ti < ntok and not done:
+        tok = tokens[ti]
+        ti += 1
+        kind = tok[0]
+        reprocess = True
+        while reprocess:
+            reprocess = False
+
+            # ---------------------------------------------- Initial
+            if mode == M_INITIAL:
+                if kind == "Character":
+                    data = tok[1].lstrip(_WS)
+                    if not data:
+                        break
+                    tok = ("Character", data)
+                    tree.quirks_mode = "quirks"
+                    mode = M_BEFORE_HTML
+                    reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(0, nid)
+                elif kind == "DOCTYPE":
+                    _, name, pub, sys, fq = tok
+                    nid = tree.new_node(N_DOCTYPE, name, None)
+                    tree.append_child(0, nid)
+                    tree.doctype = (name, pub, sys)
+                    tree.quirks_mode = classify_quirks(name, pub, sys, fq)
+                    mode = M_BEFORE_HTML
+                else:
+                    tree.quirks_mode = "quirks"
+                    mode = M_BEFORE_HTML
+                    reprocess = True
+
+            # ------------------------------------------- BeforeHtml
+            elif mode == M_BEFORE_HTML:
+                if kind == "DOCTYPE":
+                    break
+                if kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(0, nid)
+                elif kind == "Character":
+                    data = tok[1].lstrip(_WS)
+                    if not data:
+                        break
+                    tok = ("Character", data)
+                    ensure_html()
+                    mode = M_BEFORE_HEAD
+                    reprocess = True
+                elif kind == "StartTag" and tok[1] == "html":
+                    html_id = tree.new_node(N_ELEMENT, "html", tok[2])
+                    tree.append_child(0, html_id)
+                    stack_ids.append(html_id)
+                    stack_names.append("html")
+                    mode = M_BEFORE_HEAD
+                elif kind == "EndTag" and tok[1] not in (
+                    "head", "body", "html", "br",
+                ):
+                    break  # ignore
+                else:
+                    ensure_html()
+                    mode = M_BEFORE_HEAD
+                    reprocess = True
+
+            # ------------------------------------------- BeforeHead
+            elif mode == M_BEFORE_HEAD:
+                if kind == "Character":
+                    data = tok[1].lstrip(_WS)
+                    if not data:
+                        break
+                    tok = ("Character", data)
+                    ensure_head()
+                    mode = M_IN_HEAD
+                    reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag" and tok[1] == "head":
+                    head_id = insert_element("head", tok[2])
+                    mode = M_IN_HEAD
+                elif kind == "EndTag" and tok[1] not in (
+                    "head", "body", "html", "br",
+                ):
+                    break
+                else:
+                    ensure_head()
+                    mode = M_IN_HEAD
+                    reprocess = True
+
+            # ---------------------------------------------- InHead
+            elif mode == M_IN_HEAD:
+                if kind == "Character":
+                    ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+                    if ws_prefix_len:
+                        tree.append_text(current(), tok[1][:ws_prefix_len])
+                    rest = tok[1][ws_prefix_len:]
+                    if rest:
+                        tok = ("Character", rest)
+                        close_head()
+                        mode = M_AFTER_HEAD
+                        reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "html":
+                        break
+                    if name in (
+                        "base", "basefont", "bgsound", "link", "meta",
+                    ):
+                        insert_void(name, tok[2])
+                    elif name in ("title", "style", "script", "noframes"):
+                        insert_element(name, tok[2])
+                        original_mode = M_IN_HEAD
+                        mode = M_TEXT
+                    elif name in ("noscript", "template"):
+                        insert_element(name, tok[2])
+                    elif name == "head":
+                        break
+                    else:
+                        close_head()
+                        mode = M_AFTER_HEAD
+                        reprocess = True
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name == "head":
+                        close_head()
+                        mode = M_AFTER_HEAD
+                    elif name in ("noscript", "template"):
+                        if has_in_scope(name, _SCOPE_DEFAULT):
+                            pop_until(name)
+                    elif name in ("body", "html", "br"):
+                        close_head()
+                        mode = M_AFTER_HEAD
+                        reprocess = True
+                    # else ignore
+
+            # -------------------------------------------- AfterHead
+            elif mode == M_AFTER_HEAD:
+                if kind == "Character":
+                    ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+                    if ws_prefix_len:
+                        tree.append_text(current(), tok[1][:ws_prefix_len])
+                    rest = tok[1][ws_prefix_len:]
+                    if rest:
+                        tok = ("Character", rest)
+                        ensure_body()
+                        mode = M_IN_BODY
+                        reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "html":
+                        break
+                    if name == "body":
+                        body_id = insert_element("body", tok[2])
+                        mode = M_IN_BODY
+                    elif name in IN_HEAD_TAGS:
+                        # spec: re-push head; simplified — insert into head
+                        if name in ("title", "style", "script", "noframes"):
+                            nid = tree.new_node(N_ELEMENT, name, tok[2])
+                            tree.append_child(
+                                head_id if head_id != -1 else current(), nid
+                            )
+                            stack_ids.append(nid)
+                            stack_names.append(name)
+                            original_mode = M_AFTER_HEAD
+                            mode = M_TEXT
+                        else:
+                            nid = tree.new_node(N_ELEMENT, name, tok[2])
+                            tree.append_child(
+                                head_id if head_id != -1 else current(), nid
+                            )
+                    else:
+                        ensure_body()
+                        mode = M_IN_BODY
+                        reprocess = True
+                elif kind == "EndTag":
+                    if tok[1] in ("body", "html", "br"):
+                        ensure_body()
+                        mode = M_IN_BODY
+                        reprocess = True
+                    # else ignore
+
+            # ---------------------------------------------- InBody
+            elif mode == M_IN_BODY:
+                if kind == "Character":
+                    data = tok[1]
+                    if skip_newline:
+                        skip_newline = False
+                        if data.startswith("\n"):
+                            data = data[1:]
+                    if "\x00" in data:
+                        data = data.replace("\x00", "")
+                    if data:
+                        tree.append_text(current(), data)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    attrs = tok[2]
+                    if name == "html" or name == "body" or name == "frameset":
+                        break  # ignore (attr-merge skipped)
+                    if name in IN_HEAD_TAGS:
+                        if name in ("title", "style", "script", "noframes"):
+                            insert_element(name, attrs)
+                            original_mode = M_IN_BODY
+                            mode = M_TEXT
+                        else:
+                            insert_void(name, attrs)
+                        break
+                    if name in CLOSES_P:
+                        close_p_if_open()
+                        if name in HEADINGS:
+                            if stack_names and stack_names[-1] in HEADINGS:
+                                pop()
+                            insert_element(name, attrs)
+                        elif name == "hr":
+                            insert_void(name, attrs)
+                        elif name in ("pre", "listing"):
+                            insert_element(name, attrs)
+                            skip_newline = True
+                        elif name in ("plaintext", "xmp"):
+                            insert_element(name, attrs)
+                            if name == "xmp":
+                                original_mode = M_IN_BODY
+                                mode = M_TEXT
+                        else:
+                            insert_element(name, attrs)
+                        break
+                    if name == "li":
+                        if has_in_scope("li", _SCOPE_LIST_ITEM):
+                            generate_implied_end_tags("li")
+                            pop_until("li")
+                        close_p_if_open()
+                        insert_element(name, attrs)
+                        break
+                    if name in ("dd", "dt"):
+                        for other in ("dd", "dt"):
+                            if has_in_scope(other, _SCOPE_DEFAULT):
+                                generate_implied_end_tags(other)
+                                pop_until(other)
+                                break
+                        close_p_if_open()
+                        insert_element(name, attrs)
+                        break
+                    if name == "button":
+                        if has_in_scope("button", _SCOPE_DEFAULT):
+                            generate_implied_end_tags()
+                            pop_until("button")
+                        insert_element(name, attrs)
+                        break
+                    if name in VOID_ELEMENTS:
+                        insert_void(name, attrs)
+                        break
+                    if name == "image":
+                        insert_void("img", attrs)  # spec renames
+                        break
+                    if name == "textarea":
+                        insert_element(name, attrs)
+                        skip_newline = True
+                        original_mode = M_IN_BODY
+                        mode = M_TEXT
+                        break
+                    if name in ("iframe", "noembed"):
+                        insert_element(name, attrs)
+                        original_mode = M_IN_BODY
+                        mode = M_TEXT
+                        break
+                    if name in ("option", "optgroup"):
+                        if stack_names and stack_names[-1] == "option":
+                            pop()
+                        insert_element(name, attrs)
+                        break
+                    if name in (
+                        "td", "th", "tr", "tbody", "thead", "tfoot",
+                        "caption", "colgroup",
+                    ):
+                        table_autoclose(name)
+                        if name in ("colgroup",):
+                            insert_element(name, attrs)
+                        else:
+                            insert_element(name, attrs)
+                        break
+                    if name == "col":
+                        insert_void(name, attrs)
+                        break
+                    if name == "head":
+                        break  # ignore
+                    insert_element(name, attrs)
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name == "body":
+                        if body_id != -1:
+                            mode = M_AFTER_BODY
+                        break
+                    if name == "html":
+                        if body_id != -1:
+                            mode = M_AFTER_BODY
+                            reprocess = True
+                        break
+                    if name == "p":
+                        if has_in_scope("p", _SCOPE_BUTTON):
+                            generate_implied_end_tags("p")
+                            pop_until("p")
+                        break
+                    if name == "li":
+                        if has_in_scope("li", _SCOPE_LIST_ITEM):
+                            generate_implied_end_tags("li")
+                            pop_until("li")
+                        break
+                    if name in ("dd", "dt"):
+                        if has_in_scope(name, _SCOPE_DEFAULT):
+                            generate_implied_end_tags(name)
+                            pop_until(name)
+                        break
+                    if name in HEADINGS:
+                        if any(h in stack_names for h in HEADINGS):
+                            generate_implied_end_tags()
+                            while stack_names:
+                                nm = stack_names[-1]
+                                pop()
+                                if nm in HEADINGS:
+                                    break
+                        break
+                    if name == "br":
+                        insert_void("br", {})  # spec: </br> acts as <br>
+                        break
+                    if name in END_TAG_POP:
+                        scope = (
+                            _SCOPE_TABLE if name == "table" else _SCOPE_DEFAULT
+                        )
+                        if has_in_scope(name, scope):
+                            generate_implied_end_tags()
+                            pop_until(name)
+                        break
+                    if name in ("td", "th", "tr", "tbody", "thead",
+                                "tfoot", "caption", "colgroup"):
+                        if has_in_scope(name, _SCOPE_TABLE):
+                            generate_implied_end_tags()
+                            pop_until(name)
+                        break
+                    any_other_end_tag(name)
+
+            # ------------------------------------------------ Text
+            elif mode == M_TEXT:
+                if kind == "Character":
+                    data = tok[1]
+                    if skip_newline:
+                        skip_newline = False
+                        if data.startswith("\n"):
+                            data = data[1:]
+                    if data:
+                        tree.append_text(current(), data)
+                elif kind == "EndTag":
+                    if stack_names:
+                        pop()
+                    mode = original_mode
+                else:
+                    # EOF mid-rawtext is handled by loop end; stray
+                    # non-char tokens can't occur in rawtext states
+                    if stack_names:
+                        pop()
+                    mode = original_mode
+                    reprocess = True
+
+            # ------------------------------------------- AfterBody
+            elif mode == M_AFTER_BODY:
+                if kind == "Character" and not tok[1].strip(_WS):
+                    tree.append_text(current(), tok[1])
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(
+                        html_id if html_id != -1 else 0, nid
+                    )
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "EndTag" and tok[1] == "html":
+                    mode = M_AFTER_AFTER_BODY
+                else:
+                    mode = M_IN_BODY
+                    reprocess = True
+
+            # -------------------------------------- AfterAfterBody
+            elif mode == M_AFTER_AFTER_BODY:
+                if kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(0, nid)
+                elif kind == "Character" and not tok[1].strip(_WS):
+                    break
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag" and tok[1] == "html":
+                    break
+                else:
+                    mode = M_IN_BODY
+                    reprocess = True
+
+    # EOF: make sure the skeleton exists even for empty/fragmentary
+    # input (attach under html directly — EOF may strike mid-head)
+    if html_id == -1:
+        html_id = tree.new_node(N_ELEMENT, "html", {})
+        tree.append_child(0, html_id)
+    if head_id == -1:
+        head_id = tree.new_node(N_ELEMENT, "head", {})
+        tree.append_child(html_id, head_id)
+    if body_id == -1:
+        body_id = tree.new_node(N_ELEMENT, "body", {})
+        tree.append_child(html_id, body_id)
+    return tree, errors
