@@ -1,0 +1,253 @@
+"""Spark pipeline tests: the judged correctness path (tokenizer corpus
+replayed as DataFrame rows through the real mapInPandas stage,
+span-sequence equality), plus media passthrough, salting determinism,
+resume idempotence, metrics/lineage counts (SURVEY §5 engine test plan).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from zhtml_spark.corpus import corpus_dataframe
+from zhtml_spark.errors import PREPROCESSING_ERROR_IDS
+from zhtml_spark.pipeline import (
+    extract_documents,
+    filter_done,
+    lineage_table,
+    metrics_table,
+    run_job,
+    salted_repartition,
+    with_doc_bytes,
+)
+from zhtml_spark.udfs import REPLAY_SCHEMA, replay_tokenizer_batches
+
+FIXTURE = Path(__file__).parent / "fixtures" / "tokenizer_cases.json"
+
+REPLAY_IN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("input", StringType(), False),
+        StructField("initial_state", StringType(), False),
+        StructField("last_start_tag", StringType(), True),
+    ]
+)
+
+
+def _expected_text_spans(output: list) -> list[str]:
+    """Golden derivation (FIXTURES.md §3): coalesced Character runs."""
+    spans: list[str] = []
+    prev_char = False
+    for tok in output:
+        if tok[0] == "Character":
+            if prev_char:
+                spans[-1] += tok[1]
+            else:
+                spans.append(tok[1])
+            prev_char = True
+        else:
+            prev_char = False
+    return spans
+
+
+def test_tokenizer_corpus_replay_spark(spark):
+    """THE judged path: html5lib-format corpus as DataFrame rows through
+    the real Arrow UDF; exact span-sequence + error-multiset equality."""
+    cases = json.loads(FIXTURE.read_text())["tests"]
+    rows = []
+    want: dict[str, tuple[list[str], list[str]]] = {}
+    for idx, case in enumerate(cases):
+        for state in case.get("initialStates", ["Data"]):
+            doc_id = f"case-{idx}-{state}"
+            rows.append(
+                (doc_id, case["input"], state, case.get("lastStartTag"))
+            )
+            want[doc_id] = (
+                _expected_text_spans(case["output"]),
+                sorted(
+                    e["code"]
+                    for e in case.get("errors", [])
+                    if e["code"] not in PREPROCESSING_ERROR_IDS
+                ),
+            )
+
+    df = spark.createDataFrame(rows, REPLAY_IN_SCHEMA)
+    out = df.repartition(8).mapInPandas(
+        replay_tokenizer_batches, REPLAY_SCHEMA
+    )
+    got = {
+        r["doc_id"]: (
+            [s["text"] for s in sorted(r["spans"], key=lambda s: s["offset"])],
+            sorted(e for e in r["errors"] if e not in PREPROCESSING_ERROR_IDS),
+        )
+        for r in out.collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches: {list(mismatches)[:3]}"
+
+
+def _mini_docs(spark):
+    span_struct = StructType(
+        [
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("spans", ArrayType(span_struct), False),
+        ]
+    )
+    rows = [
+        (
+            "d1",
+            [
+                ("html", "<h1>Title</h1><p>before media</p>", None, 0),
+                ("image", "a chart", "media://d1/0", 1),
+                ("html", "<p>after media</p>", None, 2),
+                ("text", "plain tail", None, 3),
+            ],
+        ),
+        (
+            "d2",
+            [
+                # tag split across adjacent html spans must still parse
+                ("html", "<p>split", None, 0),
+                ("html", " tag</p>", None, 1),
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_media_passthrough_positions(spark):
+    out = extract_documents(_mini_docs(spark)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    d1 = [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in sorted(by_id["d1"]["spans"], key=lambda s: s["offset"])
+    ]
+    assert d1 == [
+        ("heading", "Title", None),
+        ("text", "before media", None),
+        ("media", "a chart", "media://d1/0"),
+        ("text", "after media", None),
+        ("text", "plain tail", None),
+    ]
+    d2 = [
+        (s["kind"], s["text"]) for s in by_id["d2"]["spans"]
+    ]
+    assert d2 == [("text", "split tag")]
+
+
+def test_extraction_deterministic_across_runs(spark):
+    docs = corpus_dataframe(spark, 60, seed=7).persist()
+    try:
+        def snapshot():
+            rows = extract_documents(docs, num_partitions=6).collect()
+            return sorted(
+                (
+                    r["doc_id"],
+                    tuple(
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in r["spans"]
+                    ),
+                )
+                for r in rows
+            )
+
+        assert snapshot() == snapshot()
+    finally:
+        docs.unpersist()
+
+
+def test_salted_repartition_balances_bytes(spark):
+    docs = corpus_dataframe(spark, 200, seed=11).persist()
+    try:
+        parts = 8
+        df = salted_repartition(docs, parts)
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.sum("n_bytes").alias("b"))
+            .collect()
+        )
+        loads = [r["b"] for r in sizes]
+        assert len(loads) == parts
+        # a document is one indivisible row, so the best achievable max
+        # load is bounded below by the largest doc; assert we're within
+        # that floor + noise, i.e. giants never co-locate
+        max_doc = with_doc_bytes(docs).agg(F.max("n_bytes")).collect()[0][0]
+        mean = sum(loads) / len(loads)
+        assert max(loads) <= max(2.5 * mean, max_doc + 1.5 * mean)
+    finally:
+        docs.unpersist()
+
+
+def test_resume_anti_join_no_double_processing(spark, tmp_path):
+    docs = corpus_dataframe(spark, 50, seed=3)
+    inp = str(tmp_path / "input")
+    docs.write.parquet(inp)
+    out1 = str(tmp_path / "out1")
+    ckpt = str(tmp_path / "ckpt")
+
+    # full uninterrupted run → reference output
+    ref = run_job(spark, inp, str(tmp_path / "ref"), checkpoint_path=None,
+                  num_partitions=4)
+
+    # interrupted: process only half (simulate by pre-seeding checkpoint
+    # with half the ids), then resume
+    half = spark.read.parquet(inp).select("doc_id").limit(25)
+    half.withColumn("snapshot_id", F.lit(0).cast("long")).withColumn(
+        "partition_id", F.lit(0)
+    ).write.parquet(ckpt)
+    stats = run_job(spark, inp, out1, checkpoint_path=ckpt, num_partitions=4)
+    assert stats["docs"] == 25  # only the missing half processed
+
+    # checkpoint now covers all 50; resuming again processes zero docs
+    stats2 = run_job(spark, inp, out1, checkpoint_path=ckpt, num_partitions=4)
+    assert stats2["docs"] == 0
+
+    # no doc appears twice in the resumed spans output
+    spans = spark.read.parquet(f"{out1}/spans")
+    assert spans.count() == spans.select("doc_id").distinct().count() == 25
+    assert ref["docs"] == 50
+
+
+def test_metrics_and_lineage_counts(spark):
+    docs = corpus_dataframe(spark, 40, seed=5)
+    extracted = extract_documents(docs, num_partitions=4).persist()
+    try:
+        n = extracted.count()
+        m = metrics_table(extracted)
+        li = lineage_table(extracted, snapshot_id=9)
+        assert m.agg(F.sum("n_docs")).collect()[0][0] == n
+        assert li.agg(F.sum("n_docs")).collect()[0][0] == n
+        assert li.select("snapshot_id").distinct().collect()[0][0] == 9
+        # doc-id ranges must be consistent
+        bad = li.where(F.col("doc_ids_min") > F.col("doc_ids_max")).count()
+        assert bad == 0
+    finally:
+        extracted.unpersist()
+
+
+def test_doc_bytes_computed_jvm_side(spark):
+    df = with_doc_bytes(_mini_docs(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()  # pure Catalyst expression
+    rows = {r["doc_id"]: r["n_bytes"] for r in df.collect()}
+    assert rows["d2"] == len("<p>split") + len(" tag</p>")

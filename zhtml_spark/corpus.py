@@ -1,0 +1,216 @@
+"""Deterministic synthetic interleaved-document corpus.
+
+BASELINE.json input_hint mandates the input shape:
+``(doc_id: string, spans: array<struct<kind, text, media_ref, offset>>)``
+with input span kinds {html, text, image, video, audio}; the document
+byte stream is the concatenation of html/text span texts in offset
+order with media spans passed through positionally (FIXTURES.md §2).
+
+Everything is seeded (seed=42 default) — resume tests and the
+two-parallelism scaling runs must see byte-identical inputs
+(SURVEY §7.2).  Knobs: doc count, heavy-tailed byte-length
+distribution with occasional multi-hundred-KB "giant pages" (exercises
+quantile salting), entity/comment/malformed densities, media rate.
+"""
+
+from __future__ import annotations
+
+import random
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog content extraction spark "
+    "pipeline data web page article story report analysis method result "
+    "system design large scale corpus token stream parser element node "
+    "media image caption heading paragraph table row cell list item"
+).split()
+
+_ENTITIES = ["&amp;", "&lt;", "&gt;", "&mdash;", "&nbsp;", "&copy;", "&#x41;"]
+_MALFORMED = [
+    "<p>unclosed paragraph",
+    "<b>unclosed bold",
+    "</div>",
+    "<a href='x.html>broken quote</a>",
+    "<!-- unterminated comment",
+    "<  p>",
+    "<?php echo 1; ?>",
+]
+_MEDIA_KINDS = ("image", "video", "audio")
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n_words)]
+    return " ".join(ws)
+
+
+def _paragraph(rng: random.Random, entity_density: float) -> str:
+    s = _sentence(rng, rng.randint(8, 40))
+    if rng.random() < entity_density:
+        s += " " + rng.choice(_ENTITIES) + " " + _sentence(rng, 4)
+    if rng.random() < 0.25:
+        s += f" <a href=\"/l/{rng.randint(0, 999)}\">{_sentence(rng, 2)}</a> "
+        s += _sentence(rng, 5)
+    return f"<p>{s}</p>"
+
+
+def _block(rng: random.Random, entity_density: float, malformed_rate: float) -> str:
+    r = rng.random()
+    if r < 0.55:
+        return _paragraph(rng, entity_density)
+    if r < 0.65:
+        return f"<h{rng.randint(1, 3)}>{_sentence(rng, rng.randint(2, 8))}</h{rng.randint(1, 3)}>"
+    if r < 0.75:
+        items = "".join(
+            f"<li>{_sentence(rng, rng.randint(2, 10))}</li>"
+            for _ in range(rng.randint(2, 6))
+        )
+        return f"<ul>{items}</ul>"
+    if r < 0.82:
+        rows = "".join(
+            "<tr>"
+            + "".join(
+                f"<td>{_sentence(rng, rng.randint(1, 4))}</td>"
+                for _ in range(rng.randint(2, 4))
+            )
+            + "</tr>"
+            for _ in range(rng.randint(1, 4))
+        )
+        return f"<table>{rows}</table>"
+    if r < 0.86:
+        return f"<pre>{_sentence(rng, rng.randint(4, 20))}</pre>"
+    if r < 0.90:
+        return f"<!-- {_sentence(rng, rng.randint(2, 6))} -->"
+    if r < 0.90 + malformed_rate:
+        return rng.choice(_MALFORMED)
+    if r < 0.97:
+        return f"<script>var x_{rng.randint(0, 99)} = 1 < 2;</script>"
+    return (
+        f"<div class=\"c{rng.randint(0, 9)}\">"
+        f"{_paragraph(rng, entity_density)}</div>"
+    )
+
+
+def make_document(
+    doc_id: str,
+    rng: random.Random,
+    target_bytes: int,
+    media_rate: float = 0.08,
+    entity_density: float = 0.3,
+    malformed_rate: float = 0.04,
+    nav_rate: float = 0.5,
+) -> dict:
+    """One interleaved document row: {doc_id, spans:[{kind,text,media_ref,offset}]}."""
+    spans: list[dict] = []
+    offset = 0
+
+    def add(kind: str, text: str | None, media_ref: str | None) -> None:
+        nonlocal offset
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+        )
+        offset += 1
+
+    head = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{_sentence(rng, 4)}</title>"
+        "<style>body{margin:0}</style></head><body>"
+    )
+    parts = [head]
+    if rng.random() < nav_rate:
+        links = "".join(
+            f"<li><a href=\"/nav/{k}\">{_sentence(rng, 1)}</a></li>"
+            for k in range(rng.randint(3, 8))
+        )
+        parts.append(f"<nav><ul>{links}</ul></nav>")
+    size = sum(len(p) for p in parts)
+    media_i = 0
+    while size < target_bytes:
+        b = _block(rng, entity_density, malformed_rate)
+        parts.append(b)
+        size += len(b)
+        if rng.random() < media_rate:
+            # flush accumulated html as one span; then a media span
+            add("html", "".join(parts), None)
+            parts = []
+            kind = rng.choice(_MEDIA_KINDS)
+            add(kind, _sentence(rng, rng.randint(0, 4)),
+                f"media://{doc_id}/{media_i}")
+            media_i += 1
+        if rng.random() < 0.02:
+            # a plain-text span interleaved (pre-extracted fragment)
+            add("html", "".join(parts), None) if parts else None
+            parts = []
+            add("text", _sentence(rng, rng.randint(5, 30)), None)
+    parts.append(f"<footer>{_sentence(rng, 3)} <a href=\"/a\">x</a></footer>")
+    parts.append("</body></html>")
+    add("html", "".join(parts), None)
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def generate_documents(
+    n_docs: int,
+    seed: int = 42,
+    mean_bytes: int = 4000,
+    giant_rate: float = 0.01,
+    giant_multiplier: int = 40,
+    **doc_kwargs,
+):
+    """Yield ``n_docs`` deterministic interleaved documents.
+
+    Byte lengths are log-normal-ish heavy tailed; ``giant_rate`` of
+    docs are scaled by ``giant_multiplier`` to exercise size-skew
+    handling.  Each document derives its own RNG from (seed, index) so
+    generation order / partitioning cannot change content.
+    """
+    for i in range(n_docs):
+        rng = random.Random((seed << 20) ^ i)
+        target = int(rng.lognormvariate(0, 0.8) * mean_bytes) + 300
+        if rng.random() < giant_rate:
+            target *= giant_multiplier
+        yield make_document(f"doc-{seed}-{i:08d}", rng, target, **doc_kwargs)
+
+
+def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
+    """Materialize the corpus as a Spark DataFrame with the input_hint
+    schema (distributed generation: one task per ~2k docs, rows built
+    executor-side so the driver never holds the corpus)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    span_struct = StructType(
+        [
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("spans", ArrayType(span_struct), False),
+        ]
+    )
+    chunk = 2000
+    starts = list(range(0, n_docs, chunk))
+    sc = spark.sparkContext
+
+    def gen_chunk(start: int):
+        end = min(start + chunk, n_docs)
+        for i in range(start, end):
+            rng = random.Random((seed << 20) ^ i)
+            target = int(rng.lognormvariate(0, 0.8) * kwargs.get("mean_bytes", 4000)) + 300
+            if rng.random() < kwargs.get("giant_rate", 0.01):
+                target *= kwargs.get("giant_multiplier", 40)
+            d = make_document(f"doc-{seed}-{i:08d}", rng, target)
+            yield (d["doc_id"], [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in d["spans"]
+            ])
+
+    rdd = sc.parallelize(starts, len(starts)).flatMap(gen_chunk)
+    return spark.createDataFrame(rdd, schema)

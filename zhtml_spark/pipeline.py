@@ -1,0 +1,338 @@
+"""Job shell: IO, skew-defusing repartition, resume, metrics/lineage.
+
+The Spark-side architecture (SURVEY §4.2): everything outside the
+fused UDF is declarative DataFrame code — scans prune columns and push
+filters (Catalyst), AQE handles runtime re-planning for the join/agg
+stages, and the ONLY imperative stage is the single mapInPandas parse.
+
+Skew: document sizes are heavy-tailed (giant pages), and a document is
+one row — key-salting frequency tricks don't apply to row-size skew.
+We therefore band rows by byte-length quantiles and spread each band
+over hash cells sized ∝ the band's byte share (north rule: "repartition
+with salted keys on document byte-length quantiles"), giving ~equal
+bytes per partition at any parallelism; cells ≫ partitions so
+balls-in-bins stays smooth.
+
+Resume (north rule "resumable from any snapshot checkpoint"): the
+spans sink is idempotent per doc_id; a restarted job anti-joins the
+checkpoint table (done doc_ids) against the input — Iceberg snapshot
+semantics in production, plain parquet dirs in this sandbox.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import ExtractConfig
+from .udfs import EXTRACT_SCHEMA, make_extract_udf
+
+DEFAULT_ARROW_BATCH = 256  # docs per Arrow batch: ~4KB mean docs → ~1MB batches
+
+
+def build_session(
+    app: str = "zhtml-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """local[N] session with the engine's standard knobs.
+
+    On a real cluster the same configs ship via spark-submit --conf;
+    AQE stays on (it re-plans joins/aggs but cannot see inside the
+    UDF — that is what the explicit banding is for).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    # executor Python workers must import this package: local mode
+    # inherits the driver env (production ships engine.zip via
+    # spark-submit --py-files instead, jobs/extract_job.py)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}:{existing}" if existing else repo_root
+        )
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_ARROW_BATCH),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the interleaved-documents table.
+
+    Production target is an Iceberg table
+    (``spark.read.format("iceberg").load(path)``) with hidden
+    bucket(doc_id) partitioning; the sandbox has no Iceberg runtime
+    jar, so parquet directories stand in.  Column pruning/predicate
+    pushdown behave identically for this 2-column schema.
+    """
+    if path.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(path[len("iceberg:"):])
+    return spark.read.parquet(path)
+
+
+def with_doc_bytes(df: DataFrame) -> DataFrame:
+    """n_bytes = total span text length, computed JVM-side
+    (higher-order aggregate, no Python)."""
+    return df.withColumn(
+        "n_bytes",
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))"
+        ),
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    giant_fraction: float = 0.25,
+    max_giants: int = 100_000,
+) -> DataFrame:
+    """Byte-balanced repartition that survives giant-page skew.
+
+    A document is one indivisible row, so size skew cannot be fixed by
+    key-frequency salting alone — two giants hashing together blows a
+    partition.  Strategy (north rule: quantile-thresholded placement):
+
+    * docs below the giant threshold — ``giant_fraction`` of a
+      partition's byte budget, floored at the 99th byte quantile —
+      balance by law of large numbers under a pure hash slot;
+    * docs above it are few by construction (threshold scales with
+      budget, count capped at ``max_giants``): collect their
+      (id, bytes) to the driver, greedy-LPT them onto the least-loaded
+      slots, broadcast the assignment back;
+    * one range shuffle on the final slot puts each slot in its own
+      partition (exact placement — hash-of-slot would re-introduce
+      balls-in-bins collisions).
+
+    Driver cost is O(giants); at 10^12 docs the threshold keeps that
+    bounded (a giant must be a macroscopic fraction of a multi-GB
+    partition budget to matter).
+    """
+    df = with_doc_bytes(df)
+    stats = df.agg(
+        F.sum("n_bytes").alias("total"), F.count("*").alias("cnt")
+    ).collect()[0]
+    total = stats["total"] or 0
+    if not total:
+        return df.repartition(num_partitions, "doc_id")
+    budget = total / num_partitions
+    q99 = df.stat.approxQuantile("n_bytes", [0.99], 0.001)[0]
+    threshold = max(budget * giant_fraction, q99)
+
+    giants = (
+        df.where(F.col("n_bytes") > F.lit(threshold))
+        .select("doc_id", "n_bytes")
+        .orderBy(F.col("n_bytes").desc())
+        .limit(max_giants)
+        .collect()
+    )
+
+    # greedy LPT over slots, seeded with the hash-balanced base load
+    import heapq
+
+    giant_bytes = sum(r["n_bytes"] for r in giants)
+    base = (total - giant_bytes) / num_partitions
+    heap = [(base, slot) for slot in range(num_partitions)]
+    heapq.heapify(heap)
+    assignment: dict[str, int] = {}
+    for r in giants:  # already sorted desc
+        load, slot = heapq.heappop(heap)
+        assignment[r["doc_id"]] = slot
+        heapq.heappush(heap, (load + r["n_bytes"], slot))
+
+    hash_slot = F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
+    if assignment:
+        spark = df.sparkSession
+        amap = spark.createDataFrame(
+            list(assignment.items()), "doc_id string, giant_slot int"
+        )
+        df = df.join(F.broadcast(amap), "doc_id", "left")
+        slot = F.coalesce(F.col("giant_slot"), hash_slot)
+    else:
+        slot = hash_slot
+    df = df.withColumn("slot", slot.cast("int"))
+    # exact slot→partition placement: repartition() hashes its key, so
+    # map each slot to a probe int whose Murmur3 lands in that exact
+    # partition (range partitioning is row-count based and merges
+    # sparse slots; hashing slots directly re-collides them)
+    probes = _partition_probes(df.sparkSession, num_partitions)
+    probe_col = F.element_at(
+        F.array(*[F.lit(p) for p in probes]), F.col("slot") + 1
+    )
+    out = df.withColumn("slot_probe", probe_col).repartition(
+        num_partitions, "slot_probe"
+    ).drop("slot_probe")
+    return out.drop("giant_slot") if assignment else out
+
+
+_PROBE_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_probes(spark: SparkSession, num_partitions: int) -> list[int]:
+    """For each partition p < num_partitions, an int x with
+    pmod(murmur3(x), num_partitions) == p — computed once with Spark's
+    own hash so it can never drift from the JVM implementation."""
+    if num_partitions in _PROBE_CACHE:
+        return _PROBE_CACHE[num_partitions]
+    rows = (
+        spark.range(0, max(num_partitions * 64, 4096))
+        .select(
+            F.col("id").cast("int").alias("x"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_partitions)).alias(
+                "p"
+            ),
+        )
+        .groupBy("p")
+        .agg(F.min("x").alias("x"))
+        .collect()
+    )
+    by_p = {r["p"]: r["x"] for r in rows}
+    assert len(by_p) == num_partitions, "probe search space too small"
+    probes = [by_p[p] for p in range(num_partitions)]
+    _PROBE_CACHE[num_partitions] = probes
+    return probes
+
+
+def filter_done(input_df: DataFrame, checkpoint_df: DataFrame | None) -> DataFrame:
+    """Resume: drop documents already in the checkpoint (anti-join —
+    the relational EXCEPT, broadcast when small; see FIXTURES.md §5)."""
+    if checkpoint_df is None:
+        return input_df
+    done = checkpoint_df.select("doc_id").distinct()
+    return input_df.join(done, "doc_id", "left_anti")
+
+
+def extract_documents(
+    df: DataFrame,
+    config: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+    salt: bool = True,
+) -> DataFrame:
+    """The core stage: salted repartition → fused parse/extract UDF."""
+    if num_partitions and salt:
+        df = salted_repartition(df, num_partitions)
+    elif num_partitions:
+        df = df.repartition(num_partitions, "doc_id")
+    return df.select("doc_id", "spans").mapInPandas(
+        make_extract_udf(config), EXTRACT_SCHEMA
+    )
+
+
+def metrics_table(extracted: DataFrame) -> DataFrame:
+    """Per-partition metrics (FIXTURES.md §6): counts, bytes, spans,
+    errors, error-code histogram, wall time."""
+    part = extracted.withColumn("partition_id", F.spark_partition_id())
+    exploded_codes = (
+        part.select(
+            "partition_id", F.explode_outer("error_codes").alias("code", "cnt")
+        )
+        .groupBy("partition_id", "code")
+        .agg(F.sum("cnt").alias("cnt"))
+        .where(F.col("code").isNotNull())
+        .groupBy("partition_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("code", "cnt"))
+            ).alias("error_codes")
+        )
+    )
+    base = part.groupBy("partition_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("n_errors").alias("n_errors"),
+        F.ceil(F.sum("wall_us") / 1000).alias("wall_ms"),
+    )
+    return base.join(exploded_codes, "partition_id", "left")
+
+
+def lineage_table(extracted: DataFrame, snapshot_id: int = 0, attempt: int = 0) -> DataFrame:
+    """Per-partition lineage (FIXTURES.md §6): doc-id range + count,
+    for resume audits (no doc processed twice)."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.min("doc_id").alias("doc_ids_min"),
+            F.max("doc_id").alias("doc_ids_max"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+        .withColumn("attempt", F.lit(attempt).cast("int"))
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str | None = None,
+    num_partitions: int | None = None,
+    config: ExtractConfig | None = None,
+    snapshot_id: int = 0,
+) -> dict:
+    """End-to-end batch: read → resume-filter → extract → write spans +
+    metrics + lineage + checkpoint.  Returns counters for the caller
+    (bench uses them instead of wall-clocking JVM boot)."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    docs = read_documents(spark, input_path)
+    ckpt = None
+    if checkpoint_path is not None:
+        try:
+            # materialize the done-set now: the job appends to this very
+            # path later, and a lazy re-read after that append would
+            # anti-join away the current run's own stats/writes
+            ckpt = spark.read.parquet(checkpoint_path).select("doc_id").persist()
+            ckpt.count()
+        except Exception:
+            ckpt = None
+        docs = filter_done(docs, ckpt)
+
+    extracted = extract_documents(docs, config, num_partitions)
+    extracted = extracted.persist()
+    # first action: pin the cache before any sink mutates checkpoint state
+    row = extracted.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_errors").alias("errors"),
+    ).collect()[0]
+
+    spans_out = extracted.select("doc_id", "spans")
+    spans_out.write.mode("append").parquet(f"{output_path}/spans")
+    metrics_table(extracted).withColumn(
+        "snapshot_id", F.lit(snapshot_id).cast("long")
+    ).write.mode("append").parquet(f"{output_path}/metrics")
+    lineage_table(extracted, snapshot_id).write.mode("append").parquet(
+        f"{output_path}/lineage"
+    )
+    if checkpoint_path is not None:
+        extracted.select("doc_id").withColumn(
+            "snapshot_id", F.lit(snapshot_id).cast("long")
+        ).withColumn(
+            "partition_id", F.spark_partition_id()
+        ).write.mode("append").parquet(checkpoint_path)
+
+    extracted.unpersist()
+    if ckpt is not None:
+        ckpt.unpersist()
+    return {
+        "docs": row["docs"],
+        "bytes": row["bytes"],
+        "spans": row["spans"],
+        "errors": row["errors"],
+    }

@@ -1,0 +1,212 @@
+"""Fused tokenize→tree→extract mapInPandas stage.
+
+One Python stage, one JVM↔Python Arrow crossing (SURVEY §4.2 "UDF
+fusion": Catalyst cannot fuse across two Python stages, so we never
+split the parse).  Input/output cross the boundary as Arrow record
+batches; inside the batch we loop documents — the per-document DFA is
+inherently sequential (SURVEY §7.2), parallelism comes from doc-level
+batching across tasks.
+
+Input schema  (BASELINE.json input_hint):
+    doc_id: string,
+    spans:  array<struct<kind,text,media_ref,offset:int>>
+Output schema (extraction):
+    doc_id, spans (same struct, extracted), n_bytes, n_spans,
+    n_errors, error_codes map<string,long>  — feeding the metrics and
+    lineage sinks (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .extract import ExtractConfig, extract_spans
+from .tokenizer import tokenize
+from .tree import parse_document
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), False),
+    ]
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), False),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("n_spans", LongType(), False),
+        StructField("n_errors", LongType(), False),
+        StructField("error_codes", MapType(StringType(), LongType()), False),
+        StructField("wall_us", LongType(), False),
+    ]
+)
+
+REPLAY_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), False),
+        StructField("errors", ArrayType(StringType()), False),
+    ]
+)
+
+_MEDIA_INPUT_KINDS = frozenset(["image", "video", "audio"])
+
+
+def extract_document(
+    in_spans: list, config: ExtractConfig | None = None
+) -> tuple[list[tuple], list[str], int]:
+    """Extract one interleaved document.
+
+    ``in_spans`` are (kind, text, media_ref, offset)-shaped records in
+    any order.  Maximal runs of html spans are parsed as one fragment
+    (tags may span adjacent html spans); ``text`` spans pass through as
+    text; media spans pass through positionally as ``media`` output
+    spans (FIXTURES.md §2/§3).  Returns (out_spans, errors, n_bytes);
+    out_spans are (kind, text, media_ref) with offsets implied by
+    position.
+    """
+    ordered = sorted(in_spans, key=lambda s: s[3])
+    out: list[tuple] = []
+    errors: list[str] = []
+    n_bytes = 0
+    html_parts: list[str] = []
+
+    def flush_html() -> None:
+        if not html_parts:
+            return
+        fragment = "".join(html_parts)
+        html_parts.clear()
+        tree, errs = parse_document(fragment)
+        errors.extend(errs)
+        out.extend(extract_spans(tree, config))
+
+    for kind, text, media_ref, _off in ordered:
+        if text:
+            n_bytes += len(text)
+        if kind == "html":
+            if text:
+                html_parts.append(text)
+        elif kind == "text":
+            flush_html()
+            if text and text.strip():
+                out.append(("text", " ".join(text.split()), None))
+        elif kind in _MEDIA_INPUT_KINDS or media_ref is not None:
+            flush_html()
+            out.append(("media", text or "", media_ref))
+        # unknown kinds are dropped deterministically
+    flush_html()
+    return out, errors, n_bytes
+
+
+def make_extract_udf(config: ExtractConfig | None = None):
+    """Build the mapInPandas function for the extraction stage."""
+    cfg = config or ExtractConfig()
+
+    def extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].tolist()
+            spans_col = pdf["spans"].tolist()
+            out_spans = []
+            out_bytes = []
+            out_nspans = []
+            out_nerrors = []
+            out_codes = []
+            out_wall = []
+            for in_spans in spans_col:
+                t0 = time.perf_counter_ns()
+                # rows arrive as dicts (Arrow struct) — normalize once
+                recs = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in in_spans
+                ]
+                spans, errs, nbytes = extract_document(recs, cfg)
+                wall = (time.perf_counter_ns() - t0) // 1000
+                out_spans.append(
+                    [
+                        {
+                            "kind": k,
+                            "text": t,
+                            "media_ref": m,
+                            "offset": i,
+                        }
+                        for i, (k, t, m) in enumerate(spans)
+                    ]
+                )
+                out_bytes.append(nbytes)
+                out_nspans.append(len(spans))
+                out_nerrors.append(len(errs))
+                out_codes.append(dict(Counter(errs)))
+                out_wall.append(wall)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "spans": out_spans,
+                    "n_bytes": out_bytes,
+                    "n_spans": out_nspans,
+                    "n_errors": out_nerrors,
+                    "error_codes": out_codes,
+                    "wall_us": out_wall,
+                }
+            )
+
+    return extract_batches
+
+
+def replay_tokenizer_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Tokenizer-corpus replay stage (the judged correctness path,
+    SURVEY §3.3): input rows (doc_id, input, initial_state,
+    last_start_tag) → character-run spans + error codes.
+
+    Golden derivation per FIXTURES.md §3: maximal Character-token runs
+    become kind='text' spans; tags/comments/doctypes shape nothing
+    here.
+    """
+    for pdf in batches:
+        out_rows = {"doc_id": [], "spans": [], "errors": []}
+        for doc_id, text, state, lst in zip(
+            pdf["doc_id"], pdf["input"], pdf["initial_state"],
+            pdf["last_start_tag"],
+        ):
+            tokens, errors = tokenize(
+                text,
+                initial_state=state or "Data",
+                last_start_tag=lst if lst is not None and lst == lst else None,
+            )
+            spans = [
+                {"kind": "text", "text": t[1], "media_ref": None, "offset": i}
+                for i, t in enumerate(
+                    tok for tok in tokens if tok[0] == "Character"
+                )
+            ]
+            out_rows["doc_id"].append(doc_id)
+            out_rows["spans"].append(spans)
+            out_rows["errors"].append(list(errors))
+        yield pd.DataFrame(out_rows)
