@@ -153,6 +153,149 @@ def _q_interleaved_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_exploded(wrapped)
 
 
+# ------------------------------------------- training-data pipeline ops
+def _q_dedup_exact(spark, sf_dir):
+    from zhtml_spark.textops import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from zhtml_spark.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from zhtml_spark.textops import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n=3, seeds=8)
+
+
+def _q_minhash_candidates(spark, sf_dir):
+    from zhtml_spark.textops import minhash_dup_candidates
+
+    return minhash_dup_candidates(_docs(spark, sf_dir), n=3, seeds=8,
+                                  min_agree=2)
+
+
+def _q_simhash(spark, sf_dir):
+    from zhtml_spark.textops import simhash48
+
+    return simhash48(_docs(spark, sf_dir))
+
+
+def _q_simhash_candidates(spark, sf_dir):
+    """Near-dup detection demo on docs ∪ near-copies (one appended
+    word) so qualifying pairs actually exist in the synthetic data."""
+    from zhtml_spark.textops import simhash_dup_candidates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return simhash_dup_candidates(d.unionByName(copies), max_hamming=6)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from zhtml_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, n_queries=5, k=5)
+
+
+def _q_nearest_centroid(spark, sf_dir):
+    from zhtml_spark.textops import nearest_centroid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return nearest_centroid(emb, n_centroids=8)
+
+
+def _q_text_quality(spark, sf_dir):
+    from zhtml_spark.textops import text_quality
+
+    return text_quality(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from zhtml_spark.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    from zhtml_spark.textops import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from zhtml_spark.textops import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------- relational operator coverage
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "avg_disc", "count_order",
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "revenue")
+    )
+
+
+def _q_order_window_rank(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
@@ -167,7 +310,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_dup_candidates": _q_minhash_candidates,
+        "simhash48": _q_simhash,
+        "simhash_dup_candidates": _q_simhash_candidates,
+        "cosine_topk": _q_cosine_topk,
+        "nearest_centroid": _q_nearest_centroid,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "order_window_rank": _q_order_window_rank,
+        "events_by_type": _q_events_by_type,
     }
+
+
+_GRAMS_CTE = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    )
+"""
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
+_STOP_ES = "['el','la','de','que','y','en','un','es','por','los']"
+_STOP_DE = "['der','die','und','das','ist','ein','zu','mit','den','von']"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -225,5 +399,246 @@ def oracle_sql() -> dict[str, str]:
             SELECT {doc_id}, 2 AS offset, 'text' AS kind,
                    'tail ' || lang AS text, {null_ref}
             FROM documents
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id, text
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": _GRAMS_CTE + """
+            , sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id)
+            , shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM grams a JOIN grams b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.05
+        """,
+        "minhash_signatures": _GRAMS_CTE + """
+            , seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            )
+            SELECT doc_id, seed,
+                   min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+            FROM seeded GROUP BY doc_id, seed
+        """,
+        "minhash_dup_candidates": _GRAMS_CTE + """
+            , seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            )
+            , sig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_agree
+            FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "simhash48": """
+            WITH wrds AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                    FROM documents
+                )
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+                FROM wrds
+            ),
+            bits AS (
+                SELECT doc_id, CAST(s.s AS INTEGER) AS s,
+                       CASE WHEN ((h >> CAST(s.s AS INTEGER)) & 1) = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM hashed, (SELECT UNNEST(range(0, 48)) AS s) s
+            ),
+            per_bit AS (
+                SELECT doc_id, s, sum(c) AS c FROM bits GROUP BY doc_id, s
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << s)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        """,
+        "simhash_dup_candidates": """
+            WITH documents_u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text || ' zq' AS text
+                FROM documents
+            ),
+            wrds AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                    FROM documents_u
+                )
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+                FROM wrds
+            ),
+            bits AS (
+                SELECT doc_id, CAST(s.s AS INTEGER) AS s,
+                       CASE WHEN ((h >> CAST(s.s AS INTEGER)) & 1) = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM hashed, (SELECT UNNEST(range(0, 48)) AS s) s
+            ),
+            per_bit AS (
+                SELECT doc_id, s, sum(c) AS c FROM bits GROUP BY doc_id, s
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << s)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM per_bit GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a, sig b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            dots AS (
+                SELECT q.query_id, e.vec_id,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS dot,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS nq,
+                       (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(e.embedding) + 1)) t(i)) AS ne
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            ),
+            sims AS (
+                SELECT query_id, vec_id,
+                       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine
+                FROM dots
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC
+                       ) AS INTEGER) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id AS neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "nearest_centroid": """
+            WITH c AS (
+                SELECT vec_id AS centroid_id, embedding AS ce
+                FROM embeddings WHERE vec_id < 8
+            ),
+            dists AS (
+                SELECT e.vec_id, c.centroid_id,
+                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM embeddings e, c
+            ),
+            ranked AS (
+                SELECT vec_id, centroid_id, dist,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC
+                       ) AS rank
+                FROM dists
+            )
+            SELECT vec_id, centroid_id, dist
+            FROM ranked WHERE rank = 1
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   round(length(replace(text, ' ', ''))
+                         / len(string_split(text, ' ')), 4) AS avg_word_len,
+                   round(len(list_filter(string_split(text, ' '),
+                                         t -> list_contains({_STOP_EN}, t)))
+                         / len(string_split(text, ' ')), 4) AS stopword_ratio,
+                   round(len(list_distinct(string_split(text, ' ')))
+                         / len(string_split(text, ' ')), 4) AS uniq_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scores AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOP_DE}, t))) AS s_de,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOP_EN}, t))) AS s_en,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOP_ES}, t))) AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+                        WHEN s_en >= s_es THEN 'en'
+                        ELSE 'es' END AS predicted_lang
+            FROM scores
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                        AS INTEGER) AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(('0x' || substr(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 12)) AS BIGINT) AS fingerprint48
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH rev AS (
+                SELECT c_custkey, c_name,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_custkey, c_name
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY revenue DESC, c_custkey ASC
+                   ) AS INTEGER) AS rank,
+                   c_custkey, c_name, revenue
+            FROM rev
+            QUALIFY rank <= 10
+        """,
+        "order_window_rank": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS INTEGER) AS rn,
+                   round(o_totalprice, 2) AS price
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

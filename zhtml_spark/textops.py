@@ -1,0 +1,388 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis — all expressed JVM-side (pyspark.sql.functions only, zero
+Python UDFs) so Catalyst/Tungsten codegen the hot path and AQE plans
+the joins.  Every op is deterministic and DuckDB-oracle-checkable:
+cross-engine hashing uses md5 (identical in both engines) truncated to
+48 bits so BIGINT arithmetic never overflows on either side.
+
+Scale notes (10^12-doc regime):
+* exact dedup          — one hash-aggregate shuffle on the text key;
+* minhash signatures   — explode(grams×seeds) is map-side, one
+  partial-agg shuffle on (doc, seed);
+* minhash/simhash pair finding — band equality joins (pigeonhole for
+  simhash: hamming ≤ 3 over 4×12-bit chunks guarantees a shared
+  chunk), never an O(n²) cross join;
+* cosine top-k         — broadcast the (small) query set, one pass over
+  embeddings, per-query top-k window; the IVF variant prunes to the
+  nearest-centroid bucket first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Shared stopword lists (tiny, deterministic; used by lang-id and
+# quality scoring — both engines embed the same literals).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"],
+}
+
+
+def md5_hash48(col: Column, salt: str = "") -> Column:
+    """48-bit integer hash both Spark and DuckDB compute identically:
+    first 12 hex chars of md5."""
+    payload = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("long")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def word_ngrams(n: int, col: str = "text") -> Column:
+    """Distinct word n-grams as an array column (JVM higher-order fns)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {n}, -1)),"
+            f" i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {n})))"
+        )
+    )
+
+
+# ------------------------------------------------------------- dedup
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup on text: one survivor (min doc_id) per distinct text."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+
+def ngram_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(word_ngrams(n)).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    Distributed shape: gram-inverted-index self-join (shared-gram
+    counting), never a doc×doc cross join; skewy grams are the classic
+    hazard — at scale add a document-frequency cap on grams before the
+    join (stopword-gram blacklist), AQE handles residual skew.
+    """
+    grams = ngram_gram_table(docs, n)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("size_b")
+    )
+    j = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, seeds: int = 8) -> DataFrame:
+    """MinHash signature matrix: (doc_id, seed, minhash) — md5-salted
+    per-seed hashes, map-side explode + one partial-agg shuffle."""
+    grams = ngram_gram_table(docs, n)
+    seeded = grams.select(
+        "doc_id",
+        "gram",
+        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
+    )
+    hashed = seeded.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                               F.col("gram"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_dup_candidates(
+    docs: DataFrame, n: int = 3, seeds: int = 8, min_agree: int = 4
+) -> DataFrame:
+    """LSH-style near-dup candidates: pairs agreeing on ≥ min_agree of
+    the seed minima.  Equality join on (seed, minhash) buckets — the
+    banding join; no cross join anywhere."""
+    sig = minhash_signatures(docs, n, seeds)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["seed", "minhash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_agree"))
+        .where(F.col("n_agree") >= min_agree)
+    )
+
+
+def simhash48(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash over distinct words (deterministic, cross-engine).
+
+    Two aggregations: per (doc, bit) contribution sums, then bit
+    packing — both map-side-combinable."""
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(_words())).alias("w"),
+    ).withColumn("h", md5_hash48(F.col("w")))
+    bits = words.select(
+        "doc_id",
+        "h",
+        F.explode(F.array(*[F.lit(s) for s in range(48)])).alias("s"),
+    ).withColumn("contrib", F.expr("(shiftright(h, s) & 1) * 2 - 1"))
+    per_bit = bits.groupBy("doc_id", "s").agg(
+        F.sum("contrib").alias("c")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), s) "
+                   "ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming.
+
+    Pigeonhole banding: 48 bits → (max_hamming + 1) chunks; hamming ≤
+    max_hamming forces at least one chunk to be identical, so a
+    chunk-equality join finds every qualifying pair (lossless) and the
+    exact hamming filter runs on candidates only.  Wider thresholds
+    mean narrower chunks and a denser candidate join — the standard
+    recall/cost dial."""
+    n_chunks = max_hamming + 1
+    width = 48 // n_chunks  # last chunk absorbs the remainder
+    sig = simhash48(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(c) for c in range(n_chunks)])).alias("c"),
+    ).withColumn(
+        "chunk",
+        F.expr(
+            f"CASE WHEN c = {n_chunks - 1} "
+            f"THEN shiftright(simhash, c * {width}) "
+            f"ELSE shiftright(simhash, c * {width}) & {(1 << width) - 1} END"
+        ),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------------- similarity search
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set (small by
+    construction), one scan over embeddings, per-query top-k window.
+    The 100 TB path swaps the scan side for the IVF bucket
+    (nearest_centroid) before ranking."""
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def nearest_centroid(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF building block: assign each vector to its nearest centroid
+    (centroids := first n vectors; deterministic).  Broadcast join +
+    argmin window — the bucket index for ANN pruning."""
+    cents = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    dists = pairs.withColumn(
+        "dist",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("c"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select("vec_id", "centroid_id", "dist")
+    )
+
+
+# ------------------------------------------------------ text analysis
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality features: token/char counts, avg word length, stopword
+    ratio, unique-token ratio — one narrow projection, no shuffle."""
+    toks = _words()
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 4
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-voting language id (deterministic heuristic):
+    argmax over per-language stopword hits, alphabetical tie-break,
+    'und' when all scores are zero."""
+    toks = _words()
+    arrays = {
+        lang: F.array(*[F.lit(w) for w in words])
+        for lang, words in STOPWORDS.items()
+    }
+    def _hits(arr):
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _hits(arrays[lang]) for lang in STOPWORDS}
+    # deterministic argmax: iterate langs alphabetically, strict >
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(scores):
+        better = scores[lang] > best
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        best = F.when(better, scores[lang]).otherwise(best)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish pre-tokenizer count: words + punctuation singles."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Whole-document fingerprint (md5 of normalized text) + 48-bit
+    integer form for bucketing."""
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        md5_hash48(norm).alias("fingerprint48"),
+    )
