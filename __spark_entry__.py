@@ -118,6 +118,31 @@ def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
 
 
+def _q_media_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction + media-ref resolution broadcast join against a
+    deterministic media-metadata dimension."""
+    from zhtml_spark.pipeline import extract_documents, resolve_media_refs
+
+    html = F.concat(
+        F.lit("<body><p>"),
+        F.col("text"),
+        F.lit('</p><img src="img-'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png" alt="fig"></body>'),
+    )
+    wrapped = _wrap_as_interleaved(_docs(spark, sf_dir), html)
+    meta = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img-"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.concat(
+            F.lit("https://cdn.example/"), F.col("doc_id").cast("string")
+        ).alias("resolved_url"),
+    )
+    return resolve_media_refs(extract_documents(wrapped), meta)
+
+
 def _q_span_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _q_extract_media(spark, sf_dir)
     return df.groupBy("kind").agg(F.count("*").alias("n")).select("kind", "n")
@@ -236,6 +261,53 @@ def _q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _media_table(spark, sf_dir):
+    """Synthesize a typed media table from documents: binary payload =
+    utf-8 bytes of text (real bytes through the binary column path)."""
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media_kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from zhtml_spark.multimodal import extract_media_features
+
+    feats = extract_media_features(_media_table(spark, sf_dir), n_features=4)
+    return feats.select(
+        "media_ref",
+        "media_kind",
+        "checksum",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 3), 6).alias("f2"),
+        F.round(F.element_at("features", 4), 6).alias("f3"),
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    from zhtml_spark.multimodal import frame_sample_refs
+
+    return frame_sample_refs(_media_table(spark, sf_dir), n_frames=4)
+
+
+def _q_resize_dims(spark, sf_dir):
+    from zhtml_spark.multimodal import resize_dims
+
+    return resize_dims(_media_table(spark, sf_dir), max_dim=256).select(
+        "media_ref", "width", "height", "target_width", "target_height"
+    )
+
+
 # --------------------------------------- relational operator coverage
 def _q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -310,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
+        "media_resolution": _q_media_resolution,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -322,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
+        "resize_dims": _q_resize_dims,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "order_window_rank": _q_order_window_rank,
@@ -398,6 +474,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {doc_id}, 2 AS offset, 'text' AS kind,
                    'tail ' || lang AS text, {null_ref}
+            FROM documents
+        """,
+        "media_resolution": f"""
+            SELECT {doc_id}, 0 AS offset, 'text' AS kind, text,
+                   {null_ref}, CAST(NULL AS VARCHAR) AS media_kind,
+                   CAST(NULL AS VARCHAR) AS resolved_url
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'media' AS kind, 'fig' AS text,
+                   'img-' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref,
+                   'image' AS media_kind,
+                   'https://cdn.example/' || CAST(doc_id AS VARCHAR)
+                       AS resolved_url
             FROM documents
         """,
         "dedup_exact": """
@@ -602,6 +691,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
                    CAST(('0x' || substr(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 12)) AS BIGINT) AS fingerprint48
             FROM documents
+        """,
+        "media_features": """
+            SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CASE WHEN doc_id % 3 = 0 THEN 'video'
+                        WHEN doc_id % 3 = 1 THEN 'image'
+                        ELSE 'audio' END AS media_kind,
+                   md5(text) AS checksum,
+                   round(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) / 65535.0, 6) AS f0,
+                   round(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) / 65535.0, 6) AS f1,
+                   round(CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) / 65535.0, 6) AS f2,
+                   round(CAST(('0x' || substr(md5(text), 13, 4)) AS INTEGER) / 65535.0, 6) AS f3
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i.i AS INTEGER) AS frame_idx,
+                   CAST((n_chars * 100 * (2 * i.i + 1)) // 8 AS BIGINT)
+                       AS frame_ms,
+                   'm-' || CAST(doc_id AS VARCHAR) || '#f'
+                       || CAST(i.i AS VARCHAR) AS frame_ref
+            FROM documents, (SELECT UNNEST(range(0, 4)) AS i) i
+            WHERE doc_id % 3 = 0
+        """,
+        "resize_dims": """
+            WITH m AS (
+                SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                       CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+                       CAST(n_chars % 480 + 16 AS INTEGER) AS height
+                FROM documents
+            )
+            SELECT media_ref, width, height,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN ceil(width * (256.0 / greatest(width, height)))
+                        ELSE width END AS INTEGER) AS target_width,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN ceil(height * (256.0 / greatest(width, height)))
+                        ELSE height END AS INTEGER) AS target_height
+            FROM m
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,178 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm the Python workers first, time each query
+once after warmup; the extraction corpus is generated once (seed=42)
+and cached under /tmp so repeated rounds measure compute, not codegen
+of the corpus.  Scaling-efficiency evidence (local[8] vs local[32]) is
+produced separately by jobs/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EXTRACT_DOCS = int(os.environ.get("ZX_BENCH_DOCS", "20000"))
+CORPUS_CACHE = f"/tmp/zx-bench-corpus-{N_EXTRACT_DOCS}-42"
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.corpus import corpus_dataframe
+    from zhtml_spark.pipeline import build_session, extract_documents
+    from zhtml_spark.udfs import EXTRACT_SCHEMA, make_extract_udf
+
+    spark = build_session(app="zhtml-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- corpus (cached across rounds; deterministic seed)
+    if not os.path.exists(CORPUS_CACHE):
+        corpus_dataframe(spark, N_EXTRACT_DOCS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(CORPUS_CACHE)
+    docs = spark.read.parquet(CORPUS_CACHE)
+
+    # ---- warmup: fork the Python workers + JIT the hot paths
+    docs.limit(200).mapInPandas(make_extract_udf(), EXTRACT_SCHEMA).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. flagship: full extraction pipeline (salted repartition + fused UDF)
+    timed(
+        "extract_pipeline",
+        lambda: extract_documents(docs, num_partitions=2 * CPUS)
+        .agg(F.sum("n_spans"))
+        .collect(),
+    )
+
+    # 2. tokenizer-corpus replay through the replay UDF (judged path)
+    def replay():
+        import json as _json
+        from pathlib import Path
+
+        from pyspark.sql.types import (
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from zhtml_spark.udfs import REPLAY_SCHEMA, replay_tokenizer_batches
+
+        cases = _json.loads(
+            (
+                Path(__file__).parent / "tests" / "fixtures"
+                / "tokenizer_cases.json"
+            ).read_text()
+        )["tests"]
+        rows = []
+        for rep in range(200):
+            for i, c in enumerate(cases):
+                rows.append(
+                    (
+                        f"{rep}-{i}",
+                        c["input"],
+                        c.get("initialStates", ["Data"])[0],
+                        c.get("lastStartTag"),
+                    )
+                )
+        schema = StructType(
+            [
+                StructField("doc_id", StringType()),
+                StructField("input", StringType()),
+                StructField("initial_state", StringType()),
+                StructField("last_start_tag", StringType()),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema).repartition(CPUS)
+        df.mapInPandas(replay_tokenizer_batches, REPLAY_SCHEMA).count()
+
+    timed("tokenize_replay", replay)
+
+    # 3-5. dedup family on sf documents
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    from zhtml_spark.textops import (
+        cosine_topk,
+        minhash_dup_candidates,
+        ngram_jaccard_pairs,
+        simhash_dup_candidates,
+    )
+
+    timed(
+        "dedup_minhash",
+        lambda: minhash_dup_candidates(docs_tbl, n=3, seeds=8, min_agree=2)
+        .count(),
+    )
+    timed(
+        "dedup_simhash",
+        lambda: simhash_dup_candidates(docs_tbl, max_hamming=6).count(),
+    )
+    timed(
+        "dedup_ngram_jaccard",
+        lambda: ngram_jaccard_pairs(docs_tbl, n=3, threshold=0.05).count(),
+    )
+
+    # 6. similarity search
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("cosine_topk", lambda: cosine_topk(emb, n_queries=100, k=10).count())
+
+    # 7-8. relational coverage on the big tables
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.round(F.sum("l_extendedprice"), 2),
+            F.count("*"),
+        )
+        .collect(),
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    timed(
+        "join_top_customers",
+        lambda: orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy(F.col("rev").desc())
+        .limit(10)
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cores": CPUS,
+                "extract_docs": N_EXTRACT_DOCS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

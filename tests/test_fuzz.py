@@ -35,6 +35,32 @@ def test_tokenizer_total_on_markup_soup(s: str) -> None:
         assert all(e in SPEC_ERROR_IDS for e in errors)
 
 
+_taggish = st.text(
+    alphabet='<>/= "\'abcdABCD-_:.&;\t\n 0123456789`!?',
+    max_size=200,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_taggish)
+def test_fast_tag_path_equivalent_to_state_machine(s: str) -> None:
+    """The regex fast path must be observationally identical to the
+    pure state machine: same tokens, same error multiset."""
+    fast = tokenize(s, enable_fast_tags=True)
+    slow = tokenize(s, enable_fast_tags=False)
+    assert fast[0] == slow[0]
+    assert sorted(fast[1]) == sorted(slow[1])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_taggish)
+def test_fast_tag_path_equivalent_tree_aware(s: str) -> None:
+    fast = tokenize(s, tree_aware=True, enable_fast_tags=True)
+    slow = tokenize(s, tree_aware=True, enable_fast_tags=False)
+    assert fast[0] == slow[0]
+    assert sorted(fast[1]) == sorted(slow[1])
+
+
 @settings(max_examples=200, deadline=None)
 @given(_text)
 def test_plain_text_round_trips(s: str) -> None:

@@ -245,6 +245,55 @@ def test_metrics_and_lineage_counts(spark):
         extracted.unpersist()
 
 
+def test_media_resolution_join_and_span_order(spark):
+    from zhtml_spark.pipeline import resolve_media_refs, span_order_violations
+
+    extracted = extract_documents(_mini_docs(spark)).persist()
+    try:
+        meta = spark.createDataFrame(
+            [("media://d1/0", "image", "https://cdn/x")],
+            "media_ref string, media_kind string, resolved_url string",
+        )
+        resolved = resolve_media_refs(extracted, meta).collect()
+        media_rows = [r for r in resolved if r["kind"] == "media"]
+        assert len(media_rows) == 1
+        assert media_rows[0]["resolved_url"] == "https://cdn/x"
+        assert media_rows[0]["media_kind"] == "image"
+        text_rows = [r for r in resolved if r["kind"] == "text"]
+        assert all(r["resolved_url"] is None for r in text_rows)
+        # offsets are dense 0..n-1 per doc
+        assert span_order_violations(extracted).count() == 0
+    finally:
+        extracted.unpersist()
+
+
+def test_arrow_and_pandas_engines_identical(spark):
+    """mapInArrow fast path must emit byte-identical results to the
+    mapInPandas reference path (same fused extract semantics)."""
+    docs = corpus_dataframe(spark, 40, seed=13).persist()
+    try:
+        def snap(engine):
+            rows = extract_documents(docs, engine=engine).collect()
+            return sorted(
+                (
+                    r["doc_id"],
+                    tuple(
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in r["spans"]
+                    ),
+                    r["n_bytes"],
+                    r["n_spans"],
+                    r["n_errors"],
+                    tuple(sorted(r["error_codes"].items())),
+                )
+                for r in rows
+            )
+
+        assert snap("arrow") == snap("pandas")
+    finally:
+        docs.unpersist()
+
+
 def test_doc_bytes_computed_jvm_side(spark):
     df = with_doc_bytes(_mini_docs(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -181,6 +181,8 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
         StructType,
     )
 
+    from pyspark.sql.types import LongType
+
     span_struct = StructType(
         [
             StructField("kind", StringType(), False),
@@ -193,6 +195,10 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
         [
             StructField("doc_id", StringType(), False),
             StructField("spans", ArrayType(span_struct), False),
+            # size stats stored at ingest: planning passes (quantiles,
+            # giant detection) prune to this column and never decode
+            # the span payload
+            StructField("n_bytes", LongType(), False),
         ]
     )
     chunk = 2000
@@ -207,10 +213,12 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
             if rng.random() < kwargs.get("giant_rate", 0.01):
                 target *= kwargs.get("giant_multiplier", 40)
             d = make_document(f"doc-{seed}-{i:08d}", rng, target)
-            yield (d["doc_id"], [
+            spans = [
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in d["spans"]
-            ])
+            ]
+            n_bytes = sum(len(s[1] or "") for s in spans)
+            yield (d["doc_id"], spans, n_bytes)
 
     rdd = sc.parallelize(starts, len(starts)).flatMap(gen_chunk)
     return spark.createDataFrame(rdd, schema)

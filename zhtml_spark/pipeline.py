@@ -54,7 +54,7 @@ def build_session(
         os.environ["PYTHONPATH"] = (
             f"{repo_root}:{existing}" if existing else repo_root
         )
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -64,9 +64,18 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(DEFAULT_ARROW_BATCH),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .getOrCreate()
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # Shuffle spill on this sandbox's network disk is burst-throttled and
+    # was the dominant run-to-run variance (2× swings); keep shuffle files
+    # on tmpfs when available.  On a real cluster this maps to the
+    # standard fast-local-SSD spark.local.dir provisioning.
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        local_dir = os.path.join(shm, "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -84,8 +93,15 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_doc_bytes(df: DataFrame) -> DataFrame:
-    """n_bytes = total span text length, computed JVM-side
-    (higher-order aggregate, no Python)."""
+    """n_bytes = total span text length.
+
+    When the table already carries an ``n_bytes`` column (written at
+    ingest — the production pattern: size stats as a stored column so
+    planning passes prune to a ~few-MB int column instead of decoding
+    the span payload), use it; otherwise compute JVM-side via a
+    higher-order aggregate."""
+    if "n_bytes" in df.columns:
+        return df
     return df.withColumn(
         "n_bytes",
         F.expr(
@@ -122,15 +138,17 @@ def salted_repartition(
     partition budget to matter).
     """
     df = with_doc_bytes(df)
+    # ONE stats pass: totals + the 99th byte quantile together
     stats = df.agg(
-        F.sum("n_bytes").alias("total"), F.count("*").alias("cnt")
+        F.sum("n_bytes").alias("total"),
+        F.count("*").alias("cnt"),
+        F.expr("approx_percentile(n_bytes, 0.99, 1000)").alias("q99"),
     ).collect()[0]
     total = stats["total"] or 0
     if not total:
         return df.repartition(num_partitions, "doc_id")
     budget = total / num_partitions
-    q99 = df.stat.approxQuantile("n_bytes", [0.99], 0.001)[0]
-    threshold = max(budget * giant_fraction, q99)
+    threshold = max(budget * giant_fraction, stats["q99"] or 0)
 
     giants = (
         df.where(F.col("n_bytes") > F.lit(threshold))
@@ -220,14 +238,73 @@ def extract_documents(
     config: ExtractConfig | None = None,
     num_partitions: int | None = None,
     salt: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
-    """The core stage: salted repartition → fused parse/extract UDF."""
+    """The core stage: salted repartition → fused parse/extract UDF.
+
+    ``engine='arrow'`` uses mapInArrow (flat Arrow child arrays, no
+    pandas object-dict round trip — measurably faster at high core
+    counts); ``'pandas'`` keeps the mapInPandas reference path.
+    """
     if num_partitions and salt:
         df = salted_repartition(df, num_partitions)
     elif num_partitions:
         df = df.repartition(num_partitions, "doc_id")
-    return df.select("doc_id", "spans").mapInPandas(
-        make_extract_udf(config), EXTRACT_SCHEMA
+    df = df.select("doc_id", "spans")
+    if engine == "arrow" and hasattr(df, "mapInArrow"):
+        from .udfs import make_extract_arrow_udf
+
+        return df.mapInArrow(make_extract_arrow_udf(config), EXTRACT_SCHEMA)
+    return df.mapInPandas(make_extract_udf(config), EXTRACT_SCHEMA)
+
+
+def resolve_media_refs(
+    extracted: DataFrame,
+    media_meta: DataFrame,
+    broadcast_meta: bool = True,
+) -> DataFrame:
+    """Media-ref resolution join (SURVEY §2.3 joins row): enrich media
+    spans with ``media_kind``/``resolved_url`` from a metadata table
+    ``(media_ref, media_kind, resolved_url)`` (FIXTURES.md §4).
+
+    Returns the flat enriched span table
+    ``(doc_id, offset, kind, text, media_ref, media_kind, resolved_url)``
+    — non-media spans pass through with null enrichment (left join).
+    Broadcast the dimension when it fits (default); at 10^12-doc scale
+    with a large media catalog, flip ``broadcast_meta=False`` for a
+    shuffle join and let AQE pick/skew-split it.
+    """
+    flat = extracted.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    meta = media_meta.select("media_ref", "media_kind", "resolved_url")
+    if broadcast_meta:
+        meta = F.broadcast(meta)
+    return flat.join(meta, "media_ref", "left").select(
+        "doc_id", "offset", "kind", "text", "media_ref",
+        "media_kind", "resolved_url",
+    )
+
+
+def span_order_violations(extracted: DataFrame) -> DataFrame:
+    """Span-ordering validation (SURVEY §2.3 window row): offsets per
+    doc must be exactly 0..n-1 in order.  Returns violating rows
+    (empty == valid) via a row_number window."""
+    from pyspark.sql.window import Window
+
+    flat = extracted.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.offset").alias("offset")
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (
+        flat.withColumn("rn", F.row_number().over(w) - 1)
+        .where(F.col("rn") != F.col("offset"))
     )
 
 

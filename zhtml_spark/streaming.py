@@ -1,0 +1,68 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The north rule requires batch resumability (snapshot checkpoint +
+anti-join — pipeline.run_job), not streaming; this module adds the
+complementary incremental-ingest shape: a file-source stream over the
+documents table, the same fused extraction per micro-batch via
+``foreachBatch``, and Spark's own streaming checkpoint for
+exactly-once file-source progress.  New parquet files dropped into the
+input directory are picked up incrementally (`availableNow` trigger
+processes the backlog then stops — the cron-style production pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .extract import ExtractConfig
+from .pipeline import extract_documents, metrics_table
+from .udfs import DOC_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    config: ExtractConfig | None = None,
+    available_now: bool = True,
+    num_partitions: int | None = None,
+):
+    """Start (and by default drain) a streaming extraction job.
+
+    Returns the StreamingQuery.  With ``available_now`` the query
+    processes every unseen input file then terminates — call
+    repeatedly to incrementally extend the output, never reprocessing
+    a file (offsets live in ``checkpoint_location``).
+    """
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = extract_documents(
+            batch_df, config, num_partitions=num_partitions, salt=False
+        ).persist()
+        out.select("doc_id", "spans").write.mode("append").parquet(
+            f"{output_path}/spans"
+        )
+        metrics_table(out).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(f"{output_path}/metrics")
+        out.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

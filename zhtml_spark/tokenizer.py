@@ -207,6 +207,36 @@ _LT_SIGN_BASE = {
 }
 
 
+# Fast path for common well-formed tags met in the Data state.  The
+# match language is a strict SUBSET of inputs on which the general
+# state machine emits exactly one tag token with no parse errors other
+# than duplicate-attribute (which the fast path reproduces), so taking
+# it never changes observable output (equivalence fuzz-checked in
+# tests/test_fuzz.py).  Exclusions that force the slow path: NUL,
+# character references in values (&), error-triggering chars in
+# names/values, exotic attr names.  Note the unquoted-value class
+# contains '/' on purpose: spec keeps '/' inside unquoted values
+# (<a b=c/> has value "c/" and NO self-closing flag) and regex greed
+# reproduces that.
+_UNQ = r"[a-zA-Z0-9_.\-/:;,#+~%!?@$*()\[\]]"
+_FAST_ATTR_NC = (
+    r"[\t\n\f ]+[a-zA-Z_:][a-zA-Z0-9_:.\-]*"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(?:\"[^\"&\x00<]*\"|'[^'&\x00<]*'|" + _UNQ + r"+))?"
+)
+_FAST_START_TAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9\-]*)"
+    r"((?:" + _FAST_ATTR_NC + r")*)"
+    r"[\t\n\f ]*(/?)>"
+)
+_FAST_ATTR_ITER = re.compile(
+    r"[\t\n\f ]+([a-zA-Z_:][a-zA-Z0-9_:.\-]*)"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(\"[^\"&\x00<]*\"|'[^'&\x00<]*'|" + _UNQ + r"+))?"
+)
+_FAST_END_TAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9\-]*)[\t\n\f ]*>")
+
+
 def preprocess(text: str) -> str:
     """WHATWG §13.2.3.5 input-stream normalization: CRLF/CR → LF.
 
@@ -225,6 +255,7 @@ def tokenize(
     last_start_tag: str | None = None,
     do_preprocess: bool = True,
     tree_aware: bool = False,
+    enable_fast_tags: bool = True,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -365,6 +396,41 @@ def tokenize(
             c = text[j]
             i = j + 1
             if c == "<":
+                if enable_fast_tags:
+                    fm = _FAST_START_TAG.match(text, j)
+                    if fm is not None:
+                        name = fm.group(1).translate(_ASCII_LOWER)
+                        fattrs: dict[str, str] = {}
+                        blob = fm.group(2)
+                        if blob:
+                            for am in _FAST_ATTR_ITER.finditer(blob):
+                                an = am.group(1).translate(_ASCII_LOWER)
+                                av = am.group(2)
+                                if av is None:
+                                    av = ""
+                                elif av[0] in "\"'":
+                                    av = av[1:-1]
+                                if an in fattrs:
+                                    err("duplicate-attribute")
+                                else:
+                                    fattrs[an] = av
+                        flush_chars()
+                        out.append(
+                            ("StartTag", name, fattrs, fm.group(3) == "/")
+                        )
+                        last_start = name
+                        i = fm.end()
+                        if tree_aware:
+                            state = _RAWTEXT_SWITCH.get(name, S_DATA)
+                        continue
+                    fm = _FAST_END_TAG.match(text, j)
+                    if fm is not None:
+                        flush_chars()
+                        out.append(
+                            ("EndTag", fm.group(1).translate(_ASCII_LOWER))
+                        )
+                        i = fm.end()
+                        continue
                 state = S_TAG_OPEN
             elif c == "&":
                 return_state = S_DATA

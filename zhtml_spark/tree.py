@@ -81,6 +81,17 @@ CLOSES_P = frozenset(
 
 HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 
+# Content tags with NO special InBody start-tag rule: inserted directly.
+# Checked first in the hot path — the overwhelmingly common case on
+# real pages (formatting + phrasing elements).
+PLAIN_INBODY = frozenset(
+    """a abbr b bdi bdo big cite code data del dfn em font i ins kbd
+    label mark nobr noscript output q rp rt ruby s samp small span
+    strike strong sub sup time tt u var article section span svg math
+    picture figure main details summary dialog blockquote address
+    center""".split()
+) - CLOSES_P  # anything with a close-p rule keeps its special path
+
 # End tags with the explicit pop-until rule in InBody (spec list, plus
 # table/applet/marquee/object/form whose spec rules reduce to the same
 # pop-until under our no-formatting-list simplification).
@@ -640,6 +651,9 @@ def parse_document(html: str, collect_errors: bool = True):
                 elif kind == "StartTag":
                     name = tok[1]
                     attrs = tok[2]
+                    if name in PLAIN_INBODY:  # hot path: plain insert
+                        insert_element(name, attrs)
+                        break
                     if name == "html" or name == "body" or name == "frameset":
                         break  # ignore (attr-merge skipped)
                     if name in IN_HEAD_TAGS:

@@ -178,6 +178,113 @@ def make_extract_udf(config: ExtractConfig | None = None):
     return extract_batches
 
 
+def make_extract_arrow_udf(config: ExtractConfig | None = None):
+    """mapInArrow variant of the extraction stage.
+
+    Same semantics as :func:`make_extract_udf`, but consumes/produces
+    ``pyarrow.RecordBatch`` directly: the spans ``list<struct>`` column
+    is deconstructed into flat child arrays (one ``to_pylist`` per flat
+    string column) instead of per-row lists of Python dicts, and the
+    output is assembled as Arrow arrays.  This skips the
+    pandas-object-dict round trip — the dominant Spark-side overhead at
+    32 cores (see BENCH/BASELINE.md).
+    """
+    import pyarrow as pa
+
+    cfg = config or ExtractConfig()
+
+    out_span_type = pa.struct(
+        [
+            pa.field("kind", pa.string(), nullable=False),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32(), nullable=False),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field("spans", pa.list_(out_span_type), nullable=False),
+            pa.field("n_bytes", pa.int64(), nullable=False),
+            pa.field("n_spans", pa.int64(), nullable=False),
+            pa.field("n_errors", pa.int64(), nullable=False),
+            pa.field(
+                "error_codes", pa.map_(pa.string(), pa.int64()), nullable=False
+            ),
+            pa.field("wall_us", pa.int64(), nullable=False),
+        ]
+    )
+
+    def extract_batches(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            spans_col = batch.column("spans")
+            if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
+                spans_col = spans_col.combine_chunks()
+            list_offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
+            flat = spans_col.flatten()
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            refs = flat.field("media_ref").to_pylist()
+            offs = flat.field("offset").to_pylist()
+
+            out_kind: list[str] = []
+            out_text: list[str | None] = []
+            out_ref: list[str | None] = []
+            out_off: list[int] = []
+            out_list_offsets = [0]
+            n_bytes_col = []
+            n_spans_col = []
+            n_errors_col = []
+            codes_col = []
+            wall_col = []
+            for i in range(len(batch)):
+                lo, hi = list_offsets[i], list_offsets[i + 1]
+                t0 = time.perf_counter_ns()
+                recs = list(
+                    zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi], offs[lo:hi])
+                )
+                spans, errs, nbytes = extract_document(recs, cfg)
+                wall_col.append((time.perf_counter_ns() - t0) // 1000)
+                for j, (k, t, m) in enumerate(spans):
+                    out_kind.append(k)
+                    out_text.append(t)
+                    out_ref.append(m)
+                    out_off.append(j)
+                out_list_offsets.append(out_list_offsets[-1] + len(spans))
+                n_bytes_col.append(nbytes)
+                n_spans_col.append(len(spans))
+                n_errors_col.append(len(errs))
+                codes_col.append(list(Counter(errs).items()))
+
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array(out_kind, pa.string()),
+                    pa.array(out_text, pa.string()),
+                    pa.array(out_ref, pa.string()),
+                    pa.array(out_off, pa.int32()),
+                ],
+                fields=list(out_span_type),
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(out_list_offsets, pa.int32()), struct_arr
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    spans_out,
+                    pa.array(n_bytes_col, pa.int64()),
+                    pa.array(n_spans_col, pa.int64()),
+                    pa.array(n_errors_col, pa.int64()),
+                    pa.array(codes_col, pa.map_(pa.string(), pa.int64())),
+                    pa.array(wall_col, pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    return extract_batches
+
+
 def replay_tokenizer_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
