@@ -148,3 +148,17 @@ def test_deeply_nested_no_recursion_error():
     html = "<div>" * 5000 + "deep" + "</div>" * 5000
     spans, _ = extract_html(html)
     assert spans == [("text", "deep", None)]
+
+
+def test_inline_code_is_own_span():
+    spans, _ = extract_html("<p>see <code>inline()</code> here</p>")
+    assert spans == [
+        ("text", "see", None),
+        ("code", "inline()", None),
+        ("text", "here", None),
+    ]
+
+
+def test_code_kind_survives_paragraph_break():
+    spans, _ = extract_html("<p><code>x</p><p>y</p>")
+    assert spans == [("code", "x", None), ("code", "y", None)]

@@ -300,3 +300,16 @@ def test_doc_bytes_computed_jvm_side(spark):
     assert "mapInPandas" not in plan.lower()  # pure Catalyst expression
     rows = {r["doc_id"]: r["n_bytes"] for r in df.collect()}
     assert rows["d2"] == len("<p>split") + len(" tag</p>")
+
+
+def test_poison_pill_guard_unit():
+    """A pathological record degrades to a per-doc error, never raises."""
+    from zhtml_spark.udfs import extract_document_safe
+
+    # offset=None breaks the sort — stands in for any unforeseen decode
+    spans, errors, n_bytes = extract_document_safe(
+        [("html", "<p>ok</p>", None, None), ("html", "x", None, 0)]
+    )
+    assert spans == []
+    assert errors == ["internal-error:TypeError"]
+    assert n_bytes == len("<p>ok</p>") + 1

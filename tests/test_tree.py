@@ -231,3 +231,51 @@ def _find(tree, name) -> int:
         if tree.ntype[nid] == N_ELEMENT and tree.name[nid] == name:
             return nid
     raise AssertionError(f"no <{name}>")
+
+
+def test_formatting_reconstruction_across_paragraphs():
+    tree, _ = parse_document("<body><p><b>bold<p>still bold")
+    body = _body(tree)
+    ps = [c for c in tree.children(body) if tree.name[c] == "b" or tree.name[c] == "p"]
+    assert [tree.name[c] for c in tree.children(body)] == ["p", "p"]
+    for p in tree.children(body):
+        kids = list(tree.children(p))
+        assert tree.name[kids[0]] == "b"
+
+
+def test_code_reconstruction_keeps_kind():
+    tree, _ = parse_document("<body><p><code>x</p><p>y</p>")
+    body = _body(tree)
+    for p in tree.children(body):
+        kids = list(tree.children(p))
+        assert tree.name[kids[0]] == "code"
+
+
+def test_a_start_tag_closes_open_a():
+    tree, _ = parse_document("<body><a href=1>one<a href=2>two")
+    body = _body(tree)
+    anchors = [c for c in tree.children(body) if tree.name[c] == "a"]
+    assert len(anchors) == 2  # not nested
+
+
+def test_noahs_ark_caps_reconstruction():
+    tree, _ = parse_document("<body><p>" + "<b>" * 5 + "</p><p>x")
+    body = _body(tree)
+    second_p = list(tree.children(body))[1]
+    depth = 0
+    nid = tree.first_child[second_p]
+    while nid != -1 and tree.name[nid] == "b":
+        depth += 1
+        nid = tree.first_child[nid]
+    assert depth == 3  # Noah's Ark: at most 3 identical entries
+
+
+def test_marker_clears_formatting_at_cell_boundary():
+    # <b> opened inside a td must not leak into the next cell
+    tree, _ = parse_document(
+        "<body><table><tr><td><b>x</td><td>y</td></tr></table>"
+    )
+    tds = [i for i in range(len(tree)) if tree.name[i] == "td"]
+    assert len(tds) == 2
+    second_kids = [tree.name[c] for c in tree.children(tds[1])]
+    assert "b" not in second_kids

@@ -189,7 +189,9 @@ def extract_spans(
                         stack.append((cids, False))
                     continue
 
-            if name in BLOCK_TAGS:
+            # kind-setting tags are flush boundaries too: inline <code>
+            # must not leak its text into the enclosing block's kind
+            if name in BLOCK_TAGS or name in KIND_BY_TAG:
                 flush()
             if name in cfg.semantic_skip:
                 semantic_skip_depth += 1
@@ -210,7 +212,7 @@ def extract_spans(
                 media_anchor = None
                 media_anchor_href = ""
                 continue
-            if name in BLOCK_TAGS:
+            if name in BLOCK_TAGS or name in KIND_BY_TAG:
                 flush()
             if name in cfg.semantic_skip:
                 semantic_skip_depth -= 1

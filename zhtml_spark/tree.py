@@ -13,8 +13,9 @@ extraction-safe (text placement is what the span invariant judges):
 
 * table insertion modes route through InBody with light td/th/tr
   auto-closing (quirky real-world-stripper behavior, SURVEY §7.0);
-* no adoption agency / active-formatting reconstruction — mismatched
-  end tags use the spec's "any other end tag" walk instead;
+* active formatting elements: list + reconstruction + Noah's Ark are
+  implemented; the full adoption agency is not — misnested formatting
+  end tags fall back to the spec's "any other end tag" walk;
 * foreign content (MathML/SVG) elements are inserted as plain
   elements; the reference marks this path unreachable too
   (src/parser.zig:135-138).
@@ -117,6 +118,19 @@ _SCOPE_LIST_ITEM = _SCOPE_DEFAULT | {"ol", "ul"}
 _SCOPE_TABLE = frozenset(["html", "table", "template"])
 
 _IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
+
+# formatting elements tracked by the active-formatting list (spec
+# §13.2.4.3); full adoption agency is NOT implemented (STATUS.md gap) —
+# we do list + reconstruction + Noah's Ark, which covers the common
+# unclosed-formatting-across-blocks pages; misnested end tags fall back
+# to the any-other-end-tag walk (extraction-safe).
+FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# marker-scoped containers (td/th/caption/applet/marquee/object)
+_AFE_MARKER_TAGS = frozenset(
+    "td th caption applet marquee object template".split()
+)
 
 # ------------------------------------------------------------------
 # Quirks-mode classification (WHATWG §13.2.6.4.1 "the initial insertion
@@ -325,6 +339,9 @@ def parse_document(html: str, collect_errors: bool = True):
     html_id = -1
     skip_newline = False
     done = False
+    afe: list = []          # active formatting entries [name, attrs, nid]
+    _MARKER = ()            # marker sentinel (unique object)
+    open_set: set[int] = set()  # node ids currently on the open stack
 
     def current() -> int:
         return stack_ids[-1] if stack_ids else 0
@@ -334,6 +351,7 @@ def parse_document(html: str, collect_errors: bool = True):
         tree.append_child(current(), nid)
         stack_ids.append(nid)
         stack_names.append(name)
+        open_set.add(nid)
         return nid
 
     def insert_void(name: str, attrs: dict | None) -> int:
@@ -342,7 +360,7 @@ def parse_document(html: str, collect_errors: bool = True):
         return nid
 
     def pop() -> None:
-        stack_ids.pop()
+        open_set.discard(stack_ids.pop())
         stack_names.pop()
 
     def has_in_scope(name: str, boundaries: frozenset) -> bool:
@@ -380,6 +398,7 @@ def parse_document(html: str, collect_errors: bool = True):
             tree.append_child(0, html_id)
             stack_ids.append(html_id)
             stack_names.append("html")
+            open_set.add(html_id)
 
     def ensure_head() -> None:
         nonlocal head_id
@@ -396,6 +415,48 @@ def parse_document(html: str, collect_errors: bool = True):
         ensure_html()
         if body_id == -1:
             body_id = insert_element("body", {})
+
+    def reconstruct_afe() -> None:
+        # spec "reconstruct the active formatting elements"
+        if not afe:
+            return
+        last = afe[-1]
+        if last is _MARKER or last[2] in open_set:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _MARKER or e[2] in open_set:
+                break
+            i -= 1
+        for e in afe[i:]:
+            e[2] = insert_element(e[0], dict(e[1]))
+
+    def push_formatting(name: str, attrs: dict, nid: int) -> None:
+        # Noah's Ark clause: max 3 identical entries since last marker
+        matches = []
+        for e in afe:
+            if e is _MARKER:
+                matches.clear()
+            elif e[0] == name and e[1] == attrs:
+                matches.append(e)
+        if len(matches) >= 3:
+            afe.remove(matches[0])
+        afe.append([name, attrs, nid])
+
+    def remove_formatting(name: str) -> None:
+        for idx in range(len(afe) - 1, -1, -1):
+            e = afe[idx]
+            if e is _MARKER:
+                return
+            if e[0] == name:
+                del afe[idx]
+                return
+
+    def clear_afe_to_marker() -> None:
+        while afe:
+            if afe.pop() is _MARKER:
+                return
 
     # light td/th/tr auto-closing for table content routed through
     # InBody (SURVEY §7.0 "table modes initially route to InBody")
@@ -641,6 +702,8 @@ def parse_document(html: str, collect_errors: bool = True):
                     if "\x00" in data:
                         data = data.replace("\x00", "")
                     if data:
+                        if afe:
+                            reconstruct_afe()
                         tree.append_text(current(), data)
                 elif kind == "Comment":
                     nid = tree.new_node(N_COMMENT, None, None)
@@ -652,7 +715,24 @@ def parse_document(html: str, collect_errors: bool = True):
                     name = tok[1]
                     attrs = tok[2]
                     if name in PLAIN_INBODY:  # hot path: plain insert
-                        insert_element(name, attrs)
+                        if name in FORMATTING:
+                            if name == "a":
+                                # spec: an open <a> since the last
+                                # marker implies a missing </a>
+                                for e in reversed(afe):
+                                    if e is _MARKER:
+                                        break
+                                    if e[0] == "a":
+                                        remove_formatting("a")
+                                        any_other_end_tag("a")
+                                        break
+                            reconstruct_afe()
+                            nid = insert_element(name, attrs)
+                            push_formatting(name, attrs, nid)
+                        else:
+                            if afe:
+                                reconstruct_afe()
+                            insert_element(name, attrs)
                         break
                     if name == "html" or name == "body" or name == "frameset":
                         break  # ignore (attr-merge skipped)
@@ -706,6 +786,9 @@ def parse_document(html: str, collect_errors: bool = True):
                         insert_element(name, attrs)
                         break
                     if name in VOID_ELEMENTS:
+                        if afe and name in ("br", "img", "embed", "wbr",
+                                            "input", "area"):
+                            reconstruct_afe()
                         insert_void(name, attrs)
                         break
                     if name == "image":
@@ -732,10 +815,9 @@ def parse_document(html: str, collect_errors: bool = True):
                         "caption", "colgroup",
                     ):
                         table_autoclose(name)
-                        if name in ("colgroup",):
-                            insert_element(name, attrs)
-                        else:
-                            insert_element(name, attrs)
+                        insert_element(name, attrs)
+                        if name in _AFE_MARKER_TAGS:
+                            afe.append(_MARKER)
                         break
                     if name == "col":
                         insert_void(name, attrs)
@@ -743,6 +825,8 @@ def parse_document(html: str, collect_errors: bool = True):
                     if name == "head":
                         break  # ignore
                     insert_element(name, attrs)
+                    if name in _AFE_MARKER_TAGS:
+                        afe.append(_MARKER)
                 elif kind == "EndTag":
                     name = tok[1]
                     if name == "body":
@@ -781,6 +865,10 @@ def parse_document(html: str, collect_errors: bool = True):
                     if name == "br":
                         insert_void("br", {})  # spec: </br> acts as <br>
                         break
+                    if name in FORMATTING:
+                        remove_formatting(name)
+                        any_other_end_tag(name)
+                        break
                     if name in END_TAG_POP:
                         scope = (
                             _SCOPE_TABLE if name == "table" else _SCOPE_DEFAULT
@@ -788,12 +876,16 @@ def parse_document(html: str, collect_errors: bool = True):
                         if has_in_scope(name, scope):
                             generate_implied_end_tags()
                             pop_until(name)
+                            if name in _AFE_MARKER_TAGS:
+                                clear_afe_to_marker()
                         break
                     if name in ("td", "th", "tr", "tbody", "thead",
                                 "tfoot", "caption", "colgroup"):
                         if has_in_scope(name, _SCOPE_TABLE):
                             generate_implied_end_tags()
                             pop_until(name)
+                            if name in _AFE_MARKER_TAGS:
+                                clear_afe_to_marker()
                         break
                     any_other_end_tag(name)
 

@@ -76,6 +76,25 @@ REPLAY_SCHEMA = StructType(
 _MEDIA_INPUT_KINDS = frozenset(["image", "video", "audio"])
 
 
+def extract_document_safe(
+    in_spans: list, config: ExtractConfig | None = None
+) -> tuple[list[tuple], list[str], int]:
+    """Poison-pill guard around :func:`extract_document`.
+
+    At 10^12 docs a single pathological document must degrade to a
+    per-doc error record, never a task failure (which would retry the
+    whole partition 4× and then kill the job).  The error lands in the
+    doc's error list as ``internal-error:<ExcType>`` and flows into the
+    metrics error-code histogram for triage."""
+    try:
+        return extract_document(in_spans, config)
+    except Exception as exc:  # noqa: BLE001 — the whole point
+        n_bytes = sum(
+            len(s[1]) for s in in_spans if isinstance(s[1], str)
+        )
+        return [], [f"internal-error:{type(exc).__name__}"], n_bytes
+
+
 def extract_document(
     in_spans: list, config: ExtractConfig | None = None
 ) -> tuple[list[tuple], list[str], int]:
@@ -145,7 +164,7 @@ def make_extract_udf(config: ExtractConfig | None = None):
                     (s["kind"], s["text"], s["media_ref"], s["offset"])
                     for s in in_spans
                 ]
-                spans, errs, nbytes = extract_document(recs, cfg)
+                spans, errs, nbytes = extract_document_safe(recs, cfg)
                 wall = (time.perf_counter_ns() - t0) // 1000
                 out_spans.append(
                     [
@@ -244,7 +263,7 @@ def make_extract_arrow_udf(config: ExtractConfig | None = None):
                 recs = list(
                     zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi], offs[lo:hi])
                 )
-                spans, errs, nbytes = extract_document(recs, cfg)
+                spans, errs, nbytes = extract_document_safe(recs, cfg)
                 wall_col.append((time.perf_counter_ns() - t0) // 1000)
                 for j, (k, t, m) in enumerate(spans):
                     out_kind.append(k)
