@@ -279,3 +279,13 @@ def test_marker_clears_formatting_at_cell_boundary():
     assert len(tds) == 2
     second_kids = [tree.name[c] for c in tree.children(tds[1])]
     assert "b" not in second_kids
+
+
+def test_foster_parenting_text_before_table():
+    tree, _ = parse_document("<body><table>stray<tr><td>cell</td></tr></table>")
+    body = _body(tree)
+    kids = [(tree.ntype[c], tree.name[c]) for c in tree.children(body)]
+    # text node first, then the table
+    assert kids[0][0] == N_TEXT
+    assert kids[1] == (N_ELEMENT, "table")
+    assert tree.node_text(tree.first_child[body]) == "stray"

@@ -305,6 +305,27 @@ class DocTree:
         self.text[nid] = [data]
         self.append_child(parent, nid)
 
+    def insert_text_before(self, parent: int, before: int, data: str) -> None:
+        """Foster-parenting helper: text inserted just before ``before``
+        among ``parent``'s children (merging with an adjacent text
+        node)."""
+        prev = -1
+        c = self.first_child[parent]
+        while c != -1 and c != before:
+            prev = c
+            c = self.next_sibling[c]
+        if prev != -1 and self.ntype[prev] == N_TEXT:
+            self.text[prev].append(data)
+            return
+        nid = self.new_node(N_TEXT, None, None)
+        self.text[nid] = [data]
+        self.parent[nid] = parent
+        self.next_sibling[nid] = before
+        if prev == -1:
+            self.first_child[parent] = nid
+        else:
+            self.next_sibling[prev] = nid
+
     def node_text(self, nid: int) -> str:
         parts = self.text[nid]
         return "".join(parts) if parts else ""
@@ -702,6 +723,25 @@ def parse_document(html: str, collect_errors: bool = True):
                     if "\x00" in data:
                         data = data.replace("\x00", "")
                     if data:
+                        if (
+                            stack_names
+                            and stack_names[-1]
+                            in ("table", "tbody", "thead", "tfoot", "tr")
+                            and data.strip(_WS)
+                        ):
+                            # foster parenting (spec InTable "anything
+                            # else"): non-ws text in table structure is
+                            # inserted BEFORE the table
+                            for idx in range(len(stack_names) - 1, -1, -1):
+                                if stack_names[idx] == "table":
+                                    t_nid = stack_ids[idx]
+                                    tree.insert_text_before(
+                                        tree.parent[t_nid], t_nid, data
+                                    )
+                                    break
+                            else:
+                                tree.append_text(current(), data)
+                            break
                         if afe:
                             reconstruct_afe()
                         tree.append_text(current(), data)
