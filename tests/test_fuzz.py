@@ -80,3 +80,28 @@ def test_initial_state_names_cover_reference_harness() -> None:
     for name in ("Data", "PLAINTEXT", "RCDATA", "RAWTEXT", "ScriptData",
                  "CDATA section state"):
         assert name in INITIAL_STATES
+
+
+# ---- full-pipeline totality: arbitrary interleaved span lists
+_span_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["html", "text", "image", "video", "audio", "junk"]),
+        st.one_of(st.none(), st.text(max_size=80)),
+        st.one_of(st.none(), st.text(alphabet="abc:/0123456789", max_size=20)),
+        st.integers(min_value=-5, max_value=50),
+    ),
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_span_strategy)
+def test_extract_document_total_on_arbitrary_spans(spans) -> None:
+    from zhtml_spark.udfs import extract_document_safe
+
+    out, errors, n_bytes = extract_document_safe(spans)
+    # offsets implied by position; output tuples well-formed
+    for kind, text, ref in out:
+        assert kind in {"text", "heading", "list", "code", "table", "media"}
+        assert text is None or isinstance(text, str)
+    assert n_bytes >= 0

@@ -71,16 +71,32 @@ def ngram_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
 
     Distributed shape: gram-inverted-index self-join (shared-gram
-    counting), never a doc×doc cross join; skewy grams are the classic
-    hazard — at scale add a document-frequency cap on grams before the
-    join (stopword-gram blacklist), AQE handles residual skew.
+    counting), never a doc×doc cross join.  ``max_doc_freq`` is the
+    scale lever: a gram appearing in f docs contributes f² join rows,
+    so stopword-like grams explode the shuffle quadratically at 10^12
+    docs — capping document frequency drops them before the join.
+    Capped grams can only LOWER a pair's computed Jaccard (shared and
+    sizes both computed post-cap), so the filter is high-precision:
+    every reported pair meets the threshold on the capped gram space.
+    Leave ``None`` for the exact (oracle-matched) semantics.
     """
     grams = ngram_gram_table(docs, n)
+    if max_doc_freq is not None:
+        df_counts = grams.groupBy("gram").agg(
+            F.count("*").alias("doc_freq")
+        )
+        keep = df_counts.where(
+            F.col("doc_freq") <= F.lit(max_doc_freq)
+        ).select("gram")
+        grams = grams.join(keep, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
