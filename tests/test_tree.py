@@ -289,3 +289,40 @@ def test_foster_parenting_text_before_table():
     assert kids[0][0] == N_TEXT
     assert kids[1] == (N_ELEMENT, "table")
     assert tree.node_text(tree.first_child[body]) == "stray"
+
+
+def test_adoption_agency_classic_misnesting():
+    # html5lib golden: <p>1<b>2<i>3</b>4</i>5
+    tree, _ = parse_document("<body><p>1<b>2<i>3</b>4</i>5")
+    body = _body(tree)
+    p = next(iter(tree.children(body)))
+    kids = list(tree.children(p))
+    labels = [
+        tree.name[c] if tree.ntype[c] == N_ELEMENT else tree.node_text(c)
+        for c in kids
+    ]
+    assert labels == ["1", "b", "i", "5"]
+    b_kids = list(tree.children(kids[1]))
+    assert tree.node_text(b_kids[0]) == "2"
+    assert tree.name[b_kids[1]] == "i"
+    assert tree.node_text(tree.first_child[b_kids[1]]) == "3"
+    assert tree.node_text(tree.first_child[kids[2]]) == "4"
+
+
+def test_adoption_agency_formatting_across_block():
+    # html5lib golden: <b>1<p>2</b>3</p> -> b{1}, p{b{2}, "3"}
+    tree, _ = parse_document("<body><b>1<p>2</b>3</p>")
+    body = _body(tree)
+    kids = list(tree.children(body))
+    assert [tree.name[c] for c in kids] == ["b", "p"]
+    p_kids = list(tree.children(kids[1]))
+    assert tree.name[p_kids[0]] == "b"
+    assert tree.node_text(tree.first_child[p_kids[0]]) == "2"
+    assert tree.node_text(p_kids[1]) == "3"
+
+
+def test_adoption_agency_extraction_unchanged_text():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html("<body><p>1<b>2<i>3</b>4</i>5")
+    assert spans == [("text", "12345", None)]

@@ -289,12 +289,47 @@ class DocTree:
 
     def append_child(self, parent: int, child: int) -> None:
         self.parent[child] = parent
+        self.next_sibling[child] = -1  # child may be a reparented subtree
         last = self.last_child[parent]
         if last == -1:
             self.first_child[parent] = child
         else:
             self.next_sibling[last] = child
         self.last_child[parent] = child
+
+    def detach(self, nid: int) -> None:
+        """Unlink ``nid`` from its parent's child chain (adoption
+        agency reparenting)."""
+        parent = self.parent[nid]
+        if parent == -1:
+            return
+        prev = -1
+        c = self.first_child[parent]
+        while c != -1 and c != nid:
+            prev = c
+            c = self.next_sibling[c]
+        if c == -1:
+            return
+        nxt = self.next_sibling[nid]
+        if prev == -1:
+            self.first_child[parent] = nxt
+        else:
+            self.next_sibling[prev] = nxt
+        if self.last_child[parent] == nid:
+            self.last_child[parent] = prev
+        self.parent[nid] = -1
+        self.next_sibling[nid] = -1
+
+    def move_children(self, src: int, dst: int) -> None:
+        """Reparent all of ``src``'s children onto ``dst`` (adoption
+        agency step: furthest block's children move into the clone)."""
+        c = self.first_child[src]
+        self.first_child[src] = -1
+        self.last_child[src] = -1
+        while c != -1:
+            nxt = self.next_sibling[c]
+            self.append_child(dst, c)
+            c = nxt
 
     def append_text(self, parent: int, data: str) -> None:
         last = self.last_child[parent]
@@ -502,7 +537,7 @@ def parse_document(html: str, collect_errors: bool = True):
                 pop()
 
     def any_other_end_tag(name: str) -> None:
-        # spec InBody "any other end tag" loop (no adoption agency)
+        # spec InBody "any other end tag" loop
         for idx in range(len(stack_names) - 1, -1, -1):
             nm = stack_names[idx]
             if nm == name:
@@ -512,6 +547,126 @@ def parse_document(html: str, collect_errors: bool = True):
                 return
             if nm in SPECIAL:
                 return  # ignore token
+
+    def _afe_index_of(nid: int) -> int:
+        for i, e in enumerate(afe):
+            if e is not _MARKER and e[2] == nid:
+                return i
+        return -1
+
+    def adoption_agency(subject: str) -> None:
+        """WHATWG §13.2.6.4.7 "adoption agency algorithm" — full spec
+        (8-iteration outer loop, 3-step inner-loop afe pruning, clone
+        reparenting with bookmark).  The reference never reaches tree
+        construction this deep (src/parser.zig implements two modes)."""
+        # step 1-2: current node matches and isn't an afe entry → pop
+        if (
+            stack_names
+            and stack_names[-1] == subject
+            and _afe_index_of(stack_ids[-1]) == -1
+        ):
+            pop()
+            return
+        for _outer in range(8):
+            # locate the formatting entry (last matching since marker)
+            fmt_entry = None
+            for e in reversed(afe):
+                if e is _MARKER:
+                    break
+                if e[0] == subject:
+                    fmt_entry = e
+                    break
+            if fmt_entry is None:
+                any_other_end_tag(subject)
+                return
+            fmt_nid = fmt_entry[2]
+            if fmt_nid not in open_set:
+                afe.remove(fmt_entry)
+                return
+            # in scope? (by node identity)
+            in_scope = False
+            for idx in range(len(stack_ids) - 1, -1, -1):
+                if stack_ids[idx] == fmt_nid:
+                    in_scope = True
+                    break
+                if stack_names[idx] in _SCOPE_DEFAULT:
+                    break
+            if not in_scope:
+                return
+            fmt_idx = stack_ids.index(fmt_nid)
+            # furthest block: earliest SPECIAL element more recent than
+            # the formatting element
+            fb_idx = -1
+            for idx in range(fmt_idx + 1, len(stack_ids)):
+                if stack_names[idx] in SPECIAL:
+                    fb_idx = idx
+                    break
+            if fb_idx == -1:
+                # no furthest block: pop through fmt, drop entry
+                while len(stack_ids) > fmt_idx:
+                    pop()
+                afe.remove(fmt_entry)
+                return
+            furthest_nid = stack_ids[fb_idx]
+            common_ancestor = stack_ids[fmt_idx - 1]
+            bookmark = afe.index(fmt_entry)
+            # inner loop
+            node_idx = fb_idx
+            last_node = furthest_nid
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node_nid = stack_ids[node_idx]
+                if node_nid == fmt_nid:
+                    break
+                ai = _afe_index_of(node_nid)
+                if inner > 3 and ai != -1:
+                    del afe[ai]
+                    if ai < bookmark:
+                        bookmark -= 1
+                    ai = -1
+                if ai == -1:
+                    open_set.discard(stack_ids[node_idx])
+                    del stack_ids[node_idx]
+                    del stack_names[node_idx]
+                    continue
+                # clone node; swap into afe and the stack
+                entry = afe[ai]
+                clone = tree.new_node(N_ELEMENT, entry[0], dict(entry[1]))
+                entry[2] = clone
+                open_set.discard(stack_ids[node_idx])
+                stack_ids[node_idx] = clone
+                open_set.add(clone)
+                if last_node == furthest_nid:
+                    bookmark = ai + 1
+                tree.detach(last_node)
+                tree.append_child(clone, last_node)
+                last_node = clone
+            tree.detach(last_node)
+            tree.append_child(common_ancestor, last_node)
+            # clone the formatting element; move furthest block's
+            # children into it; hang it off the furthest block
+            clone2 = tree.new_node(
+                N_ELEMENT, fmt_entry[0], dict(fmt_entry[1])
+            )
+            tree.move_children(furthest_nid, clone2)
+            tree.append_child(furthest_nid, clone2)
+            # afe: replace fmt entry at the bookmark
+            fmt_pos = afe.index(fmt_entry)
+            afe.remove(fmt_entry)
+            if fmt_pos < bookmark:
+                bookmark -= 1
+            afe.insert(bookmark, [fmt_entry[0], fmt_entry[1], clone2])
+            # stack: remove fmt element, insert clone just above fb
+            rm = stack_ids.index(fmt_nid)
+            open_set.discard(fmt_nid)
+            del stack_ids[rm]
+            del stack_names[rm]
+            fb_pos = stack_ids.index(furthest_nid)
+            stack_ids.insert(fb_pos + 1, clone2)
+            stack_names.insert(fb_pos + 1, fmt_entry[0])
+            open_set.add(clone2)
 
     ti = 0
     ntok = len(tokens)
@@ -906,8 +1061,7 @@ def parse_document(html: str, collect_errors: bool = True):
                         insert_void("br", {})  # spec: </br> acts as <br>
                         break
                     if name in FORMATTING:
-                        remove_formatting(name)
-                        any_other_end_tag(name)
+                        adoption_agency(name)
                         break
                     if name in END_TAG_POP:
                         scope = (
