@@ -105,3 +105,31 @@ def test_extract_document_total_on_arbitrary_spans(spans) -> None:
         assert kind in {"text", "heading", "list", "code", "table", "media"}
         assert text is None or isinstance(text, str)
     assert n_bytes >= 0
+
+
+_formatting_soup = st.text(
+    alphabet="<>/biaupem code strng13 \n\t='\"&;#x",
+    max_size=400,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_formatting_soup)
+def test_tree_total_on_formatting_soup(s: str) -> None:
+    """Adoption agency + reconstruction must never crash or corrupt the
+    flat arrays, whatever the misnesting."""
+    from zhtml_spark.tree import parse_document
+
+    tree, errors = parse_document(s)
+    # structural invariants hold after arbitrary AAA reparenting
+    for nid in range(len(tree)):
+        c = tree.first_child[nid]
+        prev = -1
+        seen = 0
+        while c != -1:
+            assert tree.parent[c] == nid
+            prev = c
+            c = tree.next_sibling[c]
+            seen += 1
+            assert seen < len(tree) + 1  # no cycles
+        assert tree.last_child[nid] == prev
