@@ -204,6 +204,23 @@ def _q_minhash_candidates(spark, sf_dir):
                                   min_agree=2)
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """Composed exact+near dedup over docs ∪ exact copies ∪ near
+    copies: exact dupes collapse, near dupes are dominated away."""
+    from zhtml_spark.textops import dedup_survivors
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact_copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near_copies = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    allx = d.unionByName(exact_copies).unionByName(near_copies)
+    return dedup_survivors(allx, n=3, seeds=8, min_agree=4)
+
+
 def _q_simhash(spark, sf_dir):
     from zhtml_spark.textops import simhash48
 
@@ -387,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
+        "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
         "simhash_dup_candidates": _q_simhash_candidates,
         "cosine_topk": _q_cosine_topk,
@@ -530,6 +548,44 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "dedup_survivors": """
+            WITH allx AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 20000 AS doc_id, text || ' zq' AS text
+                FROM documents
+            ),
+            exact AS (
+                SELECT min(doc_id) AS doc_id, text FROM allx GROUP BY text
+            ),
+            words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM exact
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            sig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b ON a.seed = b.seed
+                                      AND a.minhash = b.minhash
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 4
+            )
+            SELECT doc_id, text FROM exact
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
         """,
         "simhash48": """
             WITH wrds AS (

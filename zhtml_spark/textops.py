@@ -246,6 +246,30 @@ def simhash_dup_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def dedup_survivors(
+    docs: DataFrame, n: int = 3, seeds: int = 8, min_agree: int = 4
+) -> DataFrame:
+    """Composed dedup job: exact dedup, then near-dup removal.
+
+    A document survives iff (a) it has the smallest doc_id among exact
+    text duplicates AND (b) no MinHash near-duplicate with a smaller
+    doc_id exists.  Dominance by pair relation (not transitive
+    closure): at 10^12 docs connected components need an iterative
+    join loop; smallest-neighbor dominance is the standard one-pass
+    approximation and is what this returns deterministically.
+    Distributed shape: one hash-agg + one banding join + one anti-join.
+    """
+    exact = dedup_exact(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = minhash_dup_candidates(exact, n=n, seeds=seeds,
+                                   min_agree=min_agree)
+    dominated = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(dominated, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+
+
 # ------------------------------------------------- similarity search
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
