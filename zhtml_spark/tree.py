@@ -13,9 +13,10 @@ extraction-safe (text placement is what the span invariant judges):
 
 * table insertion modes route through InBody with light td/th/tr
   auto-closing (quirky real-world-stripper behavior, SURVEY §7.0);
-* active formatting elements: list + reconstruction + Noah's Ark are
-  implemented; the full adoption agency is not — misnested formatting
-  end tags fall back to the spec's "any other end tag" walk;
+* active formatting elements (list + reconstruction + Noah's Ark)
+  AND the full adoption agency algorithm (§13.2.6.4.7) are
+  implemented — canonical html5lib misnesting goldens reproduce
+  exactly (tests/test_tree.py);
 * foreign content (MathML/SVG) elements are inserted as plain
   elements; the reference marks this path unreachable too
   (src/parser.zig:135-138).
@@ -120,10 +121,8 @@ _SCOPE_TABLE = frozenset(["html", "table", "template"])
 _IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
 
 # formatting elements tracked by the active-formatting list (spec
-# §13.2.4.3); full adoption agency is NOT implemented (STATUS.md gap) —
-# we do list + reconstruction + Noah's Ark, which covers the common
-# unclosed-formatting-across-blocks pages; misnested end tags fall back
-# to the any-other-end-tag walk (extraction-safe).
+# §13.2.4.3): list + reconstruction + Noah's Ark + the full adoption
+# agency algorithm (see adoption_agency in parse_document).
 FORMATTING = frozenset(
     "a b big code em font i nobr s small strike strong tt u".split()
 )
@@ -911,7 +910,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     attrs = tok[2]
                     if name in PLAIN_INBODY:  # hot path: plain insert
                         if name in FORMATTING:
-                            if name == "a":
+                            if afe and name == "a":
                                 # spec: an open <a> since the last
                                 # marker implies a missing </a>
                                 for e in reversed(afe):
@@ -921,9 +920,13 @@ def parse_document(html: str, collect_errors: bool = True):
                                         remove_formatting("a")
                                         any_other_end_tag("a")
                                         break
-                            reconstruct_afe()
+                            if afe:
+                                reconstruct_afe()
                             nid = insert_element(name, attrs)
-                            push_formatting(name, attrs, nid)
+                            if afe:
+                                push_formatting(name, attrs, nid)
+                            else:
+                                afe.append([name, attrs, nid])
                         else:
                             if afe:
                                 reconstruct_afe()
