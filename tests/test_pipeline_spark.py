@@ -313,3 +313,75 @@ def test_poison_pill_guard_unit():
     assert spans == []
     assert errors == ["internal-error:TypeError"]
     assert n_bytes == len("<p>ok</p>") + 1
+
+
+def test_ngram_ops_handle_short_docs(spark):
+    """Docs with fewer words than n must yield empty gram arrays, not a
+    slice() runtime error (code-review finding)."""
+    from zhtml_spark.textops import (
+        dedup_survivors,
+        minhash_dup_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, ""), (4, "a proper longer doc here"),
+         (5, "a proper longer doc here")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.1).count() >= 0
+    assert minhash_dup_candidates(docs, n=3).count() >= 0
+    surv = dedup_survivors(docs, n=3)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert 4 in ids and 5 not in ids  # exact dupes collapsed
+
+
+def test_textops_accept_string_doc_ids(spark):
+    """Corpus-style string ids must flow through the dedup ops
+    (code-review finding: stray cast-to-long)."""
+    from zhtml_spark.textops import dedup_survivors, simhash48
+
+    docs = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps high"),
+         ("doc-b", "the quick brown fox jumps high"),
+         ("doc-c", "completely different words entirely present")],
+        "doc_id string, text string",
+    )
+    assert simhash48(docs).count() == 3
+    surv = sorted(r["doc_id"] for r in dedup_survivors(docs, n=3).collect())
+    assert surv == ["doc-a", "doc-c"]
+
+
+def test_arrow_engine_handles_sliced_batches(spark):
+    """Sliced Arrow arrays keep absolute list offsets; the UDF must
+    rebase or docs read each other's spans (code-review finding)."""
+    import pyarrow as pa
+
+    from zhtml_spark.udfs import make_extract_arrow_udf
+
+    span_t = pa.struct(
+        [pa.field("kind", pa.string(), nullable=False),
+         pa.field("text", pa.string()),
+         pa.field("media_ref", pa.string()),
+         pa.field("offset", pa.int32(), nullable=False)]
+    )
+    full = pa.record_batch(
+        {
+            "doc_id": pa.array(["d0", "d1", "d2"]),
+            "spans": pa.array(
+                [
+                    [{"kind": "html", "text": "<p>zero</p>", "media_ref": None, "offset": 0}],
+                    [{"kind": "html", "text": "<p>one</p>", "media_ref": None, "offset": 0}],
+                    [{"kind": "html", "text": "<p>two</p>", "media_ref": None, "offset": 0}],
+                ],
+                type=pa.list_(span_t),
+            ),
+        }
+    )
+    sliced = full.slice(1)  # d1, d2 with non-zero list offsets
+    out = list(make_extract_arrow_udf()([sliced]))[0]
+    texts = {
+        r["doc_id"]: [s["text"] for s in r["spans"]]
+        for r in out.to_pylist()
+    }
+    assert texts == {"d1": ["one"], "d2": ["two"]}

@@ -205,6 +205,12 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
     starts = list(range(0, n_docs, chunk))
     sc = spark.sparkContext
 
+    doc_knobs = {
+        k: kwargs[k]
+        for k in ("media_rate", "entity_density", "malformed_rate", "nav_rate")
+        if k in kwargs
+    }
+
     def gen_chunk(start: int):
         end = min(start + chunk, n_docs)
         for i in range(start, end):
@@ -212,7 +218,7 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
             target = int(rng.lognormvariate(0, 0.8) * kwargs.get("mean_bytes", 4000)) + 300
             if rng.random() < kwargs.get("giant_rate", 0.01):
                 target *= kwargs.get("giant_multiplier", 40)
-            d = make_document(f"doc-{seed}-{i:08d}", rng, target)
+            d = make_document(f"doc-{seed}-{i:08d}", rng, target, **doc_knobs)
             spans = [
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in d["spans"]

@@ -125,6 +125,7 @@ def extract_spans(
     semantic_skip_depth = 0
     media_anchor: list[str] | None = None  # text collector inside media <a>
     media_anchor_href = ""
+    media_anchor_nest = 0  # nested <a> depth inside the media anchor
 
     def flush() -> None:
         nonlocal parts, anchor_chars, total_chars
@@ -176,8 +177,21 @@ def extract_spans(
                     flush()
                     alt = (tree.attrs[nid] or {}).get("alt") or ""
                     spans.append(("media", _normalize(alt), src))
+                if name == "iframe":
+                    # iframe body is RAWTEXT (raw markup source) —
+                    # never content; prune after emitting the media span
+                    continue
                 # still walk children (video > source etc.)
 
+            if name == "a" and media_anchor is not None:
+                # nested <a> inside a media anchor: keep collecting its
+                # text, balance via the nest counter only (no
+                # anchor_depth/kind side effects)
+                media_anchor_nest += 1
+                stack.append((nid, True))
+                for cid in _reversed_children(tree, nid):
+                    stack.append((cid, False))
+                continue
             if name == "a" and media_anchor is None:
                 href = (tree.attrs[nid] or {}).get("href") or ""
                 if href and is_media_href(href):
@@ -207,6 +221,9 @@ def extract_spans(
                 stack.append((cid, False))
         else:
             if name == "a" and media_anchor is not None:
+                if media_anchor_nest > 0:
+                    media_anchor_nest -= 1  # inner <a>: keep collecting
+                    continue
                 text = _normalize("".join(media_anchor))
                 spans.append(("media", text, media_anchor_href))
                 media_anchor = None

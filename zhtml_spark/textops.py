@@ -45,10 +45,14 @@ def _words(col: str = "text") -> Column:
 
 def word_ngrams(n: int, col: str = "text") -> Column:
     """Distinct word n-grams as an array column (JVM higher-order fns)."""
+    # guard: sequence(0, -1) yields [0, -1] and slice(..., 0, n)
+    # throws — short docs (< n words) must produce an EMPTY gram array
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {n}, -1)),"
-            f" i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {n})))"
+            f"CASE WHEN size(split({col}, ' ')) < {n} "
+            f"THEN array() "
+            f"ELSE transform(sequence(0, size(split({col}, ' ')) - {n}),"
+            f" i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {n}))) END"
         )
     )
 
@@ -64,9 +68,9 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def ngram_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    # doc_id keeps its input type (numeric OR string ids both order)
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(word_ngrams(n)).alias("gram"),
+        "doc_id", F.explode(word_ngrams(n)).alias("gram")
     )
 
 
@@ -181,8 +185,7 @@ def simhash48(docs: DataFrame) -> DataFrame:
     Two aggregations: per (doc, bit) contribution sums, then bit
     packing — both map-side-combinable."""
     words = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(_words())).alias("w"),
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     ).withColumn("h", md5_hash48(F.col("w")))
     bits = words.select(
         "doc_id",
@@ -259,8 +262,11 @@ def dedup_survivors(
     approximation and is what this returns deterministically.
     Distributed shape: one hash-agg + one banding join + one anti-join.
     """
+    # dedup_exact emits string ids for its own contract; recover the
+    # input id type for the ordering-based dominance join
+    id_type = dict(docs.dtypes)["doc_id"]
     exact = dedup_exact(docs).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+        F.col("doc_id").cast(id_type).alias("doc_id"), "text"
     )
     pairs = minhash_dup_candidates(exact, n=n, seeds=seeds,
                                    min_agree=min_agree)
@@ -364,7 +370,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
     toks = _words()
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.round(
@@ -401,16 +407,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
         better = scores[lang] > best
         pred = F.when(better, F.lit(lang)).otherwise(pred)
         best = F.when(better, scores[lang]).otherwise(best)
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        pred.alias("predicted_lang"),
-    )
+    return docs.select("doc_id", pred.alias("predicted_lang"))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
     """BPE-ish pre-tokenizer count: words + punctuation singles."""
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
             "n_tokens"
         ),
@@ -422,7 +425,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     integer form for bucketing."""
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.md5(norm).alias("fingerprint"),
         md5_hash48(norm).alias("fingerprint48"),
     )

@@ -462,8 +462,16 @@ def parse_document(html: str, collect_errors: bool = True):
             head_id = insert_element("head", {})
 
     def close_head() -> None:
-        if stack_names and stack_names[-1] == "head":
-            pop()
+        # noscript/template may still be open inside head (we nest them
+        # rather than run InHeadNoscript/InTemplate modes): pop THROUGH
+        # head or <body> would be created inside it — silent loss of
+        # the whole document's content downstream
+        if "head" in stack_names:
+            while stack_names:
+                nm = stack_names[-1]
+                pop()
+                if nm == "head":
+                    break
 
     def ensure_body() -> None:
         nonlocal body_id
@@ -912,14 +920,25 @@ def parse_document(html: str, collect_errors: bool = True):
                         if name in FORMATTING:
                             if afe and name == "a":
                                 # spec: an open <a> since the last
-                                # marker implies a missing </a>
+                                # marker implies a missing </a> — run
+                                # the adoption agency, then drop any
+                                # leftover entry/stack node
+                                stale = None
                                 for e in reversed(afe):
                                     if e is _MARKER:
                                         break
                                     if e[0] == "a":
-                                        remove_formatting("a")
-                                        any_other_end_tag("a")
+                                        stale = e
                                         break
+                                if stale is not None:
+                                    adoption_agency("a")
+                                    if stale in afe:
+                                        afe.remove(stale)
+                                    if stale[2] in open_set:
+                                        idx = stack_ids.index(stale[2])
+                                        open_set.discard(stale[2])
+                                        del stack_ids[idx]
+                                        del stack_names[idx]
                             if afe:
                                 reconstruct_afe()
                             nid = insert_element(name, attrs)

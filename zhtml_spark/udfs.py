@@ -241,6 +241,10 @@ def make_extract_arrow_udf(config: ExtractConfig | None = None):
             if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
                 spans_col = spans_col.combine_chunks()
             list_offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
+            # sliced arrays keep ABSOLUTE offsets while flatten()
+            # rebases values to the slice start — rebase or every doc
+            # reads another doc's spans
+            base = int(list_offsets[0])
             flat = spans_col.flatten()
             kinds = flat.field("kind").to_pylist()
             texts = flat.field("text").to_pylist()
@@ -258,7 +262,8 @@ def make_extract_arrow_udf(config: ExtractConfig | None = None):
             codes_col = []
             wall_col = []
             for i in range(len(batch)):
-                lo, hi = list_offsets[i], list_offsets[i + 1]
+                lo = int(list_offsets[i]) - base
+                hi = int(list_offsets[i + 1]) - base
                 t0 = time.perf_counter_ns()
                 recs = list(
                     zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi], offs[lo:hi])
