@@ -221,10 +221,32 @@ def _q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(allx, n=3, seeds=8, min_agree=4)
 
 
+def _q_minhash_banded(spark, sf_dir):
+    """b×r banded LSH (r=2): the scale-safe candidate generator."""
+    from zhtml_spark.textops import minhash_banded_candidates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return minhash_banded_candidates(
+        d.unionByName(copies), n=3, bands=4, rows=2
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from zhtml_spark.textops import simhash48
 
     return simhash48(_docs(spark, sf_dir))
+
+
+def _q_simhash60(spark, sf_dir):
+    """60-bit simhash (widest BIGINT-sign-safe): the scale path's
+    signature — more bits → fewer random near-collisions at 10^12."""
+    from zhtml_spark.textops import simhash_bits
+
+    return simhash_bits(_docs(spark, sf_dir), bits=60)
 
 
 def _q_simhash_candidates(spark, sf_dir):
@@ -252,6 +274,13 @@ def _q_nearest_centroid(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return nearest_centroid(emb, n_centroids=8)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from zhtml_spark.textops import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
 
 
 def _q_text_quality(spark, sf_dir):
@@ -404,11 +433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
+        "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
+        "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
+        "ivf_topk": _q_ivf_topk,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -548,6 +580,141 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "minhash_banded_candidates": """
+            WITH documents_u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text || ' zq' AS text
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents_u
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            sig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ),
+            band_sig AS (
+                SELECT doc_id, seed // 2 AS band,
+                       md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                      ORDER BY seed)) AS bsig
+                FROM sig GROUP BY doc_id, seed // 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_bands
+            FROM band_sig a
+            JOIN band_sig b ON a.band = b.band AND a.bsig = b.bsig
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "simhash60": """
+            WITH wrds AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                    FROM documents
+                )
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                FROM wrds
+            ),
+            bits AS (
+                SELECT doc_id, CAST(s.s AS INTEGER) AS s,
+                       CASE WHEN ((h >> CAST(s.s AS INTEGER)) & 1) = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM hashed, (SELECT UNNEST(range(0, 60)) AS s) s
+            ),
+            per_bit AS (
+                SELECT doc_id, s, sum(c) AS c FROM bits GROUP BY doc_id, s
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << s)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        """,
+        "ivf_topk": """
+            WITH c AS (
+                SELECT vec_id AS centroid_id, embedding AS ce
+                FROM embeddings WHERE vec_id < 8
+            ),
+            adist AS (
+                SELECT e.vec_id, c.centroid_id,
+                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM embeddings e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM adist
+                ) WHERE r = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            qdist AS (
+                SELECT q.query_id, c.centroid_id, q.qe,
+                       round((SELECT sum((CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM q, c
+            ),
+            probes AS (
+                SELECT query_id, centroid_id, qe FROM (
+                    SELECT query_id, centroid_id, qe,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM qdist
+                ) WHERE r <= 2
+            ),
+            cand AS (
+                SELECT p.query_id, e.vec_id, p.qe, e.embedding AS ee
+                FROM probes p
+                JOIN assign a USING (centroid_id)
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> p.query_id
+            ),
+            dots AS (
+                SELECT query_id, vec_id,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS dot,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS nq,
+                       (SELECT sum(CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ee) + 1)) t(i)) AS ne
+                FROM cand
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC,
+                                    vec_id ASC
+                       ) AS INTEGER) AS rank
+                FROM dots
+            )
+            SELECT query_id, vec_id AS neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 5
         """,
         "dedup_survivors": """
             WITH allx AS (

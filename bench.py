@@ -116,14 +116,22 @@ def main() -> None:
 
     from zhtml_spark.textops import (
         cosine_topk,
+        ivf_topk,
+        minhash_banded_candidates,
         minhash_dup_candidates,
         ngram_jaccard_pairs,
+        simhash_candidate_stats,
         simhash_dup_candidates,
     )
 
     timed(
         "dedup_minhash",
         lambda: minhash_dup_candidates(docs_tbl, n=3, seeds=8, min_agree=2)
+        .count(),
+    )
+    timed(
+        "dedup_minhash_banded",
+        lambda: minhash_banded_candidates(docs_tbl, n=3, bands=4, rows=2)
         .count(),
     )
     timed(
@@ -135,9 +143,26 @@ def main() -> None:
         lambda: ngram_jaccard_pairs(docs_tbl, n=3, threshold=0.05).count(),
     )
 
-    # 6. similarity search
+    # banding-plan evidence (VERDICT r1 #3/#7): candidate volume + max
+    # bucket for the multi-index scheme vs the old single-block one
+    plan_stats = {
+        "simhash_multi_index": simhash_candidate_stats(
+            docs_tbl, max_hamming=6
+        ),
+        "simhash_single_block": simhash_candidate_stats(
+            docs_tbl, max_hamming=6, n_blocks=7
+        ),
+    }
+
+    # 6. similarity search: brute force vs composed IVF prune
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("cosine_topk", lambda: cosine_topk(emb, n_queries=100, k=10).count())
+    timed(
+        "ivf_topk",
+        lambda: ivf_topk(
+            emb, n_queries=100, k=10, n_centroids=16, n_probe=4
+        ).count(),
+    )
 
     # 7-8. relational coverage on the big tables
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -175,6 +200,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cores": CPUS,
                 "extract_docs": N_EXTRACT_DOCS,
+                "plan_stats": plan_stats,
             }
         )
     )

@@ -1,0 +1,626 @@
+"""Generate the extended tokenizer conformance corpus.
+
+The html5lib-tests submodule the reference wires
+(/root/reference/test/tokenizer-html5lib.zig:63-77) is EMPTY in this
+sandbox (not checked out) and there is no network access, so the
+literal test1-test4 files cannot be replayed.  This generator stands in
+for them: it derives expected outputs from the WHATWG spec rules and
+the spec's own data tables (``html.entities.html5`` — the identical
+table the spec publishes, 2231 entries; the C1 numeric remap table,
+spec §13.2.5.80) WITHOUT calling the engine's tokenizer, so a shared
+bug cannot hide.  Case families mirror what test1-test4 cover:
+
+* every named character reference, in Data state (with + without the
+  historical no-semicolon forms) — the bulk of html5lib's test1/test2;
+* the historical attribute-value suppression rule for every
+  no-semicolon entity;
+* a numeric-reference sweep: every C1 remap row, surrogates,
+  out-of-range, null, hex/dec, missing digits/semicolon;
+* EOF inside every construct family (tags, attributes, comments,
+  DOCTYPE, CDATA-as-bogus, char refs, script-data escapes);
+* comment edge cases (abrupt closes, nested dashes, ``--!>``);
+* DOCTYPE quote/keyword/whitespace variants;
+* script-data double-escaping transitions.
+
+Output: ``tests/fixtures/tokenizer_conformance_generated.json`` in
+html5lib-tests format (same harness as tokenizer_cases.json).
+
+Usage: python jobs/gen_tokenizer_conformance.py
+"""
+
+from __future__ import annotations
+
+import html.entities
+import json
+import os
+
+H5 = html.entities.html5
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "tokenizer_conformance_generated.json",
+)
+
+MISSING_SEMI = "missing-semicolon-after-character-reference"
+
+
+def entity_cases() -> list[dict]:
+    """One Data-state case per spec entity table entry, plus the
+    attribute-context suppression case for every no-semicolon entry.
+
+    Expected outputs derive from the table directly: the input after
+    ``&`` IS a table key and the input ends there, so the spec's
+    longest-prefix match must return exactly that key."""
+    cases: list[dict] = []
+    for key in sorted(H5):
+        value = H5[key]
+        if key.endswith(";"):
+            cases.append({
+                "description": f"entity &{key} data state",
+                "input": f"x&{key}y",
+                "output": [["Character", f"x{value}y"]],
+                "errors": [],
+            })
+        else:
+            # historical no-semicolon form: expands with a parse error
+            # when NOT followed by '=' / alphanumeric
+            cases.append({
+                "description": f"entity &{key} (no semicolon) data state",
+                "input": f"x&{key} y",
+                "output": [["Character", f"x{value} y"]],
+                "errors": [{"code": MISSING_SEMI}],
+            })
+            # attribute context followed by '=': suppressed, NO error
+            cases.append({
+                "description": f"entity &{key} suppressed in attribute",
+                "input": f'<a x="&{key}=y">',
+                "output": [["StartTag", "a", {"x": f"&{key}=y"}]],
+                "errors": [],
+            })
+    return cases
+
+
+# spec §13.2.5.80 numeric-character-reference-end C1 remap table
+C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+
+def entity_edge_cases() -> list[dict]:
+    """The canonical html5lib compound/backtrack entity cases —
+    longest-match with backtracking past viable-but-unmatched
+    prefixes."""
+    return [
+        # "not" matches without semicolon; "noti"/"notit" are viable
+        # prefixes of longer entries but never match → backtrack
+        {"description": "entity backtrack notit",
+         "input": "&notit;",
+         "output": [["Character", "¬it;"]],
+         "errors": [{"code": MISSING_SEMI}]},
+        {"description": "entity backtrack noti",
+         "input": "&noti;",
+         "output": [["Character", "¬i;"]],
+         "errors": [{"code": MISSING_SEMI}]},
+        {"description": "entity longest match notin",
+         "input": "&notin;",
+         "output": [["Character", "∉"]], "errors": []},
+        # unknown name reaching ';' in ambiguous-ampersand state
+        {"description": "unknown entity with semicolon",
+         "input": "&thisdoesnotexist;",
+         "output": [["Character", "&thisdoesnotexist;"]],
+         "errors": [{"code": "unknown-named-character-reference"}]},
+        {"description": "unknown entity without semicolon",
+         "input": "&thisdoesnotexist ",
+         "output": [["Character", "&thisdoesnotexist "]],
+         "errors": []},
+        # attribute-value historical rule, boundary characters
+        {"description": "attr entity expanded before quote",
+         "input": '<a x="&not">',
+         "output": [["StartTag", "a", {"x": "¬"}]],
+         "errors": [{"code": MISSING_SEMI}]},
+        {"description": "attr entity suppressed before alnum",
+         "input": '<a x="&notx">',
+         "output": [["StartTag", "a", {"x": "&notx"}]],
+         "errors": []},
+        {"description": "attr entity with semicolon before alnum",
+         "input": '<a x="&not;x">',
+         "output": [["StartTag", "a", {"x": "¬x"}]],
+         "errors": []},
+        # bare ampersands
+        {"description": "lone ampersand", "input": "a & b",
+         "output": [["Character", "a & b"]], "errors": []},
+        {"description": "ampersand hash only", "input": "a &# b",
+         "output": [["Character", "a &# b"]],
+         "errors": [
+             {"code": "absence-of-digits-in-numeric-character-reference"}]},
+        {"description": "double ampersand entity", "input": "&&amp;",
+         "output": [["Character", "&&"]], "errors": []},
+        # entity in RCDATA decodes, in RAWTEXT does not (family check)
+        {"description": "entity in rcdata",
+         "input": "&copy;", "initialStates": ["RCDATA"],
+         "output": [["Character", "©"]], "errors": []},
+    ]
+
+
+def numeric_cases() -> list[dict]:
+    cases: list[dict] = []
+    # every C1 control point: remapped + control-character-reference err
+    for cp in range(0x80, 0xA0):
+        want = chr(C1_REMAP.get(cp, cp))
+        err = (
+            "control-character-reference"
+            if cp in C1_REMAP or cp in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else "control-character-reference"
+        )
+        for form in (f"&#{cp};", f"&#x{cp:x};", f"&#X{cp:X};"):
+            cases.append({
+                "description": f"numeric ref {form} C1 remap",
+                "input": form,
+                "output": [["Character", want]],
+                "errors": [{"code": err}],
+            })
+    # surrogates → U+FFFD
+    for cp in (0xD800, 0xDABC, 0xDFFF):
+        cases.append({
+            "description": f"numeric ref surrogate {cp:#x}",
+            "input": f"&#x{cp:x};",
+            "output": [["Character", "�"]],
+            "errors": [{"code": "surrogate-character-reference"}],
+        })
+    # out of range
+    for cp in (0x110000, 0xFFFFFFF):
+        cases.append({
+            "description": f"numeric ref out of range {cp:#x}",
+            "input": f"&#x{cp:x};",
+            "output": [["Character", "�"]],
+            "errors": [
+                {"code": "character-reference-outside-unicode-range"}
+            ],
+        })
+    # null
+    cases.append({
+        "description": "numeric ref null",
+        "input": "&#0;",
+        "output": [["Character", "�"]],
+        "errors": [{"code": "null-character-reference"}],
+    })
+    # noncharacters
+    for cp in (0xFDD0, 0xFFFE, 0xFFFF, 0x1FFFE, 0x10FFFF):
+        cases.append({
+            "description": f"numeric ref noncharacter {cp:#x}",
+            "input": f"&#x{cp:x};",
+            "output": [["Character", chr(cp)]],
+            "errors": [{"code": "noncharacter-character-reference"}],
+        })
+    # missing semicolon
+    cases.append({
+        "description": "numeric ref missing semicolon",
+        "input": "&#65 ",
+        "output": [["Character", "A "]],
+        "errors": [{"code": MISSING_SEMI}],
+    })
+    cases.append({
+        "description": "hex ref missing semicolon",
+        "input": "&#x41!",
+        "output": [["Character", "A!"]],
+        "errors": [{"code": MISSING_SEMI}],
+    })
+    # absent digits
+    cases.append({
+        "description": "numeric ref no digits",
+        "input": "&#;",
+        "output": [["Character", "&#;"]],
+        "errors": [
+            {"code": "absence-of-digits-in-numeric-character-reference"}
+        ],
+    })
+    cases.append({
+        "description": "hex ref no digits",
+        "input": "&#x;",
+        "output": [["Character", "&#x;"]],
+        "errors": [
+            {"code": "absence-of-digits-in-numeric-character-reference"}
+        ],
+    })
+    cases.append({
+        "description": "hex ref no digits at EOF",
+        "input": "&#x",
+        "output": [["Character", "&#x"]],
+        "errors": [
+            {"code": "absence-of-digits-in-numeric-character-reference"}
+        ],
+    })
+    # plain refs, boundary values
+    for cp, txt in ((0x41, "A"), (0x10FFFD, "\U0010fffd"), (0x20AC, "€")):
+        cases.append({
+            "description": f"numeric ref valid {cp:#x}",
+            "input": f"&#x{cp:x};",
+            "output": [["Character", chr(cp) if not txt else txt]],
+            "errors": [],
+        })
+    return cases
+
+
+def eof_cases() -> list[dict]:
+    """EOF inside each construct family — expected per the spec's
+    per-state EOF rules."""
+    return [
+        {"description": "EOF after lt", "input": "a<",
+         "output": [["Character", "a<"]], "errors": [
+             {"code": "eof-before-tag-name"}]},
+        {"description": "EOF after lt-slash", "input": "a</",
+         "output": [["Character", "a</"]], "errors": [
+             {"code": "eof-before-tag-name"}]},
+        {"description": "EOF in tag name", "input": "<div",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF before attribute name", "input": "<div ",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF in attribute name", "input": "<div at",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF after attribute name", "input": "<div at ",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF before attribute value", "input": "<div at=",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF in attribute value double", "input": '<div at="v',
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF in attribute value single", "input": "<div at='v",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF in attribute value unquoted", "input": "<div at=v",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF after self-closing slash", "input": "<div/",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF in end tag", "input": "</div",
+         "output": [], "errors": [{"code": "eof-in-tag"}]},
+        {"description": "EOF after comment open", "input": "<!--",
+         "output": [["Comment", ""]], "errors": [{"code": "eof-in-comment"}]},
+        {"description": "EOF in comment", "input": "<!--x",
+         "output": [["Comment", "x"]], "errors": [{"code": "eof-in-comment"}]},
+        {"description": "EOF in comment after dash", "input": "<!--x-",
+         "output": [["Comment", "x"]], "errors": [{"code": "eof-in-comment"}]},
+        {"description": "EOF in comment after two dashes", "input": "<!--x--",
+         "output": [["Comment", "x"]], "errors": [{"code": "eof-in-comment"}]},
+        {"description": "EOF after bang", "input": "<!",
+         "output": [["Comment", ""]], "errors": [
+             {"code": "incorrectly-opened-comment"}]},
+        {"description": "EOF in doctype keyword", "input": "<!DOCT",
+         "output": [["Comment", "DOCT"]], "errors": [
+             {"code": "incorrectly-opened-comment"}]},
+        {"description": "EOF after doctype keyword", "input": "<!DOCTYPE",
+         "output": [["DOCTYPE", None, None, None, False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF before doctype name", "input": "<!DOCTYPE ",
+         "output": [["DOCTYPE", None, None, None, False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF in doctype name", "input": "<!DOCTYPE ht",
+         "output": [["DOCTYPE", "ht", None, None, False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF after doctype name", "input": "<!DOCTYPE html ",
+         "output": [["DOCTYPE", "html", None, None, False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF in doctype public id",
+         "input": '<!DOCTYPE html PUBLIC "p',
+         "output": [["DOCTYPE", "html", "p", None, False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF in doctype system id",
+         "input": '<!DOCTYPE html SYSTEM "s',
+         "output": [["DOCTYPE", "html", None, "s", False]],
+         "errors": [{"code": "eof-in-doctype"}]},
+        {"description": "EOF in cdata-as-bogus-comment",
+         "input": "<![CDATA[x",
+         "output": [["Comment", "[CDATA[x"]],
+         "errors": [{"code": "cdata-in-html-content"}]},
+        {"description": "EOF after ampersand", "input": "&",
+         "output": [["Character", "&"]], "errors": []},
+        {"description": "EOF mid entity name", "input": "&am",
+         "output": [["Character", "&am"]], "errors": []},
+        {"description": "EOF in script escaped",
+         "input": "<!--<x", "initialStates": ["Script data"],
+         "output": [["Character", "<!--<x"]],
+         "errors": [{"code": "eof-in-script-html-comment-like-text"}]},
+        {"description": "EOF in script double escaped",
+         "input": "<!--<script>y", "initialStates": ["Script data"],
+         "output": [["Character", "<!--<script>y"]],
+         "errors": [{"code": "eof-in-script-html-comment-like-text"}]},
+    ]
+
+
+def comment_cases() -> list[dict]:
+    return [
+        {"description": "abrupt comment close", "input": "<!-->x",
+         "output": [["Comment", ""], ["Character", "x"]],
+         "errors": [{"code": "abrupt-closing-of-empty-comment"}]},
+        {"description": "abrupt comment close dash", "input": "<!--->x",
+         "output": [["Comment", ""], ["Character", "x"]],
+         "errors": [{"code": "abrupt-closing-of-empty-comment"}]},
+        {"description": "comment with dashes inside",
+         "input": "<!--a-b--c-->",
+         "output": [["Comment", "a-b--c"]], "errors": []},
+        {"description": "comment bang close", "input": "<!--x--!>y",
+         "output": [["Comment", "x"], ["Character", "y"]],
+         "errors": [{"code": "incorrectly-closed-comment"}]},
+        {"description": "comment bang not close", "input": "<!--x--!y-->",
+         "output": [["Comment", "x--!y"]], "errors": []},
+        {"description": "nested comment open", "input": "<!--x<!--y-->",
+         "output": [["Comment", "x<!--y"]],
+         "errors": [{"code": "nested-comment"}]},
+        {"description": "comment less than bang", "input": "<!--<!x-->",
+         "output": [["Comment", "<!x"]], "errors": []},
+        {"description": "comment dash not close", "input": "<!--x-y-->",
+         "output": [["Comment", "x-y"]], "errors": []},
+        {"description": "comment triple dash close", "input": "<!--x--->",
+         "output": [["Comment", "x-"]], "errors": []},
+        {"description": "bogus from question mark", "input": "<?xml?>",
+         "output": [["Comment", "?xml?"]],
+         "errors": [
+             {"code": "unexpected-question-mark-instead-of-tag-name"}]},
+        {"description": "end tag with attributes", "input": "</div x=y>",
+         "output": [["EndTag", "div"]],
+         "errors": [{"code": "end-tag-with-attributes"}]},
+        {"description": "empty end tag", "input": "a</>b",
+         "output": [["Character", "ab"]],
+         "errors": [{"code": "missing-end-tag-name"}]},
+        {"description": "self closing end tag", "input": "</div/>x",
+         "output": [["EndTag", "div"], ["Character", "x"]],
+         "errors": [{"code": "end-tag-with-trailing-solidus"}]},
+    ]
+
+
+def doctype_cases() -> list[dict]:
+    return [
+        {"description": "doctype lowercase keyword",
+         "input": "<!doctype html>",
+         "output": [["DOCTYPE", "html", None, None, True]], "errors": []},
+        {"description": "doctype mixed case keyword",
+         "input": "<!DoCtYpE html>",
+         "output": [["DOCTYPE", "html", None, None, True]], "errors": []},
+        {"description": "doctype name case folded",
+         "input": "<!DOCTYPE HTML>",
+         "output": [["DOCTYPE", "html", None, None, True]], "errors": []},
+        {"description": "doctype missing whitespace before name",
+         "input": "<!DOCTYPEhtml>",
+         "output": [["DOCTYPE", "html", None, None, True]],
+         "errors": [
+             {"code": "missing-whitespace-before-doctype-name"}]},
+        {"description": "doctype public single quotes",
+         "input": "<!DOCTYPE html PUBLIC 'pub'>",
+         "output": [["DOCTYPE", "html", "pub", None, True]], "errors": []},
+        {"description": "doctype public+system",
+         "input": '<!DOCTYPE html PUBLIC "p" "s">',
+         "output": [["DOCTYPE", "html", "p", "s", True]], "errors": []},
+        {"description": "doctype system only",
+         "input": '<!DOCTYPE html SYSTEM "s">',
+         "output": [["DOCTYPE", "html", None, "s", True]], "errors": []},
+        {"description": "doctype missing ws after public keyword",
+         "input": '<!DOCTYPE html PUBLIC"p">',
+         "output": [["DOCTYPE", "html", "p", None, True]],
+         "errors": [
+             {"code": "missing-whitespace-after-doctype-public-keyword"}]},
+        {"description": "doctype missing quote before public",
+         "input": "<!DOCTYPE html PUBLIC p>",
+         "output": [["DOCTYPE", "html", None, None, False]],
+         "errors": [
+             {"code": "missing-quote-before-doctype-public-identifier"}]},
+        {"description": "doctype abrupt public id",
+         "input": '<!DOCTYPE html PUBLIC "p>',
+         "output": [["DOCTYPE", "html", "p", None, False]],
+         "errors": [{"code": "abrupt-doctype-public-identifier"}]},
+        {"description": "doctype abrupt system id",
+         "input": '<!DOCTYPE html SYSTEM "s>',
+         "output": [["DOCTYPE", "html", None, "s", False]],
+         "errors": [{"code": "abrupt-doctype-system-identifier"}]},
+        {"description": "doctype bogus keyword",
+         "input": "<!DOCTYPE html BOGUS>",
+         "output": [["DOCTYPE", "html", None, None, False]],
+         "errors": [
+             {"code":
+              "invalid-character-sequence-after-doctype-name"}]},
+        {"description": "doctype junk after system id",
+         "input": '<!DOCTYPE html SYSTEM "s" junk>',
+         "output": [["DOCTYPE", "html", None, "s", True]],
+         "errors": [
+             {"code":
+              "unexpected-character-after-doctype-system-identifier"}]},
+        {"description": "doctype missing name",
+         "input": "<!DOCTYPE>",
+         "output": [["DOCTYPE", None, None, None, False]],
+         "errors": [{"code": "missing-doctype-name"}]},
+        {"description": "doctype ws between public and system",
+         "input": '<!DOCTYPE html PUBLIC "p""s">',
+         "output": [["DOCTYPE", "html", "p", "s", True]],
+         "errors": [
+             {"code": "missing-whitespace-between-doctype-public-and-"
+                      "system-identifiers"}]},
+    ]
+
+
+def script_cases() -> list[dict]:
+    s = {"initialStates": ["Script data"]}
+    return [
+        {"description": "script escape simple",
+         "input": "<!--x-->", **s,
+         "output": [["Character", "<!--x-->"]], "errors": []},
+        {"description": "script double escape",
+         "input": "<!--<script>a</script>-->", **s,
+         "output": [["Character", "<!--<script>a</script>-->"]],
+         "errors": []},
+        {"description": "script escaped end tag exits",
+         "input": "<!--</script>tail", **s,
+         "lastStartTag": "script",
+         "output": [["Character", "<!--"], ["EndTag", "script"],
+                    ["Character", "tail"]],
+         "errors": []},
+        {"description": "script double escape dash dance",
+         "input": "<!--<script>-a--b---</script>x-->", **s,
+         "output": [["Character", "<!--<script>-a--b---</script>x-->"]],
+         "errors": []},
+        {"description": "script escape start not comment",
+         "input": "<!-x", **s,
+         "output": [["Character", "<!-x"]], "errors": []},
+        {"description": "script double escape end partial",
+         "input": "<!--<script></scrip>a-->", **s,
+         "output": [["Character", "<!--<script></scrip>a-->"]],
+         "errors": []},
+        {"description": "script lt in escaped",
+         "input": "<!--a<b-->", **s,
+         "output": [["Character", "<!--a<b-->"]], "errors": []},
+    ]
+
+
+def attribute_cases() -> list[dict]:
+    return [
+        {"description": "duplicate attribute first wins gen",
+         "input": '<a b="1" b="2">',
+         "output": [["StartTag", "a", {"b": "1"}]],
+         "errors": [{"code": "duplicate-attribute"}]},
+        {"description": "attr name case folded",
+         "input": "<a HREF=x>",
+         "output": [["StartTag", "a", {"href": "x"}]], "errors": []},
+        {"description": "unquoted value stops at ws",
+         "input": "<a b=c d>",
+         "output": [["StartTag", "a", {"b": "c", "d": ""}]],
+         "errors": []},
+        {"description": "missing ws between attrs",
+         "input": '<a b="1"c="2">',
+         "output": [["StartTag", "a", {"b": "1", "c": "2"}]],
+         "errors": [{"code": "missing-whitespace-between-attributes"}]},
+        {"description": "slash between attrs is not self closing",
+         "input": "<a b/c>",
+         "output": [["StartTag", "a", {"b": "", "c": ""}]],
+         "errors": [{"code": "unexpected-solidus-in-tag"}]},
+        {"description": "equals at attr name start",
+         "input": "<a =b>",
+         "output": [["StartTag", "a", {"=b": ""}]],
+         "errors": [
+             {"code": "unexpected-equals-sign-before-attribute-name"}]},
+        {"description": "quote chars in unquoted value",
+         "input": "<a b=c\"d>",
+         "output": [["StartTag", "a", {"b": 'c"d'}]],
+         "errors": [
+             {"code": "unexpected-character-in-unquoted-attribute-value"}]},
+        {"description": "lt in attr name",
+         "input": "<a b<c=d>",
+         "output": [["StartTag", "a", {"b<c": "d"}]],
+         "errors": [
+             {"code": "unexpected-character-in-attribute-name"}]},
+        {"description": "missing attr value",
+         "input": "<a b=>",
+         "output": [["StartTag", "a", {"b": ""}]],
+         "errors": [{"code": "missing-attribute-value"}]},
+        {"description": "self closing flag",
+         "input": "<br/>",
+         "output": [["StartTag", "br", {}, True]], "errors": []},
+        {"description": "unexpected solidus then close",
+         "input": "<a b=c/>",
+         "output": [["StartTag", "a", {"b": "c/"}]],
+         "errors": []},
+        {"description": "tag name case folded",
+         "input": "<DiV>",
+         "output": [["StartTag", "div", {}]], "errors": []},
+        {"description": "null in tag name",
+         "input": "<di\x00v>",
+         "output": [["StartTag", "di�v", {}]],
+         "errors": [{"code": "unexpected-null-character"}]},
+        {"description": "null in attr value",
+         "input": '<a b="x\x00y">',
+         "output": [["StartTag", "a", {"b": "x�y"}]],
+         "errors": [{"code": "unexpected-null-character"}]},
+    ]
+
+
+def cr_cases() -> list[dict]:
+    """CR/CRLF preprocessing (spec §13.2.3.5: normalize to LF before
+    tokenization; the reference skips this — its own ignore list)."""
+    return [
+        {"description": "crlf normalized", "input": "a\r\nb",
+         "output": [["Character", "a\nb"]], "errors": []},
+        {"description": "lone cr normalized", "input": "a\rb",
+         "output": [["Character", "a\nb"]], "errors": []},
+        {"description": "cr at eof", "input": "a\r",
+         "output": [["Character", "a\n"]], "errors": []},
+        {"description": "cr cr lf", "input": "a\r\r\nb",
+         "output": [["Character", "a\n\nb"]], "errors": []},
+        {"description": "cr in attribute value", "input": '<a b="x\r\ny">',
+         "output": [["StartTag", "a", {"b": "x\ny"}]], "errors": []},
+        {"description": "cr in comment", "input": "<!--a\rb-->",
+         "output": [["Comment", "a\nb"]], "errors": []},
+    ]
+
+
+def rcdata_rawtext_cases() -> list[dict]:
+    return [
+        {"description": "rcdata entity decodes",
+         "input": "x&amp;y", "initialStates": ["RCDATA"],
+         "output": [["Character", "x&y"]], "errors": []},
+        {"description": "rcdata tagish not a tag",
+         "input": "a<b>c", "initialStates": ["RCDATA"],
+         "output": [["Character", "a<b>c"]], "errors": []},
+        {"description": "rcdata appropriate end tag",
+         "input": "a</title>b", "initialStates": ["RCDATA"],
+         "lastStartTag": "title",
+         "output": [["Character", "a"], ["EndTag", "title"],
+                    ["Character", "b"]], "errors": []},
+        {"description": "rcdata inappropriate end tag",
+         "input": "a</div>b", "initialStates": ["RCDATA"],
+         "lastStartTag": "title",
+         "output": [["Character", "a</div>b"]], "errors": []},
+        {"description": "rawtext no entity",
+         "input": "x&amp;y", "initialStates": ["RAWTEXT"],
+         "output": [["Character", "x&amp;y"]], "errors": []},
+        {"description": "rawtext end tag with ws variants",
+         "input": "a</style >b", "initialStates": ["RAWTEXT"],
+         "lastStartTag": "style",
+         "output": [["Character", "a"], ["EndTag", "style"],
+                    ["Character", "b"]], "errors": []},
+        {"description": "plaintext swallows everything",
+         "input": "a</plaintext>b", "initialStates": ["PLAINTEXT"],
+         "output": [["Character", "a</plaintext>b"]], "errors": []},
+        {"description": "cdata in data is bogus comment",
+         "input": "<![CDATA[x]]>",
+         "output": [["Comment", "[CDATA[x]]"]],
+         "errors": [{"code": "cdata-in-html-content"}]},
+    ]
+
+
+def main() -> None:
+    tests: list[dict] = []
+    tests += entity_cases()
+    tests += entity_edge_cases()
+    tests += numeric_cases()
+    tests += eof_cases()
+    tests += comment_cases()
+    tests += doctype_cases()
+    tests += script_cases()
+    tests += attribute_cases()
+    tests += cr_cases()
+    tests += rcdata_rawtext_cases()
+    # de-duplicate descriptions (pytest ids must be unique enough)
+    seen: dict[str, int] = {}
+    for t in tests:
+        d = t["description"]
+        if d in seen:
+            seen[d] += 1
+            t["description"] = f"{d} #{seen[d]}"
+        else:
+            seen[d] = 0
+    doc = {
+        "comment": (
+            "GENERATED spec-derived conformance corpus (html5lib-tests "
+            "format). Expected outputs derive from WHATWG rules + the "
+            "spec's own tables (html.entities.html5, C1 remap), never "
+            "from the engine. Regenerate: python "
+            "jobs/gen_tokenizer_conformance.py"
+        ),
+        "tests": tests,
+    }
+    with open(OUT, "w") as f:
+        json.dump(doc, f, ensure_ascii=False, indent=0)
+    print(f"wrote {len(tests)} cases to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,50 @@ spark.stop()
 """
 
 
+CANARY_SNIPPET = r"""
+import time, numpy as np
+a = np.arange(50_000_000, dtype=np.int64)  # 400 MB, bandwidth-bound
+t0 = time.time()
+s = 0
+for _ in range(8):
+    s += int(a.sum())
+print("CANARY %.3f" % (time.time() - t0))
+"""
+
+
+def run_canary(n_procs: int) -> float:
+    """Fixed memory-bandwidth workload: n_procs pinned processes each
+    sum a 400 MB int64 array 8 times; returns max wall seconds.
+
+    Purpose (BENCH/BASELINE.md campaign history): round-1 scaling
+    campaigns drifted 0.76-1.01 with identical code; the 16-wide config
+    degraded while 4-wide did not, implicating shared-VM memory
+    bandwidth.  The canary quantifies host contention at measurement
+    time so an efficiency number can be accepted (quiet host) or
+    attributed (loaded host).  Run at 1 and at 16 procs: the 16/1
+    ratio is the bandwidth-contention factor (1.0 = no contention).
+    """
+    procs = []
+    for i in range(n_procs):
+        prefix = []
+        if os.path.exists("/usr/bin/taskset"):
+            prefix = ["taskset", "-c", str(i)]
+        procs.append(
+            subprocess.Popen(
+                prefix + [sys.executable, "-c", CANARY_SNIPPET],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+        )
+    times = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        for line in out.splitlines():
+            if line.startswith("CANARY "):
+                times.append(float(line.split()[1]))
+    return max(times)
+
+
 def run_config(cores: int, corpus: str, timed_runs: int) -> list[dict]:
     code = RUN_SNIPPET.format(
         repo=REPO, cores=cores, corpus=corpus, timed_runs=timed_runs
@@ -112,6 +156,9 @@ def main() -> None:
         )
 
     report: dict[int, dict] = {}
+    canary: dict[str, float] = {}
+    canary["pre_1p"] = round(run_canary(1), 3)
+    canary["pre_16p"] = round(run_canary(16), 3)
     for cores in [int(c) for c in args.configs.split(",")]:
         runs = run_config(cores, corpus, args.timed_runs)
         med_sec = statistics.median(r["sec"] for r in runs)
@@ -126,6 +173,9 @@ def main() -> None:
             "bytes": nbytes,
         }
 
+    canary["post_1p"] = round(run_canary(1), 3)
+    canary["post_16p"] = round(run_canary(16), 3)
+
     cores_list = sorted(report)
     lo, hi = cores_list[0], cores_list[-1]
     speedup = report[hi]["docs_per_sec"] / report[lo]["docs_per_sec"]
@@ -136,6 +186,7 @@ def main() -> None:
         "unit": f"(thr@{hi}/thr@{lo})/{hi // lo}",
         "speedup": round(speedup, 2),
         "configs": {str(c): report[c] for c in cores_list},
+        "canary": canary,
         "docs": args.docs,
     }
     print(json.dumps(summary))
@@ -163,6 +214,16 @@ def main() -> None:
         f"**Scaling efficiency (local[{lo}] → local[{hi}], {hi // lo}× cores):"
         f" speedup {speedup:.2f}× → efficiency {efficiency:.3f}**"
         f" (north-rule target ≥ 0.8).",
+        "",
+        "Load canary (fixed 400 MB int64 8×-sum per proc, max wall s):",
+        f"pre-campaign 1-proc {canary['pre_1p']} s / 16-proc"
+        f" {canary['pre_16p']} s (contention ×"
+        f"{canary['pre_16p'] / canary['pre_1p']:.2f});"
+        f" post-campaign 1-proc {canary['post_1p']} s / 16-proc"
+        f" {canary['post_16p']} s (contention ×"
+        f"{canary['post_16p'] / canary['post_1p']:.2f}).",
+        "A quiet host shows 16/1 contention near 1.0x; shared-VM",
+        "neighbor load inflates it and degrades the wide config first.",
         "",
         "Skew evidence: giant pages (top ~1%, up to ~40× mean size) are",
         "LPT-placed onto explicit slots (zhtml_spark/pipeline.py::"

@@ -131,6 +131,7 @@ def test_heading_implicit_close():
 
 
 def test_table_autoclose_cells():
+    # spec InTable: <tr> without <tbody> gets the implied tbody wrapper
     tree, _ = parse_document(
         "<table><tr><td>c1<td>c2<tr><td>c3</table><p>after"
     )
@@ -138,10 +139,14 @@ def test_table_autoclose_cells():
     names = [tree.name[c] for c in tree.children(body)]
     assert names == ["table", "p"]
     table = next(iter(tree.children(body)))
-    trs = [c for c in tree.children(table) if tree.name[c] == "tr"]
+    tbodies = [c for c in tree.children(table) if tree.name[c] == "tbody"]
+    assert len(tbodies) == 1
+    trs = [c for c in tree.children(tbodies[0]) if tree.name[c] == "tr"]
     assert len(trs) == 2
     tds_row1 = [tree.name[c] for c in tree.children(trs[0])]
     assert tds_row1 == ["td", "td"]
+    tds_row2 = [tree.name[c] for c in tree.children(trs[1])]
+    assert tds_row2 == ["td"]
 
 
 def test_rawtext_script_content_is_text():
@@ -326,3 +331,241 @@ def test_adoption_agency_extraction_unchanged_text():
 
     spans, _ = extract_html("<body><p>1<b>2<i>3</b>4</i>5")
     assert spans == [("text", "12345", None)]
+
+
+# ------------------------------------------------ table insertion modes
+# (VERDICT r1 next-round #5: the seven dedicated modes; golden shapes
+# follow the public html5lib tree-construction expectations for these
+# inputs — tables1.dat family.)
+
+
+def test_table_implied_tbody_and_cells():
+    tree, _ = parse_document("<!DOCTYPE html><table><td>c</table>")
+    table = _find(tree, "table")
+    kids = [tree.name[c] for c in tree.children(table)]
+    assert kids == ["tbody"]
+    tbody = tree.first_child[table]
+    tr = tree.first_child[tbody]
+    assert tree.name[tr] == "tr"
+    td = tree.first_child[tr]
+    assert tree.name[td] == "td"
+    assert tree.node_text(tree.first_child[td]) == "c"
+
+
+def test_table_caption_and_colgroup_structure():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><caption>t</caption><colgroup><col><col>"
+        "</colgroup><thead><tr><th>h</th></tr></thead>"
+        "<tbody><tr><td>d</td></tr></tbody></table>"
+    )
+    table = _find(tree, "table")
+    kids = [tree.name[c] for c in tree.children(table)]
+    assert kids == ["caption", "colgroup", "thead", "tbody"]
+    colgroup = [c for c in tree.children(table) if tree.name[c] == "colgroup"][0]
+    assert [tree.name[c] for c in tree.children(colgroup)] == ["col", "col"]
+
+
+def test_table_col_without_colgroup():
+    tree, _ = parse_document("<!DOCTYPE html><table><col><tr><td>x</table>")
+    table = _find(tree, "table")
+    kids = [tree.name[c] for c in tree.children(table)]
+    assert kids == ["colgroup", "tbody"]
+
+
+def test_table_nested_table_implies_close():
+    # spec InTable: <table> inside a table implies </table> first
+    # (outer table closed, inner becomes a sibling — NOT nested)
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><tr><td>a</table><table><tr><td>b</table>"
+    )
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body)]
+    assert names == ["table", "table"]
+
+
+def test_table_cell_autoclose_on_new_row():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><tr><td>1<td>2<tr><td>3</table>"
+    )
+    trs = [i for i in range(len(tree)) if tree.name[i] == "tr"]
+    assert len(trs) == 2
+    assert [tree.name[c] for c in tree.children(trs[0])] == ["td", "td"]
+    assert [tree.name[c] for c in tree.children(trs[1])] == ["td"]
+
+
+def test_table_foster_parenting_element():
+    # a <div> in table structure is foster-parented BEFORE the table
+    tree, _ = parse_document(
+        "<!DOCTYPE html><body><table><div>stray</div><tr><td>c</table>"
+    )
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body) if tree.name[c]]
+    assert names == ["div", "table"]
+
+
+def test_table_whitespace_stays_in_table():
+    # pure-whitespace table text is NOT foster-parented (InTableText)
+    tree, _ = parse_document(
+        "<!DOCTYPE html><body><table> <tr><td>c</td></tr> </table>"
+    )
+    body = _body(tree)
+    first = tree.first_child[body]
+    assert tree.name[first] == "table"  # no text hoisted before it
+
+
+def test_table_hidden_input_not_fostered():
+    tree, _ = parse_document(
+        '<!DOCTYPE html><table><input type="hidden"><tr><td>c</table>'
+    )
+    table = _find(tree, "table")
+    kids = [tree.name[c] for c in tree.children(table)]
+    assert kids == ["input", "tbody"]
+
+
+def test_table_in_quirks_mode_stays_in_p():
+    # quirks: <table> does NOT close an open <p> (ADVICE r1 #2)
+    tree, _ = parse_document("<p>x<table><tr><td>y</table>")
+    p = _find(tree, "p")
+    assert "table" in [tree.name[c] for c in tree.children(p)]
+
+
+def test_table_in_no_quirks_closes_p():
+    tree, _ = parse_document("<!DOCTYPE html><p>x<table><tr><td>y</table>")
+    p = _find(tree, "p")
+    assert "table" not in [tree.name[c] for c in tree.children(p)]
+    body = _body(tree)
+    assert [tree.name[c] for c in tree.children(body)] == ["p", "table"]
+
+
+def test_caption_end_by_new_cell_structure():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><caption>c<tr><td>d</table>"
+    )
+    cap = _find(tree, "caption")
+    assert tree.node_text(tree.first_child[cap]) == "c"
+    td = _find(tree, "td")
+    assert tree.node_text(tree.first_child[td]) == "d"
+
+
+# ------------------------------------------------------ foreign content
+# (VERDICT r1 next-round #6; dispatcher guard parity with
+# /root/reference/src/parser.zig:93-122.)
+
+
+def test_svg_elements_get_namespace():
+    tree, _ = parse_document("<!DOCTYPE html><svg><circle/><rect/></svg>")
+    svg = _find(tree, "svg")
+    assert tree.ns[svg] == "svg"
+    kids = [(tree.name[c], tree.ns[c]) for c in tree.children(svg)]
+    assert kids == [("circle", "svg"), ("rect", "svg")]
+
+
+def test_svg_self_closing_honored():
+    # <circle/> must NOT nest the following element inside it
+    tree, _ = parse_document("<!DOCTYPE html><svg><circle/><rect/></svg>")
+    circle = _find(tree, "circle")
+    assert tree.first_child[circle] == -1
+
+
+def test_svg_tag_name_case_fixed():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><svg><foreignobject></foreignobject>"
+        "<lineargradient/></svg>"
+    )
+    names = [tree.name[i] for i in range(len(tree))]
+    assert "foreignObject" in names
+    assert "linearGradient" in names
+
+
+def test_svg_breakout_tag_pops_foreign():
+    tree, _ = parse_document("<!DOCTYPE html><body><svg><desc>d</desc><b>x</b>")
+    body = _body(tree)
+    kids = [(tree.name[c], tree.ns[c]) for c in tree.children(body)]
+    assert kids == [("svg", "svg"), ("b", None)]
+
+
+def test_svg_foreign_object_children_are_html():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><svg><foreignObject><p>hi</p></foreignObject></svg>"
+    )
+    p = _find(tree, "p")
+    assert tree.ns[p] is None
+    fo = _find(tree, "foreignObject")
+    assert tree.parent[p] == fo
+
+
+def test_mathml_text_integration_point():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><math><mi>x</mi><mo>=</mo></math>"
+    )
+    mi = _find(tree, "mi")
+    assert tree.ns[mi] == "math"
+    assert tree.node_text(tree.first_child[mi]) == "x"
+
+
+def test_foreign_end_tag_case_insensitive_unwind():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><svg><g><circle></CIRCLE></g></svg><p>after</p>"
+    )
+    p = _find(tree, "p")
+    assert tree.ns[p] is None
+    body = _body(tree)
+    assert [tree.name[c] for c in tree.children(body)] == ["svg", "p"]
+
+
+def test_svg_title_desc_excluded_from_spans():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<!DOCTYPE html><body><p>before</p><svg><title>tooltip</title>"
+        "<desc>description</desc><circle/></svg><p>after</p></body>"
+    )
+    assert spans == [("text", "before", None), ("text", "after", None)]
+
+
+def test_svg_foreign_object_text_included_in_spans():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<!DOCTYPE html><body><svg><foreignObject><p>real content</p>"
+        "</foreignObject></svg></body>"
+    )
+    assert spans == [("text", "real content", None)]
+
+
+def test_mathml_formula_text_in_spans():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<!DOCTYPE html><body><p>x <math><mi>E</mi><mo>=</mo><mi>m</mi>"
+        "</math> y</p></body>"
+    )
+    assert spans == [("text", "x E=m y", None)]
+
+
+def test_annotation_xml_html_encoding_is_html_ip():
+    tree, _ = parse_document(
+        '<!DOCTYPE html><math><annotation-xml encoding="text/html">'
+        "<p>inside</p></annotation-xml></math>"
+    )
+    p = _find(tree, "p")
+    assert tree.ns[p] is None
+
+
+def test_open_set_mirrors_stack_invariant():
+    # ADVICE r1 #4: all stack pushes route through push_open; parse a
+    # doc exercising BeforeHtml-html + AfterHead re-push + tables +
+    # foreign content, then verify formatting reconstruction still
+    # works after a table (depends on open_set correctness)
+    tree, _ = parse_document(
+        "<html><head></head><title>t</title><body><b>x<table><tr><td>c"
+        "</table>y</b></body></html>"
+    )
+    # 'y' must be inside a reconstructed/continued <b>
+    bs = [i for i in range(len(tree)) if tree.name[i] == "b"]
+    texts = []
+    for b in bs:
+        for c in tree.children(b):
+            if tree.ntype[c] == N_TEXT:
+                texts.append(tree.node_text(c))
+    assert "x" in "".join(texts) and "y" in "".join(texts)

@@ -13,10 +13,17 @@ with salted keys on document byte-length quantiles"), giving ~equal
 bytes per partition at any parallelism; cells ≫ partitions so
 balls-in-bins stays smooth.
 
-Resume (north rule "resumable from any snapshot checkpoint"): the
-spans sink is idempotent per doc_id; a restarted job anti-joins the
-checkpoint table (done doc_ids) against the input — Iceberg snapshot
-semantics in production, plain parquet dirs in this sandbox.
+Resume (north rule "resumable from any snapshot checkpoint"): each
+run writes spans/metrics/lineage/checkpoint under a per-attempt
+directory and publishes the attempt with an atomically-renamed commit
+marker as the LAST step.  Readers (``read_spans`` / ``read_checkpoint``)
+only see committed attempts, and resume anti-joins the committed
+checkpoint — so a crash at ANY point leaves orphan uncommitted files,
+never duplicate spans.  This is the sandbox analog of an Iceberg
+single-snapshot commit (data files are invisible until the metadata
+pointer swap); in production the four writes collapse into one
+multi-table transaction / snapshot commit and the marker is the
+snapshot itself.
 """
 
 from __future__ import annotations
@@ -352,6 +359,55 @@ def lineage_table(extracted: DataFrame, snapshot_id: int = 0, attempt: int = 0) 
     )
 
 
+def _committed_attempts(output_path: str) -> set[str]:
+    """Attempt ids in the commit registry ``<output>/_commits/``.
+
+    ONE registry file per attempt, published by a single atomic
+    ``os.rename`` — the whole attempt (spans, metrics, lineage,
+    checkpoint) becomes visible together or not at all.  There is no
+    ordering window between tables because there is only one commit
+    action (the Iceberg analog: the metadata-pointer swap)."""
+    d = f"{output_path}/_commits"
+    if not os.path.isdir(d):
+        return set()
+    return {n for n in os.listdir(d) if not n.startswith(".")}
+
+
+def _attempt_dirs(base: str, committed: set[str]) -> list[str]:
+    """Committed attempt directories under a sink table path."""
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in sorted(os.listdir(base)):
+        if name.startswith("attempt=") and name[len("attempt="):] in committed:
+            out.append(os.path.join(base, name))
+    return out
+
+
+def read_spans(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """Read the spans sink — committed attempts only.  Uncommitted
+    (crashed mid-write) attempt dirs are invisible, which is what makes
+    the sink exactly-once: duplicates can never be published because
+    publication IS the atomic registry rename."""
+    dirs = _attempt_dirs(
+        f"{output_path}/spans", _committed_attempts(output_path)
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def read_checkpoint(
+    spark: SparkSession, checkpoint_path: str, output_path: str
+) -> DataFrame | None:
+    """Read the done-set for resume — committed attempts only (the
+    registry lives with the job output, one registry per job)."""
+    dirs = _attempt_dirs(checkpoint_path, _committed_attempts(output_path))
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def run_job(
     spark: SparkSession,
     input_path: str,
@@ -360,28 +416,43 @@ def run_job(
     num_partitions: int | None = None,
     config: ExtractConfig | None = None,
     snapshot_id: int = 0,
+    _fault_injection: dict | None = None,
 ) -> dict:
-    """End-to-end batch: read → resume-filter → extract → write spans +
-    metrics + lineage + checkpoint.  Returns counters for the caller
-    (bench uses them instead of wall-clocking JVM boot)."""
+    """End-to-end batch: read → resume-filter → extract → staged write
+    of spans + metrics + lineage + checkpoint → atomic commit.  Returns
+    counters for the caller (bench uses them instead of wall-clocking
+    JVM boot).
+
+    Crash-consistency protocol (sandbox analog of an Iceberg snapshot
+    commit): every output goes under ``<table>/attempt=<uuid>/``; after
+    ALL data writes succeed, the attempt id is published into the
+    commit registry ``<output>/_commits/`` with a single write-to-temp
+    + ``os.rename`` (atomic on POSIX).  Readers and resume see
+    committed attempts only, so a crash in ANY window — including
+    between table writes — leaves orphan bytes, never duplicate or
+    phantom rows; there is no multi-marker ordering window because one
+    rename commits all four tables.  ``_fault_injection={"after":
+    <stage>}`` (stage ∈ spans/metrics/lineage/checkpoint_data) aborts
+    the job at that point — the exactly-once pytest uses it.
+    """
+    import uuid
+
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
 
     docs = read_documents(spark, input_path)
     ckpt = None
     if checkpoint_path is not None:
-        try:
-            # materialize the done-set now: the job appends to this very
-            # path later, and a lazy re-read after that append would
-            # anti-join away the current run's own stats/writes
-            ckpt = spark.read.parquet(checkpoint_path).select("doc_id").persist()
+        ckpt = read_checkpoint(spark, checkpoint_path, output_path)
+        if ckpt is not None:
+            # materialize the done-set now (defensive: keeps the
+            # anti-join stable no matter what the sink does later)
+            ckpt = ckpt.select("doc_id").persist()
             ckpt.count()
-        except Exception:
-            ckpt = None
         docs = filter_done(docs, ckpt)
 
     extracted = extract_documents(docs, config, num_partitions)
     extracted = extracted.persist()
-    # first action: pin the cache before any sink mutates checkpoint state
+    # first action: pin the cache before any sink writes start
     row = extracted.agg(
         F.count("*").alias("docs"),
         F.sum("n_bytes").alias("bytes"),
@@ -389,20 +460,52 @@ def run_job(
         F.sum("n_errors").alias("errors"),
     ).collect()[0]
 
-    spans_out = extracted.select("doc_id", "spans")
-    spans_out.write.mode("append").parquet(f"{output_path}/spans")
-    metrics_table(extracted).withColumn(
-        "snapshot_id", F.lit(snapshot_id).cast("long")
-    ).write.mode("append").parquet(f"{output_path}/metrics")
-    lineage_table(extracted, snapshot_id).write.mode("append").parquet(
-        f"{output_path}/lineage"
-    )
-    if checkpoint_path is not None:
-        extracted.select("doc_id").withColumn(
+    attempt = uuid.uuid4().hex[:12]
+    fault = _fault_injection or {}
+
+    def _abort_if(stage: str) -> None:
+        if fault.get("after") == stage:
+            extracted.unpersist()
+            raise RuntimeError(f"fault injection: crash after {stage}")
+
+    staged: list[str] = []
+
+    def _stage(df: DataFrame, table_dir: str) -> None:
+        d = f"{table_dir}/attempt={attempt}"
+        df.write.mode("overwrite").parquet(d)
+        staged.append(d)
+
+    _stage(extracted.select("doc_id", "spans"), f"{output_path}/spans")
+    _abort_if("spans")
+    _stage(
+        metrics_table(extracted).withColumn(
             "snapshot_id", F.lit(snapshot_id).cast("long")
-        ).withColumn(
-            "partition_id", F.spark_partition_id()
-        ).write.mode("append").parquet(checkpoint_path)
+        ),
+        f"{output_path}/metrics",
+    )
+    _abort_if("metrics")
+    _stage(lineage_table(extracted, snapshot_id), f"{output_path}/lineage")
+    _abort_if("lineage")
+    if checkpoint_path is not None:
+        _stage(
+            extracted.select("doc_id")
+            .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+            .withColumn("partition_id", F.spark_partition_id()),
+            checkpoint_path,
+        )
+        _abort_if("checkpoint_data")
+
+    # commit: ONE atomic rename publishes the whole attempt
+    commits = f"{output_path}/_commits"
+    os.makedirs(commits, exist_ok=True)
+    tmp = os.path.join(commits, f".{attempt}.tmp")
+    with open(tmp, "w") as f:
+        f.write(
+            f"snapshot_id={snapshot_id}\n"
+            + "\n".join(f"staged={d}" for d in staged)
+            + "\n"
+        )
+    os.rename(tmp, os.path.join(commits, attempt))
 
     extracted.unpersist()
     if ckpt is not None:
@@ -412,4 +515,5 @@ def run_job(
         "bytes": row["bytes"],
         "spans": row["spans"],
         "errors": row["errors"],
+        "attempt": attempt,
     }

@@ -124,10 +124,16 @@ from .entities import match_entity
 
 INITIAL_STATES = {
     "Data": S_DATA,
+    "Data state": S_DATA,
     "PLAINTEXT": S_PLAINTEXT,
+    "PLAINTEXT state": S_PLAINTEXT,
     "RCDATA": S_RCDATA,
+    "RCDATA state": S_RCDATA,
     "RAWTEXT": S_RAWTEXT,
+    "RAWTEXT state": S_RAWTEXT,
     "ScriptData": S_SCRIPT_DATA,
+    "Script data": S_SCRIPT_DATA,
+    "Script data state": S_SCRIPT_DATA,
     "CDATA section state": S_CDATA,
     "CDATASection": S_CDATA,
 }
@@ -256,6 +262,7 @@ def tokenize(
     do_preprocess: bool = True,
     tree_aware: bool = False,
     enable_fast_tags: bool = True,
+    with_positions: bool = False,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -264,6 +271,13 @@ def tokenize(
     /root/reference/test/tokenizer-html5lib.zig:224-233).  ``errors`` is
     a list of spec-id strings, order-insensitive vs goldens
     (:151-153 compares codes only).
+
+    ``with_positions=True`` appends ``code@line:col`` instead of bare
+    codes (1-based, position of the scan cursor when the error fired —
+    the reference tracks the same pair, src/tokenizer.zig:115-116, and
+    its own harness disables comparing them,
+    test/tokenizer-html5lib.zig:151-153).  Opt-in: triage at corpus
+    scale wants positions; the hot path stays a bare list append.
     """
     if do_preprocess:
         text = preprocess(text)
@@ -273,7 +287,18 @@ def tokenize(
     state = INITIAL_STATES[initial_state]
     out: list[tuple] = []
     errors: list[str] = []
-    err = errors.append
+    if with_positions:
+        from bisect import bisect_right
+
+        _newlines = [j for j, ch in enumerate(text) if ch == "\n"]
+
+        def err(code: str) -> None:
+            # i is the live scan cursor (closure reads it at call time)
+            line = bisect_right(_newlines, i - 1) + 1
+            prev_nl = _newlines[line - 2] if line > 1 else -1
+            errors.append(f"{code}@{line}:{i - prev_nl}")
+    else:
+        err = errors.append
 
     # --- character-run accumulator (coalesces adjacent char tokens)
     chars: list[str] = []

@@ -6,20 +6,22 @@ spec dispatcher guard (:93-122) and two insertion modes — Initial with
 its quirks-mode classification table (:146-254) and BeforeHtml
 (:256-280); every other mode breaks the loop (:130-133).  We reproduce
 those two modes' semantics 1:1 (same quirks prefix table — it is the
-spec's own table) and continue with the spec-standard
-BeforeHead→InHead→AfterHead→InBody→Text→AfterBody chain sufficient to
-build real-page DOMs (SURVEY §7.0).  Deliberate simplifications, all
-extraction-safe (text placement is what the span invariant judges):
+spec's own table) and continue with the spec-standard mode chain
+sufficient to build real-page DOMs (SURVEY §7.0):
+BeforeHead→InHead→AfterHead→InBody→Text→AfterBody plus the SEVEN
+dedicated table modes (InTable/InTableText/InCaption/InColumnGroup/
+InTableBody/InRow/InCell) with spec foster parenting, and the
+foreign-content dispatcher (MathML/SVG namespace insertion, breakout
+tags, text/HTML integration points, self-closing foreign tags — the
+guard the reference declares at src/parser.zig:93-122).
 
-* table insertion modes route through InBody with light td/th/tr
-  auto-closing (quirky real-world-stripper behavior, SURVEY §7.0);
-* active formatting elements (list + reconstruction + Noah's Ark)
-  AND the full adoption agency algorithm (§13.2.6.4.7) are
-  implemented — canonical html5lib misnesting goldens reproduce
-  exactly (tests/test_tree.py);
-* foreign content (MathML/SVG) elements are inserted as plain
-  elements; the reference marks this path unreachable too
-  (src/parser.zig:135-138).
+Implemented in full: active formatting elements (list + reconstruction
++ Noah's Ark) AND the adoption agency algorithm (§13.2.6.4.7) —
+canonical html5lib misnesting goldens reproduce exactly
+(tests/test_tree.py).  Remaining simplifications, all
+extraction-safe (text placement is what the span invariant judges):
+no InSelect/InFrameset/InTemplate modes (marginal for content
+extraction; stubs in the reference too) and no fragment parsing.
 
 Node storage is the north-star-mandated flat arrays — parallel Python
 lists ``parent / first_child / last_child / next_sibling`` plus
@@ -39,8 +41,10 @@ N_TEXT = 2
 N_COMMENT = 3
 N_DOCTYPE = 4
 
-# insertion modes (subset of the 23 the spec declares; the reference
-# declares all 23 as an enum, src/parser.zig:18-42)
+# insertion modes (16 of the 23 the spec declares; the reference
+# declares all 23 as an enum, src/parser.zig:18-42 — the ones left out
+# are InHeadNoscript/InTemplate/InSelect*/InFrameset/AfterFrameset*,
+# marginal for content extraction and stubs in the reference too)
 (
     M_INITIAL,
     M_BEFORE_HTML,
@@ -51,7 +55,14 @@ N_DOCTYPE = 4
     M_TEXT,
     M_AFTER_BODY,
     M_AFTER_AFTER_BODY,
-) = range(9)
+    M_IN_TABLE,
+    M_IN_TABLE_TEXT,
+    M_IN_CAPTION,
+    M_IN_COLUMN_GROUP,
+    M_IN_TABLE_BODY,
+    M_IN_ROW,
+    M_IN_CELL,
+) = range(16)
 
 _WS = "\t\n\f "
 _WS_SET = frozenset("\t\n\f \r")
@@ -74,35 +85,76 @@ SPECIAL = frozenset(
 )
 
 # Start tags that close an open <p> in button scope (spec InBody).
+# <table> is NOT here: its p-close is conditional on quirks mode and
+# handled in its own InBody branch (spec "A start tag whose tag name is
+# 'table'").
 CLOSES_P = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header
     hgroup hr listing main menu nav ol p plaintext pre section summary
-    table ul xmp""".split()
+    ul xmp""".split()
 )
 
 HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 
 # Content tags with NO special InBody start-tag rule: inserted directly.
 # Checked first in the hot path — the overwhelmingly common case on
-# real pages (formatting + phrasing elements).
+# real pages (formatting + phrasing elements).  svg/math are NOT here:
+# they enter foreign content (namespace insertion + the dispatcher).
 PLAIN_INBODY = frozenset(
     """a abbr b bdi bdo big cite code data del dfn em font i ins kbd
     label mark nobr noscript output q rp rt ruby s samp small span
-    strike strong sub sup time tt u var article section span svg math
+    strike strong sub sup time tt u var article section span
     picture figure main details summary dialog blockquote address
     center""".split()
 ) - CLOSES_P  # anything with a close-p rule keeps its special path
 
 # End tags with the explicit pop-until rule in InBody (spec list, plus
-# table/applet/marquee/object/form whose spec rules reduce to the same
-# pop-until under our no-formatting-list simplification).
+# applet/marquee/object/form whose spec rules reduce to the same
+# pop-until under our simplification).  </table> is handled by InTable.
 END_TAG_POP = frozenset(
     """address article aside blockquote button center details dialog dir
     div dl fieldset figcaption figure footer form header hgroup listing
-    main menu nav ol pre section summary ul table applet marquee
+    main menu nav ol pre section summary ul applet marquee
     object""".split()
 )
+
+# current-node names under which foster parenting redirects insertion
+_TABLE_FOSTER_CONTEXT = frozenset(["table", "tbody", "tfoot", "thead", "tr"])
+
+# ---------------------------------------------------- foreign content
+# Start tags that break out of foreign content back to HTML (WHATWG
+# §13.2.6.5 "any other start tag" font clause handled separately; the
+# reference declares the same dispatcher guard, src/parser.zig:93-122).
+_FOREIGN_BREAKOUT = frozenset(
+    """b big blockquote body br center code dd div dl dt em embed h1 h2
+    h3 h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s
+    small span strong strike sub sup table tt u ul var""".split()
+)
+# SVG tag-name case corrections (spec table, lowercased input → proper)
+_SVG_TAG_FIXES = {
+    "altglyph": "altGlyph", "altglyphdef": "altGlyphDef",
+    "altglyphitem": "altGlyphItem", "animatecolor": "animateColor",
+    "animatemotion": "animateMotion", "animatetransform": "animateTransform",
+    "clippath": "clipPath", "feblend": "feBlend",
+    "fecolormatrix": "feColorMatrix", "fecomponenttransfer":
+    "feComponentTransfer", "fecomposite": "feComposite",
+    "feconvolvematrix": "feConvolveMatrix", "fediffuselighting":
+    "feDiffuseLighting", "fedisplacementmap": "feDisplacementMap",
+    "fedistantlight": "feDistantLight", "fedropshadow": "feDropShadow",
+    "feflood": "feFlood", "fefunca": "feFuncA", "fefuncb": "feFuncB",
+    "fefuncg": "feFuncG", "fefuncr": "feFuncR", "fegaussianblur":
+    "feGaussianBlur", "feimage": "feImage", "femerge": "feMerge",
+    "femergenode": "feMergeNode", "femorphology": "feMorphology",
+    "feoffset": "feOffset", "fepointlight": "fePointLight",
+    "fespecularlighting": "feSpecularLighting", "fespotlight":
+    "feSpotLight", "fetile": "feTile", "feturbulence": "feTurbulence",
+    "foreignobject": "foreignObject", "glyphref": "glyphRef",
+    "lineargradient": "linearGradient", "radialgradient":
+    "radialGradient", "textpath": "textPath",
+}
+# MathML text integration points (children parse as HTML text)
+_MATHML_TEXT_IP = frozenset(["mi", "mo", "mn", "ms", "mtext"])
 
 IN_HEAD_TAGS = frozenset(
     "base basefont bgsound link meta noframes script style template "
@@ -258,6 +310,7 @@ class DocTree:
         "name",
         "attrs",
         "text",
+        "ns",
         "quirks_mode",
         "doctype",
     )
@@ -271,10 +324,18 @@ class DocTree:
         self.name: list[str | None] = [None]
         self.attrs: list[dict | None] = [None]
         self.text: list[list[str] | None] = [None]
+        # namespace per node: None = HTML, "svg" | "math" = foreign
+        self.ns: list[str | None] = [None]
         self.quirks_mode = "no-quirks"
         self.doctype: tuple | None = None
 
-    def new_node(self, ntype: int, name: str | None, attrs: dict | None) -> int:
+    def new_node(
+        self,
+        ntype: int,
+        name: str | None,
+        attrs: dict | None,
+        ns: str | None = None,
+    ) -> int:
         nid = len(self.parent)
         self.parent.append(-1)
         self.first_child.append(-1)
@@ -284,7 +345,26 @@ class DocTree:
         self.name.append(name)
         self.attrs.append(attrs)
         self.text.append(None)
+        self.ns.append(ns)
         return nid
+
+    def insert_node_before(self, parent: int, before: int, child: int) -> None:
+        """Foster-parenting helper: link ``child`` just before
+        ``before`` among ``parent``'s children."""
+        prev = -1
+        c = self.first_child[parent]
+        while c != -1 and c != before:
+            prev = c
+            c = self.next_sibling[c]
+        if c == -1:  # before not found: plain append
+            self.append_child(parent, child)
+            return
+        self.parent[child] = parent
+        self.next_sibling[child] = before
+        if prev == -1:
+            self.first_child[parent] = child
+        else:
+            self.next_sibling[prev] = child
 
     def append_child(self, parent: int, child: int) -> None:
         self.parent[child] = parent
@@ -392,27 +472,79 @@ def parse_document(html: str, collect_errors: bool = True):
     head_id = -1
     body_id = -1
     html_id = -1
+    form_id = -1            # spec "form element pointer" (InTable form)
     skip_newline = False
     done = False
     afe: list = []          # active formatting entries [name, attrs, nid]
     _MARKER = ()            # marker sentinel (unique object)
     open_set: set[int] = set()  # node ids currently on the open stack
+    foster_parenting = False    # one-token flag (table "anything else")
+    has_foreign = False     # fast-path filter: no svg/math ever pushed
+    #                         → skip the per-token dispatcher call
+    use_rules = -1          # process current token with another mode's
+    #                         rules without leaving the current mode
+    pending_table_text: list[str] = []
+    orig_table_mode = M_IN_TABLE
 
     def current() -> int:
         return stack_ids[-1] if stack_ids else 0
 
-    def insert_element(name: str, attrs: dict | None) -> int:
-        nid = tree.new_node(N_ELEMENT, name, attrs or {})
-        tree.append_child(current(), nid)
+    def push_open(nid: int, name: str) -> None:
+        # the ONE path onto the open-elements stack: open_set mirrors
+        # stack_ids by construction (reconstruct_afe/adoption_agency
+        # depend on that invariant — ADVICE r1 #4)
         stack_ids.append(nid)
         stack_names.append(name)
         open_set.add(nid)
+
+    def _insert_location() -> tuple[int, int]:
+        """Spec "appropriate place for inserting a node": (parent,
+        before).  ``before == -1`` means plain append; foster parenting
+        redirects to just-before the last open table."""
+        if foster_parenting and stack_names and (
+            stack_names[-1] in _TABLE_FOSTER_CONTEXT
+        ):
+            for idx in range(len(stack_ids) - 1, -1, -1):
+                if stack_names[idx] == "table":
+                    t_nid = stack_ids[idx]
+                    if tree.parent[t_nid] != -1:
+                        return tree.parent[t_nid], t_nid
+                    return stack_ids[idx - 1] if idx > 0 else 0, -1
+            return stack_ids[0], -1  # no table on stack: first element
+        return current(), -1
+
+    def insert_element(
+        name: str, attrs: dict | None, ns: str | None = None
+    ) -> int:
+        nonlocal has_foreign
+        if ns is not None:
+            has_foreign = True
+        nid = tree.new_node(N_ELEMENT, name, attrs or {}, ns)
+        parent, before = _insert_location()
+        if before == -1:
+            tree.append_child(parent, nid)
+        else:
+            tree.insert_node_before(parent, before, nid)
+        push_open(nid, name)
         return nid
 
-    def insert_void(name: str, attrs: dict | None) -> int:
-        nid = tree.new_node(N_ELEMENT, name, attrs or {})
-        tree.append_child(current(), nid)
+    def insert_void(
+        name: str, attrs: dict | None, ns: str | None = None
+    ) -> int:
+        nid = tree.new_node(N_ELEMENT, name, attrs or {}, ns)
+        parent, before = _insert_location()
+        if before == -1:
+            tree.append_child(parent, nid)
+        else:
+            tree.insert_node_before(parent, before, nid)
         return nid
+
+    def insert_text(data: str) -> None:
+        parent, before = _insert_location()
+        if before == -1:
+            tree.append_text(parent, data)
+        else:
+            tree.insert_text_before(parent, before, data)
 
     def pop() -> None:
         open_set.discard(stack_ids.pop())
@@ -451,9 +583,7 @@ def parse_document(html: str, collect_errors: bool = True):
         if html_id == -1:
             html_id = tree.new_node(N_ELEMENT, "html", {})
             tree.append_child(0, html_id)
-            stack_ids.append(html_id)
-            stack_names.append("html")
-            open_set.add(html_id)
+            push_open(html_id, "html")
 
     def ensure_head() -> None:
         nonlocal head_id
@@ -521,27 +651,60 @@ def parse_document(html: str, collect_errors: bool = True):
             if afe.pop() is _MARKER:
                 return
 
-    # light td/th/tr auto-closing for table content routed through
-    # InBody (SURVEY §7.0 "table modes initially route to InBody")
-    def table_autoclose(name: str) -> None:
-        if name in ("td", "th"):
-            while stack_names and stack_names[-1] not in (
-                "tr", "table", "tbody", "thead", "tfoot", "html", "body",
-            ):
-                if stack_names[-1] in ("td", "th"):
-                    pop()
-                    break
-                pop()
-        elif name == "tr":
-            while stack_names and stack_names[-1] not in (
-                "table", "tbody", "thead", "tfoot", "html", "body",
-            ):
-                pop()
-        elif name in ("tbody", "thead", "tfoot", "caption", "colgroup"):
-            while stack_names and stack_names[-1] not in (
-                "table", "html", "body",
-            ):
-                pop()
+    # spec "clear the stack back to a table (body/row) context"
+    def clear_to_table_context() -> None:
+        while stack_names and stack_names[-1] not in (
+            "table", "template", "html",
+        ):
+            pop()
+
+    def clear_to_table_body_context() -> None:
+        while stack_names and stack_names[-1] not in (
+            "tbody", "tfoot", "thead", "template", "html",
+        ):
+            pop()
+
+    def clear_to_table_row_context() -> None:
+        while stack_names and stack_names[-1] not in (
+            "tr", "template", "html",
+        ):
+            pop()
+
+    def reset_insertion_mode() -> int:
+        """Spec "reset the insertion mode appropriately" (no fragment
+        context; select/template modes are out of scope)."""
+        for idx in range(len(stack_names) - 1, -1, -1):
+            nm = stack_names[idx]
+            if nm in ("td", "th"):
+                return M_IN_CELL
+            if nm == "tr":
+                return M_IN_ROW
+            if nm in ("tbody", "thead", "tfoot"):
+                return M_IN_TABLE_BODY
+            if nm == "caption":
+                return M_IN_CAPTION
+            if nm == "colgroup":
+                return M_IN_COLUMN_GROUP
+            if nm == "table":
+                return M_IN_TABLE
+            if nm == "head":
+                return M_IN_HEAD
+            if nm == "body":
+                return M_IN_BODY
+            if nm == "html":
+                return M_BEFORE_HEAD if head_id == -1 else M_AFTER_HEAD
+        return M_IN_BODY
+
+    def close_cell() -> int:
+        """Spec "close the cell": pop the open td/th, clear formatting
+        to the marker, return InRow."""
+        for cell in ("td", "th"):
+            if has_in_scope(cell, _SCOPE_TABLE):
+                generate_implied_end_tags()
+                pop_until(cell)
+                clear_afe_to_marker()
+                break
+        return M_IN_ROW
 
     def any_other_end_tag(name: str) -> None:
         # spec InBody "any other end tag" loop
@@ -675,6 +838,54 @@ def parse_document(html: str, collect_errors: bool = True):
             stack_names.insert(fb_pos + 1, fmt_entry[0])
             open_set.add(clone2)
 
+    # ---------------------------------------------- foreign content
+    def _is_html_ip(nid: int) -> bool:
+        """HTML integration point (spec §13.2.6.5; reference guard
+        src/parser.zig:93-122): children parse as HTML."""
+        ns = tree.ns[nid]
+        name = tree.name[nid]
+        if ns == "math" and name == "annotation-xml":
+            enc = (tree.attrs[nid] or {}).get("encoding", "") or ""
+            return enc.lower() in ("text/html", "application/xhtml+xml")
+        return ns == "svg" and name in ("foreignObject", "desc", "title")
+
+    def _use_foreign(kind: str, tok: tuple) -> bool:
+        """Tree-construction dispatcher: process this token with the
+        foreign-content rules instead of the insertion mode?"""
+        if not stack_ids:
+            return False
+        nid = stack_ids[-1]
+        ns = tree.ns[nid]
+        if ns is None:
+            return False
+        name = stack_names[-1]
+        if ns == "math" and name in _MATHML_TEXT_IP:
+            if kind == "Character":
+                return False
+            if kind == "StartTag" and tok[1] not in ("mglyph", "malignmark"):
+                return False
+        if (
+            ns == "math"
+            and name == "annotation-xml"
+            and kind == "StartTag"
+            and tok[1] == "svg"
+        ):
+            return False
+        if _is_html_ip(nid) and kind in ("StartTag", "Character"):
+            return False
+        return True
+
+    def _foreign_breakout_pop() -> None:
+        """Pop foreign elements until an HTML element or an
+        integration point is the current node."""
+        while stack_ids and tree.ns[stack_ids[-1]] is not None:
+            nid = stack_ids[-1]
+            if tree.ns[nid] == "math" and stack_names[-1] in _MATHML_TEXT_IP:
+                return
+            if _is_html_ip(nid):
+                return
+            pop()
+
     ti = 0
     ntok = len(tokens)
     while ti < ntok and not done:
@@ -682,11 +893,67 @@ def parse_document(html: str, collect_errors: bool = True):
         ti += 1
         kind = tok[0]
         reprocess = True
+        skip_foreign = False
         while reprocess:
             reprocess = False
 
+            if use_rules != -1:
+                m = use_rules
+                use_rules = -1
+            elif has_foreign and not skip_foreign and _use_foreign(kind, tok):
+                # ------------------------------- foreign content rules
+                if kind == "Character":
+                    data = tok[1].replace("\x00", "�")
+                    if data:
+                        insert_text(data)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name in _FOREIGN_BREAKOUT or (
+                        name == "font"
+                        and any(
+                            k in tok[2] for k in ("color", "face", "size")
+                        )
+                    ):
+                        _foreign_breakout_pop()
+                        reprocess = True
+                    else:
+                        cur_ns = tree.ns[stack_ids[-1]]
+                        if cur_ns == "svg":
+                            name = _SVG_TAG_FIXES.get(name, name)
+                        insert_element(name, tok[2], ns=cur_ns)
+                        if len(tok) > 3 and tok[3]:
+                            pop()  # self-closing honored in foreign
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name in ("br", "p"):
+                        _foreign_breakout_pop()
+                        reprocess = True
+                    else:
+                        # spec loop: case-insensitive match down the
+                        # stack; an HTML ancestor hands the token to
+                        # the insertion mode instead
+                        for idx in range(len(stack_ids) - 1, -1, -1):
+                            if tree.ns[stack_ids[idx]] is None:
+                                skip_foreign = True
+                                reprocess = True
+                                break
+                            if (
+                                tree.name[stack_ids[idx]] or ""
+                            ).lower() == name:
+                                while len(stack_ids) > idx:
+                                    pop()
+                                break
+                # DOCTYPE: parse error, ignored
+                continue
+            else:
+                m = mode
+
             # ---------------------------------------------- Initial
-            if mode == M_INITIAL:
+            if m == M_INITIAL:
                 if kind == "Character":
                     data = tok[1].lstrip(_WS)
                     if not data:
@@ -712,7 +979,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     reprocess = True
 
             # ------------------------------------------- BeforeHtml
-            elif mode == M_BEFORE_HTML:
+            elif m == M_BEFORE_HTML:
                 if kind == "DOCTYPE":
                     break
                 if kind == "Comment":
@@ -730,8 +997,7 @@ def parse_document(html: str, collect_errors: bool = True):
                 elif kind == "StartTag" and tok[1] == "html":
                     html_id = tree.new_node(N_ELEMENT, "html", tok[2])
                     tree.append_child(0, html_id)
-                    stack_ids.append(html_id)
-                    stack_names.append("html")
+                    push_open(html_id, "html")
                     mode = M_BEFORE_HEAD
                 elif kind == "EndTag" and tok[1] not in (
                     "head", "body", "html", "br",
@@ -743,7 +1009,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     reprocess = True
 
             # ------------------------------------------- BeforeHead
-            elif mode == M_BEFORE_HEAD:
+            elif m == M_BEFORE_HEAD:
                 if kind == "Character":
                     data = tok[1].lstrip(_WS)
                     if not data:
@@ -771,7 +1037,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     reprocess = True
 
             # ---------------------------------------------- InHead
-            elif mode == M_IN_HEAD:
+            elif m == M_IN_HEAD:
                 if kind == "Character":
                     ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
                     if ws_prefix_len:
@@ -823,7 +1089,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     # else ignore
 
             # -------------------------------------------- AfterHead
-            elif mode == M_AFTER_HEAD:
+            elif m == M_AFTER_HEAD:
                 if kind == "Character":
                     ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
                     if ws_prefix_len:
@@ -854,8 +1120,7 @@ def parse_document(html: str, collect_errors: bool = True):
                             tree.append_child(
                                 head_id if head_id != -1 else current(), nid
                             )
-                            stack_ids.append(nid)
-                            stack_names.append(name)
+                            push_open(nid, name)
                             original_mode = M_AFTER_HEAD
                             mode = M_TEXT
                         else:
@@ -875,7 +1140,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     # else ignore
 
             # ---------------------------------------------- InBody
-            elif mode == M_IN_BODY:
+            elif m == M_IN_BODY:
                 if kind == "Character":
                     data = tok[1]
                     if skip_newline:
@@ -885,28 +1150,11 @@ def parse_document(html: str, collect_errors: bool = True):
                     if "\x00" in data:
                         data = data.replace("\x00", "")
                     if data:
-                        if (
-                            stack_names
-                            and stack_names[-1]
-                            in ("table", "tbody", "thead", "tfoot", "tr")
-                            and data.strip(_WS)
-                        ):
-                            # foster parenting (spec InTable "anything
-                            # else"): non-ws text in table structure is
-                            # inserted BEFORE the table
-                            for idx in range(len(stack_names) - 1, -1, -1):
-                                if stack_names[idx] == "table":
-                                    t_nid = stack_ids[idx]
-                                    tree.insert_text_before(
-                                        tree.parent[t_nid], t_nid, data
-                                    )
-                                    break
-                            else:
-                                tree.append_text(current(), data)
-                            break
                         if afe:
                             reconstruct_afe()
-                        tree.append_text(current(), data)
+                        # insert_text honors foster parenting when the
+                        # token was redirected from a table mode
+                        insert_text(data)
                 elif kind == "Comment":
                     nid = tree.new_node(N_COMMENT, None, None)
                     tree.text[nid] = [tok[1]]
@@ -978,7 +1226,26 @@ def parse_document(html: str, collect_errors: bool = True):
                                 original_mode = M_IN_BODY
                                 mode = M_TEXT
                         else:
-                            insert_element(name, attrs)
+                            nid = insert_element(name, attrs)
+                            if name == "form" and form_id == -1:
+                                form_id = nid
+                        break
+                    if name == "table":
+                        # spec: the p-close is conditional on quirks
+                        # mode (ADVICE r1 #2)
+                        if tree.quirks_mode != "quirks":
+                            close_p_if_open()
+                        insert_element(name, attrs)
+                        mode = M_IN_TABLE
+                        break
+                    if name in ("svg", "math"):
+                        # enter foreign content (namespace insertion;
+                        # dispatcher routes descendants)
+                        if afe:
+                            reconstruct_afe()
+                        insert_element(name, attrs, ns=name)
+                        if len(tok) > 3 and tok[3]:
+                            pop()  # self-closing foreign root
                         break
                     if name == "li":
                         if has_in_scope("li", _SCOPE_LIST_ITEM):
@@ -1029,18 +1296,9 @@ def parse_document(html: str, collect_errors: bool = True):
                         break
                     if name in (
                         "td", "th", "tr", "tbody", "thead", "tfoot",
-                        "caption", "colgroup",
+                        "caption", "colgroup", "col", "frame", "head",
                     ):
-                        table_autoclose(name)
-                        insert_element(name, attrs)
-                        if name in _AFE_MARKER_TAGS:
-                            afe.append(_MARKER)
-                        break
-                    if name == "col":
-                        insert_void(name, attrs)
-                        break
-                    if name == "head":
-                        break  # ignore
+                        break  # spec InBody: parse error, ignore
                     insert_element(name, attrs)
                     if name in _AFE_MARKER_TAGS:
                         afe.append(_MARKER)
@@ -1086,27 +1344,21 @@ def parse_document(html: str, collect_errors: bool = True):
                         adoption_agency(name)
                         break
                     if name in END_TAG_POP:
-                        scope = (
-                            _SCOPE_TABLE if name == "table" else _SCOPE_DEFAULT
-                        )
-                        if has_in_scope(name, scope):
+                        if has_in_scope(name, _SCOPE_DEFAULT):
                             generate_implied_end_tags()
                             pop_until(name)
                             if name in _AFE_MARKER_TAGS:
                                 clear_afe_to_marker()
+                            if name == "form":
+                                form_id = -1
                         break
-                    if name in ("td", "th", "tr", "tbody", "thead",
-                                "tfoot", "caption", "colgroup"):
-                        if has_in_scope(name, _SCOPE_TABLE):
-                            generate_implied_end_tags()
-                            pop_until(name)
-                            if name in _AFE_MARKER_TAGS:
-                                clear_afe_to_marker()
-                        break
+                    # stray table-structure end tags fall through to
+                    # any_other_end_tag, whose SPECIAL guard ignores
+                    # them (table content is handled by the table modes)
                     any_other_end_tag(name)
 
             # ------------------------------------------------ Text
-            elif mode == M_TEXT:
+            elif m == M_TEXT:
                 if kind == "Character":
                     data = tok[1]
                     if skip_newline:
@@ -1127,8 +1379,309 @@ def parse_document(html: str, collect_errors: bool = True):
                     mode = original_mode
                     reprocess = True
 
+            # ---------------------------------------------- InTable
+            elif m == M_IN_TABLE:
+                if kind == "Character":
+                    if stack_names and (
+                        stack_names[-1] in _TABLE_FOSTER_CONTEXT
+                    ):
+                        pending_table_text = []
+                        orig_table_mode = mode
+                        mode = M_IN_TABLE_TEXT
+                    else:
+                        # anything else: InBody with foster parenting
+                        foster_parenting = True
+                        use_rules = M_IN_BODY
+                    reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "caption":
+                        clear_to_table_context()
+                        afe.append(_MARKER)
+                        insert_element(name, tok[2])
+                        mode = M_IN_CAPTION
+                    elif name == "colgroup":
+                        clear_to_table_context()
+                        insert_element(name, tok[2])
+                        mode = M_IN_COLUMN_GROUP
+                    elif name == "col":
+                        clear_to_table_context()
+                        insert_element("colgroup", {})
+                        mode = M_IN_COLUMN_GROUP
+                        reprocess = True
+                    elif name in ("tbody", "tfoot", "thead"):
+                        clear_to_table_context()
+                        insert_element(name, tok[2])
+                        mode = M_IN_TABLE_BODY
+                    elif name in ("td", "th", "tr"):
+                        clear_to_table_context()
+                        insert_element("tbody", {})
+                        mode = M_IN_TABLE_BODY
+                        reprocess = True
+                    elif name == "table":
+                        # parse error; implies </table> then reprocess
+                        if has_in_scope("table", _SCOPE_TABLE):
+                            pop_until("table")
+                            mode = reset_insertion_mode()
+                            reprocess = True
+                    elif name in ("style", "script", "template"):
+                        insert_element(name, tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    elif name == "input" and (
+                        (tok[2].get("type") or "").lower() == "hidden"
+                    ):
+                        insert_void(name, tok[2])  # NOT foster-parented
+                    elif name == "form":
+                        # parse error; insert only if no form pointer,
+                        # pop immediately (spec)
+                        if form_id == -1:
+                            form_id = insert_element(name, tok[2])
+                            pop()
+                    else:
+                        # "anything else": InBody rules with foster
+                        # parenting enabled for this token
+                        foster_parenting = True
+                        use_rules = M_IN_BODY
+                        reprocess = True
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name == "table":
+                        if has_in_scope("table", _SCOPE_TABLE):
+                            pop_until("table")
+                            mode = reset_insertion_mode()
+                    elif name in (
+                        "body", "caption", "col", "colgroup", "html",
+                        "tbody", "td", "tfoot", "th", "thead", "tr",
+                    ):
+                        break  # parse error, ignore
+                    elif name == "template":
+                        if has_in_scope(name, _SCOPE_DEFAULT):
+                            pop_until(name)
+                    else:
+                        foster_parenting = True
+                        use_rules = M_IN_BODY
+                        reprocess = True
+
+            # ------------------------------------------ InTableText
+            elif m == M_IN_TABLE_TEXT:
+                if kind == "Character":
+                    pending_table_text.append(tok[1].replace("\x00", ""))
+                else:
+                    joined = "".join(pending_table_text)
+                    if joined:
+                        if joined.strip(_WS):
+                            # non-ws: foster-parent via InBody char rule
+                            foster_parenting = True
+                            if afe:
+                                reconstruct_afe()
+                            insert_text(joined)
+                            foster_parenting = False
+                        else:
+                            tree.append_text(current(), joined)
+                    pending_table_text = []
+                    mode = orig_table_mode
+                    reprocess = True
+
+            # -------------------------------------------- InCaption
+            elif m == M_IN_CAPTION:
+                if kind == "EndTag" and tok[1] == "caption":
+                    if has_in_scope("caption", _SCOPE_TABLE):
+                        generate_implied_end_tags()
+                        pop_until("caption")
+                        clear_afe_to_marker()
+                        mode = M_IN_TABLE
+                elif (
+                    kind == "StartTag"
+                    and tok[1] in (
+                        "caption", "col", "colgroup", "tbody", "td",
+                        "tfoot", "th", "thead", "tr",
+                    )
+                ) or (kind == "EndTag" and tok[1] == "table"):
+                    if has_in_scope("caption", _SCOPE_TABLE):
+                        generate_implied_end_tags()
+                        pop_until("caption")
+                        clear_afe_to_marker()
+                        mode = M_IN_TABLE
+                        reprocess = True
+                    # else: parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "body", "col", "colgroup", "html", "tbody", "td",
+                    "tfoot", "th", "tr",
+                ):
+                    break  # parse error, ignore
+                else:
+                    use_rules = M_IN_BODY
+                    reprocess = True
+
+            # ---------------------------------------- InColumnGroup
+            elif m == M_IN_COLUMN_GROUP:
+                handled = False
+                if kind == "Character":
+                    ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+                    if ws_prefix_len:
+                        tree.append_text(current(), tok[1][:ws_prefix_len])
+                    rest = tok[1][ws_prefix_len:]
+                    if not rest:
+                        handled = True
+                    else:
+                        tok = ("Character", rest)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                    handled = True
+                elif kind == "DOCTYPE":
+                    handled = True
+                elif kind == "StartTag" and tok[1] == "col":
+                    insert_void("col", tok[2])
+                    handled = True
+                elif kind == "EndTag" and tok[1] == "colgroup":
+                    if stack_names and stack_names[-1] == "colgroup":
+                        pop()
+                        mode = M_IN_TABLE
+                    handled = True
+                elif kind == "EndTag" and tok[1] == "col":
+                    handled = True  # parse error, ignore
+                if not handled:
+                    # anything else: pop colgroup (if current) → InTable
+                    if stack_names and stack_names[-1] == "colgroup":
+                        pop()
+                        mode = M_IN_TABLE
+                        reprocess = True
+                    # else: parse error, ignore
+
+            # ------------------------------------------ InTableBody
+            elif m == M_IN_TABLE_BODY:
+                if kind == "StartTag" and tok[1] == "tr":
+                    clear_to_table_body_context()
+                    insert_element("tr", tok[2])
+                    mode = M_IN_ROW
+                elif kind == "StartTag" and tok[1] in ("th", "td"):
+                    # parse error: implied <tr>
+                    clear_to_table_body_context()
+                    insert_element("tr", {})
+                    mode = M_IN_ROW
+                    reprocess = True
+                elif kind == "EndTag" and tok[1] in (
+                    "tbody", "tfoot", "thead",
+                ):
+                    if has_in_scope(tok[1], _SCOPE_TABLE):
+                        clear_to_table_body_context()
+                        pop()
+                        mode = M_IN_TABLE
+                elif (
+                    kind == "StartTag"
+                    and tok[1] in (
+                        "caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead",
+                    )
+                ) or (kind == "EndTag" and tok[1] == "table"):
+                    if (
+                        has_in_scope("tbody", _SCOPE_TABLE)
+                        or has_in_scope("thead", _SCOPE_TABLE)
+                        or has_in_scope("tfoot", _SCOPE_TABLE)
+                    ):
+                        clear_to_table_body_context()
+                        pop()
+                        mode = M_IN_TABLE
+                        reprocess = True
+                    # else: parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "body", "caption", "col", "colgroup", "html", "td",
+                    "th", "tr",
+                ):
+                    break  # parse error, ignore
+                else:
+                    use_rules = M_IN_TABLE
+                    reprocess = True
+
+            # ------------------------------------------------ InRow
+            elif m == M_IN_ROW:
+                if kind == "StartTag" and tok[1] in ("th", "td"):
+                    clear_to_table_row_context()
+                    insert_element(tok[1], tok[2])
+                    mode = M_IN_CELL
+                    afe.append(_MARKER)
+                elif kind == "EndTag" and tok[1] == "tr":
+                    if has_in_scope("tr", _SCOPE_TABLE):
+                        clear_to_table_row_context()
+                        pop()
+                        mode = M_IN_TABLE_BODY
+                elif (
+                    kind == "StartTag"
+                    and tok[1] in (
+                        "caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead", "tr",
+                    )
+                ) or (kind == "EndTag" and tok[1] == "table"):
+                    if has_in_scope("tr", _SCOPE_TABLE):
+                        clear_to_table_row_context()
+                        pop()
+                        mode = M_IN_TABLE_BODY
+                        reprocess = True
+                    # else: parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "tbody", "tfoot", "thead",
+                ):
+                    if has_in_scope(tok[1], _SCOPE_TABLE):
+                        if has_in_scope("tr", _SCOPE_TABLE):
+                            clear_to_table_row_context()
+                            pop()
+                            mode = M_IN_TABLE_BODY
+                            reprocess = True
+                    # else: parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "body", "caption", "col", "colgroup", "html", "td",
+                    "th",
+                ):
+                    break  # parse error, ignore
+                else:
+                    use_rules = M_IN_TABLE
+                    reprocess = True
+
+            # ----------------------------------------------- InCell
+            elif m == M_IN_CELL:
+                if kind == "EndTag" and tok[1] in ("td", "th"):
+                    if has_in_scope(tok[1], _SCOPE_TABLE):
+                        generate_implied_end_tags()
+                        pop_until(tok[1])
+                        clear_afe_to_marker()
+                        mode = M_IN_ROW
+                    # else: parse error, ignore
+                elif kind == "StartTag" and tok[1] in (
+                    "caption", "col", "colgroup", "tbody", "td", "tfoot",
+                    "th", "thead", "tr",
+                ):
+                    if has_in_scope("td", _SCOPE_TABLE) or has_in_scope(
+                        "th", _SCOPE_TABLE
+                    ):
+                        mode = close_cell()
+                        reprocess = True
+                    # else: parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "body", "caption", "col", "colgroup", "html",
+                ):
+                    break  # parse error, ignore
+                elif kind == "EndTag" and tok[1] in (
+                    "table", "tbody", "tfoot", "thead", "tr",
+                ):
+                    if has_in_scope(tok[1], _SCOPE_TABLE):
+                        mode = close_cell()
+                        reprocess = True
+                    # else: parse error, ignore
+                else:
+                    use_rules = M_IN_BODY
+                    reprocess = True
+
             # ------------------------------------------- AfterBody
-            elif mode == M_AFTER_BODY:
+            elif m == M_AFTER_BODY:
                 if kind == "Character" and not tok[1].strip(_WS):
                     tree.append_text(current(), tok[1])
                 elif kind == "Comment":
@@ -1146,7 +1699,7 @@ def parse_document(html: str, collect_errors: bool = True):
                     reprocess = True
 
             # -------------------------------------- AfterAfterBody
-            elif mode == M_AFTER_AFTER_BODY:
+            elif m == M_AFTER_AFTER_BODY:
                 if kind == "Comment":
                     nid = tree.new_node(N_COMMENT, None, None)
                     tree.text[nid] = [tok[1]]
@@ -1160,6 +1713,22 @@ def parse_document(html: str, collect_errors: bool = True):
                 else:
                     mode = M_IN_BODY
                     reprocess = True
+
+        # foster parenting is scoped to the token that a table mode
+        # redirected into InBody
+        foster_parenting = False
+
+    # EOF: flush any pending table text (EOF can strike mid-cell-text)
+    if mode == M_IN_TABLE_TEXT and pending_table_text:
+        joined = "".join(pending_table_text)
+        if joined.strip(_WS):
+            foster_parenting = True
+            if afe:
+                reconstruct_afe()
+            insert_text(joined)
+            foster_parenting = False
+        elif joined:
+            tree.append_text(current(), joined)
 
     # EOF: make sure the skeleton exists even for empty/fragmentary
     # input (attach under html directly — EOF may strike mid-head)
