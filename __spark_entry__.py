@@ -106,6 +106,35 @@ def _q_extract_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
 
 
+def _q_extract_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the dedicated table insertion modes (r2): caption +
+    implied tbody + cells must land as ordered 'table' spans."""
+    html = F.concat(
+        F.lit("<body><table><caption>cap "),
+        F.col("doc_id").cast("string"),
+        F.lit("</caption><tr><td>"),
+        F.col("text"),
+        F.lit("</td><td>n="),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table></body>"),
+    )
+    return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+
+
+def _q_extract_svg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the foreign-content dispatcher (r2): svg title/desc and
+    graphics must NOT leak into spans; surrounding HTML text must."""
+    html = F.concat(
+        F.lit("<body><p>"),
+        F.col("text"),
+        F.lit('</p><svg viewBox="0 0 8 8"><title>tip</title>'
+              '<desc>meta</desc><circle r="1"/></svg><p>tail '),
+        F.col("lang"),
+        F.lit("</p></body>"),
+    )
+    return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+
+
 def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(
@@ -425,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
         "extract_list": _q_extract_list,
+        "extract_table": _q_extract_table,
+        "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
@@ -502,6 +533,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {doc_id}, 1 AS offset, 'list' AS kind,
                    'from ' || source AS text, {null_ref}
+            FROM documents
+        """,
+        "extract_table": f"""
+            SELECT {doc_id}, 0 AS offset, 'table' AS kind,
+                   'cap ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'table' AS kind, text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 2 AS offset, 'table' AS kind,
+                   'n=' || CAST(n_chars AS VARCHAR) AS text, {null_ref}
+            FROM documents
+        """,
+        "extract_svg_mixed": f"""
+            SELECT {doc_id}, 0 AS offset, 'text' AS kind, text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'text' AS kind,
+                   'tail ' || lang AS text, {null_ref}
             FROM documents
         """,
         "extract_boilerplate": f"""

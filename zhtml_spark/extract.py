@@ -91,26 +91,33 @@ def _normalize(s: str) -> str:
 
 
 def extract_spans(
-    tree: DocTree, config: ExtractConfig | None = None
+    tree: DocTree,
+    config: ExtractConfig | None = None,
+    root: int | None = None,
 ) -> list[tuple[str, str, str | None]]:
     """Extract ordered content spans: list of (kind, text, media_ref).
 
     Offsets are positional (the caller enumerates); media spans carry
     the resolved-later ``media_ref`` and their alt/anchor text.
+    ``root`` overrides the body lookup — fragment extraction passes the
+    fragment root from ``tree.parse_fragment``.
     """
     cfg = config or ExtractConfig()
 
-    # locate body: html is a child of document 0, body a child of html
-    body = -1
-    for c in tree.children(0):
-        if tree.ntype[c] == N_ELEMENT and tree.name[c] == "html":
-            for cc in tree.children(c):
-                if tree.ntype[cc] == N_ELEMENT and tree.name[cc] == "body":
-                    body = cc
-                    break
-            break
-    if body == -1:
-        return []
+    if root is not None:
+        body = root
+    else:
+        # locate body: html is a child of doc 0, body a child of html
+        body = -1
+        for c in tree.children(0):
+            if tree.ntype[c] == N_ELEMENT and tree.name[c] == "html":
+                for cc in tree.children(c):
+                    if tree.ntype[cc] == N_ELEMENT and tree.name[cc] == "body":
+                        body = cc
+                        break
+                break
+        if body == -1:
+            return []
 
     spans: list[tuple[str, str, str | None]] = []
 
