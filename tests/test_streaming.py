@@ -28,3 +28,42 @@ def test_incremental_stream_extract(spark, tmp_path):
     # third trigger with nothing new: no growth
     stream_extract(spark, inp, out, ckpt, num_partitions=4)
     assert spark.read.parquet(f"{out}/spans").count() == 50
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first
+    occurrence of each distinct text is emitted exactly once across
+    micro-batches and across separate availableNow drains."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.streaming import stream_dedup_first_seen
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [(i, f"text-{i % 10}") for i in range(40)]  # 10 distinct
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        inp
+    )
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    # smallest doc_id wins per text
+    assert got.agg(F.max("doc_id")).collect()[0][0] == 9
+
+    # second drain: 5 repeated texts + 5 new ones → only new emitted
+    rows2 = [(100 + i, f"text-{i}") for i in range(5)] + [
+        (200 + i, f"new-{i}") for i in range(5)
+    ]
+    spark.createDataFrame(rows2, "doc_id bigint, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # 10 original + 5 genuinely new
+    assert got.where(F.col("text").startswith("new-")).count() == 5
+    # the repeated texts did NOT re-emit
+    assert got.where(F.col("doc_id") >= 100).where(
+        ~F.col("text").startswith("new-")
+    ).count() == 0

@@ -66,3 +66,79 @@ def stream_extract(
     if available_now:
         query.awaitTermination()
     return query
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    text_schema: str = "doc_id bigint, text string",
+):
+    """Streaming exact-dedup: emit each distinct text's FIRST
+    occurrence across all micro-batches, suppress every later copy —
+    the custom stateful operator the training-data ingest path needs
+    (brief: ``applyInPandasWithState`` for custom stateful operators).
+
+    Keyed by the document md5 fingerprint; per-key GroupState stores
+    one flag ("seen"), so state size is O(distinct docs), partitioned
+    by key hash across executors — the standard streaming-dedup shape
+    at corpus scale (state store is RocksDB-backed on a real cluster).
+    Within a batch the smallest doc_id wins (deterministic); across
+    batches the earlier batch wins (exactly-once per distinct text
+    under the streaming checkpoint).
+
+    ``availableNow`` semantics mirror ``stream_extract``: drain the
+    backlog, terminate, resume later from the checkpoint — repeated
+    calls never re-emit a fingerprint already in state.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # fingerprint seen in an earlier batch: suppress all
+            return iter(())
+        best = None
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                if best is None or row["doc_id"] < best["doc_id"]:
+                    best = row
+        if best is None:
+            return iter(())
+        state.update((1,))
+        return iter(
+            [pd.DataFrame(
+                {"fingerprint": [key[0]],
+                 "doc_id": [best["doc_id"]],
+                 "text": [best["text"]]}
+            )]
+        )
+
+    stream = (
+        spark.readStream.schema(text_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+        .withColumn("fingerprint", F.md5(F.col("text")))
+    )
+    deduped = stream.groupBy("fingerprint").applyInPandasWithState(
+        first_seen,
+        outputStructType="fingerprint string, doc_id bigint, text string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
