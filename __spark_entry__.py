@@ -135,6 +135,32 @@ def _q_extract_svg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
 
 
+def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates fragment parsing (r2): innerHTML-shaped list fragments in
+    a ul context through the distributed fragment UDF."""
+    from zhtml_spark.udfs import REPLAY_SCHEMA, make_fragment_extract_udf
+
+    frags = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<li>lang "),
+            F.col("lang"),
+            F.lit("<li>"),
+            F.col("text"),
+        ).alias("fragment"),
+    )
+    out = frags.mapInPandas(
+        make_fragment_extract_udf("ul"), REPLAY_SCHEMA
+    )
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(
@@ -443,6 +469,27 @@ def _q_events_by_type(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling event-time windows (the batch shape of the streaming
+    watermark+window aggregation in zhtml_spark.streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
@@ -456,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_list": _q_extract_list,
         "extract_table": _q_extract_table,
         "extract_svg_mixed": _q_extract_svg_mixed,
+        "extract_fragment": _q_extract_fragment,
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
@@ -483,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "order_window_rank": _q_order_window_rank,
         "events_by_type": _q_events_by_type,
+        "events_windowed": _q_events_windowed,
     }
 
 
@@ -553,6 +602,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {doc_id}, 1 AS offset, 'text' AS kind,
                    'tail ' || lang AS text, {null_ref}
+            FROM documents
+        """,
+        "extract_fragment": f"""
+            SELECT {doc_id}, 0 AS offset, 'list' AS kind,
+                   'lang ' || lang AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'list' AS kind, text, {null_ref}
             FROM documents
         """,
         "extract_boilerplate": f"""
@@ -1041,5 +1098,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
         """,
     }

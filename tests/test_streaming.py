@@ -67,3 +67,50 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     assert got.where(F.col("doc_id") >= 100).where(
         ~F.col("text").startswith("new-")
     ).count() == 0
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling windows: streamed append-mode output must
+    equal the batch aggregation for every window closed by the final
+    watermark (max ts - 30 min)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.streaming import stream_windowed_event_counts
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (i, base + dt.timedelta(minutes=i), i % 7,
+             "click" if i % 2 else "view", float(i % 10), "{}")
+        )
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+
+    stream_windowed_event_counts(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+
+    # batch reference restricted to closed windows: watermark is
+    # max ts (04:59) - 30 min => windows ending <= 04:29 => hours 0-3
+    batch = (
+        spark.read.parquet(inp)
+        .where(F.col("ts") < "2024-01-01 04:00:00")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    assert got.count() == batch.count() == 8  # 4 hours x 2 types
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0

@@ -68,6 +68,60 @@ def stream_extract(
     return query
 
 
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    event_schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ),
+):
+    """Watermarked tumbling-window aggregation over an event stream
+    (brief: "watermarks + windowed aggs for late data").
+
+    Append mode: a (window, event_type) row is emitted exactly once,
+    when the watermark (max event time − ``watermark``) passes the
+    window end — late events inside the lateness bound still count;
+    later ones are dropped by the state store.  The batch-equivalent
+    query is ``events_windowed`` in ``__spark_entry__`` (oracle-gated);
+    this is its incremental form with bounded state.
+    """
+    stream = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias(
+            "total_value"
+        ))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     input_path: str,

@@ -309,6 +309,41 @@ def make_extract_arrow_udf(config: ExtractConfig | None = None):
     return extract_batches
 
 
+def make_fragment_extract_udf(context: str = "div"):
+    """Fragment extraction as a distributed stage: mapInPandas over
+    rows ``(doc_id, fragment)`` → ``REPLAY_SCHEMA`` rows (spans +
+    errors).  innerHTML-shaped corpora (comment feeds, CMS exports,
+    scraped widget payloads) ship fragments, not documents — this is
+    the engine surface for them (spec §13.2.2.2 via
+    ``tree.parse_fragment``)."""
+    from .extract import ExtractConfig, extract_spans
+    from .tree import parse_fragment
+
+    cfg = ExtractConfig()
+
+    def fragment_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"doc_id": [], "spans": [], "errors": []}
+            for doc_id, fragment in zip(pdf["doc_id"], pdf["fragment"]):
+                tree, root, errors = parse_fragment(
+                    fragment or "", context
+                )
+                spans = [
+                    {"kind": k, "text": t, "media_ref": m, "offset": i}
+                    for i, (k, t, m) in enumerate(
+                        extract_spans(tree, cfg, root=root)
+                    )
+                ]
+                out_rows["doc_id"].append(doc_id)
+                out_rows["spans"].append(spans)
+                out_rows["errors"].append(list(errors))
+            yield pd.DataFrame(out_rows)
+
+    return fragment_batches
+
+
 def replay_tokenizer_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
