@@ -338,6 +338,13 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
 
 
+def _q_embedding_dup(spark, sf_dir):
+    from zhtml_spark.textops import embedding_dup_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_candidates(emb, threshold=0.1, n_centroids=8)
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -520,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "ivf_topk": _q_ivf_topk,
+        "embedding_dup_candidates": _q_embedding_dup,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -979,6 +987,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, centroid_id, dist
             FROM ranked WHERE rank = 1
+        """,
+        "embedding_dup_candidates": """
+            WITH c AS (
+                SELECT vec_id AS centroid_id, embedding AS ce
+                FROM embeddings WHERE vec_id < 8
+            ),
+            adist AS (
+                SELECT e.vec_id, c.centroid_id,
+                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM embeddings e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM adist
+                ) WHERE r = 1
+            ),
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       ea.embedding AS ea, eb.embedding AS eb
+                FROM assign a
+                JOIN assign b ON a.centroid_id = b.centroid_id
+                             AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+            ),
+            dots AS (
+                SELECT vec_a, vec_b,
+                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS dot,
+                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS na,
+                       (SELECT sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(eb) + 1)) t(i)) AS nb
+                FROM pairs
+            )
+            SELECT vec_a, vec_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+            FROM dots
+            WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.1
         """,
         "text_quality": f"""
             SELECT doc_id,

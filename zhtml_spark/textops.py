@@ -598,6 +598,54 @@ def ivf_topk(
     )
 
 
+def embedding_dup_candidates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the brief's fifth dedup
+    method): vectors assigned to the SAME centroid bucket whose cosine
+    ≥ threshold.
+
+    Distributed shape: one scan for centroid assignment (broadcast
+    centroids), then a bucket-equality self-join — candidate volume is
+    Σ bucket² instead of N², the IVF analog of LSH banding.  Bucketing
+    is the declared semantics (not a lossy approximation of an
+    all-pairs oracle): near-identical embeddings land in the same
+    bucket by construction, and cross-bucket borderline pairs are the
+    recall dial (`n_centroids` down = recall up).  The oracle pins
+    exactly this: same-bucket pairs ≥ threshold.
+    """
+    assign = nearest_centroid(emb, n_centroids).select(
+        "vec_id", "centroid_id"
+    )
+    v = emb.join(assign, "vec_id")
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 # ------------------------------------------------------ text analysis
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality features: token/char counts, avg word length, stopword
