@@ -161,6 +161,42 @@ def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the WARC source (r2): documents rendered into WARC
+    response records, split back JVM-side, extracted through the fused
+    UDF — the oracle predicts the final spans with no knowledge of the
+    container format."""
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_record,
+        warc_to_documents,
+    )
+
+    d = _docs(spark, sf_dir)
+    archives = d.select(
+        warc_record(
+            F.concat(F.lit("warc://doc/"), F.col("doc_id").cast("string")),
+            F.lit("2024-01-01T00:00:00Z"),
+            F.concat(
+                F.lit("<body><h1>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p></body>"),
+            ),
+        ).alias("content")
+    )
+    out = extract_documents(warc_to_documents(parse_warc_records(archives)))
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(
@@ -345,6 +381,62 @@ def _q_embedding_dup(spark, sf_dir):
     return embedding_dup_candidates(emb, threshold=0.1, n_centroids=8)
 
 
+def _synthetic_urls(spark, sf_dir):
+    """Deterministic messy URLs from documents (testdata has no URL
+    column): three shapes exercising fragment strip, case folding,
+    default-port removal, and query sorting."""
+    d = _docs(spark, sf_dir)
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/a/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?z=1&a=2#sec"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://www.Site.ORG/path/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.Example.net:443/x?q="),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def _q_url_normalize(spark, sf_dir):
+    from zhtml_spark.textops import url_host, url_normalize
+
+    urls = _synthetic_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("norm_url"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+def _q_dedup_by_url(spark, sf_dir):
+    """URL-identity dedup over docs ∪ re-crawls (same page, messier
+    URL form: added fragment + unsorted query)."""
+    from zhtml_spark.textops import dedup_by_url
+
+    urls = _synthetic_urls(spark, sf_dir)
+    recrawl = urls.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("#utm")).alias("url"),
+    )
+    return dedup_by_url(urls.unionByName(recrawl))
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -511,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": _q_extract_table,
         "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_fragment": _q_extract_fragment,
+        "warc_extract": _q_warc_extract,
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
@@ -528,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": _q_nearest_centroid,
         "ivf_topk": _q_ivf_topk,
         "embedding_dup_candidates": _q_embedding_dup,
+        "url_normalize": _q_url_normalize,
+        "dedup_by_url": _q_dedup_by_url,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -618,6 +713,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT {doc_id}, 1 AS offset, 'list' AS kind, text, {null_ref}
+            FROM documents
+        """,
+        "warc_extract": f"""
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   1 AS offset, 'text' AS kind, text, {null_ref}
             FROM documents
         """,
         "extract_boilerplate": f"""
@@ -1033,6 +1138,91 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
             FROM dots
             WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.1
+        """,
+        "url_normalize": """
+            WITH urls AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id AS VARCHAR) || '?z=1&a=2#sec'
+                         WHEN doc_id % 3 = 1
+                         THEN 'https://www.Site.ORG/path/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+                         ELSE 'https://cdn.Example.net:443/x?q=' || CAST(doc_id AS VARCHAR)
+                    END AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                    regexp_replace(url, '#.*', '') AS u
+                FROM urls
+            ),
+            split AS (
+                SELECT doc_id, url, u,
+                    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*') AS base,
+                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', '') AS rest
+                FROM parts
+            ),
+            norm AS (
+                SELECT doc_id, url, rest,
+                    regexp_replace(
+                        regexp_replace(lower(base), '^(http://[^/?]*):80$', '\\1'),
+                        '^(https://[^/?]*):443$', '\\1') AS lb,
+                    regexp_extract(rest, '^[^?]*') AS path,
+                    regexp_extract(rest, '\\?(.*)$', 1) AS query
+                FROM split
+            )
+            SELECT doc_id,
+                CASE WHEN query = '' THEN lb || path
+                     ELSE lb || path || '?' ||
+                          array_to_string(list_sort(string_split(query, '&')), '&')
+                END AS norm_url,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)) AS host
+            FROM norm
+        """,
+        "dedup_by_url": """
+            WITH urls0 AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id AS VARCHAR) || '?z=1&a=2#sec'
+                         WHEN doc_id % 3 = 1
+                         THEN 'https://www.Site.ORG/path/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+                         ELSE 'https://cdn.Example.net:443/x?q=' || CAST(doc_id AS VARCHAR)
+                    END AS url
+                FROM documents
+            ),
+            urls AS (
+                SELECT doc_id, url FROM urls0
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, url || '#utm' AS url
+                FROM urls0
+            ),
+            parts AS (
+                SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM urls
+            ),
+            split AS (
+                SELECT doc_id, u,
+                    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*') AS base,
+                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', '') AS rest
+                FROM parts
+            ),
+            norm AS (
+                SELECT doc_id,
+                    regexp_replace(
+                        regexp_replace(lower(base), '^(http://[^/?]*):80$', '\\1'),
+                        '^(https://[^/?]*):443$', '\\1') AS lb,
+                    regexp_extract(rest, '^[^?]*') AS path,
+                    regexp_extract(rest, '\\?(.*)$', 1) AS query
+                FROM split
+            ),
+            normed AS (
+                SELECT doc_id,
+                    CASE WHEN query = '' THEN lb || path
+                         ELSE lb || path || '?' ||
+                              array_to_string(list_sort(string_split(query, '&')), '&')
+                    END AS norm_url
+                FROM norm
+            )
+            SELECT min(doc_id) AS doc_id, norm_url
+            FROM normed GROUP BY norm_url
         """,
         "text_quality": f"""
             SELECT doc_id,

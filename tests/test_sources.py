@@ -1,0 +1,62 @@
+"""WARC source: synthesize archives, read them back through the
+JVM-side record splitter, extract spans end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from zhtml_spark.pipeline import extract_documents
+from zhtml_spark.sources import (
+    parse_warc_records,
+    read_warc,
+    warc_record,
+    warc_to_documents,
+)
+
+
+def _synth_archive(spark, n):
+    docs = spark.range(n).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("date"),
+        F.concat(
+            F.lit("<body><h1>T"), F.col("id"),
+            F.lit("</h1><p>body "), F.col("id"), F.lit("</p></body>"),
+        ).alias("html"),
+    )
+    return docs.select(
+        warc_record(F.col("url"), F.col("date"), F.col("html")).alias("rec")
+    ).agg(F.concat_ws("", F.collect_list("rec")).alias("content"))
+
+
+def test_warc_roundtrip_and_extract(spark):
+    archive = _synth_archive(spark, 20)
+    recs = parse_warc_records(archive)
+    assert recs.count() == 20
+    row = recs.orderBy("warc_url").first()
+    assert row["warc_url"] == "https://ex.com/p0"
+    assert row["warc_date"] == "2024-01-01T00:00:00Z"
+    assert row["html"].startswith("<body><h1>T0</h1>")
+
+    out = extract_documents(warc_to_documents(recs))
+    flat = out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text"
+    )
+    assert flat.count() == 40  # heading + paragraph per record
+    assert flat.where(F.col("kind") == "heading").count() == 20
+
+
+def test_warc_file_scan(spark, tmp_path):
+    content = _synth_archive(spark, 7).collect()[0]["content"]
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "part-0.warc").write_bytes(content.encode())
+    recs = read_warc(spark, str(p))
+    assert recs.count() == 7
+    assert recs.select("warc_url").distinct().count() == 7
+
+
+def test_warc_plan_is_jvm_side(spark):
+    # record splitting must not introduce a Python stage
+    archive = _synth_archive(spark, 3)
+    plan = parse_warc_records(archive)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

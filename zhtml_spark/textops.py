@@ -646,6 +646,48 @@ def embedding_dup_candidates(
     )
 
 
+# ---------------------------------------------------------- URL ops
+def url_normalize(col: Column) -> Column:
+    """Canonical URL form for URL-level dedup (training pipelines
+    dedupe by page identity before content dedup): strip fragment,
+    lowercase scheme+authority, drop default ports (http:80 /
+    https:443), sort query parameters.  Pure JVM string/array
+    functions — identical regex semantics exist in DuckDB, so the op
+    is oracle-checkable."""
+    u = F.regexp_replace(col, "#.*", "")  # fragment never reaches origin
+    base = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", 0)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    lb = F.lower(base)
+    lb = F.regexp_replace(lb, r"^(http://[^/?]*):80$", "$1")
+    lb = F.regexp_replace(lb, r"^(https://[^/?]*):443$", "$1")
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(
+        query == "", F.concat(lb, path)
+    ).otherwise(F.concat(lb, path, F.lit("?"), sorted_q))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (no port) — the partition/grouping key for
+    per-site stats and politeness budgeting."""
+    return F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
+    )
+
+
+def dedup_by_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-identity dedup: one survivor (min doc_id) per normalized
+    URL — one hash-agg shuffle, the cheapest dedup tier (runs before
+    any content hashing at corpus scale)."""
+    return (
+        docs.withColumn("norm_url", url_normalize(F.col(url_col)))
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "norm_url")
+    )
+
+
 # ------------------------------------------------------ text analysis
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality features: token/char counts, avg word length, stopword
