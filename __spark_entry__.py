@@ -443,6 +443,20 @@ def _q_text_quality(spark, sf_dir):
     return text_quality(_docs(spark, sf_dir))
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Gopher/C4-style composed quality gate with thresholds tight
+    enough to actually drop rows on the synthetic corpus."""
+    from zhtml_spark.textops import quality_filter
+
+    return quality_filter(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_tokens=30,
+        max_tokens=100_000,
+        max_avg_word_len=6.0,
+        min_uniq_ratio=0.35,
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from zhtml_spark.textops import lang_id
 
@@ -624,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
         "text_quality": _q_text_quality,
+        "quality_filter": _q_quality_filter,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1236,6 +1251,22 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_distinct(string_split(text, ' ')))
                          / len(string_split(text, ' ')), 4) AS uniq_ratio
             FROM documents
+        """,
+        "quality_filter": """
+            WITH q AS (
+                SELECT doc_id, text,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       round(length(replace(text, ' ', ''))
+                             / len(string_split(text, ' ')), 4)
+                           AS avg_word_len,
+                       round(len(list_distinct(string_split(text, ' ')))
+                             / len(string_split(text, ' ')), 4) AS uniq_ratio
+                FROM documents
+            )
+            SELECT doc_id, text FROM q
+            WHERE n_tokens >= 30 AND n_tokens <= 100000
+              AND avg_word_len <= 6.0
+              AND uniq_ratio >= 0.35
         """,
         "lang_id": f"""
             WITH scores AS (

@@ -712,6 +712,32 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    max_avg_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+    min_uniq_ratio: float = 0.2,
+) -> DataFrame:
+    """Composed Gopher/C4-style quality gate: keep documents passing
+    ALL heuristic thresholds (token-count window, mean word length,
+    stopword floor, repetition ceiling via unique-token ratio) —
+    published filter families (Gopher, Rae et al. 2021 §A1.1; C4,
+    Raffel et al. 2020 §2.2), composed over ``text_quality``'s
+    features.  One narrow projection + filter, no shuffle; at corpus
+    scale this is the first content gate after URL/exact dedup."""
+    q = text_quality(docs)
+    keep = q.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_word_len") <= max_avg_word_len)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id").select("doc_id", "text")
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-voting language id (deterministic heuristic):
     argmax over per-language stopword hits, alphabetical tie-break,
