@@ -101,6 +101,10 @@ def run_canary(n_procs: int) -> float:
         for line in out.splitlines():
             if line.startswith("CANARY "):
                 times.append(float(line.split()[1]))
+    if not times:
+        # canary processes died (OOM kill / import failure): report
+        # not-a-number rather than discarding the campaign's results
+        return float("nan")
     return max(times)
 
 

@@ -60,3 +60,47 @@ def test_warc_plan_is_jvm_side(spark):
     archive = _synth_archive(spark, 3)
     plan = parse_warc_records(archive)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_warc_filters_non_response_records(spark):
+    """Real archives interleave request/response/metadata per URI —
+    only response records may become documents."""
+    content = (
+        "WARC/1.0\r\n"
+        "WARC-Type: request\r\n"
+        "WARC-Target-URI: https://ex.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http\r\n\r\n"
+        "GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:01Z\r\n"
+        "Content-Type: text/html\r\n\r\n"
+        "<body><p>real page</p></body>\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        "WARC-Target-URI: https://ex.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:02Z\r\n"
+        "Content-Type: application/json\r\n\r\n"
+        '{"fetch": 1}\r\n\r\n'
+    )
+    archive = spark.createDataFrame([(content,)], "content string")
+    recs = parse_warc_records(archive).collect()
+    assert len(recs) == 1
+    assert recs[0]["warc_url"] == "https://ex.com/a"
+    assert recs[0]["html"] == "<body><p>real page</p></body>"
+
+
+def test_warc_body_containing_blank_lines(spark):
+    html = "<body><pre>a\r\n\r\nb</pre></body>"
+    content = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/x\r\n"
+        "WARC-Date: d\r\nContent-Type: text/html\r\n\r\n"
+        + html + "\r\n\r\n"
+    )
+    archive = spark.createDataFrame([(content,)], "content string")
+    recs = parse_warc_records(archive).collect()
+    assert len(recs) == 1
+    assert recs[0]["html"] == html

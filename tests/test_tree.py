@@ -633,3 +633,71 @@ def test_fragment_extraction():
     )
     spans = extract_spans(tree, root=root)
     assert spans == [("heading", "Title", None), ("text", "body text", None)]
+
+
+# --------------------------------------- round-2 review regressions
+
+
+def test_foreign_end_p_at_integration_point_terminates():
+    # </p> while current node is an integration point must not loop
+    # (breakout pop refuses to pop IPs; reprocess must use mode rules)
+    from zhtml_spark.extract import extract_html
+
+    for html in (
+        "<body><svg><desc></p>x</svg>done</body>",
+        "<body><svg><title></br>y</svg>t</body>",
+        "<body><math><mi></p>z</mi></math>end</body>",
+        '<body><math><annotation-xml encoding="text/html"></p>q'
+        "</annotation-xml></math>tail</body>",
+    ):
+        spans, _ = extract_html(html)  # completing at all is the test
+        assert isinstance(spans, list)
+
+
+def test_rawtext_inside_table_restores_table_mode():
+    # textarea/iframe redirected from InTable must resume the TABLE
+    # mode after Text, not fall into InBody (kind fidelity)
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<body><table><textarea>note</textarea>"
+        "<tr><td>cellcontent</td></tr></table></body>"
+    )
+    assert ("table", "cellcontent", None) in spans
+    spans, _ = extract_html(
+        '<body><table><caption><iframe src="x"></iframe>cap</caption>'
+        "<tr><td>v</td></tr></table></body>"
+    )
+    assert ("table", "cap", None) in spans
+    assert ("table", "v", None) in spans
+
+
+def test_svg_title_content_is_markup_not_rcdata():
+    # svg <title> is a foreign element: its content tokenizes as
+    # markup (only the HTML <title> is RCDATA)
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html("<body><svg><title></br>y</svg>t</body>")
+    assert spans == [("text", "t", None)]
+    # HTML title still RCDATA
+    spans, _ = extract_html(
+        "<html><head><title>a <b> b</title></head><body>x</body></html>"
+    )
+    assert spans == [("text", "x", None)]
+
+
+def test_fragment_has_no_phantom_skeleton():
+    # reset_insertion_mode after </table> in a fragment must return to
+    # the context mode, not BeforeHead (which grew head/body inside
+    # the fragment root)
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment(
+        "<table><tr><td>c</td></tr></table>after", "div"
+    )
+    names = [
+        tree.name[c] if tree.ntype[c] == N_ELEMENT else "#text"
+        for c in tree.children(root)
+    ]
+    assert names == ["table", "#text"]
+    assert "head" not in names and "body" not in names

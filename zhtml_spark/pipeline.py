@@ -465,7 +465,6 @@ def run_job(
 
     def _abort_if(stage: str) -> None:
         if fault.get("after") == stage:
-            extracted.unpersist()
             raise RuntimeError(f"fault injection: crash after {stage}")
 
     staged: list[str] = []
@@ -475,41 +474,45 @@ def run_job(
         df.write.mode("overwrite").parquet(d)
         staged.append(d)
 
-    _stage(extracted.select("doc_id", "spans"), f"{output_path}/spans")
-    _abort_if("spans")
-    _stage(
-        metrics_table(extracted).withColumn(
-            "snapshot_id", F.lit(snapshot_id).cast("long")
-        ),
-        f"{output_path}/metrics",
-    )
-    _abort_if("metrics")
-    _stage(lineage_table(extracted, snapshot_id), f"{output_path}/lineage")
-    _abort_if("lineage")
-    if checkpoint_path is not None:
+    try:
+        _stage(extracted.select("doc_id", "spans"), f"{output_path}/spans")
+        _abort_if("spans")
         _stage(
-            extracted.select("doc_id")
-            .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
-            .withColumn("partition_id", F.spark_partition_id()),
-            checkpoint_path,
+            metrics_table(extracted).withColumn(
+                "snapshot_id", F.lit(snapshot_id).cast("long")
+            ),
+            f"{output_path}/metrics",
         )
-        _abort_if("checkpoint_data")
+        _abort_if("metrics")
+        _stage(lineage_table(extracted, snapshot_id), f"{output_path}/lineage")
+        _abort_if("lineage")
+        if checkpoint_path is not None:
+            _stage(
+                extracted.select("doc_id")
+                .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+                .withColumn("partition_id", F.spark_partition_id()),
+                checkpoint_path,
+            )
+            _abort_if("checkpoint_data")
 
-    # commit: ONE atomic rename publishes the whole attempt
-    commits = f"{output_path}/_commits"
-    os.makedirs(commits, exist_ok=True)
-    tmp = os.path.join(commits, f".{attempt}.tmp")
-    with open(tmp, "w") as f:
-        f.write(
-            f"snapshot_id={snapshot_id}\n"
-            + "\n".join(f"staged={d}" for d in staged)
-            + "\n"
-        )
-    os.rename(tmp, os.path.join(commits, attempt))
-
-    extracted.unpersist()
-    if ckpt is not None:
-        ckpt.unpersist()
+        # commit: ONE atomic rename publishes the whole attempt
+        commits = f"{output_path}/_commits"
+        os.makedirs(commits, exist_ok=True)
+        tmp = os.path.join(commits, f".{attempt}.tmp")
+        with open(tmp, "w") as f:
+            f.write(
+                f"snapshot_id={snapshot_id}\n"
+                + "\n".join(f"staged={d}" for d in staged)
+                + "\n"
+            )
+        os.rename(tmp, os.path.join(commits, attempt))
+    finally:
+        # release caches on success AND on any write/abort failure —
+        # the crash-retry loop this protocol serves must not leak
+        # executor storage across attempts
+        extracted.unpersist()
+        if ckpt is not None:
+            ckpt.unpersist()
     return {
         "docs": row["docs"],
         "bytes": row["bytes"],

@@ -46,25 +46,48 @@ def warc_record(
 def parse_warc_records(
     archives: DataFrame, content_col: str = "content"
 ) -> DataFrame:
-    """Split WARC archive strings into response-record rows
+    """Split WARC archive strings into RESPONSE-record rows
     ``(warc_url, warc_date, html)`` — all JVM-side (split + explode +
-    regexp_extract), no Python."""
+    regexp_extract), no Python.
+
+    Real archives interleave request/response/metadata records per
+    target URI — only ``WARC-Type: response`` rows survive (without
+    the filter a request record's HTTP header block would become a
+    phantom "document" and duplicate every doc_id downstream).
+    Records are delimited on the full ``\\r\\n\\r\\nWARC/1.0\\r\\n``
+    inter-record boundary (not the bare version line, which a payload
+    could trivially contain); a payload containing that exact 4-line
+    boundary sequence remains the documented approximation of this
+    string-level splitter — the production InputFormat honors
+    Content-Length instead and is byte-exact."""
+    # strip the leading version line so one split expression handles
+    # the first record and all subsequent boundaries identically
+    body = F.regexp_replace(
+        F.col(content_col), r"\A" + r"WARC/1\.0\r\n", ""
+    )
     recs = archives.select(
         F.explode(
-            F.split(F.col(content_col), r"WARC/1\.0\r\n")
+            F.split(body, r"\r\n\r\nWARC/1\.0\r\n")
         ).alias("rec")
     ).where(F.col("rec") != "")
-    return recs.select(
-        F.regexp_extract("rec", r"WARC-Target-URI: ([^\r\n]*)", 1).alias(
-            "warc_url"
-        ),
-        F.regexp_extract("rec", r"WARC-Date: ([^\r\n]*)", 1).alias(
-            "warc_date"
-        ),
-        F.regexp_extract("rec", r"(?s)\r\n\r\n(.*?)\r\n\r\n$", 1).alias(
-            "html"
-        ),
-    ).where(F.col("warc_url") != "")
+    return (
+        recs.select(
+            F.regexp_extract("rec", r"WARC-Type: ([^\r\n]*)", 1).alias(
+                "warc_type"
+            ),
+            F.regexp_extract("rec", r"WARC-Target-URI: ([^\r\n]*)", 1).alias(
+                "warc_url"
+            ),
+            F.regexp_extract("rec", r"WARC-Date: ([^\r\n]*)", 1).alias(
+                "warc_date"
+            ),
+            F.regexp_extract("rec", r"(?s)\r\n\r\n(.*?)(?:\r\n\r\n)?$", 1)
+            .alias("html"),
+        )
+        .where(F.col("warc_type") == "response")
+        .where(F.col("warc_url") != "")
+        .drop("warc_type")
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

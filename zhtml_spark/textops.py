@@ -32,11 +32,17 @@ STOPWORDS = {
 }
 
 
-def md5_hash48(col: Column, salt: str = "") -> Column:
-    """48-bit integer hash both Spark and DuckDB compute identically:
-    first 12 hex chars of md5."""
+def md5_hash48(col: Column, salt: str = "", hexchars: int = 12) -> Column:
+    """Cross-engine integer hash (the ONE blessed form per CLAUDE.md):
+    first ``hexchars`` hex chars of md5 as BIGINT — identical in Spark
+    and DuckDB (``('0x'||substr(md5(x),1,n))::BIGINT``).  ≤15 hex
+    chars (60 bits) keeps the value positive in a signed 64-bit int on
+    both engines."""
+    assert hexchars <= 15, "BIGINT sign-safety: at most 15 hex chars"
     payload = F.concat(F.lit(salt), col) if salt else col
-    return F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("long")
+    return F.conv(
+        F.substring(F.md5(payload), 1, hexchars), 16, 10
+    ).cast("long")
 
 
 def _words(col: str = "text") -> Column:
@@ -246,14 +252,9 @@ def simhash_bits(docs: DataFrame, bits: int = 48) -> DataFrame:
     Two aggregations: per (doc, bit) contribution sums, then bit
     packing — both map-side-combinable."""
     assert bits <= 60, "BIGINT sign-safety: at most 60 bits (15 hex chars)"
-    hexchars = (bits + 3) // 4
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w")
-    ).withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("w")), 1, hexchars), 16, 10)
-        .cast("long"),
-    )
+    ).withColumn("h", md5_hash48(F.col("w"), hexchars=(bits + 3) // 4))
     bits_df = words.select(
         "doc_id",
         "h",

@@ -302,6 +302,8 @@ def tokenize(
 
     # --- character-run accumulator (coalesces adjacent char tokens)
     chars: list[str] = []
+    # svg/math nesting depth (tree-aware rawtext-switch suppression)
+    foreign_depth = 0
 
     def flush_chars() -> None:
         if chars:
@@ -358,7 +360,7 @@ def tokenize(
     def emit_tag() -> int:
         """Emit the built tag; return the tokenizer state to resume in
         (Data, or a raw-text state under tree-aware feedback)."""
-        nonlocal last_start, attrs, tag_self_closing
+        nonlocal last_start, attrs, tag_self_closing, foreign_depth
         flush_attr()
         flush_chars()
         next_state = S_DATA
@@ -368,10 +370,21 @@ def tokenize(
             if tag_self_closing:
                 err("end-tag-with-trailing-solidus")
             out.append(("EndTag", tag_name))
+            if foreign_depth and tag_name in ("svg", "math"):
+                foreign_depth -= 1
         else:
             out.append(("StartTag", tag_name, attrs, tag_self_closing))
             last_start = tag_name
-            if tree_aware:
+            if tag_name in ("svg", "math") and not tag_self_closing:
+                foreign_depth += 1
+            # inside foreign content there is NO generic-rawtext
+            # switching: an svg <title>/<style> is a foreign element
+            # with markup children, not RCDATA/RAWTEXT (tree feedback
+            # approximated by the svg/math depth counter; breakout
+            # tags that implicitly close foreign content are the known
+            # approximation gap — rare, and fails toward treating
+            # content as markup, never toward swallowing it)
+            if tree_aware and foreign_depth == 0:
                 next_state = _RAWTEXT_SWITCH.get(tag_name, S_DATA)
         attrs = {}
         tag_self_closing = False
@@ -440,20 +453,22 @@ def tokenize(
                                 else:
                                     fattrs[an] = av
                         flush_chars()
-                        out.append(
-                            ("StartTag", name, fattrs, fm.group(3) == "/")
-                        )
+                        self_closing = fm.group(3) == "/"
+                        out.append(("StartTag", name, fattrs, self_closing))
                         last_start = name
                         i = fm.end()
-                        if tree_aware:
+                        if name in ("svg", "math") and not self_closing:
+                            foreign_depth += 1
+                        if tree_aware and foreign_depth == 0:
                             state = _RAWTEXT_SWITCH.get(name, S_DATA)
                         continue
                     fm = _FAST_END_TAG.match(text, j)
                     if fm is not None:
                         flush_chars()
-                        out.append(
-                            ("EndTag", fm.group(1).translate(_ASCII_LOWER))
-                        )
+                        end_name = fm.group(1).translate(_ASCII_LOWER)
+                        out.append(("EndTag", end_name))
+                        if foreign_depth and end_name in ("svg", "math"):
+                            foreign_depth -= 1
                         i = fm.end()
                         continue
                 state = S_TAG_OPEN

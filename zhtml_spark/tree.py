@@ -756,6 +756,11 @@ def parse_document(
             if nm == "body":
                 return M_IN_BODY
             if nm == "html":
+                if fragment_context is not None:
+                    # spec: with last=true substitute the CONTEXT
+                    # element — never BeforeHead, which would grow a
+                    # phantom head/body skeleton inside the fragment
+                    return _fragment_initial_mode(fragment_context)
                 return M_BEFORE_HEAD if head_id == -1 else M_AFTER_HEAD
         return M_IN_BODY
 
@@ -993,6 +998,7 @@ def parse_document(
                         )
                     ):
                         _foreign_breakout_pop()
+                        skip_foreign = True  # HTML rules next (spec)
                         reprocess = True
                     else:
                         cur_ns = tree.ns[stack_ids[-1]]
@@ -1005,6 +1011,12 @@ def parse_document(
                     name = tok[1]
                     if name in ("br", "p"):
                         _foreign_breakout_pop()
+                        # spec: reprocess per the INSERTION MODE, never
+                        # the foreign rules — without skip_foreign an
+                        # integration-point current node (which the
+                        # breakout pop correctly refuses to pop) would
+                        # re-enter this branch forever
+                        skip_foreign = True
                         reprocess = True
                     else:
                         # spec loop: case-insensitive match down the
@@ -1138,7 +1150,7 @@ def parse_document(
                         insert_void(name, tok[2])
                     elif name in ("title", "style", "script", "noframes"):
                         insert_element(name, tok[2])
-                        original_mode = M_IN_HEAD
+                        original_mode = mode
                         mode = M_TEXT
                     elif name in ("noscript", "template"):
                         insert_element(name, tok[2])
@@ -1195,7 +1207,7 @@ def parse_document(
                                 head_id if head_id != -1 else current(), nid
                             )
                             push_open(nid, name)
-                            original_mode = M_AFTER_HEAD
+                            original_mode = M_AFTER_HEAD  # explicit re-push path
                             mode = M_TEXT
                         else:
                             nid = tree.new_node(N_ELEMENT, name, tok[2])
@@ -1278,7 +1290,7 @@ def parse_document(
                     if name in IN_HEAD_TAGS:
                         if name in ("title", "style", "script", "noframes"):
                             insert_element(name, attrs)
-                            original_mode = M_IN_BODY
+                            original_mode = mode
                             mode = M_TEXT
                         else:
                             insert_void(name, attrs)
@@ -1297,7 +1309,7 @@ def parse_document(
                         elif name in ("plaintext", "xmp"):
                             insert_element(name, attrs)
                             if name == "xmp":
-                                original_mode = M_IN_BODY
+                                original_mode = mode
                                 mode = M_TEXT
                         else:
                             nid = insert_element(name, attrs)
@@ -1355,12 +1367,12 @@ def parse_document(
                     if name == "textarea":
                         insert_element(name, attrs)
                         skip_newline = True
-                        original_mode = M_IN_BODY
+                        original_mode = mode
                         mode = M_TEXT
                         break
                     if name in ("iframe", "noembed"):
                         insert_element(name, attrs)
-                        original_mode = M_IN_BODY
+                        original_mode = mode
                         mode = M_TEXT
                         break
                     if name in ("option", "optgroup"):
