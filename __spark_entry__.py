@@ -603,6 +603,36 @@ def _q_events_windowed(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (brief: the canonical operator stock Spark lacks):
+    every event picks up the latest signup event for its user at or
+    before its own timestamp.  Right side deduped to one row per
+    (user, ts) — the standard as-of precondition."""
+    from zhtml_spark.timeops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id",
+                    value_cols=["signup_event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("signup_event_id_asof").alias("signup_event_id"),
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from zhtml_spark.timeops import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
@@ -650,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_window_rank": _q_order_window_rank,
         "events_by_type": _q_events_by_type,
         "events_windowed": _q_events_windowed,
+        "asof_join": _q_asof_join,
+        "events_sessionized": _q_sessionize,
     }
 
 
@@ -1381,5 +1413,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT r.signup_event_id FROM (
+                        SELECT user_id, ts,
+                               max(event_id) AS signup_event_id
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY user_id, ts
+                    ) r
+                    WHERE r.user_id = e.user_id AND r.ts <= e.ts
+                    ORDER BY r.ts DESC LIMIT 1) AS signup_event_id
+            FROM events e
+        """,
+        "events_sessionized": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER (
+                                       PARTITION BY user_id ORDER BY ts
+                                   ) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM numbered GROUP BY user_id, session_id
         """,
     }

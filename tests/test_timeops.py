@@ -1,0 +1,69 @@
+"""Temporal operators: as-of join and sessionization goldens."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from zhtml_spark.timeops import asof_join, sessionize
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(2)), (4, 20, _ts(9))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), 100.0), (10, _ts(5), 200.0), (10, _ts(15), 300.0)],
+        "user_id bigint, ts timestamp, score double",
+    )
+    out = {
+        r["event_id"]: r["score_asof"]
+        for r in asof_join(left, right, value_cols=["score"]).collect()
+    }
+    assert out[1] == 200.0  # equal ts: <= includes the right row
+    assert out[2] == 300.0  # latest before minute 20 is minute 15
+    assert out[3] is None   # earliest right row (minute 3) is later
+    assert out[4] is None   # other key entirely
+
+
+def test_asof_join_is_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), 1.0)], "user_id bigint, ts timestamp, score double"
+    )
+    plan = (
+        asof_join(left, right, value_cols=["score"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (10, _ts(0), 1.0), (10, _ts(10), 1.0),   # session 1
+        (10, _ts(50), 2.0),                       # session 2 (40m gap)
+        (20, _ts(0), 5.0),                        # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    out = sessionize(ev, gap_minutes=30).orderBy("user_id", "session_start")
+    got = [(r["user_id"], r["n_events"], r["total_value"])
+           for r in out.collect()]
+    assert got == [(10, 2, 2.0), (10, 1, 2.0), (20, 1, 5.0)]
+
+
+def test_sessionize_exact_gap_starts_new_session(spark):
+    rows = [(10, _ts(0), 1.0), (10, _ts(30), 1.0)]  # gap == threshold
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    assert sessionize(ev, gap_minutes=30).count() == 2

@@ -1,0 +1,111 @@
+"""Temporal operators: as-of join and sessionization.
+
+The brief names the as-of join as the canonical operator the reference
+(and stock Spark) lacks; both ops here are pure DataFrame
+compositions — no Python, one shuffle each — and both have exact
+DuckDB oracles (scalar-subquery / gaps-and-islands formulations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the MOST RECENT right row with
+    ``right.on <= left.on`` within the same ``by`` key (the financial
+    "as-of" / point-in-time join).
+
+    Distributed shape — union + per-key ordered window, the
+    merge-join formulation: tag both sides, sort each key's rows by
+    (ts, side) with right rows first at equal timestamps (<= boundary
+    semantics), then ``last(value, ignorenulls)`` over an unbounded
+    preceding frame carries each right value forward to the left rows
+    it covers.  ONE shuffle on ``by`` + a per-partition sort — no
+    range cross join, no per-row lookups; skew on ``by`` is the only
+    hazard (salt hot keys upstream if a single entity dominates).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, by)
+    ]
+    lhs = left
+    for c in value_cols:
+        lhs = lhs.withColumn(f"{c}{suffix}", F.lit(None).cast(
+            dict(right.dtypes)[c]
+        ))
+    lhs = lhs.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    for c in lhs.columns:
+        if c not in rhs.columns and c != "_side":
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    rhs = rhs.withColumn("_side", F.lit(0)).select(*lhs.columns)
+
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"{c}{suffix}",
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
+        )
+    return unioned.where(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: per ``by`` key, events closer than
+    ``gap_minutes`` chain into one session.  Returns one row per
+    session: (by, session_start, n_events, total_value).
+
+    Gaps-and-islands composition (same semantics as Spark's
+    ``session_window`` with a fixed gap, but expressed with
+    lag + cumulative sum so the DuckDB oracle is exact): new-session
+    flag when the gap to the previous event is ≥ the threshold,
+    running sum of flags numbers the sessions, then one aggregation.
+    One shuffle on ``by``.
+    """
+    w = Window.partitionBy(by).orderBy(F.col(ts_col).asc())
+    # integer microseconds: exact gap comparison on both engines
+    # (TIMESTAMP_NTZ reinterpreted as UTC; differences are tz-free)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.withColumn(
+        "_new",
+        F.when(micros - F.lag(micros).over(w) >= gap_us, 1).otherwise(0),
+    ).withColumn(
+        "_session",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(by, "_session")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(by, "session_start", "n_events", "total_value")
+    )
