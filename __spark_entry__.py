@@ -633,6 +633,40 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV sketch vs the exact distinct count — both in
+    one row so the gate documents sketch accuracy."""
+    from zhtml_spark.textops import kmv_distinct_estimate
+
+    d = _docs(spark, sf_dir)
+    est = kmv_distinct_estimate(d, col="text", k=64)
+    exact = d.agg(F.countDistinct("text").alias("n_exact"))
+    return est.crossJoin(exact).select("n_exact", "n_estimate")
+
+
+def _q_interval_join(spark, sf_dir):
+    """Bucketed range join: events matched to deterministic
+    maintenance windows (one 45-minute window per day, from the
+    events' own time range)."""
+    from zhtml_spark.timeops import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    windows = days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_id"),
+        (F.col("day") + F.expr("INTERVAL 10 HOURS")).alias("start_ts"),
+        (F.col("day") + F.expr("INTERVAL 10 HOURS 45 MINUTES")).alias(
+            "end_ts"
+        ),
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts"), windows, bucket_minutes=60
+    )
+    return joined.select("event_id", "window_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
@@ -682,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
+        "kmv_distinct": _q_kmv_distinct,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -1425,6 +1461,38 @@ def oracle_sql() -> dict[str, str]:
                     WHERE r.user_id = e.user_id AND r.ts <= e.ts
                     ORDER BY r.ts DESC LIMIT 1) AS signup_event_id
             FROM events e
+        """,
+        "kmv_distinct": """
+            WITH hashed AS (
+                SELECT DISTINCT
+                    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+                FROM documents
+            ),
+            kth AS (
+                SELECT max(h) AS h_k, count(*) AS n_kept
+                FROM (SELECT h FROM hashed ORDER BY h ASC LIMIT 64)
+            )
+            SELECT (SELECT count(DISTINCT text) FROM documents) AS n_exact,
+                   CAST(floor(CASE WHEN n_kept < 64
+                                   THEN CAST(n_kept AS DOUBLE)
+                                   ELSE CAST(63 AS DOUBLE)
+                                        * CAST(281474976710656 AS DOUBLE)
+                                        / CAST(h_k AS DOUBLE)
+                              END) AS BIGINT) AS n_estimate
+            FROM kth
+        """,
+        "interval_join": """
+            WITH windows AS (
+                SELECT DISTINCT
+                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_id,
+                    date_trunc('day', ts) + INTERVAL 10 HOUR AS start_ts,
+                    date_trunc('day', ts) + INTERVAL 10 HOUR
+                        + INTERVAL 45 MINUTE AS end_ts
+                FROM events
+            )
+            SELECT e.event_id, w.window_id
+            FROM events e JOIN windows w
+              ON e.ts >= w.start_ts AND e.ts < w.end_ts
         """,
         "events_sessionized": """
             WITH flagged AS (

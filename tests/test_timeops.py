@@ -67,3 +67,52 @@ def test_sessionize_exact_gap_starts_new_session(spark):
         rows, "user_id bigint, ts timestamp, value double"
     )
     assert sessionize(ev, gap_minutes=30).count() == 2
+
+
+def test_interval_join_bucketed_equals_nested_loop(spark):
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.timeops import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, _ts(i)) for i in range(0, 60, 7)],
+        "event_id bigint, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("w1", _ts(5), _ts(20)), ("w2", _ts(20), _ts(21)),
+         ("wempty", _ts(30), _ts(30))],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["event_id"], r["window_id"])
+        for r in interval_join(pts, ivs, bucket_minutes=10).collect()
+    }
+    ref = {
+        (r["event_id"], r["window_id"])
+        for r in pts.crossJoin(ivs)
+        .where((F.col("ts") >= F.col("start_ts"))
+               & (F.col("ts") < F.col("end_ts")))
+        .collect()
+    }
+    # points step by 7 (0,7,14,21,...): only 7 and 14 fall in [5,20);
+    # 21 misses [20,21) — end exclusive
+    assert got == ref and got == {(7, "w1"), (14, "w1")}
+
+
+def test_kmv_estimate_tracks_exact(spark):
+    from zhtml_spark.textops import kmv_distinct_estimate
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("uniq-"), (F.col("id") % 1000).cast("string")).alias(
+            "text"
+        ),
+    )
+    est = kmv_distinct_estimate(docs, k=64).collect()[0]["n_estimate"]
+    assert abs(est - 1000) / 1000 < 0.4  # ~1/sqrt(64) regime
+
+    # under-k corpus: estimate is exact
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    assert kmv_distinct_estimate(small, k=64).collect()[0]["n_estimate"] == 10

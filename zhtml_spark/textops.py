@@ -647,6 +647,44 @@ def embedding_dup_candidates(
     )
 
 
+def kmv_distinct_estimate(
+    docs: DataFrame,
+    col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch — DETERMINISTIC, so it
+    oracle-checks exactly (unlike HLL/approx_count_distinct whose
+    binary sketches differ across engines).
+
+    Theory (Bar-Yossef et al. 2002): hash values to uniform 48-bit
+    ints; if h_k is the k-th smallest distinct hash, (k−1)·2^48/h_k
+    estimates the distinct count.  Distributed shape: map-side hash →
+    one top-k aggregation (sort-limit on the hash, combinable);
+    mergeable across partitions/days by keeping each shard's k minima
+    — the standard sketch-union property, here with zero randomness.
+
+    Returns one row: (n_estimate,) — pure plan, no driver action.
+    """
+    hashed = docs.select(md5_hash48(F.col(col)).alias("h")).distinct()
+    kth = (
+        hashed.orderBy(F.col("h").asc())
+        .limit(k)
+        .agg(F.max("h").alias("h_k"), F.count("*").alias("n_kept"))
+    )
+    # floor→BIGINT, not round: Spark rounds half-up and DuckDB
+    # half-even (CLAUDE.md gotcha) — floor is identical on both
+    return kth.select(
+        F.floor(
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                (F.lit(float(k - 1)) * F.lit(float(1 << 48))) / F.col("h_k")
+            )
+        )
+        .cast("long")
+        .alias("n_estimate")
+    )
+
+
 # ---------------------------------------------------------- URL ops
 def url_normalize(col: Column) -> Column:
     """Canonical URL form for URL-level dedup (training pipelines

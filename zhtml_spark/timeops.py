@@ -67,6 +67,58 @@ def asof_join(
     return unioned.where(F.col("_side") == 1).drop("_side")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Point-in-interval (range) join — the second operator family the
+    brief names that Spark only does as an O(n·m) nested-loop
+    BroadcastNestedLoopJoin.
+
+    Bucketed-equality strategy: intervals explode to the time buckets
+    they overlap (``sequence`` — JVM-side), points map to their single
+    bucket, the join is a plain EQUALITY join on the bucket id, and
+    the exact containment predicate filters the candidates.  Work is
+    |points| + Σ interval-spans/bucket instead of |points|·|intervals|;
+    ``bucket_minutes`` trades replication (long intervals explode to
+    more buckets) against candidate density — size it near the median
+    interval length.  Inclusive start, exclusive end.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    pts = points.withColumn("_bucket", F.floor(p_us / bucket_us))
+    # drop empty/inverted intervals: a descending bound pair would make
+    # sequence() count DOWN and fabricate buckets
+    intervals = intervals.where(e_us > s_us)
+    ivs = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_us / bucket_us),
+                # end is exclusive: a bucket starting exactly at end
+                # never matches
+                F.floor((e_us - 1) / bucket_us),
+            )
+        ),
+    )
+    joined = pts.join(ivs, "_bucket").where(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) >= F.unix_micros(
+            F.col(start_col).cast("timestamp")
+        ))
+        & (F.unix_micros(F.col(ts_col).cast("timestamp")) < F.unix_micros(
+            F.col(end_col).cast("timestamp")
+        ))
+    )
+    return joined.drop("_bucket")
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
