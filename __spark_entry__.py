@@ -326,6 +326,23 @@ def _q_minhash_banded(spark, sf_dir):
     )
 
 
+def _q_dedup_survivors_banded(spark, sf_dir):
+    """The composed dedup job on its scale path: b×r banded LSH
+    candidate generation instead of r=1 agreement counting."""
+    from zhtml_spark.textops import dedup_survivors
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact_copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near_copies = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    allx = d.unionByName(exact_copies).unionByName(near_copies)
+    return dedup_survivors(allx, n=3, bands=4, rows=2)
+
+
 def _q_simhash(spark, sf_dir):
     from zhtml_spark.textops import simhash48
 
@@ -692,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_candidates": _q_minhash_candidates,
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_survivors_banded": _q_dedup_survivors_banded,
         "simhash48": _q_simhash,
         "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
@@ -1054,6 +1072,49 @@ def oracle_sql() -> dict[str, str]:
                                       AND a.minhash = b.minhash
                 WHERE a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 4
+            )
+            SELECT doc_id, text FROM exact
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+        """,
+        "dedup_survivors_banded": """
+            WITH allx AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 20000 AS doc_id, text || ' zq' AS text
+                FROM documents
+            ),
+            exact AS (
+                SELECT min(doc_id) AS doc_id, text FROM allx GROUP BY text
+            ),
+            words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM exact
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            sig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ),
+            band_sig AS (
+                SELECT doc_id, seed // 2 AS band,
+                       md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                      ORDER BY seed)) AS bsig
+                FROM sig GROUP BY doc_id, seed // 2
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band_sig a
+                JOIN band_sig b ON a.band = b.band AND a.bsig = b.bsig
+                WHERE a.doc_id < b.doc_id
             )
             SELECT doc_id, text FROM exact
             WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)

@@ -133,3 +133,64 @@ def test_tree_total_on_formatting_soup(s: str) -> None:
             seen += 1
             assert seen < len(tree) + 1  # no cycles
         assert tree.last_child[nid] == prev
+
+
+# -------------------------- table + foreign-content soup (round 2)
+# The round-2 review found an infinite loop only reachable via
+# foreign-content end tags at integration points — this grammar is
+# biased to generate exactly that token neighborhood (svg/math/table
+# structure tags, integration points, breakout tags, stray end tags).
+_TF_TAGS = [
+    "svg", "math", "desc", "title", "foreignObject", "annotation-xml",
+    "mi", "mtext", "circle", "table", "tr", "td", "th", "tbody",
+    "caption", "colgroup", "col", "p", "b", "div", "br", "textarea",
+    "iframe", "select", "template", "li", "ul", "form", "input",
+]
+_tf_token = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _TF_TAGS]),
+    st.sampled_from([f"</{t}>" for t in _TF_TAGS]),
+    st.sampled_from([f"<{t}/>" for t in _TF_TAGS]),
+    st.sampled_from(
+        ['<annotation-xml encoding="text/html">', "<font color=x>",
+         "<svg viewBox='0 0 1 1'>", "<input type=hidden>"]
+    ),
+    st.text(alphabet="ax y\n\t&;#<>='\"", max_size=8),
+)
+_table_foreign_soup = st.lists(_tf_token, max_size=60).map("".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_table_foreign_soup)
+def test_tree_total_on_table_foreign_soup(s: str) -> None:
+    """Table modes + foreign dispatcher must terminate and keep the
+    flat arrays consistent on arbitrary structure soup (the round-2
+    review's infinite-loop class lives exactly here)."""
+    from zhtml_spark.extract import extract_spans
+    from zhtml_spark.tree import parse_document
+
+    tree, errors = parse_document(s)
+    for nid in range(len(tree)):
+        c = tree.first_child[nid]
+        prev = -1
+        seen = 0
+        while c != -1:
+            assert tree.parent[c] == nid
+            prev = c
+            c = tree.next_sibling[c]
+            seen += 1
+            assert seen < len(tree) + 1  # no cycles
+        assert tree.last_child[nid] == prev
+    # extraction total over the same tree
+    spans = extract_spans(tree)
+    for kind, text, ref in spans:
+        assert kind in {"text", "heading", "list", "code", "table", "media"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_table_foreign_soup)
+def test_fragment_total_on_structure_soup(s: str) -> None:
+    from zhtml_spark.tree import parse_fragment
+
+    for ctx in ("div", "tr", "table", "td"):
+        tree, root, errors = parse_fragment(s, ctx)
+        assert 0 <= root < len(tree)

@@ -403,7 +403,12 @@ def simhash_candidate_stats(
 
 
 def dedup_survivors(
-    docs: DataFrame, n: int = 3, seeds: int = 8, min_agree: int = 4
+    docs: DataFrame,
+    n: int = 3,
+    seeds: int = 8,
+    min_agree: int = 4,
+    bands: int | None = None,
+    rows: int = 2,
 ) -> DataFrame:
     """Composed dedup job: exact dedup, then near-dup removal.
 
@@ -414,6 +419,11 @@ def dedup_survivors(
     join loop; smallest-neighbor dominance is the standard one-pass
     approximation and is what this returns deterministically.
     Distributed shape: one hash-agg + one banding join + one anti-join.
+
+    Candidate generation: r=1 agreement counting by default
+    (``min_agree`` of ``seeds``); pass ``bands`` to switch to b×r
+    banded LSH (``minhash_banded_candidates``) — the scale path, where
+    a popular single gram can no longer merge buckets.
     """
     # dedup_exact emits string ids for its own contract; recover the
     # input id type for the ordering-based dominance join
@@ -421,8 +431,12 @@ def dedup_survivors(
     exact = dedup_exact(docs).select(
         F.col("doc_id").cast(id_type).alias("doc_id"), "text"
     )
-    pairs = minhash_dup_candidates(exact, n=n, seeds=seeds,
-                                   min_agree=min_agree)
+    if bands is not None:
+        pairs = minhash_banded_candidates(exact, n=n, bands=bands,
+                                          rows=rows)
+    else:
+        pairs = minhash_dup_candidates(exact, n=n, seeds=seeds,
+                                       min_agree=min_agree)
     dominated = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact.join(dominated, "doc_id", "left_anti").select(
         "doc_id", "text"

@@ -584,11 +584,19 @@ def parse_document(
         if ns is not None:
             has_foreign = True
         nid = tree.new_node(N_ELEMENT, name, attrs or {}, ns)
-        parent, before = _insert_location()
-        if before == -1:
-            tree.append_child(parent, nid)
+        # hot path: plain append under the current node (foster
+        # parenting is rare — one flag test keeps the common case free
+        # of the location-tuple call)
+        if not foster_parenting:
+            tree.append_child(
+                stack_ids[-1] if stack_ids else 0, nid
+            )
         else:
-            tree.insert_node_before(parent, before, nid)
+            parent, before = _insert_location()
+            if before == -1:
+                tree.append_child(parent, nid)
+            else:
+                tree.insert_node_before(parent, before, nid)
         push_open(nid, name)
         return nid
 
@@ -596,6 +604,9 @@ def parse_document(
         name: str, attrs: dict | None, ns: str | None = None
     ) -> int:
         nid = tree.new_node(N_ELEMENT, name, attrs or {}, ns)
+        if not foster_parenting:
+            tree.append_child(stack_ids[-1] if stack_ids else 0, nid)
+            return nid
         parent, before = _insert_location()
         if before == -1:
             tree.append_child(parent, nid)
@@ -604,6 +615,9 @@ def parse_document(
         return nid
 
     def insert_text(data: str) -> None:
+        if not foster_parenting:
+            tree.append_text(stack_ids[-1] if stack_ids else 0, data)
+            return
         parent, before = _insert_location()
         if before == -1:
             tree.append_text(parent, data)
