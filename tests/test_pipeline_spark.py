@@ -433,3 +433,23 @@ def test_arrow_engine_handles_sliced_batches(spark):
         for r in out.to_pylist()
     }
     assert texts == {"d1": ["one"], "d2": ["two"]}
+
+
+def test_list_snapshots_orders_committed_attempts(spark, tmp_path):
+    from zhtml_spark.pipeline import list_snapshots
+
+    docs = corpus_dataframe(spark, 12, seed=11)
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    assert list_snapshots(out) == []
+    s1 = run_job(spark, inp, out, checkpoint_path=ckpt, num_partitions=2,
+                 snapshot_id=7)
+    s2 = run_job(spark, inp, out, checkpoint_path=ckpt, num_partitions=2,
+                 snapshot_id=8)
+    snaps = list_snapshots(out)
+    assert [s["attempt"] for s in snaps] == [s1["attempt"], s2["attempt"]]
+    assert snaps[0]["snapshot_id"] == 7 and snaps[1]["snapshot_id"] == 8
+    assert any("spans" in p for p in snaps[0]["staged"])

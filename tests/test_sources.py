@@ -104,3 +104,27 @@ def test_warc_body_containing_blank_lines(spark):
     recs = parse_warc_records(archive).collect()
     assert len(recs) == 1
     assert recs[0]["html"] == html
+
+
+def test_stream_warc_extract_incremental(spark, tmp_path):
+    """Streaming WARC ingestion: each archive processed exactly once
+    across availableNow drains."""
+    from zhtml_spark.sources import stream_warc_extract
+
+    inp = tmp_path / "warcs"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    c1 = _synth_archive(spark, 5).collect()[0]["content"]
+    (inp / "a.warc").write_bytes(c1.encode())
+    stream_warc_extract(spark, str(inp), out, ckpt, num_partitions=2)
+    assert spark.read.parquet(f"{out}/spans").count() == 5
+
+    c2 = _synth_archive(spark, 3).collect()[0]["content"]
+    (inp / "b.warc").write_bytes(c2.encode())
+    stream_warc_extract(spark, str(inp), out, ckpt, num_partitions=2)
+    spans = spark.read.parquet(f"{out}/spans")
+    # 5 from a.warc + 3 from b.warc (b's urls overlap a's → same ids,
+    # but file-offset semantics process each FILE once: 8 rows)
+    assert spans.count() == 8

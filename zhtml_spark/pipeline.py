@@ -397,6 +397,31 @@ def read_spans(spark: SparkSession, output_path: str) -> DataFrame | None:
     return spark.read.parquet(*dirs)
 
 
+def list_snapshots(output_path: str) -> list[dict]:
+    """Operational view of the sink: one entry per COMMITTED attempt
+    (attempt id, snapshot_id, staged table dirs) in commit order —
+    the sandbox analog of Iceberg's snapshot log, for resume audits
+    and retention tooling."""
+    d = f"{output_path}/_commits"
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(
+        (n for n in os.listdir(d) if not n.startswith(".")),
+        key=lambda n: os.path.getmtime(os.path.join(d, n)),
+    ):
+        entry: dict = {"attempt": name, "snapshot_id": None, "staged": []}
+        with open(os.path.join(d, name)) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("snapshot_id="):
+                    entry["snapshot_id"] = int(line.split("=", 1)[1])
+                elif line.startswith("staged="):
+                    entry["staged"].append(line.split("=", 1)[1])
+        out.append(entry)
+    return out
+
+
 def read_checkpoint(
     spark: SparkSession, checkpoint_path: str, output_path: str
 ) -> DataFrame | None:

@@ -104,6 +104,55 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return parse_warc_records(archives)
 
 
+def stream_warc_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    num_partitions: int | None = None,
+):
+    """Incremental WARC ingestion: new .warc files dropped into
+    ``input_path`` are split, adapted, and extracted per micro-batch —
+    the crawl-to-spans path as a stream (availableNow drain; Spark's
+    file-source checkpoint guarantees each archive is processed once).
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ streaming)
+
+    from .pipeline import extract_documents
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        archives = batch_df.select(
+            F.decode(F.col("content"), "UTF-8").alias("content")
+        )
+        docs = warc_to_documents(parse_warc_records(archives))
+        out = extract_documents(
+            docs, num_partitions=num_partitions, salt=False
+        )
+        out.select("doc_id", "spans").write.mode("append").parquet(
+            f"{output_path}/spans"
+        )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc")
+        .load(input_path)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def warc_to_documents(records: DataFrame) -> DataFrame:
     """Adapt WARC records to the engine's interleaved-document input
     shape (doc_id = target URI, one html span) — feed straight into
