@@ -598,6 +598,7 @@ def main() -> None:
     tests += attribute_cases()
     tests += cr_cases()
     tests += rcdata_rawtext_cases()
+    tests += script_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -622,5 +623,282 @@ def main() -> None:
     print(f"wrote {len(tests)} cases to {OUT}")
 
 
+
+
+# ------------------------------------------------------------------
+# Independent mini-reference for the SCRIPT DATA state family
+# (§13.2.5.15-31): a second implementation written table-style from
+# the spec, sharing no code with zhtml_spark.tokenizer (which is
+# branch-structured with regex fast paths).  Used to generate
+# differential cases: two independently-written implementations
+# agreeing on random inputs is the strongest check available with the
+# html5lib files unobtainable.  Covers character/EOF behavior and the
+# <!-- <script> --> escape/double-escape dance; end-tag emission exits
+# to Data when the tag matches ``last_start_tag`` ("script" here).
+
+
+def _mini_script_data(text: str, last_start: str = "script"):
+    """Returns (tokens, errors, consumed) in html5lib shape for Script
+    data.  A MATCHING </script> exits the family to Data; the mini ref
+    stops there and reports how much input it consumed — the generator
+    truncates the case to that prefix so expectations never require a
+    Data-state model."""
+    SD, LT, ETO, ETN, ESTART, ESTARTD, ESC, ESCD, ESCDD, ESCLT, DESTART, \
+        DESC, DESCD, DESCDD, DESCLT, DEEND = range(16)
+    out = []
+    errs = []
+    chars = []
+    state = SD
+    tmp = ""   # temporary buffer
+    tag = ""
+    et_return = SD  # state to resume on a NON-matching end tag
+    i = 0
+    n = len(text)
+
+    def emit(s):
+        chars.append(s)
+
+    while i <= n:
+        c = text[i] if i < n else None  # None = EOF
+        i += 1
+        if state == SD:
+            if c is None:
+                break
+            if c == "<":
+                state = LT
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+            else:
+                emit(c)
+        elif state == LT:
+            if c == "/":
+                tag = ""
+                et_return = SD
+                state = ETO
+            elif c == "!":
+                emit("<!")
+                state = ESTART
+            else:
+                emit("<")
+                state = SD
+                i -= 1
+        elif state == ETO:
+            if c is not None and c.isalpha():
+                tag = ""
+                state = ETN
+                i -= 1
+            else:
+                emit("</")
+                state = et_return
+                i -= 1
+        elif state == ETN:
+            if c is not None and c.isalpha():
+                tag += c.lower()
+            elif c == ">" and tag == last_start:
+                if chars:
+                    out.append(["Character", "".join(chars)])
+                    chars.clear()
+                out.append(["EndTag", tag])
+                return out, errs, i  # exits to Data: stop here
+            elif c in ("\t", "\n", "\f", " ", "/") and tag == last_start:
+                raise AssertionError("attr/self-closing end tag not modeled")
+            else:
+                emit("</" + tag)
+                state = et_return
+                i -= 1
+        elif state == ESTART:
+            if c == "-":
+                emit("-")
+                state = ESTARTD
+            else:
+                state = SD
+                i -= 1
+        elif state == ESTARTD:
+            if c == "-":
+                emit("-")
+                state = ESCDD
+            else:
+                state = SD
+                i -= 1
+        elif state == ESC:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+                state = ESCD
+            elif c == "<":
+                state = ESCLT
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+            else:
+                emit(c)
+        elif state == ESCD:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+                state = ESCDD
+            elif c == "<":
+                state = ESCLT
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+                state = ESC
+            else:
+                emit(c)
+                state = ESC
+        elif state == ESCDD:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+            elif c == "<":
+                state = ESCLT
+            elif c == ">":
+                emit(">")
+                state = SD
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+                state = ESC
+            else:
+                emit(c)
+                state = ESC
+        elif state == ESCLT:
+            if c == "/":
+                tag = ""
+                et_return = ESC
+                state = ETO
+            elif c is not None and c.isalpha():
+                tmp = ""
+                emit("<")
+                state = DESTART
+                i -= 1
+            else:
+                emit("<")
+                state = ESC
+                i -= 1
+        elif state == DESTART:
+            if c is not None and (c.isalpha()):
+                tmp += c.lower()
+                emit(c)
+            elif c in ("\t", "\n", "\f", " ", "/", ">"):
+                if tmp == "script":
+                    state = DESC
+                else:
+                    state = ESC
+                emit(c)
+            else:
+                state = ESC
+                i -= 1
+        elif state == DESC:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+                state = DESCD
+            elif c == "<":
+                emit("<")
+                state = DESCLT
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+            else:
+                emit(c)
+        elif state == DESCD:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+                state = DESCDD
+            elif c == "<":
+                emit("<")
+                state = DESCLT
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+                state = DESC
+            else:
+                emit(c)
+                state = DESC
+        elif state == DESCDD:
+            if c is None:
+                errs.append("eof-in-script-html-comment-like-text")
+                break
+            if c == "-":
+                emit("-")
+            elif c == "<":
+                emit("<")
+                state = DESCLT
+            elif c == ">":
+                emit(">")
+                state = SD
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                emit("\ufffd")
+                state = DESC
+            else:
+                emit(c)
+                state = DESC
+        elif state == DESCLT:
+            if c == "/":
+                tmp = ""
+                emit("/")
+                state = DEEND
+            else:
+                state = DESC
+                i -= 1
+        elif state == DEEND:
+            if c is not None and c.isalpha():
+                tmp += c.lower()
+                emit(c)
+            elif c in ("\t", "\n", "\f", " ", "/", ">"):
+                if tmp == "script":
+                    state = ESC
+                else:
+                    state = DESC
+                emit(c)
+            else:
+                state = DESC
+                i -= 1
+    if chars:
+        out.append(["Character", "".join(chars)])
+    return out, errs, n
+
+
+def script_differential_cases(n_cases: int = 300) -> list[dict]:
+    """Random walks over the script-data alphabet, expected output from
+    the independent mini-reference above."""
+    import random
+
+    rng = random.Random(20260816)
+    atoms = [
+        "<!--", "-->", "--!>", "<script>", "</script>", "<script a>",
+        "-", "--", "<", "</", "x", "y ", "<s", "scr", ">", "!",
+        "</scrip>", "<scripx>", "code();", "\n",
+    ]
+    cases = []
+    for ci in range(n_cases):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 12)))
+        try:
+            want, errs, consumed = _mini_script_data(s)
+        except AssertionError:
+            continue  # form the mini ref doesn't model
+        cases.append({
+            "description": f"script differential {ci}",
+            "input": s[:consumed],
+            "initialStates": ["Script data"],
+            "lastStartTag": "script",
+            "output": want,
+            "errors": [{"code": e} for e in errs],
+        })
+    return cases
 if __name__ == "__main__":
     main()
