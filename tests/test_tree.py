@@ -701,3 +701,14 @@ def test_fragment_has_no_phantom_skeleton():
     ]
     assert names == ["table", "#text"]
     assert "head" not in names and "body" not in names
+
+
+def test_svg_attribute_case_adjusted():
+    tree, _ = parse_document(
+        '<!DOCTYPE html><svg viewbox="0 0 4 4" preserveaspectratio="x">'
+        '<lineargradient gradientunits="u"/></svg>'
+    )
+    svg = _find(tree, "svg")
+    assert set(tree.attrs[svg]) == {"viewBox", "preserveAspectRatio"}
+    lg = _find(tree, "linearGradient")
+    assert set(tree.attrs[lg]) == {"gradientUnits"}

@@ -156,6 +156,50 @@ _SVG_TAG_FIXES = {
 # MathML text integration points (children parse as HTML text)
 _MATHML_TEXT_IP = frozenset(["mi", "mo", "mn", "ms", "mtext"])
 
+# SVG attribute case corrections (spec "adjust SVG attributes" table)
+_SVG_ATTR_FIXES = {
+    "attributename": "attributeName", "attributetype": "attributeType",
+    "basefrequency": "baseFrequency", "baseprofile": "baseProfile",
+    "calcmode": "calcMode", "clippathunits": "clipPathUnits",
+    "diffuseconstant": "diffuseConstant", "edgemode": "edgeMode",
+    "filterunits": "filterUnits", "glyphref": "glyphRef",
+    "gradienttransform": "gradientTransform", "gradientunits":
+    "gradientUnits", "kernelmatrix": "kernelMatrix", "kernelunitlength":
+    "kernelUnitLength", "keypoints": "keyPoints", "keysplines":
+    "keySplines", "keytimes": "keyTimes", "lengthadjust": "lengthAdjust",
+    "limitingconeangle": "limitingConeAngle", "markerheight":
+    "markerHeight", "markerunits": "markerUnits", "markerwidth":
+    "markerWidth", "maskcontentunits": "maskContentUnits", "maskunits":
+    "maskUnits", "numoctaves": "numOctaves", "pathlength": "pathLength",
+    "patterncontentunits": "patternContentUnits", "patterntransform":
+    "patternTransform", "patternunits": "patternUnits", "pointsatx":
+    "pointsAtX", "pointsaty": "pointsAtY", "pointsatz": "pointsAtZ",
+    "preservealpha": "preserveAlpha", "preserveaspectratio":
+    "preserveAspectRatio", "primitiveunits": "primitiveUnits", "refx":
+    "refX", "refy": "refY", "repeatcount": "repeatCount", "repeatdur":
+    "repeatDur", "requiredextensions": "requiredExtensions",
+    "requiredfeatures": "requiredFeatures", "specularconstant":
+    "specularConstant", "specularexponent": "specularExponent",
+    "spreadmethod": "spreadMethod", "startoffset": "startOffset",
+    "stddeviation": "stdDeviation", "stitchtiles": "stitchTiles",
+    "surfacescale": "surfaceScale", "systemlanguage": "systemLanguage",
+    "tablevalues": "tableValues", "targetx": "targetX", "targety":
+    "targetY", "textlength": "textLength", "viewbox": "viewBox",
+    "viewtarget": "viewTarget", "xchannelselector": "xChannelSelector",
+    "ychannelselector": "yChannelSelector", "zoomandpan": "zoomAndPan",
+}
+
+
+def _adjust_foreign_attrs(attrs: dict | None, ns: str) -> dict | None:
+    """Spec "adjust SVG attributes" (case restoration; the
+    adjust-foreign-attributes xlink/xml/xmlns namespace split is out
+    of scope — attrs are stored flat by prefixed name)."""
+    if not attrs or ns != "svg":
+        return attrs
+    if not any(k in _SVG_ATTR_FIXES for k in attrs):
+        return attrs
+    return {_SVG_ATTR_FIXES.get(k, k): v for k, v in attrs.items()}
+
 IN_HEAD_TAGS = frozenset(
     "base basefont bgsound link meta noframes script style template "
     "title".split()
@@ -1018,7 +1062,11 @@ def parse_document(
                         cur_ns = tree.ns[stack_ids[-1]]
                         if cur_ns == "svg":
                             name = _SVG_TAG_FIXES.get(name, name)
-                        insert_element(name, tok[2], ns=cur_ns)
+                        insert_element(
+                            name,
+                            _adjust_foreign_attrs(tok[2], cur_ns),
+                            ns=cur_ns,
+                        )
                         if len(tok) > 3 and tok[3]:
                             pop()  # self-closing honored in foreign
                 elif kind == "EndTag":
@@ -1343,7 +1391,9 @@ def parse_document(
                         # dispatcher routes descendants)
                         if afe:
                             reconstruct_afe()
-                        insert_element(name, attrs, ns=name)
+                        insert_element(
+                            name, _adjust_foreign_attrs(attrs, name), ns=name
+                        )
                         if len(tok) > 3 and tok[3]:
                             pop()  # self-closing foreign root
                         break
