@@ -599,6 +599,7 @@ def main() -> None:
     tests += cr_cases()
     tests += rcdata_rawtext_cases()
     tests += script_differential_cases()
+    tests += comment_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -897,6 +898,169 @@ def script_differential_cases(n_cases: int = 300) -> list[dict]:
             "initialStates": ["Script data"],
             "lastStartTag": "script",
             "output": want,
+            "errors": [{"code": e} for e in errs],
+        })
+    return cases
+
+
+# ------------------------------------------------------------------
+# Independent mini-reference for the COMMENT state family
+# (§13.2.5.41-52): faithful per-state transcription, structured as an
+# explicit state loop (the engine organizes these as branch chains
+# with run-skipping) — second differential family.
+
+
+def _mini_comment(body: str):
+    """Model from MarkupDeclarationOpen: ``body`` is the input after
+    ``<!``.  Returns (comment_text, errors, consumed_after_bang) and
+    stops after the first comment token (harness truncates there)."""
+    MDO, CS, CSD, C, CLT, CLTB, CLTBD, CLTBDD, CED, CE, CEB = range(11)
+    errs = []
+    data = []
+    i = 0
+    n = len(body)
+    state = MDO
+    if body.startswith("--"):
+        i = 2
+        state = CS
+    else:
+        errs.append("incorrectly-opened-comment")
+        # bogus comment: everything to '>' (nulls → U+FFFD)
+        while i < n and body[i] != ">":
+            if body[i] == "\x00":
+                errs.append("unexpected-null-character")
+                data.append("�")
+            else:
+                data.append(body[i])
+            i += 1
+        if i < n:
+            i += 1  # consume '>'
+        return "".join(data), errs, i
+    while True:
+        c = body[i] if i < n else None
+        i += 1
+        if state == CS:
+            if c == "-":
+                state = CSD
+            elif c == ">":
+                errs.append("abrupt-closing-of-empty-comment")
+                return "".join(data), errs, i
+            else:
+                state = C
+                i -= 1
+        elif state == CSD:
+            if c == "-":
+                state = CE
+            elif c == ">":
+                errs.append("abrupt-closing-of-empty-comment")
+                return "".join(data), errs, i
+            elif c is None:
+                errs.append("eof-in-comment")
+                return "".join(data), errs, i - 1
+            else:
+                data.append("-")
+                state = C
+                i -= 1
+        elif state == C:
+            if c is None:
+                errs.append("eof-in-comment")
+                return "".join(data), errs, i - 1
+            if c == "<":
+                data.append("<")
+                state = CLT
+            elif c == "-":
+                state = CED
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                data.append("�")
+            else:
+                data.append(c)
+        elif state == CLT:
+            if c == "!":
+                data.append("!")
+                state = CLTB
+            elif c == "<":
+                data.append("<")
+            else:
+                state = C
+                i -= 1
+        elif state == CLTB:
+            if c == "-":
+                state = CLTBD
+            else:
+                state = C
+                i -= 1
+        elif state == CLTBD:
+            if c == "-":
+                state = CLTBDD
+            else:
+                state = CED
+                i -= 1
+        elif state == CLTBDD:
+            if c == ">" or c is None:
+                state = CE
+                i -= 1
+            else:
+                errs.append("nested-comment")
+                state = CE
+                i -= 1
+        elif state == CED:
+            if c == "-":
+                state = CE
+            elif c is None:
+                errs.append("eof-in-comment")
+                return "".join(data), errs, i - 1
+            else:
+                data.append("-")
+                state = C
+                i -= 1
+        elif state == CE:
+            if c == ">":
+                return "".join(data), errs, i
+            if c == "!":
+                state = CEB
+            elif c == "-":
+                data.append("-")
+            elif c is None:
+                errs.append("eof-in-comment")
+                return "".join(data), errs, i - 1
+            else:
+                data.append("--")
+                state = C
+                i -= 1
+        elif state == CEB:
+            if c == "-":
+                data.append("--!")
+                state = CED
+            elif c == ">":
+                errs.append("incorrectly-closed-comment")
+                return "".join(data), errs, i
+            elif c is None:
+                errs.append("eof-in-comment")
+                return "".join(data), errs, i - 1
+            else:
+                data.append("--!")
+                state = C
+                i -= 1
+
+
+def comment_differential_cases(n_cases: int = 250) -> list[dict]:
+    import random
+
+    rng = random.Random(16082026)
+    atoms = [
+        "-", "--", "---", "!", ">", "x", "yz", "<", "<!", "<!-", "<!--",
+        "-->", "--!>", "--!", "-!", " ", "\x00",
+    ]
+    cases = []
+    for ci in range(n_cases):
+        body = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 10)))
+        text, errs, consumed = _mini_comment(body)
+        inp = "<!" + body[:consumed]
+        cases.append({
+            "description": f"comment differential {ci}",
+            "input": inp,
+            "output": [["Comment", text]],
             "errors": [{"code": e} for e in errs],
         })
     return cases
