@@ -712,3 +712,70 @@ def test_svg_attribute_case_adjusted():
     assert set(tree.attrs[svg]) == {"viewBox", "preserveAspectRatio"}
     lg = _find(tree, "linearGradient")
     assert set(tree.attrs[lg]) == {"gradientUnits"}
+
+
+# ------------------------------------------------------ InSelect modes
+
+
+def test_select_options_and_tail():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><select><option>A<option>B</select>after"
+    )
+    sel = _find(tree, "select")
+    opts = [c for c in tree.children(sel) if tree.name[c] == "option"]
+    assert len(opts) == 2
+    body = _body(tree)
+    last = [c for c in tree.children(body)][-1]
+    assert tree.ntype[last] == N_TEXT and tree.node_text(last) == "after"
+
+
+def test_select_ignores_stray_flow_tags():
+    # spec InSelect "anything else": ignore — the div token vanishes,
+    # its text still lands in the open option
+    tree, _ = parse_document(
+        "<!DOCTYPE html><select><option>A<div>x</div></select>"
+    )
+    assert all(tree.name[i] != "div" for i in range(len(tree)))
+    opt = _find(tree, "option")
+    assert tree.node_text(tree.first_child[opt]) == "Ax"
+
+
+def test_select_in_table_cell_closed_by_table_end():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><tr><td><select><option>x</table>tail"
+    )
+    td = _find(tree, "td")
+    assert [tree.name[c] for c in tree.children(td)] == ["select"]
+    body = _body(tree)
+    last = [c for c in tree.children(body)][-1]
+    assert tree.node_text(last) == "tail"
+
+
+def test_select_in_table_new_row_implies_select_close():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table><tr><td><select><option>q<tr><td>z</table>"
+    )
+    trs = [i for i in range(len(tree)) if tree.name[i] == "tr"]
+    assert len(trs) == 2
+    td2 = [c for c in tree.children(trs[1])][0]
+    assert tree.node_text(tree.first_child[td2]) == "z"
+
+
+def test_nested_select_acts_as_end_tag():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><select><option>a<select><option>b"
+    )
+    sels = [i for i in range(len(tree)) if tree.name[i] == "select"]
+    assert len(sels) == 1  # second <select> closed the first, inserted none
+
+
+def test_optgroup_autoclose():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><select><optgroup><option>1<optgroup><option>2"
+        "</select>"
+    )
+    sel = _find(tree, "select")
+    groups = [c for c in tree.children(sel) if tree.name[c] == "optgroup"]
+    assert len(groups) == 2
+    for g in groups:
+        assert [tree.name[c] for c in tree.children(g)] == ["option"]

@@ -41,10 +41,10 @@ N_TEXT = 2
 N_COMMENT = 3
 N_DOCTYPE = 4
 
-# insertion modes (16 of the 23 the spec declares; the reference
+# insertion modes (18 of the 23 the spec declares; the reference
 # declares all 23 as an enum, src/parser.zig:18-42 — the ones left out
-# are InHeadNoscript/InTemplate/InSelect*/InFrameset/AfterFrameset*,
-# marginal for content extraction and stubs in the reference too)
+# are InHeadNoscript/InTemplate/InFrameset/AfterFrameset*, marginal
+# for content extraction and stubs in the reference too)
 (
     M_INITIAL,
     M_BEFORE_HTML,
@@ -62,7 +62,9 @@ N_DOCTYPE = 4
     M_IN_TABLE_BODY,
     M_IN_ROW,
     M_IN_CELL,
-) = range(16)
+    M_IN_SELECT,
+    M_IN_SELECT_IN_TABLE,
+) = range(18)
 
 _WS = "\t\n\f "
 _WS_SET = frozenset("\t\n\f \r")
@@ -680,6 +682,16 @@ def parse_document(
                 return False
         return False
 
+    def has_in_select_scope(name: str) -> bool:
+        # spec "select scope": boundary is every element EXCEPT
+        # optgroup/option (the inverted set)
+        for nm in reversed(stack_names):
+            if nm == name:
+                return True
+            if nm not in ("optgroup", "option"):
+                return False
+        return False
+
     def generate_implied_end_tags(except_name: str | None = None) -> None:
         while (
             stack_names
@@ -797,6 +809,12 @@ def parse_document(
         context; select/template modes are out of scope)."""
         for idx in range(len(stack_names) - 1, -1, -1):
             nm = stack_names[idx]
+            if nm == "select":
+                # spec: InSelectInTable when a table encloses the select
+                for j in range(idx - 1, -1, -1):
+                    if stack_names[j] == "table":
+                        return M_IN_SELECT_IN_TABLE
+                return M_IN_SELECT
             if nm in ("td", "th"):
                 return M_IN_CELL
             if nm == "tr":
@@ -1439,6 +1457,21 @@ def parse_document(
                         original_mode = mode
                         mode = M_TEXT
                         break
+                    if name == "select":
+                        if afe:
+                            reconstruct_afe()
+                        insert_element(name, attrs)
+                        # spec: select opened from a table mode parses
+                        # in InSelectInTable (m is the redirected-from
+                        # mode when a table mode sent us here)
+                        if mode in (
+                            M_IN_TABLE, M_IN_CAPTION, M_IN_TABLE_BODY,
+                            M_IN_ROW, M_IN_CELL,
+                        ):
+                            mode = M_IN_SELECT_IN_TABLE
+                        else:
+                            mode = M_IN_SELECT
+                        break
                     if name in ("option", "optgroup"):
                         if stack_names and stack_names[-1] == "option":
                             pop()
@@ -1829,6 +1862,98 @@ def parse_document(
                 else:
                     use_rules = M_IN_BODY
                     reprocess = True
+
+            # --------------------------------------------- InSelect
+            elif m == M_IN_SELECT or m == M_IN_SELECT_IN_TABLE:
+                _table_tags = (
+                    "caption", "table", "tbody", "tfoot", "thead",
+                    "tr", "td", "th",
+                )
+                if (
+                    m == M_IN_SELECT_IN_TABLE
+                    and kind == "StartTag"
+                    and tok[1] in _table_tags
+                ):
+                    # table-structure tokens imply </select> first
+                    pop_until("select")
+                    mode = reset_insertion_mode()
+                    reprocess = True
+                elif (
+                    m == M_IN_SELECT_IN_TABLE
+                    and kind == "EndTag"
+                    and tok[1] in _table_tags
+                ):
+                    if has_in_scope(tok[1], _SCOPE_TABLE):
+                        pop_until("select")
+                        mode = reset_insertion_mode()
+                        reprocess = True
+                elif kind == "Character":
+                    data = tok[1].replace("\x00", "")
+                    if data:
+                        tree.append_text(current(), data)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    pass
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "option":
+                        if stack_names and stack_names[-1] == "option":
+                            pop()
+                        insert_element(name, tok[2])
+                    elif name == "optgroup":
+                        if stack_names and stack_names[-1] == "option":
+                            pop()
+                        if stack_names and stack_names[-1] == "optgroup":
+                            pop()
+                        insert_element(name, tok[2])
+                    elif name == "hr":
+                        if stack_names and stack_names[-1] == "option":
+                            pop()
+                        if stack_names and stack_names[-1] == "optgroup":
+                            pop()
+                        insert_void(name, tok[2])
+                    elif name == "select":
+                        # parse error: acts as </select>
+                        if has_in_select_scope("select"):
+                            pop_until("select")
+                            mode = reset_insertion_mode()
+                    elif name in ("input", "keygen", "textarea"):
+                        # parse error: implies </select> then reprocess
+                        if has_in_select_scope("select"):
+                            pop_until("select")
+                            mode = reset_insertion_mode()
+                            reprocess = True
+                    elif name in ("script", "template"):
+                        insert_element(name, tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    # anything else: parse error, ignore
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name == "optgroup":
+                        if (
+                            stack_names
+                            and stack_names[-1] == "option"
+                            and len(stack_names) > 1
+                            and stack_names[-2] == "optgroup"
+                        ):
+                            pop()
+                        if stack_names and stack_names[-1] == "optgroup":
+                            pop()
+                    elif name == "option":
+                        if stack_names and stack_names[-1] == "option":
+                            pop()
+                    elif name == "select":
+                        if has_in_select_scope("select"):
+                            pop_until("select")
+                            mode = reset_insertion_mode()
+                    elif name == "template":
+                        if has_in_scope(name, _SCOPE_DEFAULT):
+                            pop_until(name)
+                    # anything else: parse error, ignore
 
             # ------------------------------------------- AfterBody
             elif m == M_AFTER_BODY:
