@@ -80,6 +80,45 @@ def entity_cases() -> list[dict]:
     return cases
 
 
+def entity_context_cases() -> list[dict]:
+    """Every with-semicolon entity through (a) the attribute-value
+    char-ref return path and (b) the RCDATA char-ref path — the two
+    return-states the Data family doesn't touch."""
+    cases: list[dict] = []
+    for key in sorted(H5):
+        if not key.endswith(";"):
+            continue
+        value = H5[key]
+        cases.append({
+            "description": f"entity &{key} in attribute value",
+            "input": f'<a x="p&{key}q">',
+            "output": [["StartTag", "a", {"x": f"p{value}q"}]],
+            "errors": [],
+        })
+        cases.append({
+            "description": f"entity &{key} in RCDATA",
+            "input": f"p&{key}q",
+            "initialStates": ["RCDATA"],
+            "output": [["Character", f"p{value}q"]],
+            "errors": [],
+        })
+    # numeric refs in attribute values: the historical suppression rule
+    # does NOT apply to numeric forms
+    cases.append({
+        "description": "numeric ref in attribute before equals",
+        "input": '<a x="&#65=y">',
+        "output": [["StartTag", "a", {"x": "A=y"}]],
+        "errors": [{"code": MISSING_SEMI}],
+    })
+    cases.append({
+        "description": "hex ref in attribute",
+        "input": '<a x="&#x41;">',
+        "output": [["StartTag", "a", {"x": "A"}]],
+        "errors": [],
+    })
+    return cases
+
+
 # spec §13.2.5.80 numeric-character-reference-end C1 remap table
 C1_REMAP = {
     0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
@@ -589,6 +628,7 @@ def rcdata_rawtext_cases() -> list[dict]:
 def main() -> None:
     tests: list[dict] = []
     tests += entity_cases()
+    tests += entity_context_cases()
     tests += entity_edge_cases()
     tests += numeric_cases()
     tests += eof_cases()
