@@ -116,3 +116,17 @@ def test_kmv_estimate_tracks_exact(spark):
         F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
     )
     assert kmv_distinct_estimate(small, k=64).collect()[0]["n_estimate"] == 10
+
+
+def test_asof_join_null_valued_right_row_supersedes(spark):
+    """A right row whose VALUE is null must still supersede earlier
+    rows (struct carry, not per-column last-ignorenulls)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(30))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(1), 100.0), (10, _ts(20), None)],
+        "user_id bigint, ts timestamp, score double",
+    )
+    out = asof_join(left, right, value_cols=["score"]).collect()
+    assert out[0]["score_asof"] is None  # NOT the stale 100.0

@@ -1,5 +1,6 @@
-"""Extended tokenizer conformance replay — 2,544 GENERATED spec-derived
-cases (tests/fixtures/tokenizer_conformance_generated.json).
+"""Extended tokenizer conformance replay — the GENERATED spec-derived
+corpus (tests/fixtures/tokenizer_conformance_generated.json; see
+test_generated_corpus_scale for the size floor).
 
 Why generated: the html5lib-tests submodule the reference wires
 (/root/reference/test/tokenizer-html5lib.zig:63-77) is an EMPTY
@@ -77,6 +78,6 @@ def test_generated_fixture_error_codes_valid() -> None:
 
 
 def test_generated_corpus_scale() -> None:
-    """The stand-in corpus must stay at html5lib scale (~1,700
+    """The stand-in corpus must stay well past html5lib scale (~1,700
     non-ignored cases in test1-test4): regression guard."""
-    assert len(CASES) >= 1700
+    assert len(CASES) >= 7000

@@ -403,11 +403,11 @@ def list_snapshots(output_path: str) -> list[dict]:
     the sandbox analog of Iceberg's snapshot log, for resume audits
     and retention tooling."""
     d = f"{output_path}/_commits"
-    if not os.path.isdir(d):
-        return []
     out = []
+    # one source of truth for "committed": the registry reader used by
+    # read_spans/read_checkpoint
     for name in sorted(
-        (n for n in os.listdir(d) if not n.startswith(".")),
+        _committed_attempts(output_path),
         key=lambda n: os.path.getmtime(os.path.join(d, n)),
     ):
         entry: dict = {"attempt": name, "snapshot_id": None, "staged": []}

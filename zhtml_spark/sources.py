@@ -130,8 +130,10 @@ def stream_warc_extract(
         out = extract_documents(
             docs, num_partitions=num_partitions, salt=False
         )
-        out.select("doc_id", "spans").write.mode("append").parquet(
-            f"{output_path}/spans"
+        # idempotent per-batch dir (foreachBatch is at-least-once; a
+        # replayed epoch overwrites its own directory)
+        out.select("doc_id", "spans").write.mode("overwrite").parquet(
+            f"{output_path}/spans/batch={batch_id}"
         )
 
     stream = (

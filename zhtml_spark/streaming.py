@@ -43,12 +43,18 @@ def stream_extract(
         out = extract_documents(
             batch_df, config, num_partitions=num_partitions, salt=False
         ).persist()
-        out.select("doc_id", "spans").write.mode("append").parquet(
-            f"{output_path}/spans"
+        # idempotent per-batch sink: foreachBatch is AT-LEAST-once (a
+        # replayed epoch re-invokes with the SAME batch_id), so each
+        # batch owns its directory and overwrites it — a retry rewrites
+        # identical bytes instead of appending duplicates
+        out.select("doc_id", "spans").write.mode("overwrite").parquet(
+            f"{output_path}/spans/batch={batch_id}"
         )
         metrics_table(out).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(f"{output_path}/metrics")
+        ).write.mode("overwrite").parquet(
+            f"{output_path}/metrics/batch={batch_id}"
+        )
         out.unpersist()
 
     stream = (

@@ -37,16 +37,22 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
-    lhs = left
-    for c in value_cols:
-        lhs = lhs.withColumn(f"{c}{suffix}", F.lit(None).cast(
-            dict(right.dtypes)[c]
-        ))
-    lhs = lhs.withColumn("_side", F.lit(1))
+    # carry the whole right row as ONE struct: the struct is non-null
+    # exactly on right rows, so a right row whose VALUE fields are null
+    # still supersedes earlier rows (last(ignorenulls) over bare value
+    # columns would skip it and resurrect a stale value)
+    rstruct_type = (
+        "struct<"
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in value_cols)
+        + ">"
+    )
+    lhs = left.withColumn(
+        "_rrow", F.lit(None).cast(rstruct_type)
+    ).withColumn("_side", F.lit(1))
     rhs = right.select(
         F.col(by),
         F.col(on),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rrow"),
     )
     for c in lhs.columns:
         if c not in rhs.columns and c != "_side":
@@ -59,12 +65,13 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carried = unioned.withColumn(
+        "_rrow", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1)
     for c in value_cols:
-        unioned = unioned.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
-        )
-    return unioned.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_rrow.{c}"))
+    return out.drop("_side", "_rrow")
 
 
 def interval_join(
@@ -109,12 +116,8 @@ def interval_join(
         ),
     )
     joined = pts.join(ivs, "_bucket").where(
-        (F.unix_micros(F.col(ts_col).cast("timestamp")) >= F.unix_micros(
-            F.col(start_col).cast("timestamp")
-        ))
-        & (F.unix_micros(F.col(ts_col).cast("timestamp")) < F.unix_micros(
-            F.col(end_col).cast("timestamp")
-        ))
+        (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_bucket")
 

@@ -193,12 +193,20 @@ _SVG_ATTR_FIXES = {
 
 
 def _adjust_foreign_attrs(attrs: dict | None, ns: str) -> dict | None:
-    """Spec "adjust SVG attributes" (case restoration; the
-    adjust-foreign-attributes xlink/xml/xmlns namespace split is out
-    of scope — attrs are stored flat by prefixed name)."""
-    if not attrs or ns != "svg":
+    """Spec "adjust SVG attributes" + the one-entry "adjust MathML
+    attributes" table (case restoration; the adjust-foreign-attributes
+    xlink/xml/xmlns namespace split is out of scope — attrs are stored
+    flat by prefixed name)."""
+    if not attrs:
         return attrs
-    if not any(k in _SVG_ATTR_FIXES for k in attrs):
+    if ns == "math":
+        if "definitionurl" in attrs:
+            return {
+                ("definitionURL" if k == "definitionurl" else k): v
+                for k, v in attrs.items()
+            }
+        return attrs
+    if ns != "svg" or not any(k in _SVG_ATTR_FIXES for k in attrs):
         return attrs
     return {_SVG_ATTR_FIXES.get(k, k): v for k, v in attrs.items()}
 
