@@ -1446,6 +1446,8 @@ def parse_document(
                         insert_element(name, attrs)
                         break
                     if name in VOID_ELEMENTS:
+                        if name == "col":
+                            break  # spec InBody: parse error, ignore
                         if afe and name in ("br", "img", "embed", "wbr",
                                             "input", "area"):
                             reconstruct_afe()
