@@ -650,6 +650,21 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def _q_events_rollup(spark, sf_dir):
+    """Multi-level rollup (the hypertable-rollup shape): per
+    (event_type, day) with day and grand totals via ROLLUP —
+    map-side-combinable, one shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
+                                           "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select("event_type", "day", "n", "total_value")
+    )
+
+
 def _q_kmv_distinct(spark, sf_dir):
     """Deterministic KMV sketch vs the exact distinct count — both in
     one row so the gate documents sketch accuracy."""
@@ -736,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         "interval_join": _q_interval_join,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -1522,6 +1538,15 @@ def oracle_sql() -> dict[str, str]:
                     WHERE r.user_id = e.user_id AND r.ts <= e.ts
                     ORDER BY r.ts DESC LIMIT 1) AS signup_event_id
             FROM events e
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP (event_type,
+                             strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
         "kmv_distinct": """
             WITH hashed AS (
