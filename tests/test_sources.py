@@ -128,3 +128,25 @@ def test_stream_warc_extract_incremental(spark, tmp_path):
     # 5 from a.warc + 3 from b.warc (b's urls overlap a's → same ids,
     # but file-offset semantics process each FILE once: 8 rows)
     assert spans.count() == 8
+
+
+def test_warc_gzip_archives(spark, tmp_path):
+    """Common Crawl wire format: .warc.gz, one gzip member per record
+    (multi-member concatenation)."""
+    import gzip
+
+    p = tmp_path / "gz"
+    p.mkdir()
+    content = _synth_archive(spark, 4).collect()[0]["content"]
+    # multi-member: split the archive into two members
+    half = len(content) // 2
+    blob = gzip.compress(content[:half].encode()) + gzip.compress(
+        content[half:].encode()
+    )
+    (p / "seg-0.warc.gz").write_bytes(blob)
+    # plus one plain archive alongside
+    c2 = _synth_archive(spark, 2).collect()[0]["content"]
+    (p / "seg-1.warc").write_bytes(c2.encode())
+
+    recs = read_warc(spark, str(p))
+    assert recs.count() == 6

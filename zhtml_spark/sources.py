@@ -91,15 +91,41 @@ def parse_warc_records(
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a directory/glob of .warc files → record rows.
+    """Scan a directory/glob of ``.warc`` / ``.warc.gz`` files →
+    record rows.
 
     ``binaryFile`` keeps whole-archive integrity (a text scan would
-    split records at arbitrary line boundaries); decode + record
-    split happen JVM-side."""
+    split records at arbitrary line boundaries).  Plain archives
+    decode + split entirely JVM-side; gzip members (Common Crawl's
+    wire format) decompress in ONE Arrow-batched mapInPandas stage —
+    a codec, not logic, and gzip is unsplittable anyway so per-file
+    decompression is the parallelism ceiling regardless of engine.
+    Multi-member gzip (Common Crawl concatenates one member per
+    record) is handled by ``gzip.decompress``'s multi-member mode.
+    """
     raw = spark.read.format("binaryFile").load(path)
-    archives = raw.select(
-        F.col("path"),
-        F.decode(F.col("content"), "UTF-8").alias("content"),
+    plain = raw.where(~F.col("path").endswith(".gz")).select(
+        F.decode(F.col("content"), "UTF-8").alias("content")
+    )
+    gz = raw.where(F.col("path").endswith(".gz")).select("content")
+
+    def gunzip_batches(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content": [
+                        gzip.decompress(b).decode("utf-8")
+                        for b in pdf["content"]
+                    ]
+                }
+            )
+
+    archives = plain.unionByName(
+        gz.mapInPandas(gunzip_batches, "content string")
     )
     return parse_warc_records(archives)
 
