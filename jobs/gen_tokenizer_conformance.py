@@ -640,6 +640,7 @@ def main() -> None:
     tests += rcdata_rawtext_cases()
     tests += script_differential_cases()
     tests += comment_differential_cases()
+    tests += attr_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -1101,6 +1102,208 @@ def comment_differential_cases(n_cases: int = 250) -> list[dict]:
             "description": f"comment differential {ci}",
             "input": inp,
             "output": [["Comment", text]],
+            "errors": [{"code": e} for e in errs],
+        })
+    return cases
+
+
+# ------------------------------------------------------------------
+# Independent mini-reference for the ATTRIBUTE state family
+# (§13.2.5.32-40): BeforeAttributeName through SelfClosingStartTag,
+# char-by-char per spec (char references excluded from the generated
+# alphabet — they have their own families).  Third differential family.
+
+
+def _mini_attrs(body: str):
+    """Model a start tag from BeforeAttributeName: input is everything
+    after ``<a `` (tag name + one space, so the engine enters
+    BeforeAttributeName exactly where the model starts).  Returns (attrs, self_closing,
+    errors, consumed, closed); raises AssertionError on the
+    appropriate-end-tag/char-ref forms the generator never emits."""
+    BAN, AN, AAN, BAV, DQ, SQ, UQ, AAVQ, SC = range(9)
+    errs = []
+    attrs = {}
+    cur = None   # current attribute name
+    val = []
+    cur_dup = False
+    state = BAN
+    i = 0
+    n = len(body)
+    WS = "\t\n\f "
+
+    def commit_name():
+        nonlocal cur_dup
+        if cur in attrs:
+            errs.append("duplicate-attribute")
+            cur_dup = True
+        else:
+            cur_dup = False
+            attrs[cur] = ""
+
+    def commit_val():
+        if not cur_dup:
+            attrs[cur] = "".join(val)
+        val.clear()
+
+    while True:
+        c = body[i] if i < n else None
+        i += 1
+        if state == BAN:
+            if c is None:
+                errs.append("eof-in-tag")
+                return attrs, False, errs, i - 1, False
+            if c in WS:
+                continue
+            if c == "/" or c == ">":
+                state = AAN
+                i -= 1
+            elif c == "=":
+                errs.append("unexpected-equals-sign-before-attribute-name")
+                cur = "="
+                state = AN
+            else:
+                cur = ""
+                state = AN
+                i -= 1
+        elif state == AN:
+            if c is None or c in WS or c == "/" or c == ">":
+                commit_name()
+                state = AAN
+                i -= 1
+            elif c == "=":
+                commit_name()
+                state = BAV
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                cur += "�"
+            else:
+                if c in ('"', "'", "<"):
+                    errs.append("unexpected-character-in-attribute-name")
+                cur += c.lower() if c.isascii() and c.isupper() else c
+        elif state == AAN:
+            if c is None:
+                errs.append("eof-in-tag")
+                return attrs, False, errs, i - 1, False
+            if c in WS:
+                continue
+            if c == "/":
+                state = SC
+            elif c == "=":
+                state = BAV
+            elif c == ">":
+                return attrs, False, errs, i, True
+            else:
+                cur = ""
+                state = AN
+                i -= 1
+        elif state == BAV:
+            if c is None:
+                state = UQ   # spec: anything-else reconsumes in
+                i -= 1       # AttributeValueUnquoted (EOF handled there)
+                continue
+            if c in WS:
+                continue
+            if c == '"':
+                state = DQ
+            elif c == "'":
+                state = SQ
+            elif c == ">":
+                errs.append("missing-attribute-value")
+                return attrs, False, errs, i, True
+            else:
+                state = UQ
+                i -= 1
+        elif state in (DQ, SQ):
+            q = '"' if state == DQ else "'"
+            if c is None:
+                errs.append("eof-in-tag")
+                commit_val()
+                return attrs, False, errs, i - 1, False
+            if c == q:
+                commit_val()
+                state = AAVQ
+            elif c == "&":
+                raise AssertionError("char refs not modeled")
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                val.append("�")
+            else:
+                val.append(c)
+        elif state == UQ:
+            if c is None:
+                errs.append("eof-in-tag")
+                commit_val()
+                return attrs, False, errs, i - 1, False
+            if c in WS:
+                commit_val()
+                state = BAN
+            elif c == ">":
+                commit_val()
+                return attrs, False, errs, i, True
+            elif c == "&":
+                raise AssertionError("char refs not modeled")
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                val.append("�")
+            else:
+                if c in ('"', "'", "<", "=", "`"):
+                    errs.append(
+                        "unexpected-character-in-unquoted-attribute-value"
+                    )
+                val.append(c)
+        elif state == AAVQ:
+            if c is None:
+                errs.append("eof-in-tag")
+                return attrs, False, errs, i - 1, False
+            if c in WS:
+                state = BAN
+            elif c == "/":
+                state = SC
+            elif c == ">":
+                return attrs, False, errs, i, True
+            else:
+                errs.append("missing-whitespace-between-attributes")
+                state = BAN
+                i -= 1
+        elif state == SC:
+            if c is None:
+                errs.append("eof-in-tag")
+                return attrs, False, errs, i - 1, False
+            if c == ">":
+                return attrs, True, errs, i, True
+            errs.append("unexpected-solidus-in-tag")
+            state = BAN
+            i -= 1
+
+
+def attr_differential_cases(n_cases: int = 300) -> list[dict]:
+    import random
+
+    rng = random.Random(42202608)
+    atoms = [
+        " ", "  ", "=", '"v"', "'w'", "u", "/", ">", "B", "x", "y=",
+        'a="1"', "b='2'", "c=d", " e ", "'", '"', "<", "\x00", "=f",
+        "g/h", "`",
+    ]
+    cases = []
+    for ci in range(n_cases):
+        body = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+        try:
+            attrs, selfc, errs, consumed, closed = _mini_attrs(body)
+        except AssertionError:
+            continue
+        inp = "<a " + body[:consumed]
+        if closed:
+            tok = ["StartTag", "a", attrs]
+            if selfc:
+                tok.append(True)
+            output = [tok]
+        else:
+            output = []  # EOF mid-tag: token dropped
+        cases.append({
+            "description": f"attr differential {ci}",
+            "input": inp,
+            "output": output,
             "errors": [{"code": e} for e in errs],
         })
     return cases
