@@ -641,6 +641,7 @@ def main() -> None:
     tests += script_differential_cases()
     tests += comment_differential_cases()
     tests += attr_differential_cases()
+    tests += doctype_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -1304,6 +1305,262 @@ def attr_differential_cases(n_cases: int = 300) -> list[dict]:
             "description": f"attr differential {ci}",
             "input": inp,
             "output": output,
+            "errors": [{"code": e} for e in errs],
+        })
+    return cases
+
+
+# ------------------------------------------------------------------
+# Independent mini-reference for the DOCTYPE state family
+# (§13.2.5.53-68): fourth differential family.  Models from the
+# character after "<!DOCTYPE" (the MarkupDeclarationOpen doctype
+# match); emits exactly one DOCTYPE token.
+
+
+def _mini_doctype(body: str):
+    """Returns (name, public, system, force_quirks, errors, consumed).
+    ``body`` is the input after ``<!DOCTYPE``."""
+    (BN, NAME, AN, APK, BPI, PIDQ, PISQ, API, BPS, ASK, BSI, SIDQ, SISQ,
+     ASI, BOGUS) = range(15)
+    WS = "\t\n\f "
+    errs = []
+    name = pub = sys_ = None
+    fq = False
+    state = -1  # pre: require ws or '>' after keyword
+    i = 0
+    n = len(body)
+    c0 = body[0] if n else None
+    if c0 is None:
+        errs.append("eof-in-doctype")
+        return None, None, None, True, errs, 0
+    if c0 == ">":
+        state = BN
+    elif c0 in WS:
+        state = BN
+        i = 1
+    else:
+        errs.append("missing-whitespace-before-doctype-name")
+        state = BN
+    while True:
+        c = body[i] if i < n else None
+        i += 1
+        if state == BN:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                continue
+            if c == ">":
+                errs.append("missing-doctype-name")
+                return name, pub, sys_, True, errs, i
+            if c == "\x00":
+                errs.append("unexpected-null-character")
+                name = "�"
+            else:
+                name = c.lower() if c.isascii() and c.isupper() else c
+            state = NAME
+        elif state == NAME:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                state = AN
+            elif c == ">":
+                return name, pub, sys_, fq, errs, i
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                name += "�"
+            else:
+                name += c.lower() if c.isascii() and c.isupper() else c
+        elif state == AN:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                continue
+            if c == ">":
+                return name, pub, sys_, fq, errs, i
+            rest = body[i - 1:i + 5].lower()
+            if rest == "public":
+                i += 5
+                state = APK
+            elif rest == "system":
+                i += 5
+                state = ASK
+            else:
+                errs.append(
+                    "invalid-character-sequence-after-doctype-name"
+                )
+                fq = True
+                state = BOGUS
+                i -= 1
+        elif state in (APK, ASK):
+            is_pub = state == APK
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                state = BPI if is_pub else BSI
+            elif c in ('"', "'"):
+                errs.append(
+                    "missing-whitespace-after-doctype-public-keyword"
+                    if is_pub else
+                    "missing-whitespace-after-doctype-system-keyword"
+                )
+                if is_pub:
+                    pub = ""
+                    state = PIDQ if c == '"' else PISQ
+                else:
+                    sys_ = ""
+                    state = SIDQ if c == '"' else SISQ
+            elif c == ">":
+                errs.append(
+                    "missing-doctype-public-identifier" if is_pub
+                    else "missing-doctype-system-identifier"
+                )
+                return name, pub, sys_, True, errs, i
+            else:
+                errs.append(
+                    "missing-quote-before-doctype-public-identifier"
+                    if is_pub else
+                    "missing-quote-before-doctype-system-identifier"
+                )
+                fq = True
+                state = BOGUS
+                i -= 1
+        elif state in (BPI, BSI):
+            is_pub = state == BPI
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                continue
+            if c in ('"', "'"):
+                if is_pub:
+                    pub = ""
+                    state = PIDQ if c == '"' else PISQ
+                else:
+                    sys_ = ""
+                    state = SIDQ if c == '"' else SISQ
+            elif c == ">":
+                errs.append(
+                    "missing-doctype-public-identifier" if is_pub
+                    else "missing-doctype-system-identifier"
+                )
+                return name, pub, sys_, True, errs, i
+            else:
+                errs.append(
+                    "missing-quote-before-doctype-public-identifier"
+                    if is_pub else
+                    "missing-quote-before-doctype-system-identifier"
+                )
+                fq = True
+                state = BOGUS
+                i -= 1
+        elif state in (PIDQ, PISQ, SIDQ, SISQ):
+            q = '"' if state in (PIDQ, SIDQ) else "'"
+            is_pub = state in (PIDQ, PISQ)
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c == q:
+                state = API if is_pub else ASI
+            elif c == ">":
+                errs.append(
+                    "abrupt-doctype-public-identifier" if is_pub
+                    else "abrupt-doctype-system-identifier"
+                )
+                return name, pub, sys_, True, errs, i
+            elif c == "\x00":
+                errs.append("unexpected-null-character")
+                if is_pub:
+                    pub += "�"
+                else:
+                    sys_ += "�"
+            else:
+                if is_pub:
+                    pub += c
+                else:
+                    sys_ += c
+        elif state == API:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                state = BPS
+            elif c == ">":
+                return name, pub, sys_, fq, errs, i
+            elif c in ('"', "'"):
+                errs.append(
+                    "missing-whitespace-between-doctype-public-and-"
+                    "system-identifiers"
+                )
+                sys_ = ""
+                state = SIDQ if c == '"' else SISQ
+            else:
+                errs.append(
+                    "missing-quote-before-doctype-system-identifier"
+                )
+                fq = True
+                state = BOGUS
+                i -= 1
+        elif state == BPS:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                continue
+            if c == ">":
+                return name, pub, sys_, fq, errs, i
+            if c in ('"', "'"):
+                sys_ = ""
+                state = SIDQ if c == '"' else SISQ
+            else:
+                errs.append(
+                    "missing-quote-before-doctype-system-identifier"
+                )
+                fq = True
+                state = BOGUS
+                i -= 1
+        elif state == ASI:
+            if c is None:
+                errs.append("eof-in-doctype")
+                return name, pub, sys_, True, errs, i - 1
+            if c in WS:
+                continue
+            if c == ">":
+                return name, pub, sys_, fq, errs, i
+            errs.append(
+                "unexpected-character-after-doctype-system-identifier"
+            )
+            state = BOGUS  # force_quirks NOT set on this path (spec)
+            i -= 1
+        elif state == BOGUS:
+            if c is None:
+                return name, pub, sys_, fq, errs, i - 1
+            if c == ">":
+                return name, pub, sys_, fq, errs, i
+            if c == "\x00":
+                errs.append("unexpected-null-character")
+
+
+def doctype_differential_cases(n_cases: int = 250) -> list[dict]:
+    import random
+
+    rng = random.Random(8261620)
+    atoms = [
+        " ", "html", "HTML", ">", "PUBLIC", "SYSTEM", "public", '"p1"',
+        "'p2'", '"s', "x", "'", '"', "junk", "\x00", "q>r",
+    ]
+    cases = []
+    for ci in range(n_cases):
+        body = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 7)))
+        name, pub, sys_, fq, errs, consumed = _mini_doctype(body)
+        inp = "<!DOCTYPE" + body[:consumed]
+        cases.append({
+            "description": f"doctype differential {ci}",
+            "input": inp,
+            "output": [["DOCTYPE", name, pub, sys_, not fq]],
             "errors": [{"code": e} for e in errs],
         })
     return cases
