@@ -150,3 +150,39 @@ def test_warc_gzip_archives(spark, tmp_path):
 
     recs = read_warc(spark, str(p))
     assert recs.count() == 6
+
+
+def test_record_aligned_chunking():
+    """Chunks split only at record boundaries and reassemble exactly."""
+    import zhtml_spark.sources as src
+
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: u\r\nWARC-Date: d\r\n\r\nBODY\r\n\r\n"
+    )
+    content = rec * 50
+    old = src._CHUNK_TARGET
+    src._CHUNK_TARGET = len(rec) * 7  # force several chunks
+    try:
+        chunks = src._record_aligned_chunks(content)
+    finally:
+        src._CHUNK_TARGET = old
+    assert len(chunks) > 3
+    assert "".join(chunks) == content
+    for c in chunks:
+        assert c.startswith("WARC/1.0\r\n")
+
+
+def test_stream_warc_extract_accepts_gzip(spark, tmp_path):
+    import gzip
+
+    from zhtml_spark.sources import stream_warc_extract
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    content = _synth_archive(spark, 3).collect()[0]["content"]
+    (inp / "seg.warc.gz").write_bytes(gzip.compress(content.encode()))
+    stream_warc_extract(spark, str(inp), out, ckpt, num_partitions=2)
+    assert spark.read.parquet(f"{out}/spans").count() == 3

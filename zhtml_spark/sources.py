@@ -4,17 +4,20 @@ web-scale extraction engine reads in production.
 The reference consumes bare strings (src/tokenizer.zig:127-155 — file
 + string only); the engine's scan tier adds the archive container
 around that.  Spark-first: record splitting and header parsing are
-pure JVM expressions (split/explode/regexp_extract) so Catalyst keeps
-the whole scan → parse → extract plan in one pipeline with the single
-fused extraction UDF as the only Python stage.
+pure JVM expressions (split/explode/regexp_extract).  Plain ``.warc``
+archives stay entirely JVM-side; gzipped archives (``.warc.gz``,
+Common Crawl's wire format) add ONE Arrow-native codec stage
+(``mapInArrow`` gunzip — a codec, not logic) that also re-chunks the
+decompressed text at record boundaries so no single Arrow cell
+approaches the 2 GB string limit.  The fused extraction UDF remains
+the only Python LOGIC stage.
 
-Scale note: this reader decodes each WARC file as one string column —
-right for the sandbox and for size-bounded WARC segments (Common Crawl
-caps segments at ~1 GB; `spark.sql.files.maxPartitionBytes` sizes the
-scan).  A petabyte deployment would swap `binaryFile` for a
-record-splitting InputFormat (e.g. HadoopInputFormat with a WARC
-splitter) behind the SAME `parse_warc_records` contract — the
-downstream plan is unchanged.
+Scale note: the gunzip stage bounds cells at ~64 MB (record-aligned
+chunks), so multi-GB decompressed segments are safe.  A petabyte
+deployment would swap ``binaryFile`` for a record-splitting
+InputFormat (e.g. HadoopInputFormat with a WARC splitter) behind the
+SAME ``parse_warc_records`` contract — the downstream plan is
+unchanged.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WARC_VERSION = "WARC/1.0"
+_RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+_CHUNK_TARGET = 64 << 20  # max Arrow string cell after decompression
 
 
 def warc_record(
@@ -97,13 +102,40 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     ``binaryFile`` keeps whole-archive integrity (a text scan would
     split records at arbitrary line boundaries).  Plain archives
     decode + split entirely JVM-side; gzip members (Common Crawl's
-    wire format) decompress in ONE Arrow-batched mapInPandas stage —
+    wire format) decompress in ONE Arrow-native ``mapInArrow`` stage —
     a codec, not logic, and gzip is unsplittable anyway so per-file
     decompression is the parallelism ceiling regardless of engine.
     Multi-member gzip (Common Crawl concatenates one member per
-    record) is handled by ``gzip.decompress``'s multi-member mode.
+    record) is handled by ``gzip.decompress``'s multi-member mode;
+    decompressed text re-chunks at record boundaries
+    (``_record_aligned_chunks``) so multi-GB segments never exceed
+    Arrow's per-cell string limit.
     """
     raw = spark.read.format("binaryFile").load(path)
+    return parse_warc_records(_decoded_archives(raw))
+
+
+def _record_aligned_chunks(content: str) -> list[str]:
+    """Split a decompressed archive into ≤ ~_CHUNK_TARGET pieces, each
+    starting at a record boundary, so every piece parses independently
+    and no Arrow string cell approaches the 2 GB limit."""
+    out = []
+    start = 0
+    n = len(content)
+    while n - start > _CHUNK_TARGET:
+        cut = content.find(_RECORD_SEP, start + _CHUNK_TARGET)
+        if cut == -1:
+            break
+        out.append(content[start:cut + 4])  # keep trailing \r\n\r\n
+        start = cut + 4  # next piece begins "WARC/1.0\r\n"
+    out.append(content[start:])
+    return out
+
+
+def _decoded_archives(raw: DataFrame) -> DataFrame:
+    """binaryFile rows → one string ``content`` row per (chunk of an)
+    archive.  Plain ``.warc`` decodes JVM-side; ``.gz`` goes through
+    the Arrow-native gunzip codec stage."""
     plain = raw.where(~F.col("path").endswith(".gz")).select(
         F.decode(F.col("content"), "UTF-8").alias("content")
     )
@@ -112,22 +144,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def gunzip_batches(batches):
         import gzip
 
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "content": [
-                        gzip.decompress(b).decode("utf-8")
-                        for b in pdf["content"]
-                    ]
-                }
+        for batch in batches:
+            chunks: list[str] = []
+            for blob in batch.column("content"):
+                text = gzip.decompress(blob.as_py()).decode("utf-8")
+                chunks.extend(_record_aligned_chunks(text))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(chunks, pa.string())], names=["content"]
             )
 
-    archives = plain.unionByName(
-        gz.mapInPandas(gunzip_batches, "content string")
+    return plain.unionByName(
+        gz.mapInArrow(gunzip_batches, "content string")
     )
-    return parse_warc_records(archives)
 
 
 def stream_warc_extract(
@@ -137,7 +167,7 @@ def stream_warc_extract(
     checkpoint_location: str,
     num_partitions: int | None = None,
 ):
-    """Incremental WARC ingestion: new .warc files dropped into
+    """Incremental WARC ingestion: new .warc / .warc.gz files dropped into
     ``input_path`` are split, adapted, and extracted per micro-batch —
     the crawl-to-spans path as a stream (availableNow drain; Spark's
     file-source checkpoint guarantees each archive is processed once).
@@ -149,10 +179,9 @@ def stream_warc_extract(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        archives = batch_df.select(
-            F.decode(F.col("content"), "UTF-8").alias("content")
+        docs = warc_to_documents(
+            parse_warc_records(_decoded_archives(batch_df))
         )
-        docs = warc_to_documents(parse_warc_records(archives))
         out = extract_documents(
             docs, num_partitions=num_partitions, salt=False
         )
@@ -168,7 +197,7 @@ def stream_warc_extract(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", "*.warc*")
         .load(input_path)
     )
     query = (

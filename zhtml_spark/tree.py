@@ -1445,9 +1445,12 @@ def parse_document(
                             pop_until("button")
                         insert_element(name, attrs)
                         break
+                    if name in (
+                        "td", "th", "tr", "tbody", "thead", "tfoot",
+                        "caption", "colgroup", "col", "frame", "head",
+                    ):
+                        break  # spec InBody: parse error, ignore
                     if name in VOID_ELEMENTS:
-                        if name == "col":
-                            break  # spec InBody: parse error, ignore
                         if afe and name in ("br", "img", "embed", "wbr",
                                             "input", "area"):
                             reconstruct_afe()
@@ -1487,11 +1490,6 @@ def parse_document(
                             pop()
                         insert_element(name, attrs)
                         break
-                    if name in (
-                        "td", "th", "tr", "tbody", "thead", "tfoot",
-                        "caption", "colgroup", "col", "frame", "head",
-                    ):
-                        break  # spec InBody: parse error, ignore
                     insert_element(name, attrs)
                     if name in _AFE_MARKER_TAGS:
                         afe.append(_MARKER)
