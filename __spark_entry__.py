@@ -312,6 +312,16 @@ def _q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(allx, n=3, seeds=8, min_agree=4)
 
 
+def _q_minhash_char_signatures(spark, sf_dir):
+    """Character-shingle MinHash (the CJK-safe tokenization: word
+    splitting collapses on unsegmented scripts)."""
+    from zhtml_spark.textops import minhash_signatures
+
+    return minhash_signatures(
+        _docs(spark, sf_dir), n=5, seeds=4, shingle="char"
+    )
+
+
 def _q_minhash_banded(spark, sf_dir):
     """b×r banded LSH (r=2): the scale-safe candidate generator."""
     from zhtml_spark.textops import minhash_banded_candidates
@@ -721,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
+        "minhash_char_signatures": _q_minhash_char_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors": _q_dedup_survivors,
@@ -899,6 +910,21 @@ def oracle_sql() -> dict[str, str]:
             , seeded AS (
                 SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
                 FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            )
+            SELECT doc_id, seed,
+                   min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+            FROM seeded GROUP BY doc_id, seed
+        """,
+        "minhash_char_signatures": """
+            WITH grams AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gram
+                FROM documents,
+                     UNNEST(range(1, length(text) - 5 + 2)) AS t(i)
+                WHERE length(text) >= 5
+            ),
+            seeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM grams, (SELECT UNNEST(range(0, 4)) AS seed) s
             )
             SELECT doc_id, seed,
                    min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash

@@ -162,3 +162,32 @@ def test_inline_code_is_own_span():
 def test_code_kind_survives_paragraph_break():
     spans, _ = extract_html("<p><code>x</p><p>y</p>")
     assert spans == [("code", "x", None), ("code", "y", None)]
+
+
+def test_prefer_main_content_boost():
+    """Opt-in readability boost: landmark subtree only; default
+    behavior (span-parity contract) unchanged."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = (
+        '<body><div class="sidebar"><p>Related stories</p></div>'
+        "<article><h1>Title</h1><p>Real body</p></article>"
+        "<div><p>More widgets</p></div></body>"
+    )
+    default_spans, _ = extract_html(page)
+    assert ("text", "Related stories", None) in default_spans
+    boosted, _ = extract_html(page, ExtractConfig(prefer_main_content=True))
+    assert boosted == [("heading", "Title", None), ("text", "Real body", None)]
+    # no landmark: falls back to full-body extraction
+    plain, _ = extract_html(
+        "<body><p>plain page</p></body>",
+        ExtractConfig(prefer_main_content=True),
+    )
+    assert plain == [("text", "plain page", None)]
+    # svg <title> must not be mistaken for a landmark... and an svg
+    # inside the landmark stays excluded
+    svg_page = (
+        "<body><main><p>m</p><svg><title>tip</title></svg></main></body>"
+    )
+    spans, _ = extract_html(svg_page, ExtractConfig(prefer_main_content=True))
+    assert spans == [("text", "m", None)]

@@ -76,6 +76,11 @@ class ExtractConfig:
         default_factory=lambda: frozenset(["nav", "footer", "aside"])
     )
     min_block_chars: int = 1
+    # readability-style boost: when the page declares a <main> or
+    # <article> landmark, restrict extraction to the FIRST one —
+    # sidebars/related-links outside the landmark vanish without any
+    # density heuristics.  Off by default (span-parity contract).
+    prefer_main_content: bool = False
 
 
 _WS_NORM = None  # lazy regex
@@ -118,6 +123,22 @@ def extract_spans(
                 break
         if body == -1:
             return []
+
+    if cfg.prefer_main_content:
+        # preorder DFS for the first <main>/<article> landmark
+        walk = [body]
+        while walk:
+            nid0 = walk.pop()
+            if (
+                nid0 != body
+                and tree.ntype[nid0] == N_ELEMENT
+                and tree.name[nid0] in ("main", "article")
+                and tree.ns[nid0] is None
+            ):
+                body = nid0
+                break
+            for c in _reversed_children(tree, nid0):
+                walk.append(c)
 
     spans: list[tuple[str, str, str | None]] = []
 

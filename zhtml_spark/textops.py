@@ -63,6 +63,23 @@ def word_ngrams(n: int, col: str = "text") -> Column:
     )
 
 
+def char_ngrams(n: int, col: str = "text") -> Column:
+    """Distinct character n-grams (shingles) as an array column.
+
+    The CJK-safe shingle: whitespace word-splitting produces one
+    giant "word" for unsegmented scripts (zh/ja/th), collapsing every
+    word-gram op; character shingles need no segmentation.  JVM
+    higher-order fns only."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < {n} "
+            f"THEN array() "
+            f"ELSE transform(sequence(1, length({col}) - {n} + 1),"
+            f" i -> substring({col}, i, {n})) END"
+        )
+    )
+
+
 # ------------------------------------------------------------- dedup
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on text: one survivor (min doc_id) per distinct text."""
@@ -73,11 +90,12 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
+def ngram_gram_table(
+    docs: DataFrame, n: int = 3, shingle: str = "word"
+) -> DataFrame:
     # doc_id keeps its input type (numeric OR string ids both order)
-    return docs.select(
-        "doc_id", F.explode(word_ngrams(n)).alias("gram")
-    )
+    grams = word_ngrams(n) if shingle == "word" else char_ngrams(n)
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def ngram_jaccard_pairs(
@@ -140,10 +158,13 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, seeds: int = 8) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, seeds: int = 8, shingle: str = "word"
+) -> DataFrame:
     """MinHash signature matrix: (doc_id, seed, minhash) — md5-salted
-    per-seed hashes, map-side explode + one partial-agg shuffle."""
-    grams = ngram_gram_table(docs, n)
+    per-seed hashes, map-side explode + one partial-agg shuffle.
+    ``shingle='char'`` switches to character shingles (CJK-safe)."""
+    grams = ngram_gram_table(docs, n, shingle)
     seeded = grams.select(
         "doc_id",
         "gram",
@@ -190,6 +211,7 @@ def minhash_banded_candidates(
     n: int = 3,
     bands: int = 4,
     rows: int = 2,
+    shingle: str = "word",
 ) -> DataFrame:
     """Standard b×r banded MinHash LSH: signature of ``bands × rows``
     minhashes; a pair is a candidate iff some band's ENTIRE r-row slice
@@ -207,7 +229,7 @@ def minhash_banded_candidates(
     near-dup pairs plus exponentially-rare accidents.  Join stays a
     bucketed equality join on (band, band_sig); no cross join.
     """
-    sig = minhash_signatures(docs, n, seeds=bands * rows)
+    sig = minhash_signatures(docs, n, seeds=bands * rows, shingle=shingle)
     banded = sig.withColumn("band", F.expr(f"seed DIV {rows}"))
     # band signature: md5 over the band's minhashes in seed order
     band_sig = (
