@@ -135,6 +135,31 @@ def _q_extract_svg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
 
 
+def _q_extract_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the InTemplate insertion mode (r3): template contents —
+    including table-row and media markup, in body AND table scope —
+    stay inside the template node and never become spans (browsers
+    never render them); <noscript> is skipped under the default
+    scripting-on policy."""
+    html = F.concat(
+        F.lit("<body><h2>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</h2><template><p>skeleton</p><img src="t.png">'
+            "<table><tr><td>ghost</td></tr></table></template><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><noscript><p>enable js</p></noscript>"
+            "<table><template><tr><td>thid</td></tr></template>"
+            "<tr><td>cell "
+        ),
+        F.col("lang"),
+        F.lit("</td></tr></table></body>"),
+    )
+    return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+
+
 def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates fragment parsing (r2): innerHTML-shaped list fragments in
     a ul context through the distributed fragment UDF."""
@@ -722,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_list": _q_extract_list,
         "extract_table": _q_extract_table,
         "extract_svg_mixed": _q_extract_svg_mixed,
+        "extract_template": _q_extract_template,
         "extract_fragment": _q_extract_fragment,
         "warc_extract": _q_warc_extract,
         "extract_boilerplate": _q_extract_boilerplate,
@@ -833,6 +859,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {doc_id}, 1 AS offset, 'text' AS kind,
                    'tail ' || lang AS text, {null_ref}
+            FROM documents
+        """,
+        "extract_template": f"""
+            SELECT {doc_id}, 0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'text' AS kind, text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 2 AS offset, 'table' AS kind,
+                   'cell ' || lang AS text, {null_ref}
             FROM documents
         """,
         "extract_fragment": f"""

