@@ -190,7 +190,9 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates the WARC source (r2): documents rendered into WARC
     response records, split back JVM-side, extracted through the fused
     UDF — the oracle predicts the final spans with no knowledge of the
-    container format."""
+    container format.  r3: records carry a FULL HTTP response payload
+    (Common Crawl's actual wire shape), so the oracle also gates the
+    HTTP-header strip — leaked headers would change every span hash."""
     from zhtml_spark.pipeline import extract_documents
     from zhtml_spark.sources import (
         parse_warc_records,
@@ -210,6 +212,7 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"),
                 F.lit("</p></body>"),
             ),
+            http_headers=True,
         ).alias("content")
     )
     out = extract_documents(warc_to_documents(parse_warc_records(archives)))

@@ -130,3 +130,18 @@ def test_asof_join_null_valued_right_row_supersedes(spark):
     )
     out = asof_join(left, right, value_cols=["score"]).collect()
     assert out[0]["score_asof"] is None  # NOT the stale 100.0
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Duplicate right rows at one (by, ts): the greatest value struct
+    wins, independent of shuffle order (ADVICE r2 #3)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    dup_rows = [(10, _ts(3), float(v)) for v in (7, 3, 9, 1, 5)]
+    for nparts in (1, 3, 5):
+        right = spark.createDataFrame(
+            dup_rows, "user_id bigint, ts timestamp, score double"
+        ).repartition(nparts)
+        out = asof_join(left, right, value_cols=["score"]).collect()
+        assert out[0]["score_asof"] == 9.0  # max struct, every time

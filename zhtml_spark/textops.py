@@ -38,7 +38,9 @@ def md5_hash48(col: Column, salt: str = "", hexchars: int = 12) -> Column:
     and DuckDB (``('0x'||substr(md5(x),1,n))::BIGINT``).  ≤15 hex
     chars (60 bits) keeps the value positive in a signed 64-bit int on
     both engines."""
-    assert hexchars <= 15, "BIGINT sign-safety: at most 15 hex chars"
+    if hexchars > 15:
+        # contract check, not a debug assert: must survive python -O
+        raise ValueError("BIGINT sign-safety: at most 15 hex chars")
     payload = F.concat(F.lit(salt), col) if salt else col
     return F.conv(
         F.substring(F.md5(payload), 1, hexchars), 16, 10
@@ -273,7 +275,9 @@ def simhash_bits(docs: DataFrame, bits: int = 48) -> DataFrame:
 
     Two aggregations: per (doc, bit) contribution sums, then bit
     packing — both map-side-combinable."""
-    assert bits <= 60, "BIGINT sign-safety: at most 60 bits (15 hex chars)"
+    if bits > 60:
+        # contract check, not a debug assert: must survive python -O
+        raise ValueError("BIGINT sign-safety: at most 60 bits (15 hex chars)")
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     ).withColumn("h", md5_hash48(F.col("w"), hexchars=(bits + 3) // 4))
@@ -344,7 +348,8 @@ def simhash_dup_candidates(
 
     k = max_hamming
     n = n_blocks if n_blocks is not None else k + 2
-    assert n > k, "need more blocks than allowed flipped bits"
+    if n <= k:
+        raise ValueError("need more blocks than allowed flipped bits")
     sig = simhash_bits(docs, bits)
     blocks = _block_exprs(bits, n)
     combos = list(combinations(range(n), n - k))

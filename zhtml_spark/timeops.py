@@ -33,6 +33,13 @@ def asof_join(
     it covers.  ONE shuffle on ``by`` + a per-partition sort — no
     range cross join, no per-row lookups; skew on ``by`` is the only
     hazard (salt hot keys upstream if a single entity dominates).
+
+    Duplicate right rows at the same (by, on): deterministic — the
+    window also orders by the carried value struct, so the GREATEST
+    struct (lexicographic over ``value_cols``) wins, independent of
+    shuffle order (ADVICE r2 #3).  Requires orderable value columns
+    (Spark rejects map-typed sort keys at analysis time); pre-dedup
+    the right side if a different tiebreak is needed.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by)
@@ -62,7 +69,15 @@ def asof_join(
     unioned = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        # _rrow last: right-side duplicates at one (by, ts) sort by
+        # value struct, making last(ignorenulls) pick the greatest —
+        # deterministic under any shuffle order.  Left rows (null
+        # struct) sort first within their (ts, side) group, harmless.
+        .orderBy(
+            F.col(on).asc(),
+            F.col("_side").asc(),
+            F.col("_rrow").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(
