@@ -737,6 +737,32 @@ def _q_interval_join(spark, sf_dir):
     return joined.select("event_id", "window_id")
 
 
+def _q_interval_join_guarded(spark, sf_dir):
+    """Skew-guarded range join (r3): LONG per-day windows (18 h at
+    60-min buckets) through the two-tier coarse/fine decomposition
+    (``coarse_factor=6``) — the oracle is the plain containment join,
+    proving the guard changes the plan's replication, never the
+    results."""
+    from zhtml_spark.timeops import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    windows = days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_id"),
+        (F.col("day") + F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        (F.col("day") + F.expr("INTERVAL 20 HOURS")).alias("end_ts"),
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts"),
+        windows,
+        bucket_minutes=60,
+        coarse_factor=6,
+    )
+    return joined.select("event_id", "window_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
@@ -791,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         "interval_join": _q_interval_join,
+        "interval_join_guarded": _q_interval_join_guarded,
         "events_rollup": _q_events_rollup,
     }
 
@@ -1641,6 +1668,18 @@ def oracle_sql() -> dict[str, str]:
                     date_trunc('day', ts) + INTERVAL 10 HOUR AS start_ts,
                     date_trunc('day', ts) + INTERVAL 10 HOUR
                         + INTERVAL 45 MINUTE AS end_ts
+                FROM events
+            )
+            SELECT e.event_id, w.window_id
+            FROM events e JOIN windows w
+              ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        """,
+        "interval_join_guarded": """
+            WITH windows AS (
+                SELECT DISTINCT
+                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_id,
+                    date_trunc('day', ts) + INTERVAL 2 HOUR AS start_ts,
+                    date_trunc('day', ts) + INTERVAL 20 HOUR AS end_ts
                 FROM events
             )
             SELECT e.event_id, w.window_id

@@ -145,3 +145,45 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         ).repartition(nparts)
         out = asof_join(left, right, value_cols=["score"]).collect()
         assert out[0]["score_asof"] == 9.0  # max struct, every time
+
+
+def test_interval_join_skew_guard_bounded_and_exact(spark):
+    """A year-long interval at 60-min buckets replicates 8,760× on the
+    fine-only path; coarse_factor caps it while results stay identical
+    (VERDICT r2 next-round #8)."""
+    from zhtml_spark.timeops import _explode_intervals, interval_join
+
+    year_start = dt.datetime(2024, 1, 1)
+    year_end = dt.datetime(2024, 12, 31)
+    intervals = spark.createDataFrame(
+        [
+            ("long", year_start, year_end),          # pathological
+            ("short", _ts(10), _ts(40)),             # sub-bucket
+            ("aligned", dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 3)),
+        ],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=37 * i))
+         for i in range(240)] + [(9000, _ts(25))],
+        "event_id bigint, ts timestamp",
+    )
+
+    plain = interval_join(points, intervals)
+    guarded = interval_join(points, intervals, coarse_factor=48)
+    key = lambda r: (r["event_id"], r["window_id"])
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, guarded.collect())
+    )
+
+    # replication evidence: exploded interval rows bounded
+    bucket_us = 60 * 60 * 1_000_000
+    s = F.unix_micros(F.col("start_ts"))
+    e = F.unix_micros(F.col("end_ts"))
+    fine_all, _ = _explode_intervals(intervals, s, e, bucket_us, None)
+    fine, coarse = _explode_intervals(intervals, s, e, bucket_us, 48)
+    n_plain = fine_all.count()
+    n_guard = fine.count() + coarse.count()
+    assert n_plain > 8700  # the year-long interval dominates
+    # span/(bucket*48) + 2*48 per interval ≈ 183 + 96 → well under 500
+    assert n_guard < 500

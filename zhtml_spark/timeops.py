@@ -89,6 +89,68 @@ def asof_join(
     return out.drop("_side", "_rrow")
 
 
+def _explode_intervals(
+    intervals: DataFrame,
+    s_us,
+    e_us,
+    bucket_us: int,
+    coarse_factor: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Interval → bucket-id rows.  Without ``coarse_factor``: one fine
+    bucket row per overlapped bucket (replication = span/bucket).  With
+    it: coarse rows for the coarse buckets FULLY inside the interval +
+    fine rows only for the two edge ranges, so replication per interval
+    is ≤ span/(bucket·factor) + 2·factor instead of span/bucket — the
+    year-long-interval skew guard (VERDICT r2 next-round #8).  Exposed
+    separately so tests can measure the replication directly."""
+    fine_all = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_us / bucket_us),
+                # end is exclusive: a bucket starting exactly at end
+                # never matches
+                F.floor((e_us - 1) / bucket_us),
+            )
+        ),
+    )
+    if coarse_factor is None or coarse_factor <= 1:
+        return fine_all, None
+    coarse_us = bucket_us * coarse_factor
+    # first/last coarse boundaries inside the interval; full coarse
+    # buckets are [cs, ce) — exact because coarse is a multiple of fine
+    cs = F.ceil(s_us / F.lit(coarse_us)).cast("long")
+    ce = F.floor(e_us / F.lit(coarse_us)).cast("long")
+    has_coarse = ce > cs
+    coarse = intervals.where(has_coarse).withColumn(
+        "_cbucket", F.explode(F.sequence(cs, ce - 1))
+    )
+    # fine edges: [start, first coarse boundary) and [last coarse
+    # boundary, end); without a full coarse bucket the head IS the
+    # whole interval.  Edge fine buckets never collide with full
+    # coarse buckets (alignment is exact), so each match is produced
+    # exactly once across the two tiers.
+    head_end = F.when(has_coarse, cs * coarse_us).otherwise(e_us)
+    tail_start = ce * coarse_us
+    empty = F.array().cast("array<bigint>")
+    head_ids = F.when(
+        head_end > s_us,
+        F.sequence(
+            F.floor(s_us / bucket_us), F.floor((head_end - 1) / bucket_us)
+        ),
+    ).otherwise(empty)
+    tail_ids = F.when(
+        has_coarse & (e_us > tail_start),
+        F.sequence(
+            F.floor(tail_start / bucket_us), F.floor((e_us - 1) / bucket_us)
+        ),
+    ).otherwise(empty)
+    fine = intervals.withColumn(
+        "_bucket", F.explode(F.concat(head_ids, tail_ids))
+    )
+    return fine, coarse
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -96,6 +158,7 @@ def interval_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_minutes: int = 60,
+    coarse_factor: int | None = None,
 ) -> DataFrame:
     """Point-in-interval (range) join — the second operator family the
     brief names that Spark only does as an O(n·m) nested-loop
@@ -109,32 +172,41 @@ def interval_join(
     ``bucket_minutes`` trades replication (long intervals explode to
     more buckets) against candidate density — size it near the median
     interval length.  Inclusive start, exclusive end.
+
+    Skew guard: pathological long intervals (a year at 60-minute
+    buckets = 8,760 replicas) bound-explode with ``coarse_factor=k`` —
+    a second coarse tier (bucket·k) carries the interval interior, the
+    fine tier only the ≤ 2k edge buckets; the two equality joins union
+    and each match is produced exactly once.  Same results, replication
+    per interval capped at span/(bucket·k) + 2k.
     """
     bucket_us = bucket_minutes * 60 * 1_000_000
     p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
 
-    pts = points.withColumn("_bucket", F.floor(p_us / bucket_us))
     # drop empty/inverted intervals: a descending bound pair would make
     # sequence() count DOWN and fabricate buckets
     intervals = intervals.where(e_us > s_us)
-    ivs = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(s_us / bucket_us),
-                # end is exclusive: a bucket starting exactly at end
-                # never matches
-                F.floor((e_us - 1) / bucket_us),
-            )
-        ),
+    ivs_fine, ivs_coarse = _explode_intervals(
+        intervals, s_us, e_us, bucket_us, coarse_factor
     )
-    joined = pts.join(ivs, "_bucket").where(
-        (F.col(ts_col) >= F.col(start_col))
-        & (F.col(ts_col) < F.col(end_col))
+    pred = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
     )
-    return joined.drop("_bucket")
+    pts_fine = points.withColumn("_bucket", F.floor(p_us / bucket_us))
+    joined = pts_fine.join(ivs_fine, "_bucket").where(pred).drop("_bucket")
+    if ivs_coarse is not None:
+        coarse_us = bucket_us * coarse_factor
+        pts_coarse = points.withColumn(
+            "_cbucket", F.floor(p_us / coarse_us)
+        )
+        joined = joined.unionByName(
+            pts_coarse.join(ivs_coarse, "_cbucket")
+            .where(pred)
+            .drop("_cbucket")
+        )
+    return joined
 
 
 def sessionize(
