@@ -159,6 +159,17 @@ _SVG_TAG_FIXES = {
 # MathML text integration points (children parse as HTML text)
 _MATHML_TEXT_IP = frozenset(["mi", "mo", "mn", "ms", "mtext"])
 
+# foreign elements in the spec "special" category / scope-boundary
+# lists (svg foreignObject/desc/title; MathML text IPs + annotation-xml)
+_SVG_SPECIAL = frozenset(["foreignObject", "desc", "title"])
+_MATH_SPECIAL = _MATHML_TEXT_IP | {"annotation-xml"}
+
+
+def _is_foreign_scope_boundary(ns: str, name: str) -> bool:
+    if ns == "svg":
+        return name in _SVG_SPECIAL
+    return name in _MATH_SPECIAL
+
 # SVG attribute case corrections (spec "adjust SVG attributes" table)
 _SVG_ATTR_FIXES = {
     "attributename": "attributeName", "attributetype": "attributeType",
@@ -615,6 +626,14 @@ def parse_document(
     def current() -> int:
         return stack_ids[-1] if stack_ids else 0
 
+    # per-name count of open elements: O(1) "name is nowhere on the
+    # stack" answers for scope checks.  Crawl-scale guard: a page with
+    # thousands of unclosed <div>s makes every full-stack scope walk
+    # O(depth), turning parse quadratic — the count short-circuits the
+    # (dominant) negative case.  Maintained by push_open/pop and the
+    # adoption-agency direct stack edits.
+    open_counts: dict[str, int] = {}
+
     def push_open(nid: int, name: str) -> None:
         # the ONE path onto the open-elements stack: open_set mirrors
         # stack_ids by construction (reconstruct_afe/adoption_agency
@@ -622,6 +641,7 @@ def parse_document(
         stack_ids.append(nid)
         stack_names.append(name)
         open_set.add(nid)
+        open_counts[name] = open_counts.get(name, 0) + 1
 
     def _insert_location() -> tuple[int, int]:
         """Spec "appropriate place for inserting a node": (parent,
@@ -688,13 +708,44 @@ def parse_document(
 
     def pop() -> None:
         open_set.discard(stack_ids.pop())
-        stack_names.pop()
+        open_counts[stack_names.pop()] -= 1
+
+    def _unstack(idx: int) -> None:
+        """Remove a non-top stack entry (adoption agency / re-pushed
+        head), keeping open_set and open_counts consistent."""
+        open_set.discard(stack_ids[idx])
+        open_counts[stack_names[idx]] -= 1
+        del stack_ids[idx]
+        del stack_names[idx]
 
     def has_in_scope(name: str, boundaries: frozenset) -> bool:
-        for nm in reversed(stack_names):
-            if nm == name:
-                return True
-            if nm in boundaries:
+        if not open_counts.get(name):
+            # O(1) negative: name is nowhere on the stack — the common
+            # case (e.g. close-p with no open p) would otherwise walk
+            # the WHOLE stack, quadratic on deeply-unclosed pages
+            return False
+        if not has_foreign:
+            for nm in reversed(stack_names):
+                if nm == name:
+                    return True
+                if nm in boundaries:
+                    return False
+            return False
+        # ns-aware walk: only HTML elements match; foreign INTEGRATION
+        # POINTS are scope boundaries per the spec's "specific scope"
+        # lists (svg foreignObject/desc/title, MathML text IPs +
+        # annotation-xml) — EXCEPT table scope, whose spec list is just
+        # html/table/template (caught by the differential tree corpus)
+        foreign_bounds = boundaries is not _SCOPE_TABLE
+        for idx in range(len(stack_names) - 1, -1, -1):
+            nm = stack_names[idx]
+            ns = tree.ns[stack_ids[idx]]
+            if ns is None:
+                if nm == name:
+                    return True
+                if nm in boundaries:
+                    return False
+            elif foreign_bounds and _is_foreign_scope_boundary(ns, nm):
                 return False
         return False
 
@@ -899,15 +950,23 @@ def parse_document(
         return M_IN_ROW
 
     def any_other_end_tag(name: str) -> None:
-        # spec InBody "any other end tag" loop
+        # spec InBody "any other end tag" loop: only HTML elements
+        # match; foreign integration points are in the spec special
+        # category, so the walk stops there (an end tag for an element
+        # OUTSIDE the current foreignObject/desc/title or MathML text
+        # IP is ignored, never popped — differential corpus finding)
         for idx in range(len(stack_names) - 1, -1, -1):
             nm = stack_names[idx]
-            if nm == name:
-                generate_implied_end_tags(name)
-                while len(stack_names) > idx:
-                    pop()
-                return
-            if nm in SPECIAL:
+            ns = tree.ns[stack_ids[idx]] if has_foreign else None
+            if ns is None:
+                if nm == name:
+                    generate_implied_end_tags(name)
+                    while len(stack_names) > idx:
+                        pop()
+                    return
+                if nm in SPECIAL:
+                    return  # ignore token
+            elif _is_foreign_scope_boundary(ns, nm):
                 return  # ignore token
 
     def _afe_index_of(nid: int) -> int:
@@ -945,17 +1004,26 @@ def parse_document(
             if fmt_nid not in open_set:
                 afe.remove(fmt_entry)
                 return
-            # in scope? (by node identity)
+            # in scope? (by node identity; foreign IPs bound scope)
             in_scope = False
             for idx in range(len(stack_ids) - 1, -1, -1):
                 if stack_ids[idx] == fmt_nid:
                     in_scope = True
                     break
-                if stack_names[idx] in _SCOPE_DEFAULT:
+                ns_idx = tree.ns[stack_ids[idx]] if has_foreign else None
+                if ns_idx is None:
+                    if stack_names[idx] in _SCOPE_DEFAULT:
+                        break
+                elif _is_foreign_scope_boundary(ns_idx, stack_names[idx]):
                     break
             if not in_scope:
                 return
-            fmt_idx = stack_ids.index(fmt_nid)
+            # reverse find: formatting elements live near the TOP of
+            # the stack; a bottom-up .index is O(depth) per end tag on
+            # deeply-unclosed pages (quadratic at crawl scale)
+            fmt_idx = len(stack_ids) - 1
+            while stack_ids[fmt_idx] != fmt_nid:
+                fmt_idx -= 1
             # furthest block: earliest SPECIAL element more recent than
             # the formatting element
             fb_idx = -1
@@ -989,9 +1057,7 @@ def parse_document(
                         bookmark -= 1
                     ai = -1
                 if ai == -1:
-                    open_set.discard(stack_ids[node_idx])
-                    del stack_ids[node_idx]
-                    del stack_names[node_idx]
+                    _unstack(node_idx)
                     continue
                 # clone node; swap into afe and the stack
                 entry = afe[ai]
@@ -1021,14 +1087,19 @@ def parse_document(
                 bookmark -= 1
             afe.insert(bookmark, [fmt_entry[0], fmt_entry[1], clone2])
             # stack: remove fmt element, insert clone just above fb
-            rm = stack_ids.index(fmt_nid)
-            open_set.discard(fmt_nid)
-            del stack_ids[rm]
-            del stack_names[rm]
-            fb_pos = stack_ids.index(furthest_nid)
+            rm = len(stack_ids) - 1
+            while stack_ids[rm] != fmt_nid:
+                rm -= 1
+            _unstack(rm)
+            fb_pos = len(stack_ids) - 1
+            while stack_ids[fb_pos] != furthest_nid:
+                fb_pos -= 1
             stack_ids.insert(fb_pos + 1, clone2)
             stack_names.insert(fb_pos + 1, fmt_entry[0])
             open_set.add(clone2)
+            open_counts[fmt_entry[0]] = (
+                open_counts.get(fmt_entry[0], 0) + 1
+            )
 
     # ---------------------------------------------- foreign content
     def _is_html_ip(nid: int) -> bool:
@@ -1351,9 +1422,7 @@ def parse_document(
                             if head_id != -1:
                                 idx = len(stack_ids) - 2
                                 if idx >= 0 and stack_ids[idx] == head_id:
-                                    open_set.discard(head_id)
-                                    del stack_ids[idx]
-                                    del stack_names[idx]
+                                    _unstack(idx)
                         else:
                             nid = tree.new_node(N_ELEMENT, name, tok[2])
                             tree.append_child(
@@ -1416,10 +1485,10 @@ def parse_document(
                                     if stale in afe:
                                         afe.remove(stale)
                                     if stale[2] in open_set:
-                                        idx = stack_ids.index(stale[2])
-                                        open_set.discard(stale[2])
-                                        del stack_ids[idx]
-                                        del stack_names[idx]
+                                        sidx = len(stack_ids) - 1
+                                        while stack_ids[sidx] != stale[2]:
+                                            sidx -= 1
+                                        _unstack(sidx)
                             if afe:
                                 reconstruct_afe()
                             nid = insert_element(name, attrs)
@@ -1566,9 +1635,13 @@ def parse_document(
                             reprocess = True
                         break
                     if name == "p":
-                        if has_in_scope("p", _SCOPE_BUTTON):
-                            generate_implied_end_tags("p")
-                            pop_until("p")
+                        if not has_in_scope("p", _SCOPE_BUTTON):
+                            # spec: parse error — insert an EMPTY p,
+                            # then close it (browsers render <p></p>;
+                            # caught by the differential tree corpus)
+                            insert_element("p", {})
+                        generate_implied_end_tags("p")
+                        pop_until("p")
                         break
                     if name == "li":
                         if has_in_scope("li", _SCOPE_LIST_ITEM):
