@@ -231,10 +231,28 @@ def minhash_banded_candidates(
     near-dup pairs plus exponentially-rare accidents.  Join stays a
     bucketed equality join on (band, band_sig); no cross join.
     """
+    band_sig = _band_signatures(docs, n, bands, rows, shingle)
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def _band_signatures(
+    docs: DataFrame, n: int, bands: int, rows: int, shingle: str
+) -> DataFrame:
+    """(doc_id, band, band_sig) rows — the b×r LSH bucket keys shared
+    by ``minhash_banded_candidates`` and ``minhash_band_stats``."""
     sig = minhash_signatures(docs, n, seeds=bands * rows, shingle=shingle)
     banded = sig.withColumn("band", F.expr(f"seed DIV {rows}"))
     # band signature: md5 over the band's minhashes in seed order
-    band_sig = (
+    return (
         banded.groupBy("doc_id", "band")
         .agg(
             F.md5(
@@ -256,16 +274,33 @@ def minhash_banded_candidates(
         .where(F.col("n_rows") == rows)
         .drop("n_rows")
     )
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
-    return (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_bands"))
+
+
+def minhash_band_stats(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    shingle: str = "word",
+) -> dict:
+    """Plan-evidence helper (mirrors ``simhash_candidate_stats``): max
+    bucket cardinality + candidate-pair volume for a b×r banding — the
+    per-round trend line VERDICT r2 #9 asked for, so r=2 bucket growth
+    is tracked the same way the simhash scheme's is."""
+    band_sig = _band_signatures(docs, n, bands, rows, shingle)
+    per_bucket = band_sig.groupBy("band", "band_sig").agg(
+        F.count("*").alias("n")
     )
+    row = per_bucket.agg(
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) / 2")).alias("candidate_pairs"),
+    ).collect()[0]
+    return {
+        "bands": bands,
+        "rows": rows,
+        "max_bucket": row["max_bucket"],
+        "candidate_pairs": int(row["candidate_pairs"] or 0),
+    }
 
 
 def simhash_bits(docs: DataFrame, bits: int = 48) -> DataFrame:

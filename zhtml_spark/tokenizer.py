@@ -181,7 +181,8 @@ _C1_REMAP = {
 # this (its parser implements only Initial/BeforeHtml,
 # /root/reference/src/parser.zig:123-134); full-page parsing needs it.
 # noscript is absent: we parse with scripting disabled, so its content
-# is real markup (and real content for extraction).
+# is real markup (the extraction walk skips it by default —
+# ExtractConfig.include_noscript flips the policy).
 _RAWTEXT_SWITCH = {
     "title": S_RCDATA,
     "textarea": S_RCDATA,

@@ -18,10 +18,15 @@ guard the reference declares at src/parser.zig:93-122).
 Implemented in full: active formatting elements (list + reconstruction
 + Noah's Ark) AND the adoption agency algorithm (§13.2.6.4.7) —
 canonical html5lib misnesting goldens reproduce exactly
-(tests/test_tree.py).  Remaining simplifications, all
+(tests/test_tree.py), plus InSelect/InSelectInTable (r2), fragment
+parsing (r2), and InTemplate with the template-modes stack (r3) —
+19 of the spec's 23 modes.  Remaining simplifications, all
 extraction-safe (text placement is what the span invariant judges):
-no InSelect/InFrameset/InTemplate modes (marginal for content
-extraction; stubs in the reference too) and no fragment parsing.
+no InHeadNoscript/InFrameset/AfterFrameset* (frameset pages emit no
+content spans; stubs in the reference too), and template contents
+stay as CHILDREN of the template node (the flat-tree analog of the
+spec's detached contents fragment — the extraction walk prunes them,
+matching browsers' never-rendered semantics).
 
 Node storage is the north-star-mandated flat arrays — parallel Python
 lists ``parent / first_child / last_child / next_sibling`` plus
@@ -632,7 +637,9 @@ def parse_document(
     # O(depth), turning parse quadratic — the count short-circuits the
     # (dominant) negative case.  Maintained by push_open/pop and the
     # adoption-agency direct stack edits.
-    open_counts: dict[str, int] = {}
+    from collections import defaultdict
+
+    open_counts: dict[str, int] = defaultdict(int)
 
     def push_open(nid: int, name: str) -> None:
         # the ONE path onto the open-elements stack: open_set mirrors
@@ -641,7 +648,7 @@ def parse_document(
         stack_ids.append(nid)
         stack_names.append(name)
         open_set.add(nid)
-        open_counts[name] = open_counts.get(name, 0) + 1
+        open_counts[name] += 1
 
     def _insert_location() -> tuple[int, int]:
         """Spec "appropriate place for inserting a node": (parent,
@@ -1097,9 +1104,7 @@ def parse_document(
             stack_ids.insert(fb_pos + 1, clone2)
             stack_names.insert(fb_pos + 1, fmt_entry[0])
             open_set.add(clone2)
-            open_counts[fmt_entry[0]] = (
-                open_counts.get(fmt_entry[0], 0) + 1
-            )
+            open_counts[fmt_entry[0]] += 1
 
     # ---------------------------------------------- foreign content
     def _is_html_ip(nid: int) -> bool:
