@@ -737,6 +737,89 @@ def _q_interval_join(spark, sf_dir):
     return joined.select("event_id", "window_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (r3): a synthetic eval set (first 8
+    words of every 10th doc) broadcast-joins against the corpus's
+    8-grams; contaminated docs drop via anti-join.  The oracle is the
+    NOT EXISTS formulation over the same gram construction."""
+    from zhtml_spark.textops import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 10 == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+        ).alias("text")
+    )
+    clean = decontaminate(d, bench, n=8)
+    return clean.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction (r3): deterministic emails/IPs/phone runs injected
+    per doc, scrubbed by the JVM regexp chain; DuckDB runs the
+    IDENTICAL RE2-compatible patterns (global flag)."""
+    from zhtml_spark.textops import redact_pii
+
+    d = _docs(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555 010 "),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+    return redact_pii(
+        d.select("doc_id", pii_text.alias("text"))
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "clean_text",
+        "n_redactions",
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Within-doc repetition features (r3): each doc gets its first six
+    words appended twice (deterministic boilerplate), then the
+    Gopher-style duplicate-3-gram counters run; integer arithmetic
+    end-to-end so the oracle is exact."""
+    from zhtml_spark.textops import repetition_stats
+
+    d = _docs(spark, sf_dir)
+    first6 = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 6), " "
+    )
+    rep_text = F.concat(
+        F.col("text"), F.lit(" "), first6, F.lit(" "), first6
+    )
+    return repetition_stats(
+        d.select("doc_id", rep_text.alias("text")), n=3
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "total_ngrams",
+        "distinct_ngrams",
+        "repetitive",
+    )
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (r3): per-lang keep rates via
+    the blessed cross-engine md5-48 hash — reruns and the oracle pick
+    the identical sample, no RNG."""
+    from zhtml_spark.textops import hash_sample
+
+    d = _docs(spark, sf_dir)
+    out = hash_sample(
+        d, rate_pct=20, by_rates={"en": 50, "es": 25}, by="lang"
+    )
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+
+
 def _q_interval_join_guarded(spark, sf_dir):
     """Skew-guarded range join (r3): LONG per-day windows (18 h at
     60-min buckets) through the two-tier coarse/fine decomposition
@@ -818,6 +901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
         "events_rollup": _q_events_rollup,
     }
 
@@ -1685,6 +1772,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, w.window_id
             FROM events e JOIN windows w
               ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT DISTINCT array_to_string(
+                    string_split(text, ' ')[1:8], ' '
+                ) AS gram
+                FROM documents WHERE doc_id % 10 = 0
+            ),
+            wd AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            dgrams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+7], ' ') AS gram
+                FROM wd, UNNEST(range(1, len(w) - 6)) AS t(i)
+            ),
+            dirty AS (
+                SELECT DISTINCT g.doc_id
+                FROM dgrams g JOIN bench b USING (gram)
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.text
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "redact_pii": """
+            WITH pii AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com at 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR)
+                         || '.7 or +1 555 010 '
+                         || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+                FROM documents
+            ),
+            scrubbed AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g'),
+                         '\\b\\+?\\d[\\d -]{7,}\\d\\b', '<PHONE>', 'g'
+                       ) AS clean_text
+                FROM pii
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, clean_text,
+                   CAST(len(string_split_regex(
+                       clean_text, '<EMAIL>|<IP>|<PHONE>')) - 1 AS INTEGER)
+                       AS n_redactions
+            FROM scrubbed
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       text || ' '
+                         || array_to_string(string_split(text,' ')[1:6],' ')
+                         || ' '
+                         || array_to_string(string_split(text,' ')[1:6],' ')
+                         AS rtext
+                FROM documents
+            ),
+            wd AS (
+                SELECT doc_id, string_split(rtext, ' ') AS w FROM base
+            ),
+            tot AS (
+                SELECT doc_id,
+                       CAST(greatest(len(w) - 2, 0) AS INTEGER)
+                           AS total_ngrams
+                FROM wd
+            ),
+            dist AS (
+                SELECT doc_id, CAST(count(DISTINCT
+                           array_to_string(w[i:i+2], ' ')) AS INTEGER)
+                           AS distinct_ngrams
+                FROM wd, UNNEST(range(1, len(w) - 1)) AS t(i)
+                GROUP BY doc_id
+            )
+            SELECT CAST(t.doc_id AS VARCHAR) AS doc_id,
+                   t.total_ngrams, d.distinct_ngrams,
+                   (t.total_ngrams - d.distinct_ngrams) * 10
+                       > t.total_ngrams * 3 AS repetitive
+            FROM tot t JOIN dist d ON t.doc_id = d.doc_id
+        """,
+        "hash_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang
+            FROM documents
+            WHERE ('0x' || substr(
+                      md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 12
+                  ))::BIGINT % 100
+                  < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
+                    ELSE 20 END
         """,
         "events_sessionized": """
             WITH flagged AS (

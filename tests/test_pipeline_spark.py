@@ -453,3 +453,82 @@ def test_list_snapshots_orders_committed_attempts(spark, tmp_path):
     assert [s["attempt"] for s in snaps] == [s1["attempt"], s2["attempt"]]
     assert snaps[0]["snapshot_id"] == 7 and snaps[1]["snapshot_id"] == 8
     assert any("spans" in p for p in snaps[0]["staged"])
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from zhtml_spark.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta trailing"),
+         (2, "totally unrelated words that never appear anywhere else"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta other tail")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)],
+        "text string",
+    )
+    clean = decontaminate(docs, bench, n=8)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    # plan: benchmark side broadcasts, no Python stage
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_redact_pii_patterns(spark):
+    from zhtml_spark.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-site.co.uk or 192.168.0.1 or +44 20 7946 0958 end"),
+         (2, "no pii here at all"),
+         (3, "two mails x@y.io and z@w.dev close")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["clean_text"] == (
+        "mail <EMAIL> or <IP> or +<PHONE> end"
+    )
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["clean_text"] == "no pii here at all"
+    assert rows[2]["n_redactions"] == 0
+    assert rows[3]["n_redactions"] == 2
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from zhtml_spark.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "each word here is used exactly once only"),
+         (3, "ab")],  # shorter than n
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    assert rows[1]["repetitive"] and rows[1]["distinct_ngrams"] == 1
+    assert not rows[2]["repetitive"]
+    assert rows[2]["total_ngrams"] == rows[2]["distinct_ngrams"] == 6
+    assert rows[3]["total_ngrams"] == 0 and not rows[3]["repetitive"]
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from zhtml_spark.textops import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", ["en", "es", "de"][i % 3]) for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(r["doc_id"] for r in hash_sample(docs, 20).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(docs, 20).collect())
+    assert a == b and 0 < len(a) < 300  # reproducible, non-trivial
+    strat = hash_sample(docs, 5, by_rates={"en": 95}, by="lang").collect()
+    by_lang = {}
+    for r in strat:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang.get("en", [])) > len(by_lang.get("es", []))
+    # rate 100 keeps everything; rate 0 keeps nothing
+    assert hash_sample(docs, 100).count() == 300
+    assert hash_sample(docs, 0).count() == 0
+    # pure filter: no shuffle, no Python
+    plan = hash_sample(docs, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -895,3 +895,112 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         md5_hash48(norm).alias("fingerprint48"),
     )
+
+
+# ------------------------------------------------------------------
+# training-pipeline hygiene ops (round 3): decontamination, PII
+# redaction, within-doc repetition, deterministic sampling — the
+# standard passes between crawl extraction and tokenization.
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one word ``n``-gram with an evaluation/benchmark
+    set — the standard pre-training hygiene pass (C4/GPT-3-style
+    13-gram overlap; default 8 fits the short synthetic docs).
+
+    Distributed shape: both sides explode to DISTINCT n-grams; the
+    benchmark side (thousands of eval questions vs billions of train
+    docs) broadcasts, contaminated doc_ids come from one broadcast
+    hash join + distinct, and the final pass is a LEFT ANTI join —
+    never a cross join, no Python.  Returns the CLEAN subset of
+    ``docs`` (all original columns)."""
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(n, text_col)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        "doc_id", F.explode(word_ngrams(n, text_col)).alias("gram")
+    )
+    dirty = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(dirty, "doc_id", "left_anti")
+
+
+# RE2-compatible (and Java-regex-compatible) patterns so the DuckDB
+# oracle can run the IDENTICAL expressions: no backrefs, no lookaround
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\+?\d[\d -]{7,}\d\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: emails / bare IPv4s / phone-like digit runs → typed
+    placeholder tokens, as one JVM ``regexp_replace`` chain (zero
+    Python; order matters — emails first so their digits never match
+    the phone pattern, IPs before phones for the same reason).
+
+    Returns (doc_id, clean_text, n_redactions)."""
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    step2 = F.regexp_replace(step1, _PII_IPV4, "<IP>")
+    clean = F.regexp_replace(step2, _PII_PHONE, "<PHONE>")
+    n_red = (
+        F.size(F.split(clean, "<EMAIL>|<IP>|<PHONE>")) - F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.cast("int").alias("n_redactions"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition features: total vs
+    distinct word ``n``-gram counts and a ``repetitive`` flag (more
+    than 30% duplicate n-grams — boilerplate / degenerate text).
+    Integer arithmetic end-to-end (the flag compares
+    ``(total-distinct)*10 > total*3``), so the DuckDB oracle is exact
+    with no float-rounding hazard.  Projection only — no shuffle."""
+    words = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    distinct = F.size(word_ngrams(n, text_col))
+    return docs.select(
+        "doc_id",
+        total.cast("int").alias("total_ngrams"),
+        distinct.cast("int").alias("distinct_ngrams"),
+        (
+            (total - distinct) * F.lit(10) > total * F.lit(3)
+        ).alias("repetitive"),
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate_pct: int = 10,
+    by_rates: dict[str, int] | None = None,
+    by: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic (reproducible, engine-portable) sampling: keep a
+    row iff its md5-derived 48-bit hash modulo 100 falls under the
+    rate — no RNG, so reruns, resumes, and the DuckDB oracle all pick
+    the IDENTICAL sample.  ``by_rates`` gives per-group percentages
+    (e.g. upsample low-resource languages), ``rate_pct`` the default.
+    Plain filter — no shuffle, pushes to the scan."""
+    bucket = md5_hash48(F.col(key_col).cast("string"), salt="sample|") % 100
+    if by_rates:
+        rate: Column = F.lit(rate_pct)
+        for key, pct in sorted(by_rates.items()):
+            rate = F.when(F.col(by) == key, F.lit(pct)).otherwise(rate)
+    else:
+        rate = F.lit(rate_pct)
+    return docs.where(bucket < rate)
