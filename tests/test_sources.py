@@ -294,3 +294,69 @@ def test_stream_gunzip_equivalence_and_bounds():
 
     with pytest.raises(EOFError):
         src._stream_gunzip_chunks(single[:-6])
+
+
+def test_stream_gunzip_hypothesis_fuzz():
+    """Property: for ANY record set and ANY gzip member partitioning,
+    the streamed decoder reassembles to exactly the whole-blob decode
+    (chunk boundaries always on record seps)."""
+    import gzip
+
+    from hypothesis import given, settings, strategies as st
+
+    import zhtml_spark.sources as src
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bodies=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=120,
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        n_members=st.integers(min_value=1, max_value=5),
+        chunk_target=st.integers(min_value=32, max_value=4096),
+        data=st.data(),
+    )
+    def prop(bodies, n_members, chunk_target, data):
+        recs = [
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: u{i}\r\nWARC-Date: d\r\n\r\n"
+            + b.replace("\r", " ")  # keep bodies off the record sep
+            + "\r\n\r\n"
+            for i, b in enumerate(bodies)
+        ]
+        content = "".join(recs)
+        raw = content.encode("utf-8")
+        # arbitrary member partitioning of the BYTE stream (members may
+        # split records and multi-byte chars — decoder must not care)
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(raw)),
+                    min_size=n_members - 1,
+                    max_size=n_members - 1,
+                )
+            )
+        )
+        parts = []
+        prev = 0
+        for c in cuts + [len(raw)]:
+            parts.append(raw[prev:c])
+            prev = c
+        blob = b"".join(gzip.compress(p) for p in parts)
+        old = src._CHUNK_TARGET
+        src._CHUNK_TARGET = chunk_target
+        try:
+            chunks = src._stream_gunzip_chunks(blob)
+        finally:
+            src._CHUNK_TARGET = old
+        assert "".join(chunks) == content
+        for c in chunks[:-1]:
+            assert c.endswith("\r\n\r\n")
+
+    prop()
