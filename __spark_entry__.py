@@ -820,6 +820,24 @@ def _q_hash_sample(spark, sf_dir):
     )
 
 
+def _q_substring_dup_spans(spark, sf_dir):
+    """Exact substring dedup (r3): maximal verbatim runs ≥60 chars
+    shared across doc pairs, with offsets — positioned 25-shingle
+    inverted-index join + per-diagonal gaps-and-islands; the oracle is
+    the identical construction in SQL window functions."""
+    from zhtml_spark.textops import substring_dup_spans
+
+    d = _docs(spark, sf_dir)
+    out = substring_dup_spans(d, k=25, min_len=60)
+    return out.select(
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+        F.col("start_a").cast("int").alias("start_a"),
+        F.col("start_b").cast("int").alias("start_b"),
+        "length",
+    )
+
+
 def _q_interval_join_guarded(spark, sf_dir):
     """Skew-guarded range join (r3): LONG per-day windows (18 h at
     60-min buckets) through the two-tier coarse/fine decomposition
@@ -901,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
+        "substring_dup_spans": _q_substring_dup_spans,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1772,6 +1791,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, w.window_id
             FROM events e JOIN windows w
               ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        """,
+        "substring_dup_spans": """
+            WITH g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(
+                           md5(substring(text, i, 25)), 1, 12
+                       ))::BIGINT AS gh
+                FROM documents,
+                     UNNEST(range(1, length(text) - 25 + 2)) AS t(i)
+                WHERE length(text) >= 25
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, b.pos AS pos_b,
+                       a.pos - b.pos AS d
+                FROM g a JOIN g b USING (gh)
+                WHERE a.doc_id < b.doc_id
+            ),
+            isl AS (
+                SELECT *,
+                       CASE WHEN pos_a - lag(pos_a) OVER (
+                           PARTITION BY doc_a, doc_b, d ORDER BY pos_a
+                       ) = 1 THEN 0 ELSE 1 END AS brk
+                FROM p
+            ),
+            num AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_a, doc_b, d ORDER BY pos_a
+                ) AS island
+                FROM isl
+            )
+            SELECT CAST(doc_a AS VARCHAR) AS doc_a,
+                   CAST(doc_b AS VARCHAR) AS doc_b,
+                   CAST(min(pos_a) AS INTEGER) AS start_a,
+                   CAST(min(pos_b) AS INTEGER) AS start_b,
+                   CAST(max(pos_a) - min(pos_a) + 25 AS INTEGER) AS length
+            FROM num
+            GROUP BY doc_a, doc_b, d, island
+            HAVING max(pos_a) - min(pos_a) + 25 >= 60
         """,
         "decontaminate": """
             WITH bench AS (

@@ -532,3 +532,41 @@ def test_hash_sample_deterministic_and_stratified(spark):
     # pure filter: no shuffle, no Python
     plan = hash_sample(docs, 20)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_substring_dup_spans_offsets_and_cap(spark):
+    from zhtml_spark.textops import substring_dup_spans
+
+    shared = "the exact same sixty character run appears verbatim here ok"
+    docs = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail alpha"),
+         (2, "a different lead-in text " + shared + " other ending"),
+         (3, "no overlap with anything else at all in this one document")],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, k=25, min_len=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # the shared run extends one space on each side (identical context)
+    assert r["length"] == len(shared) + 2
+    assert docs.collect()  # force nothing cached oddly
+    # offsets point at the run start in each doc (0-based)
+    texts = {1: "prefix one " + shared + " tail alpha",
+             2: "a different lead-in text " + shared + " other ending"}
+    assert texts[1][r["start_a"]:r["start_a"] + r["length"]] == \
+        texts[2][r["start_b"]:r["start_b"] + r["length"]]
+    # doc-frequency cap drops ubiquitous grams entirely
+    many = spark.createDataFrame(
+        [(i, "common boilerplate sentence shared by every single doc here")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = substring_dup_spans(many, k=25, min_len=40, max_gram_freq=3)
+    assert capped.count() == 0
+    full = substring_dup_spans(many, k=25, min_len=40)
+    assert full.count() == 15  # all C(6,2) pairs
+    # plan: no Python stage, no cross join
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

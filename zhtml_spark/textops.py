@@ -1004,3 +1004,83 @@ def hash_sample(
     else:
         rate = F.lit(rate_pct)
     return docs.where(bucket < rate)
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 25,
+    min_len: int = 40,
+    text_col: str = "text",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact substring dedup (the Lee-et-al-style pass the dedup
+    literature applies AFTER doc-level near-dup removal): find maximal
+    substrings of length ≥ ``min_len`` shared verbatim across document
+    PAIRS, with their offsets — (doc_a, doc_b, start_a, start_b,
+    length), 0-based starts.
+
+    Distributed shape (no suffix array needed): positioned char
+    ``k``-grams hash to 48-bit keys (narrow shuffle rows), an
+    inverted-index equality self-join finds matching positions, and a
+    gaps-and-islands window per (pair, diagonal = pos_a − pos_b) merges
+    CONSECUTIVE matches into maximal runs — a run of m consecutive
+    k-gram matches is a shared substring of m + k − 1 chars.  Three
+    shuffles (join, window, final agg), never a cross join; integer
+    output end-to-end, so the DuckDB oracle is exact.
+
+    ``max_gram_freq`` is the scale lever (same role as in
+    ``ngram_jaccard_pairs``): a k-gram in f docs contributes f² join
+    rows; boilerplate grams (headers, licenses) explode quadratically
+    at corpus scale — cap their document frequency and runs split at
+    the capped grams only (spans through ubiquitous boilerplate are
+    exactly what substring dedup wants to surface anyway).
+    """
+    arr = F.expr(
+        f"CASE WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" i -> substring({text_col}, i, {k})) END"
+    )
+    grams = docs.select(
+        "doc_id", F.posexplode(arr).alias("pos", "gram")
+    ).select("doc_id", "pos", md5_hash48(F.col("gram")).alias("gh"))
+    if max_gram_freq is not None:
+        keep = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") <= max_gram_freq)
+            .select("gh")
+        )
+        grams = grams.join(keep, "gh")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    islands = pairs.withColumn(
+        "brk",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(w) == 1, 0).otherwise(1),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "d", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k))
+            .cast("int")
+            .alias("length"),
+        )
+        .where(F.col("length") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "length")
+    )
