@@ -1477,6 +1477,26 @@ def afe_cases() -> list[dict]:
         "marker at applet bounds reconstruction",
         [S("b"), T("1"), S("applet"), T("2"), E("applet"), T("3")],
     ))
+    # adoption agency with a TABLE-CONTEXT common ancestor: the spec
+    # inserts last_node at the appropriate place with common ancestor
+    # as override target → foster parenting (a plain append nested the
+    # block inside <table> — engine bug found by this family)
+    for f in ("b", "i", "em", "nobr"):
+        out.append(case(
+            f"adoption foster common-ancestor table {f}",
+            [S("table"), S(f), S("div"), T("x"), E(f), E("div"),
+             S("tr"), S("td"), T("c"), E("table"), T("tail")],
+        ))
+    out.append(case(
+        "adoption foster common-ancestor tbody",
+        [S("table"), S("tbody"), S("b"), S("div"), T("x"), E("b"),
+         E("div"), S("tr"), S("td"), T("c"), E("table")],
+    ))
+    out.append(case(
+        "adoption foster common-ancestor tr",
+        [S("table"), S("tr"), S("i"), S("div"), T("x"), E("i"),
+         E("div"), S("td"), T("c"), E("table")],
+    ))
     return out
 
 

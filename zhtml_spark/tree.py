@@ -1078,8 +1078,38 @@ def parse_document(
                 tree.detach(last_node)
                 tree.append_child(clone, last_node)
                 last_node = clone
+            # spec step: insert last_node at the APPROPRIATE PLACE with
+            # common ancestor as the override target — when that target
+            # is a table-context element, foster parenting applies
+            # (plain append used to nest a <div> INSIDE <table>;
+            # differential-corpus finding)
             tree.detach(last_node)
-            tree.append_child(common_ancestor, last_node)
+            if (
+                tree.ns[common_ancestor] is None
+                and tree.name[common_ancestor] in _TABLE_FOSTER_CONTEXT
+            ):
+                placed = False
+                for t_idx in range(len(stack_ids) - 1, -1, -1):
+                    if (
+                        stack_names[t_idx] == "table"
+                        and tree.ns[stack_ids[t_idx]] is None
+                    ):
+                        t_nid = stack_ids[t_idx]
+                        if tree.parent[t_nid] != -1:
+                            tree.insert_node_before(
+                                tree.parent[t_nid], t_nid, last_node
+                            )
+                        else:
+                            tree.append_child(
+                                stack_ids[t_idx - 1] if t_idx > 0 else 0,
+                                last_node,
+                            )
+                        placed = True
+                        break
+                if not placed:
+                    tree.append_child(stack_ids[0], last_node)
+            else:
+                tree.append_child(common_ancestor, last_node)
             # clone the formatting element; move furthest block's
             # children into it; hang it off the furthest block
             clone2 = tree.new_node(
