@@ -820,6 +820,35 @@ def _q_hash_sample(spark, sf_dir):
     )
 
 
+def _q_media_absolutize(spark, sf_dir):
+    """Relative-URL absolutization (r3): per-doc synthetic base URLs +
+    a rotation of ref shapes (relative, ../, root-relative,
+    protocol-relative, absolute) through the JVM resolver; the oracle
+    mirrors the identical regex chain in DuckDB."""
+    from zhtml_spark.textops import absolutize_url
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/a/b/page"), did, F.lit(".html?x=1"),
+    )
+    m = F.col("doc_id") % 5
+    ref = (
+        F.when(m == 0, F.concat(F.lit("img/p"), did, F.lit(".png")))
+        .when(m == 1, F.lit("../up.png"))
+        .when(m == 2, F.lit("/rooted.png"))
+        .when(m == 3, F.lit("//cdn.example/c.js"))
+        .otherwise(
+            F.concat(F.lit("https://abs.example/v"), did, F.lit(".png"))
+        )
+    )
+    return d.select(
+        did.alias("doc_id"),
+        absolutize_url(base, ref).alias("resolved_ref"),
+    )
+
+
 def _q_substring_dup_spans(spark, sf_dir):
     """Exact substring dedup (r3): maximal verbatim runs ≥60 chars
     shared across doc pairs, with offsets — positioned 25-shingle
@@ -919,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
+        "media_absolutize": _q_media_absolutize,
         "substring_dup_spans": _q_substring_dup_spans,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
@@ -937,6 +967,59 @@ _GRAMS_CTE = """
         FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
     )
 """
+
+def _abs_url_sql() -> str:
+    """DuckDB mirror of textops.absolutize_url (identical regex chain;
+    built by loop so the 10 nested regexp_replace passes stay in sync
+    with the Spark implementation)."""
+    u = "joined"
+    for _ in range(2):
+        u = f"regexp_replace({u}, '/\\./', '/', 'g')"
+    for _ in range(8):
+        u = f"regexp_replace({u}, '/[^/?#]+/\\.\\./', '/', 'g')"
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/a/b/page' || CAST(doc_id AS VARCHAR)
+                     || '.html?x=1' AS base,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'img/p' || CAST(doc_id AS VARCHAR)
+                                 || '.png'
+                     WHEN 1 THEN '../up.png'
+                     WHEN 2 THEN '/rooted.png'
+                     WHEN 3 THEN '//cdn.example/c.js'
+                     ELSE 'https://abs.example/v'
+                          || CAST(doc_id AS VARCHAR) || '.png'
+                   END AS ref
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, ref,
+                   regexp_extract(base,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS scheme,
+                   regexp_extract(base,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) AS origin,
+                   regexp_extract(regexp_replace(base, '[?#].*$', ''),
+                     '^(.*/)', 1) AS bdir0
+            FROM m
+        ),
+        j AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN regexp_matches(ref,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN ref
+                     WHEN ref LIKE '//%' THEN scheme || ':' || ref
+                     WHEN ref LIKE '/%' THEN origin || ref
+                     ELSE (CASE WHEN length(bdir0) > length(origin)
+                           THEN bdir0 ELSE origin || '/' END) || ref
+                   END AS joined
+            FROM parts
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, {u} AS resolved_ref
+        FROM j
+    """
+
 
 _STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
 _STOP_ES = "['el','la','de','que','y','en','un','es','por','los']"
@@ -1792,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN windows w
               ON e.ts >= w.start_ts AND e.ts < w.end_ts
         """,
+        "media_absolutize": _abs_url_sql(),
         "substring_dup_spans": """
             WITH g AS (
                 SELECT doc_id, i - 1 AS pos,

@@ -570,3 +570,44 @@ def test_substring_dup_spans_offsets_and_cap(spark):
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_absolutize_url_shapes(spark):
+    from zhtml_spark.textops import absolutize_media_refs, absolutize_url
+
+    cases = [
+        ("https://ex.com/a/b/page.html", "img/x.png",
+         "https://ex.com/a/b/img/x.png"),
+        ("https://ex.com/a/b/c/d/p.html", "../../../deep.png",
+         "https://ex.com/a/deep.png"),
+        ("https://ex.com/a/page.html?q=1#f", "rel.png",
+         "https://ex.com/a/rel.png"),
+        ("https://ex.com", "x.png", "https://ex.com/x.png"),
+        ("https://ex.com/", "/root.png", "https://ex.com/root.png"),
+        ("http://ex.com/p/", "//cdn.net/c.js", "http://cdn.net/c.js"),
+        ("https://ex.com/p/q.html", "https://abs.io/v.png",
+         "https://abs.io/v.png"),
+        ("https://ex.com/p/q.html", "data:image/png;base64,AA",
+         "data:image/png;base64,AA"),
+        ("https://ex.com/a/b/", "c/../d/./e.png",
+         "https://ex.com/a/b/d/e.png"),
+    ]
+    df = spark.createDataFrame(cases, "base string, ref string, want string")
+    got = df.select(
+        "want",
+        absolutize_url(F.col("base"), F.col("ref")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+    # span-table convenience: non-media rows stay NULL; pure projection
+    spans = spark.createDataFrame(
+        [("https://ex.com/d/p.html", "i.png"),
+         ("https://ex.com/d/p.html", None)],
+        "page_url string, media_ref string",
+    )
+    out = absolutize_media_refs(spans).collect()
+    assert out[0]["resolved_ref"] == "https://ex.com/d/i.png"
+    assert out[1]["resolved_ref"] is None
+    plan = absolutize_media_refs(spans)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

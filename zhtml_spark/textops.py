@@ -1084,3 +1084,62 @@ def substring_dup_spans(
         .where(F.col("length") >= min_len)
         .select("doc_a", "doc_b", "start_a", "start_b", "length")
     )
+
+
+def absolutize_url(base: Column, ref: Column) -> Column:
+    """Resolve a (possibly relative) reference against a base page URL
+    — RFC-3986-lite, pure JVM expressions (no Python, no UDF), so the
+    crawl pipeline can absolutize extracted ``media_ref``s against the
+    WARC target URI at scan speed.
+
+    Handled: absolute refs (returned as-is), protocol-relative
+    ``//host/…`` (base scheme attached), root-relative ``/p`` (base
+    origin attached), and plain relative paths including ``./`` and
+    ``../`` — dot-segments collapse via 8 passes of a leftmost
+    ``/seg/../`` rewrite (global regexp_replace scans resume after
+    each replacement, so one pass per nesting LEVEL — 8 covers any
+    real URL; both engines share the exact semantics, no backrefs).
+
+    Documented approximations: ``?query``/``#frag``-only refs and
+    ``../`` underflow past the root keep their raw shape (generate-
+    side callers never produce them; browsers clamp underflow)."""
+    stripped = F.regexp_replace(base, r"[?#].*$", "")
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
+    )
+    # directory of the base path: through the LAST slash; a bare
+    # origin (no path slash) resolves relative refs against "/"
+    base_dir = F.regexp_extract(stripped, r"^(.*/)", 1)
+    base_dir = F.when(
+        F.length(base_dir) > F.length(origin), base_dir
+    ).otherwise(F.concat(origin, F.lit("/")))
+    joined = (
+        F.when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .otherwise(F.concat(base_dir, ref))
+    )
+    out = joined
+    for _ in range(2):
+        out = F.regexp_replace(out, r"/\./", "/")
+    for _ in range(8):
+        out = F.regexp_replace(out, r"/[^/?#]+/\.\./", "/")
+    return out
+
+
+def absolutize_media_refs(
+    spans: DataFrame,
+    url_col: str = "page_url",
+    ref_col: str = "media_ref",
+    out_col: str = "resolved_ref",
+) -> DataFrame:
+    """Span-table convenience: add ``resolved_ref`` for media spans
+    (non-media rows pass through with NULL).  Pure projection."""
+    return spans.withColumn(
+        out_col,
+        F.when(
+            F.col(ref_col).isNotNull(),
+            absolutize_url(F.col(url_col), F.col(ref_col)),
+        ),
+    )
