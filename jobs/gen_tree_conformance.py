@@ -412,10 +412,17 @@ class MiniParser:
         self.mode = self.reset_mode()
 
     def reset_mode(self) -> str:
-        for node in reversed(self.stack):
+        for idx in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[idx]
             if node.ns is not None:
                 continue
             nm = node.name
+            if nm == "select":
+                for j in range(idx - 1, -1, -1):
+                    inner = self.stack[j]
+                    if inner.ns is None and inner.name == "table":
+                        return "in_select_in_table"
+                return "in_select"
             if nm in ("td", "th"):
                 return "in_cell"
             if nm == "tr":
@@ -590,6 +597,25 @@ class MiniParser:
                 self.reconstruct_afe()
                 node = self.insert_el(name, attrs)
                 self.afe.append([name, node, attrs])
+                return
+            if name == "select":
+                self.reconstruct_afe()
+                self.insert_el(name, attrs)
+                # spec: select opened from a table mode parses in
+                # InSelectInTable (self.mode is the delegating mode)
+                if self.mode in (
+                    "in_table", "in_caption", "in_table_body",
+                    "in_row", "in_cell",
+                ):
+                    self.mode = "in_select_in_table"
+                else:
+                    self.mode = "in_select"
+                return
+            if name in ("option", "optgroup"):
+                if self.cur().ns is None and self.cur().name == "option":
+                    self.stack.pop()
+                self.reconstruct_afe()
+                self.insert_el(name, attrs)
                 return
             if name in VOIDS:
                 self.reconstruct_afe()
@@ -920,6 +946,95 @@ class MiniParser:
                 self.dispatch_mode(t)
             return
         self.m_in_body(t)
+
+    def _in_select_scope(self, name) -> bool:
+        # spec select scope: boundary = everything EXCEPT optgroup/option
+        for node in reversed(self.stack):
+            if node.ns is None and node.name == name:
+                return True
+            if not (
+                node.ns is None and node.name in ("optgroup", "option")
+            ):
+                return False
+        return False
+
+    def m_in_select(self, t) -> None:
+        kind = t[0]
+        if kind in ("text", "cdata"):
+            self.insert_text(t[1])
+            return
+        if kind == "start":
+            name, attrs = t[1], t[2]
+            if name == "option":
+                if self.cur().ns is None and self.cur().name == "option":
+                    self.stack.pop()
+                self.insert_el(name, attrs)
+            elif name == "optgroup":
+                if self.cur().ns is None and self.cur().name == "option":
+                    self.stack.pop()
+                if self.cur().ns is None and self.cur().name == "optgroup":
+                    self.stack.pop()
+                self.insert_el(name, attrs)
+            elif name == "hr":
+                if self.cur().ns is None and self.cur().name == "option":
+                    self.stack.pop()
+                if self.cur().ns is None and self.cur().name == "optgroup":
+                    self.stack.pop()
+                self.insert_void(name, attrs)
+            elif name == "select":
+                if self._in_select_scope("select"):
+                    self.pop_until("select")
+                    self.mode = self.reset_mode()
+            elif name in ("input", "keygen", "textarea"):
+                if self._in_select_scope("select"):
+                    self.pop_until("select")
+                    self.mode = self.reset_mode()
+                    self.dispatch_mode(t)
+            elif name == "template":
+                self.start_template(attrs)
+            # anything else: parse error, ignore
+            return
+        if kind == "end":
+            name = t[1]
+            if name == "optgroup":
+                if (
+                    self.cur().ns is None
+                    and self.cur().name == "option"
+                    and len(self.stack) > 1
+                    and self.stack[-2].name == "optgroup"
+                ):
+                    self.stack.pop()
+                if self.cur().ns is None and self.cur().name == "optgroup":
+                    self.stack.pop()
+            elif name == "option":
+                if self.cur().ns is None and self.cur().name == "option":
+                    self.stack.pop()
+            elif name == "select":
+                if self._in_select_scope("select"):
+                    self.pop_until("select")
+                    self.mode = self.reset_mode()
+            elif name == "template":
+                self.end_template()
+            # anything else: parse error, ignore
+
+    def m_in_select_in_table(self, t) -> None:
+        kind = t[0]
+        table_tags = (
+            "caption", "table", "tbody", "tfoot", "thead", "tr", "td",
+            "th",
+        )
+        if kind == "start" and t[1] in table_tags:
+            self.pop_until("select")
+            self.mode = self.reset_mode()
+            self.dispatch_mode(t)
+            return
+        if kind == "end" and t[1] in table_tags:
+            if self.in_scope(t[1], TABLE_SCOPE):
+                self.pop_until("select")
+                self.mode = self.reset_mode()
+                self.dispatch_mode(t)
+            return
+        self.m_in_select(t)
 
     def m_in_template(self, t) -> None:
         kind = t[0]
@@ -1500,6 +1615,89 @@ def afe_cases() -> list[dict]:
     return out
 
 
+def select_cases() -> list[dict]:
+    out = []
+    out.append(case(
+        "select basic options",
+        [S("select"), S("option"), T("a"), E("option"),
+         S("option"), T("b"), E("select"), T("after")],
+    ))
+    out.append(case(
+        "option autoclose by option",
+        [S("select"), S("option"), T("a"), S("option"), T("b"),
+         E("select")],
+    ))
+    out.append(case(
+        "optgroup nesting and autoclose",
+        [S("select"), S("optgroup"), S("option"), T("1"),
+         S("optgroup"), S("option"), T("2"), E("select")],
+    ))
+    out.append(case(
+        "hr inside select pops option",
+        [S("select"), S("option"), T("a"), S("hr"), S("option"),
+         T("b"), E("select")],
+    ))
+    out.append(case(
+        "nested select acts as end tag",
+        [S("select"), S("option"), T("a"), S("select"), S("option"),
+         T("b")],
+    ))
+    out.append(case(
+        "input implies select end and reprocesses",
+        [S("select"), S("option"), T("a"),
+         S("input", {"type": "text"}), T("after")],
+    ))
+    out.append(case(
+        "textarea implies select end",
+        [S("select"), S("option"), T("a"), S("textarea")],
+    ))
+    out.append(case(
+        "stray div inside select ignored",
+        [S("select"), S("div"), S("option"), T("a"), E("div"),
+         E("select"), T("after")],
+    ))
+    out.append(case(
+        "end optgroup with option current",
+        [S("select"), S("optgroup"), S("option"), T("x"),
+         E("optgroup"), S("option"), T("y"), E("select")],
+    ))
+    out.append(case(
+        "template inside select",
+        [S("select"), S("template"), S("option"), T("hid"),
+         E("template"), S("option"), T("vis"), E("select")],
+    ))
+    out.append(case(
+        "select in table cell",
+        [S("table"), S("tr"), S("td"), S("select"), S("option"),
+         T("o"), E("select"), E("td"), E("tr"), E("table")],
+    ))
+    out.append(case(
+        "table token pops select in table",
+        [S("table"), S("tr"), S("td"), S("select"), S("option"),
+         T("o"), S("td"), T("next"), E("table")],
+    ))
+    out.append(case(
+        "end table from select in table",
+        [S("table"), S("tr"), S("td"), S("select"), S("option"),
+         T("o"), E("table"), T("after")],
+    ))
+    out.append(case(
+        "select fostered from table goes in-select-in-table",
+        [S("table"), S("select"), S("option"), T("o"),
+         S("tr"), S("td"), T("c"), E("table")],
+    ))
+    out.append(case(
+        "select end then more options outside",
+        [S("select"), S("option"), T("in"), E("select"),
+         S("option"), T("out")],
+    ))
+    out.append(case(
+        "select unclosed at eof",
+        [S("p"), T("pre"), E("p"), S("select"), S("option"), T("o")],
+    ))
+    return out
+
+
 def template_cases() -> list[dict]:
     out = []
     contents = {
@@ -1629,7 +1827,8 @@ def self_test() -> None:
 def main() -> None:
     self_test()
     cases = (
-        table_cases() + foreign_cases() + afe_cases() + template_cases()
+        table_cases() + foreign_cases() + afe_cases()
+        + select_cases() + template_cases()
     )
     names = [c["description"] for c in cases]
     assert len(names) == len(set(names)), "duplicate case descriptions"
@@ -1649,6 +1848,7 @@ def main() -> None:
         "table": len(table_cases()),
         "foreign": len(foreign_cases()),
         "afe": len(afe_cases()),
+        "select": len(select_cases()),
         "template": len(template_cases()),
     }
     print(f"wrote {len(cases)} cases -> {OUT} {fam}")
