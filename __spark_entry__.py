@@ -972,11 +972,12 @@ def _abs_url_sql() -> str:
     """DuckDB mirror of textops.absolutize_url (identical regex chain;
     built by loop so the 10 nested regexp_replace passes stay in sync
     with the Spark implementation)."""
-    u = "joined"
-    for _ in range(2):
+    u = "regexp_replace(joined, '[?#].*$', '')"  # collapse PATH only
+    for _ in range(8):
         u = f"regexp_replace({u}, '/\\./', '/', 'g')"
     for _ in range(8):
         u = f"regexp_replace({u}, '/[^/?#]+/\\.\\./', '/', 'g')"
+    u = f"{u} || regexp_extract(joined, '((?:\\?|#).*)$', 1)"
     return f"""
         WITH m AS (
             SELECT doc_id,
@@ -1962,10 +1963,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM pii
             )
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, clean_text,
-                   CAST(len(string_split_regex(
-                       clean_text, '<EMAIL>|<IP>|<PHONE>')) - 1 AS INTEGER)
-                       AS n_redactions
-            FROM scrubbed
+                   CAST(
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     + len(regexp_extract_all(
+                         regexp_replace(
+                           regexp_replace(t,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g'),
+                         '\\b\\+?\\d[\\d -]{7,}\\d\\b'))
+                   AS INTEGER) AS n_redactions
+            FROM scrubbed JOIN pii USING (doc_id)
         """,
         "repetition_stats": """
             WITH base AS (

@@ -1777,6 +1777,24 @@ def template_cases() -> list[dict]:
          T("hid"), E("template"), S("tr"), S("td"), T("live"),
          E("table")],
     ))
+    # svg:template is a FOREIGN element sharing the name only — an
+    # HTML-rules </template> must not pop through it (and must not
+    # drain the AFE list past a marker that was never pushed)
+    out.append(case(
+        "foreign svg template not closed by html end template",
+        [S("b"), T("1"), S("svg"), S("template"), S("foreignobject"),
+         S("p"), T("x"), E("template"), T("y")],
+    ))
+    out.append(case(
+        "foreign svg template closed by foreign rules",
+        [S("svg"), S("template"), S("g"), T("v"), E("g"),
+         E("template"), E("svg"), T("after")],
+    ))
+    out.append(case(
+        "html template inside foreignObject works",
+        [S("svg"), S("foreignobject"), S("template"), S("p"), T("hid"),
+         E("template"), T("vis"), E("foreignobject"), E("svg")],
+    ))
     return out
 
 

@@ -611,3 +611,44 @@ def test_absolutize_url_shapes(spark):
     plan = absolutize_media_refs(spans)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_absolutize_url_preserves_query_and_counts_deep_dots(spark):
+    """Code-review r3: collapse must touch the PATH only, and ./ runs
+    deeper than 3 must fully collapse."""
+    from zhtml_spark.textops import absolutize_url
+
+    cases = [
+        ("https://ex.com/a/p.html", "/img.php?f=/tmp/../etc/x",
+         "https://ex.com/img.php?f=/tmp/../etc/x"),
+        ("https://ex.com/a/p.html", "v.mp4?path=/a/./b#t=/c/../d",
+         "https://ex.com/a/v.mp4?path=/a/./b#t=/c/../d"),
+        ("https://ex.com/a/p.html", "./././././././b.png",
+         "https://ex.com/a/b.png"),
+        ("https://abs.io/x/../y.png?q=/k/../j", None,
+         "https://abs.io/y.png?q=/k/../j"),
+    ]
+    rows = spark.createDataFrame(
+        [(b, r if r is not None else b.split("?")[0] and r, w)
+         if r is not None else (b, b, w)
+         for b, r, w in [(c[0], c[1], c[2]) for c in cases[:3]]]
+        + [("https://other.example/base.html", cases[3][0], cases[3][2])],
+        "base string, ref string, want string",
+    ).select(
+        "want", absolutize_url(F.col("base"), F.col("ref")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_redact_pii_ignores_preexisting_placeholders(spark):
+    from zhtml_spark.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "doc explaining the <EMAIL> placeholder token"),
+         (2, "real a@b.io plus literal <PHONE> text")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_redactions"] == 0
+    assert rows[2]["n_redactions"] == 1

@@ -360,3 +360,28 @@ def test_stream_gunzip_hypothesis_fuzz():
             assert c.endswith("\r\n\r\n")
 
     prop()
+
+
+def test_warc_html_payload_starting_with_http_not_stripped(spark):
+    """Code-review r3: a text/html record whose page text begins with
+    'HTTP/…' must keep its content — the strip is gated on the
+    record's Content-Type, not a payload sniff."""
+    body = "HTTP/2 explained\r\n\r\nA plain-text style page about HTTP."
+    content = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/h2\r\n"
+        "WARC-Date: d\r\nContent-Type: text/html\r\n\r\n"
+        + body + "\r\n\r\n"
+        # and one record with NO Content-Type at all: sniff applies
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/nct\r\n"
+        "WARC-Date: d\r\n\r\n"
+        "HTTP/1.1 200 OK\r\nServer: s\r\n\r\n<p>sniffed</p>\r\n\r\n"
+    )
+    archive = spark.createDataFrame([(content,)], "content string")
+    recs = {
+        r["warc_url"]: r["html"]
+        for r in parse_warc_records(archive).collect()
+    }
+    assert recs["https://ex.com/h2"] == body
+    assert recs["https://ex.com/nct"] == "<p>sniffed</p>"

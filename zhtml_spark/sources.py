@@ -88,10 +88,15 @@ def parse_warc_records(
 
     Common Crawl response records carry a FULL HTTP response (status
     line + headers + CRLFCRLF + body, ``Content-Type:
-    application/http``): a payload starting with ``HTTP/`` has its
-    header block stripped (one more JVM regexp) so response headers
-    never tokenize as page text.  A truncated HTTP payload with no
-    blank line yields an empty body (headers are never HTML) —
+    application/http``): those records have the HTTP header block
+    stripped (one more JVM regexp) so response headers never tokenize
+    as page text.  The strip is gated on the record's OWN
+    ``Content-Type`` header — ``application/http`` always strips, and
+    a payload starting with ``HTTP/`` strips only when the record
+    declares no Content-Type at all (code-review r3: a ``text/html``
+    record whose page text legitimately begins with "HTTP/…" must
+    never lose content to the sniff).  A truncated HTTP payload with
+    no blank line yields an empty body (headers are never HTML) —
     ADVICE r2 #1."""
     # strip the leading version line so one split expression handles
     # the first record and all subsequent boundaries identically
@@ -106,11 +111,18 @@ def parse_warc_records(
     payload = F.regexp_extract(
         "rec", r"(?s)\r\n\r\n(.*?)(?:\r\n\r\n)?$", 1
     )
+    # the record's OWN Content-Type (WARC header block = everything
+    # before the first blank line) gates the HTTP strip
+    warc_hdr = F.regexp_extract("rec", r"(?s)^(.*?)(?:\r\n\r\n|$)", 1)
+    rec_ctype = F.regexp_extract(warc_hdr, r"Content-Type: ([^\r\n]*)", 1)
+    is_http = rec_ctype.startswith("application/http") | (
+        (rec_ctype == "") & payload.startswith("HTTP/")
+    )
     # HTTP response payload: body starts after the first blank line;
     # no blank line (truncated) → regexp_extract's no-match "" (an
     # all-header payload is never page content)
     html = F.when(
-        payload.startswith("HTTP/"),
+        is_http & payload.startswith("HTTP/"),
         F.regexp_extract(payload, r"(?s)^HTTP/.*?\r\n\r\n(.*)$", 1),
     ).otherwise(payload)
     return (

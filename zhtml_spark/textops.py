@@ -946,13 +946,19 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Python; order matters — emails first so their digits never match
     the phone pattern, IPs before phones for the same reason).
 
-    Returns (doc_id, clean_text, n_redactions)."""
+    Returns (doc_id, clean_text, n_redactions) — ``n_redactions``
+    counts actual pattern MATCHES per stage (regexp_count), so input
+    text that already contains a literal ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` token is never miscounted as a redaction
+    (code-review r3)."""
     t = F.col(text_col)
     step1 = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
     step2 = F.regexp_replace(step1, _PII_IPV4, "<IP>")
     clean = F.regexp_replace(step2, _PII_PHONE, "<PHONE>")
     n_red = (
-        F.size(F.split(clean, "<EMAIL>|<IP>|<PHONE>")) - F.lit(1)
+        F.regexp_count(t, F.lit(_PII_EMAIL))
+        + F.regexp_count(step1, F.lit(_PII_IPV4))
+        + F.regexp_count(step2, F.lit(_PII_PHONE))
     )
     return docs.select(
         "doc_id",
@@ -1092,13 +1098,17 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     crawl pipeline can absolutize extracted ``media_ref``s against the
     WARC target URI at scan speed.
 
-    Handled: absolute refs (returned as-is), protocol-relative
-    ``//host/…`` (base scheme attached), root-relative ``/p`` (base
-    origin attached), and plain relative paths including ``./`` and
-    ``../`` — dot-segments collapse via 8 passes of a leftmost
-    ``/seg/../`` rewrite (global regexp_replace scans resume after
-    each replacement, so one pass per nesting LEVEL — 8 covers any
-    real URL; both engines share the exact semantics, no backrefs).
+    Handled: absolute refs, protocol-relative ``//host/…`` (base
+    scheme attached), root-relative ``/p`` (base origin attached), and
+    plain relative paths including ``./`` and ``../`` — dot-segments
+    collapse via 8 passes each of a leftmost ``/./`` and ``/seg/../``
+    rewrite (global regexp_replace scans resume after each
+    replacement, so one pass per nesting LEVEL — 8 covers any real
+    URL; both engines share the exact semantics, no backrefs).
+    Collapse applies to the PATH only — a query/fragment like
+    ``?f=/tmp/../etc`` passes through untouched (code-review r3) —
+    and also normalizes absolute refs' paths, per RFC 3986
+    remove_dot_segments.
 
     Documented approximations: ``?query``/``#frag``-only refs and
     ``../`` underflow past the root keep their raw shape (generate-
@@ -1120,12 +1130,15 @@ def absolutize_url(base: Column, ref: Column) -> Column:
         .when(ref.startswith("/"), F.concat(origin, ref))
         .otherwise(F.concat(base_dir, ref))
     )
-    out = joined
-    for _ in range(2):
-        out = F.regexp_replace(out, r"/\./", "/")
+    # split off ?query/#fragment BEFORE collapsing, so path-like
+    # query values (player?file=/a/../b) never get rewritten
+    head = F.regexp_replace(joined, r"[?#].*$", "")
+    tail = F.regexp_extract(joined, r"((?:\?|#).*)$", 1)
     for _ in range(8):
-        out = F.regexp_replace(out, r"/[^/?#]+/\.\./", "/")
-    return out
+        head = F.regexp_replace(head, r"/\./", "/")
+    for _ in range(8):
+        head = F.regexp_replace(head, r"/[^/?#]+/\.\./", "/")
+    return F.concat(head, tail)
 
 
 def absolutize_media_refs(

@@ -102,7 +102,12 @@ def _explode_intervals(
     fine rows only for the two edge ranges, so replication per interval
     is ≤ span/(bucket·factor) + 2·factor instead of span/bucket — the
     year-long-interval skew guard (VERDICT r2 next-round #8).  Exposed
-    separately so tests can measure the replication directly."""
+    separately so tests can measure the replication directly.
+
+    Empty/inverted intervals are dropped HERE (not only in the public
+    join): a descending bound pair would make ``sequence`` count DOWN
+    and fabricate buckets for any direct caller (code-review r3)."""
+    intervals = intervals.where(e_us > s_us)
     fine_all = intervals.withColumn(
         "_bucket",
         F.explode(

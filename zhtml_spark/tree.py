@@ -650,6 +650,21 @@ def parse_document(
         open_set.add(nid)
         open_counts[name] += 1
 
+    def _foster_slot() -> tuple[int, int]:
+        """(parent, before) just before the last open table — the spec
+        foster-parenting slot, shared by _insert_location and the
+        adoption agency's common-ancestor insert (code-review r3)."""
+        for idx in range(len(stack_ids) - 1, -1, -1):
+            if (
+                stack_names[idx] == "table"
+                and tree.ns[stack_ids[idx]] is None
+            ):
+                t_nid = stack_ids[idx]
+                if tree.parent[t_nid] != -1:
+                    return tree.parent[t_nid], t_nid
+                return stack_ids[idx - 1] if idx > 0 else 0, -1
+        return stack_ids[0] if stack_ids else 0, -1  # no table: first el
+
     def _insert_location() -> tuple[int, int]:
         """Spec "appropriate place for inserting a node": (parent,
         before).  ``before == -1`` means plain append; foster parenting
@@ -657,13 +672,7 @@ def parse_document(
         if foster_parenting and stack_names and (
             stack_names[-1] in _TABLE_FOSTER_CONTEXT
         ):
-            for idx in range(len(stack_ids) - 1, -1, -1):
-                if stack_names[idx] == "table":
-                    t_nid = stack_ids[idx]
-                    if tree.parent[t_nid] != -1:
-                        return tree.parent[t_nid], t_nid
-                    return stack_ids[idx - 1] if idx > 0 else 0, -1
-            return stack_ids[0], -1  # no table on stack: first element
+            return _foster_slot()
         return current(), -1
 
     def insert_element(
@@ -790,13 +799,32 @@ def parse_document(
     def end_template() -> None:
         """Spec InHead `</template>`: implied end tags THOROUGHLY, pop
         through template, clear AFE to marker, pop the template-modes
-        stack, reset the insertion mode."""
+        stack, reset the insertion mode.
+
+        The open-template check is ns-aware: a foreign ``svg:template``
+        shares the name but never the rule (start_template never ran
+        for it — popping through it would also underflow the AFE list
+        past a nonexistent marker; code-review r3).  ``open_counts``
+        gives the O(1) negative for stray ``</template>`` floods."""
         nonlocal mode
-        if "template" not in stack_names:
-            return  # parse error, ignore
+        if not open_counts.get("template"):
+            return  # parse error, ignore (O(1) — no template at all)
+        for idx in range(len(stack_ids) - 1, -1, -1):
+            if (
+                stack_names[idx] == "template"
+                and tree.ns[stack_ids[idx]] is None
+            ):
+                break
+        else:
+            return  # only foreign-namespace templates open: ignore
         while stack_names and stack_names[-1] in _IMPLIED_END_THOROUGH:
             pop()
-        pop_until("template")
+        while stack_ids:
+            nid = stack_ids[-1]
+            nm = stack_names[-1]
+            pop()
+            if nm == "template" and tree.ns[nid] is None:
+                break
         clear_afe_to_marker()
         if template_modes:
             template_modes.pop()
@@ -907,9 +935,13 @@ def parse_document(
             pop()
 
     def reset_insertion_mode() -> int:
-        """Spec "reset the insertion mode appropriately"."""
+        """Spec "reset the insertion mode appropriately" — the
+        algorithm's element names mean HTML elements, so foreign
+        namesakes (svg:template, svg:select) are skipped."""
         for idx in range(len(stack_names) - 1, -1, -1):
             nm = stack_names[idx]
+            if has_foreign and tree.ns[stack_ids[idx]] is not None:
+                continue
             if nm == "select":
                 # spec: InSelectInTable when a table encloses the select
                 for j in range(idx - 1, -1, -1):
@@ -1088,26 +1120,11 @@ def parse_document(
                 tree.ns[common_ancestor] is None
                 and tree.name[common_ancestor] in _TABLE_FOSTER_CONTEXT
             ):
-                placed = False
-                for t_idx in range(len(stack_ids) - 1, -1, -1):
-                    if (
-                        stack_names[t_idx] == "table"
-                        and tree.ns[stack_ids[t_idx]] is None
-                    ):
-                        t_nid = stack_ids[t_idx]
-                        if tree.parent[t_nid] != -1:
-                            tree.insert_node_before(
-                                tree.parent[t_nid], t_nid, last_node
-                            )
-                        else:
-                            tree.append_child(
-                                stack_ids[t_idx - 1] if t_idx > 0 else 0,
-                                last_node,
-                            )
-                        placed = True
-                        break
-                if not placed:
-                    tree.append_child(stack_ids[0], last_node)
+                parent, before = _foster_slot()
+                if before == -1:
+                    tree.append_child(parent, last_node)
+                else:
+                    tree.insert_node_before(parent, before, last_node)
             else:
                 tree.append_child(common_ancestor, last_node)
             # clone the formatting element; move furthest block's
