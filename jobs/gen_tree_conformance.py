@@ -418,9 +418,15 @@ class MiniParser:
                 continue
             nm = node.name
             if nm == "select":
+                # spec ancestor loop: a template between select and
+                # table terminates the scan (-> in_select)
                 for j in range(idx - 1, -1, -1):
                     inner = self.stack[j]
-                    if inner.ns is None and inner.name == "table":
+                    if inner.ns is not None:
+                        continue
+                    if inner.name == "template":
+                        break
+                    if inner.name == "table":
                         return "in_select_in_table"
                 return "in_select"
             if nm in ("td", "th"):
@@ -1694,6 +1700,26 @@ def select_cases() -> list[dict]:
     out.append(case(
         "select unclosed at eof",
         [S("p"), T("pre"), E("p"), S("select"), S("option"), T("o")],
+    ))
+    # code-review r3: in-body <option>/<optgroup> must RECONSTRUCT the
+    # active formatting elements (a b left pending by </div> clones
+    # around the option)
+    out.append(case(
+        "option reconstructs pending formatting",
+        [S("div"), S("b"), T("x"), E("div"), S("option"), T("y")],
+    ))
+    out.append(case(
+        "optgroup reconstructs pending formatting",
+        [S("p"), S("i"), T("x"), E("p"), S("optgroup"), S("option"),
+         T("y")],
+    ))
+    # code-review r3: reset-insertion-mode's select scan stops at a
+    # template between select and table (spec ancestor loop) → the
+    # following <tr> is ignored in InSelect, not table-routed
+    out.append(case(
+        "template between select and table resets to in-select",
+        [S("table"), S("template"), S("select"), S("template"),
+         E("template"), S("tr"), T("q")],
     ))
     return out
 

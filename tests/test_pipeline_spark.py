@@ -629,9 +629,9 @@ def test_absolutize_url_preserves_query_and_counts_deep_dots(spark):
          "https://abs.io/y.png?q=/k/../j"),
     ]
     rows = spark.createDataFrame(
-        [(b, r if r is not None else b.split("?")[0] and r, w)
-         if r is not None else (b, b, w)
-         for b, r, w in [(c[0], c[1], c[2]) for c in cases[:3]]]
+        # cases[3] is an absolute ref: pass it as the REF against an
+        # unrelated base to prove absolute refs ignore the base
+        [(b, r, w) for b, r, w in cases[:3]]
         + [("https://other.example/base.html", cases[3][0], cases[3][2])],
         "base string, ref string, want string",
     ).select(
@@ -639,6 +639,38 @@ def test_absolutize_url_preserves_query_and_counts_deep_dots(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_absolutize_url_never_eats_the_authority(spark):
+    """Code-review r3: ../ underflow must never consume the host —
+    'https://h.example/../x' previously collapsed to 'https://x'
+    (a different origin)."""
+    from zhtml_spark.textops import absolutize_url
+
+    cases = [
+        # single underflow from a root-level page: raw shape kept
+        ("https://host.example/page.html", "../img.png",
+         "https://host.example/../img.png"),
+        ("https://host.example/page.html", "/../img.png",
+         "https://host.example/../img.png"),
+        # normal one-level up still collapses
+        ("https://host.example/a/b/page.html", "../img.png",
+         "https://host.example/a/img.png"),
+        # deep underflow clamps to the root (browser behavior)
+        ("https://host.example/a/page.html", "../../../img.png",
+         "https://host.example/img.png"),
+        # authority with userinfo/port never matched as a segment
+        ("https://u:p@host.example:8443/a/p.html", "../x.png",
+         "https://u:p@host.example:8443/x.png"),
+    ]
+    rows = spark.createDataFrame(
+        cases, "base string, ref string, want string"
+    ).select(
+        "want", absolutize_url(F.col("base"), F.col("ref")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+        assert "host.example" in r["got"]
 
 
 def test_redact_pii_ignores_preexisting_placeholders(spark):

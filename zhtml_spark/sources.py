@@ -114,7 +114,14 @@ def parse_warc_records(
     # the record's OWN Content-Type (WARC header block = everything
     # before the first blank line) gates the HTTP strip
     warc_hdr = F.regexp_extract("rec", r"(?s)^(.*?)(?:\r\n\r\n|$)", 1)
-    rec_ctype = F.regexp_extract(warc_hdr, r"Content-Type: ([^\r\n]*)", 1)
+    # WARC field names are case-insensitive and values may carry
+    # optional leading whitespace (code-review r3: a lowercase
+    # 'content-type: text/html' must gate the sniff the same way)
+    rec_ctype = F.lower(
+        F.regexp_extract(
+            warc_hdr, r"(?im)^content-type:\s*([^\r\n]*)", 1
+        )
+    )
     is_http = rec_ctype.startswith("application/http") | (
         (rec_ctype == "") & payload.startswith("HTTP/")
     )
@@ -127,15 +134,17 @@ def parse_warc_records(
     ).otherwise(payload)
     return (
         recs.select(
-            F.regexp_extract("rec", r"WARC-Type: ([^\r\n]*)", 1).alias(
-                "warc_type"
-            ),
-            F.regexp_extract("rec", r"WARC-Target-URI: ([^\r\n]*)", 1).alias(
-                "warc_url"
-            ),
-            F.regexp_extract("rec", r"WARC-Date: ([^\r\n]*)", 1).alias(
-                "warc_date"
-            ),
+            F.lower(
+                F.regexp_extract(
+                    warc_hdr, r"(?im)^warc-type:\s*([^\r\n]*)", 1
+                )
+            ).alias("warc_type"),
+            F.regexp_extract(
+                warc_hdr, r"(?im)^warc-target-uri:\s*([^\r\n]*)", 1
+            ).alias("warc_url"),
+            F.regexp_extract(
+                warc_hdr, r"(?im)^warc-date:\s*([^\r\n]*)", 1
+            ).alias("warc_date"),
             html.alias("html"),
         )
         .where(F.col("warc_type") == "response")

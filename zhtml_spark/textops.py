@@ -1110,9 +1110,18 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     and also normalizes absolute refs' paths, per RFC 3986
     remove_dot_segments.
 
-    Documented approximations: ``?query``/``#frag``-only refs and
-    ``../`` underflow past the root keep their raw shape (generate-
-    side callers never produce them; browsers clamp underflow)."""
+    The ``/seg/../`` rewrite captures the character BEFORE the
+    segment's leading slash and requires it to be neither ``/`` nor
+    ``:``, so the URL authority can never be consumed as a dot-segment
+    victim (code-review r3: ``https://h.example/../x`` previously
+    collapsed to ``https://x`` — a different origin).  Replacement
+    group refs (``$1``/``\\1``) are RE2-safe (only pattern-side
+    backrefs/lookaround are not).
+
+    Documented approximations: ``?query``/``#frag``-only refs keep
+    their raw shape; ``../`` underflow past the root never touches the
+    origin — a single stray ``../`` stays verbatim, deeper stacks may
+    pairwise-cancel (``/../../x`` → ``/x``, the browser clamp)."""
     stripped = F.regexp_replace(base, r"[?#].*$", "")
     scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(
@@ -1137,7 +1146,7 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     for _ in range(8):
         head = F.regexp_replace(head, r"/\./", "/")
     for _ in range(8):
-        head = F.regexp_replace(head, r"/[^/?#]+/\.\./", "/")
+        head = F.regexp_replace(head, r"([^/:])/[^/?#]+/\.\./", "$1/")
     return F.concat(head, tail)
 
 

@@ -943,8 +943,15 @@ def parse_document(
             if has_foreign and tree.ns[stack_ids[idx]] is not None:
                 continue
             if nm == "select":
-                # spec: InSelectInTable when a table encloses the select
+                # spec: InSelectInTable when an HTML table encloses the
+                # select, UNLESS a template sits between them (the spec
+                # ancestor loop stops at a template → InSelect); foreign
+                # namesakes are skipped like the outer loop's
                 for j in range(idx - 1, -1, -1):
+                    if has_foreign and tree.ns[stack_ids[j]] is not None:
+                        continue
+                    if stack_names[j] == "template":
+                        break
                     if stack_names[j] == "table":
                         return M_IN_SELECT_IN_TABLE
                 return M_IN_SELECT
@@ -1670,6 +1677,10 @@ def parse_document(
                     if name in ("option", "optgroup"):
                         if stack_names and stack_names[-1] == "option":
                             pop()
+                        # spec: reconstruct the active formatting
+                        # elements before inserting (code-review r3)
+                        if afe:
+                            reconstruct_afe()
                         insert_element(name, attrs)
                         break
                     insert_element(name, attrs)
