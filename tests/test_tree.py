@@ -947,3 +947,140 @@ def test_cdata_with_brackets_inside():
     )
     svg_text = _find(tree, "text")
     assert tree.node_text(tree.first_child[svg_text]) == "a]b]]c"
+
+
+# ------------------------------------------ frameset / noscript (r3)
+# Spec modes InFrameset/AfterFrameset/AfterAfterFrameset + the
+# frameset-ok flag, and noscript as generic rawtext when scripting=True
+# vs InHeadNoscript when scripting=False (completing all 23 modes).
+
+
+def test_frameset_page_builds_frameset_dom_no_body():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><html><frameset cols='1,2'><frame src=a>"
+        "<frameset rows='1'><frame></frameset></frameset>"
+        "<noframes>old ui</noframes>"
+    )
+    html = _find(tree, "html")
+    kids = [tree.name[c] for c in tree.children(html)]
+    assert kids == ["head", "frameset", "noframes"]  # no implied body
+    fs = _find(tree, "frameset")
+    assert [tree.name[c] for c in tree.children(fs)] == [
+        "frame", "frameset",
+    ]
+    nof = _find(tree, "noframes")
+    assert tree.node_text(tree.first_child[nof]) == "old ui"
+
+
+def test_frameset_after_body_commitment_is_ignored():
+    # non-ws text sets frameset-ok to "not ok"
+    tree, _ = parse_document("<!DOCTYPE html><body>text<frameset><frame>")
+    names = {tree.name[i] for i in range(len(tree)) if tree.name[i]}
+    assert "frameset" not in names and "frame" not in names
+    body = _body(tree)
+    assert tree.node_text(tree.first_child[body]) == "text"
+
+
+def test_frameset_replaces_uncommitted_body():
+    # head-only content keeps frameset-ok; an implied body created by
+    # a stray whitespace-free head element is replaced per spec
+    tree, _ = parse_document(
+        "<!DOCTYPE html><link rel=x><frameset><frame src=a></frameset>"
+    )
+    html = _find(tree, "html")
+    kids = [tree.name[c] for c in tree.children(html)]
+    assert kids == ["head", "frameset"]
+    assert _find(tree, "frame") != -1
+
+
+def test_frameset_page_emits_no_spans():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<html><frameset><frame src=a></frameset>"
+        "<noframes><p>ancient</p></noframes>"
+    )
+    assert spans == []
+
+
+def test_noscript_is_rawtext_with_scripting_on():
+    # browser-with-JS parity: noscript children are ONE text node and
+    # never leak into the body (the r3 probe found both leaks)
+    tree, _ = parse_document(
+        "<!DOCTYPE html><head><noscript><p>nojs</p></noscript></head>"
+        "<body><p>real</p>"
+    )
+    nos = _find(tree, "noscript")
+    head = _find(tree, "head")
+    assert tree.parent[nos] == head
+    assert tree.node_text(tree.first_child[nos]) == "<p>nojs</p>"
+    from zhtml_spark.extract import extract_html
+    spans, _ = extract_html(
+        "<head><noscript><p>nojs</p></noscript></head><body><p>real</p>"
+    )
+    assert spans == [("text", "real", None)]
+
+
+def test_noscript_in_body_rawtext_no_media_leak():
+    from zhtml_spark.extract import extract_html
+
+    spans, _ = extract_html(
+        "<body><noscript><img src=x>alt text</noscript><p>real</p>"
+    )
+    assert spans == [("text", "real", None)]
+
+
+def test_in_head_noscript_scripting_off():
+    # spec InHeadNoscript: link/meta/style stay inside noscript; a <p>
+    # pops it and reprocesses in InHead (ends up in body)
+    tree, _ = parse_document(
+        "<!DOCTYPE html><head><noscript><link rel=a><style>x{}</style>"
+        "</noscript></head><body>ok",
+        scripting=False,
+    )
+    nos = _find(tree, "noscript")
+    head = _find(tree, "head")
+    assert tree.parent[nos] == head
+    assert [tree.name[c] for c in tree.children(nos)] == ["link", "style"]
+
+
+def test_in_head_noscript_anything_else_pops():
+    tree, _ = parse_document(
+        "<!DOCTYPE html><head><noscript><p>nojs</p></noscript></head>"
+        "<body>real",
+        scripting=False,
+    )
+    # scripting-off browsers DO render this: p leaves the noscript
+    body = _body(tree)
+    kids = [tree.name[c] or "#text" for c in tree.children(body)]
+    assert kids == ["p", "#text"]
+    nos = _find(tree, "noscript")
+    assert tree.first_child[nos] == -1
+
+
+def test_frameset_end_html_then_comment_goes_to_document():
+    tree, _ = parse_document(
+        "<html><frameset><frame></frameset></html><!--trail-->"
+    )
+    doc_kids = [
+        tree.node_text(c)
+        for c in tree.children(0)
+        if tree.ntype[c] == N_COMMENT
+    ]
+    assert doc_kids == ["trail"]
+
+
+def test_frameset_in_body_removes_uncommitted_body():
+    # the InBody path: implied body + a div (not body-committing),
+    # then <frameset> detaches the body subtree and replaces it
+    tree, _ = parse_document(
+        "<!DOCTYPE html><div></div><frameset><frame></frameset>"
+    )
+    html = _find(tree, "html")
+    assert [tree.name[c] for c in tree.children(html)] == [
+        "head", "frameset",
+    ]
+    # <br> sets frameset-ok to "not ok" -> the frameset is ignored
+    tree2, _ = parse_document("<!DOCTYPE html><br><frameset><frame>")
+    body = _body(tree2)
+    assert [tree2.name[c] for c in tree2.children(body)] == ["br"]

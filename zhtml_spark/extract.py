@@ -347,8 +347,13 @@ def _reversed_children(tree: DocTree, nid: int) -> list[int]:
 def extract_html(
     html: str, config: ExtractConfig | None = None
 ) -> tuple[list[tuple[str, str, str | None]], list[str]]:
-    """Convenience: parse + extract one HTML string → (spans, errors)."""
+    """Convenience: parse + extract one HTML string → (spans, errors).
+
+    ``include_noscript=True`` parses with the spec scripting flag OFF
+    (noscript content is markup, InHeadNoscript applies) — the two
+    flags describe the same browser configuration."""
     from .tree import parse_document
 
-    tree, errors = parse_document(html)
-    return extract_spans(tree, config), errors
+    cfg = config or ExtractConfig()
+    tree, errors = parse_document(html, scripting=not cfg.include_noscript)
+    return extract_spans(tree, cfg), errors

@@ -180,9 +180,12 @@ _C1_REMAP = {
 # tokenizer must leave the Data state.  The reference never reaches
 # this (its parser implements only Initial/BeforeHtml,
 # /root/reference/src/parser.zig:123-134); full-page parsing needs it.
-# noscript is absent: we parse with scripting disabled, so its content
-# is real markup (the extraction walk skips it by default —
-# ExtractConfig.include_noscript flips the policy).
+# noscript is rawtext ONLY when the scripting flag is on (spec in-head
+# noscript rule): scripting=True (the default — browser parity) uses
+# _RAWTEXT_SWITCH_SCRIPTING, scripting=False parses noscript content
+# as real markup (the extraction walk skips it by default —
+# ExtractConfig.include_noscript flips the policy and parses with
+# scripting=False).
 _RAWTEXT_SWITCH = {
     "title": S_RCDATA,
     "textarea": S_RCDATA,
@@ -194,6 +197,7 @@ _RAWTEXT_SWITCH = {
     "script": S_SCRIPT_DATA,
     "plaintext": S_PLAINTEXT,
 }
+_RAWTEXT_SWITCH_SCRIPTING = {**_RAWTEXT_SWITCH, "noscript": S_RAWTEXT}
 
 # End-tag-name states: (fallback data state, on-success behavior shared).
 _END_TAG_NAME_BASE = {
@@ -264,6 +268,7 @@ def tokenize(
     tree_aware: bool = False,
     enable_fast_tags: bool = True,
     with_positions: bool = False,
+    scripting: bool = True,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -282,6 +287,12 @@ def tokenize(
     """
     if do_preprocess:
         text = preprocess(text)
+
+    # tree-aware rawtext feedback table; scripting=True adds noscript
+    # (spec: in-head noscript is generic-rawtext iff scripting is on)
+    rawtext_switch = (
+        _RAWTEXT_SWITCH_SCRIPTING if scripting else _RAWTEXT_SWITCH
+    )
 
     n = len(text)
     i = 0
@@ -386,7 +397,7 @@ def tokenize(
             # approximation gap — rare, and fails toward treating
             # content as markup, never toward swallowing it)
             if tree_aware and foreign_depth == 0:
-                next_state = _RAWTEXT_SWITCH.get(tag_name, S_DATA)
+                next_state = rawtext_switch.get(tag_name, S_DATA)
         attrs = {}
         tag_self_closing = False
         return next_state
@@ -461,7 +472,7 @@ def tokenize(
                         if name in ("svg", "math") and not self_closing:
                             foreign_depth += 1
                         if tree_aware and foreign_depth == 0:
-                            state = _RAWTEXT_SWITCH.get(name, S_DATA)
+                            state = rawtext_switch.get(name, S_DATA)
                         continue
                     fm = _FAST_END_TAG.match(text, j)
                     if fm is not None:

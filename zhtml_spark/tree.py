@@ -19,14 +19,17 @@ Implemented in full: active formatting elements (list + reconstruction
 + Noah's Ark) AND the adoption agency algorithm (§13.2.6.4.7) —
 canonical html5lib misnesting goldens reproduce exactly
 (tests/test_tree.py), plus InSelect/InSelectInTable (r2), fragment
-parsing (r2), and InTemplate with the template-modes stack (r3) —
-19 of the spec's 23 modes.  Remaining simplifications, all
-extraction-safe (text placement is what the span invariant judges):
-no InHeadNoscript/InFrameset/AfterFrameset* (frameset pages emit no
-content spans; stubs in the reference too), and template contents
-stay as CHILDREN of the template node (the flat-tree analog of the
-spec's detached contents fragment — the extraction walk prunes them,
-matching browsers' never-rendered semantics).
+parsing (r2), InTemplate with the template-modes stack (r3), and
+InFrameset/AfterFrameset/AfterAfterFrameset with the frameset-ok
+flag plus InHeadNoscript behind ``scripting=False`` (r3) — all 23
+spec modes.  With the default ``scripting=True``, noscript is a
+generic-rawtext element exactly like a browser with JS on (its
+content is one text node, never element children).  Remaining
+simplification, extraction-safe (text placement is what the span
+invariant judges): template contents stay as CHILDREN of the
+template node (the flat-tree analog of the spec's detached contents
+fragment — the extraction walk prunes them, matching browsers'
+never-rendered semantics).
 
 Node storage is the north-star-mandated flat arrays — parallel Python
 lists ``parent / first_child / last_child / next_sibling`` plus
@@ -46,10 +49,11 @@ N_TEXT = 2
 N_COMMENT = 3
 N_DOCTYPE = 4
 
-# insertion modes (19 of the 23 the spec declares; the reference
-# declares all 23 as an enum, src/parser.zig:18-42 — the ones left out
-# are InHeadNoscript/InFrameset/AfterFrameset*, marginal for content
-# extraction and stubs in the reference too)
+# insertion modes — all 23 the spec declares (the reference declares
+# the same 23 as an enum, src/parser.zig:18-42, but implements only
+# Initial/BeforeHtml).  InHeadNoscript is reachable only with
+# scripting=False (with scripting on, noscript is a rawtext element
+# and never parses children — spec in-head noscript rule).
 (
     M_INITIAL,
     M_BEFORE_HTML,
@@ -70,7 +74,11 @@ N_DOCTYPE = 4
     M_IN_SELECT,
     M_IN_SELECT_IN_TABLE,
     M_IN_TEMPLATE,
-) = range(19)
+    M_IN_HEAD_NOSCRIPT,
+    M_IN_FRAMESET,
+    M_AFTER_FRAMESET,
+    M_AFTER_AFTER_FRAMESET,
+) = range(23)
 
 _WS = "\t\n\f "
 _WS_SET = frozenset("\t\n\f \r")
@@ -111,11 +119,12 @@ HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 # they enter foreign content (namespace insertion + the dispatcher).
 PLAIN_INBODY = frozenset(
     """a abbr b bdi bdo big cite code data del dfn em font i ins kbd
-    label mark nobr noscript output q rp rt ruby s samp small span
+    label mark nobr output q rp rt ruby s samp small span
     strike strong sub sup time tt u var article section span
     picture figure main details summary dialog blockquote address
     center""".split()
 ) - CLOSES_P  # anything with a close-p rule keeps its special path
+# (noscript left out: rawtext when scripting=True, plain otherwise)
 
 # End tags with the explicit pop-until rule in InBody (spec list, plus
 # applet/marquee/object/form whose spec rules reduce to the same
@@ -230,6 +239,15 @@ def _adjust_foreign_attrs(attrs: dict | None, ns: str) -> dict | None:
 IN_HEAD_TAGS = frozenset(
     "base basefont bgsound link meta noframes script style template "
     "title".split()
+)
+
+# InBody start tags whose spec anchors set the frameset-ok flag to
+# "not ok" (§13.2.6.4.7; <input> is conditional on type != hidden,
+# checked at the use site).  Non-whitespace character tokens and the
+# </br> end tag set it too.
+_FRAMESET_NOT_OK_STARTS = frozenset(
+    "pre listing li dd dt plaintext button applet marquee object xmp "
+    "table area br embed img keygen wbr hr textarea iframe select".split()
 )
 
 # scope boundary sets (spec "has an element in ... scope")
@@ -561,7 +579,7 @@ def _fragment_initial_mode(context: str) -> int:
     return M_IN_BODY
 
 
-def parse_fragment(html: str, context: str = "div"):
+def parse_fragment(html: str, context: str = "div", scripting: bool = True):
     """Parse an ``innerHTML``-shaped fragment in ``context`` →
     ``(DocTree, root_id, errors)`` where ``root_id`` is the synthetic
     root whose children are the fragment's nodes (spec §13.2.2.2;
@@ -574,33 +592,40 @@ def parse_fragment(html: str, context: str = "div"):
     ``last = true``.  Foreign (svg/math) contexts are not supported —
     content extraction never parses fragments inside foreign markup.
     """
-    return parse_document(html, fragment_context=context)
+    return parse_document(html, fragment_context=context, scripting=scripting)
 
 
 def parse_document(
     html: str,
     collect_errors: bool = True,
     fragment_context: str | None = None,
+    scripting: bool = True,
 ):
     """Parse a full HTML document → ``(DocTree, errors)``; with
     ``fragment_context`` set, parse a fragment instead and return
     ``(DocTree, root_id, errors)``.
+
+    ``scripting`` is the spec's scripting flag: True (default —
+    browser-with-JS parity) makes noscript a generic-rawtext element;
+    False parses noscript content as markup via InHeadNoscript.
 
     Single fused pass: tree-aware tokenize, then the insertion-mode
     loop (the analog of Parser.parse, src/parser.zig:77-142 — but over
     the full mode chain instead of two modes).
     """
     if fragment_context is not None:
+        frag_state = _FRAGMENT_TOKENIZER_STATE.get(fragment_context, "Data")
+        if fragment_context == "noscript" and scripting:
+            frag_state = "RAWTEXT"  # spec §13.2.2.2 step 4
         tokens, errors = tokenize(
             html,
             tree_aware=True,
-            initial_state=_FRAGMENT_TOKENIZER_STATE.get(
-                fragment_context, "Data"
-            ),
+            initial_state=frag_state,
             last_start_tag=fragment_context,
+            scripting=scripting,
         )
     else:
-        tokens, errors = tokenize(html, tree_aware=True)
+        tokens, errors = tokenize(html, tree_aware=True, scripting=scripting)
     tree = DocTree()
 
     mode = M_INITIAL
@@ -627,6 +652,10 @@ def parse_document(
     # spec "stack of template insertion modes" — one entry per open
     # <template>; reset_insertion_mode returns its top for template
     template_modes: list[int] = []
+    # spec frameset-ok flag: a late <frameset> may replace the body
+    # only while nothing body-committing has been parsed yet
+    frameset_ok = True
+    saw_frameset = False    # suppresses the post-loop implied <body>
 
     def current() -> int:
         return stack_ids[-1] if stack_ids else 0
@@ -975,6 +1004,8 @@ def parse_document(
                 return M_IN_HEAD
             if nm == "body":
                 return M_IN_BODY
+            if nm == "frameset":
+                return M_IN_FRAMESET
             if nm == "html":
                 if fragment_context is not None:
                     # spec: with last=true substitute the CONTEXT
@@ -1411,6 +1442,13 @@ def parse_document(
                         mode = M_TEXT
                     elif name == "noscript":
                         insert_element(name, tok[2])
+                        if scripting:
+                            # generic rawtext (tokenizer already
+                            # switched states)
+                            original_mode = mode
+                            mode = M_TEXT
+                        else:
+                            mode = M_IN_HEAD_NOSCRIPT
                     elif name == "template":
                         start_template(tok[2])
                     elif name == "head":
@@ -1459,7 +1497,12 @@ def parse_document(
                         break
                     if name == "body":
                         body_id = insert_element("body", tok[2])
+                        frameset_ok = False  # spec: explicit <body>
                         mode = M_IN_BODY
+                    elif name == "frameset":
+                        insert_element(name, tok[2])
+                        saw_frameset = True
+                        mode = M_IN_FRAMESET
                     elif name in IN_HEAD_TAGS:
                         # spec: re-push head; simplified — insert into head
                         if name in ("title", "style", "script", "noframes"):
@@ -1502,6 +1545,21 @@ def parse_document(
 
             # ---------------------------------------------- InBody
             elif m == M_IN_BODY:
+                # frameset-ok bookkeeping (spec sets the flag inside
+                # each anchor; the per-token net effect is identical)
+                if frameset_ok:
+                    if kind == "Character":
+                        if tok[1].strip(_WS).replace("\x00", ""):
+                            frameset_ok = False
+                    elif kind == "StartTag":
+                        nm_ = tok[1]
+                        if nm_ in _FRAMESET_NOT_OK_STARTS or (
+                            nm_ == "input"
+                            and tok[2].get("type", "").lower() != "hidden"
+                        ):
+                            frameset_ok = False
+                    elif kind == "EndTag" and tok[1] == "br":
+                        frameset_ok = False
                 if kind == "Character":
                     data = tok[1]
                     if skip_newline:
@@ -1560,8 +1618,26 @@ def parse_document(
                                 reconstruct_afe()
                             insert_element(name, attrs)
                         break
-                    if name == "html" or name == "body" or name == "frameset":
+                    if name == "html" or name == "body":
                         break  # ignore (attr-merge skipped)
+                    if name == "frameset":
+                        # spec: honored only while the body is still
+                        # replaceable (frameset-ok, second stack
+                        # element is the body)
+                        if (
+                            frameset_ok
+                            and body_id != -1
+                            and len(stack_ids) > 1
+                            and stack_ids[1] == body_id
+                        ):
+                            tree.detach(body_id)
+                            while len(stack_ids) > 1:
+                                pop()
+                            body_id = -1
+                            insert_element(name, attrs)
+                            saw_frameset = True
+                            mode = M_IN_FRAMESET
+                        break
                     if name in IN_HEAD_TAGS:
                         if name in ("title", "style", "script", "noframes"):
                             insert_element(name, attrs)
@@ -1654,10 +1730,18 @@ def parse_document(
                         original_mode = mode
                         mode = M_TEXT
                         break
-                    if name in ("iframe", "noembed"):
+                    if name in ("iframe", "noembed") or (
+                        name == "noscript" and scripting
+                    ):
                         insert_element(name, attrs)
                         original_mode = mode
                         mode = M_TEXT
+                        break
+                    if name == "noscript":
+                        # scripting=False: any-other-start-tag
+                        if afe:
+                            reconstruct_afe()
+                        insert_element(name, attrs)
                         break
                     if name == "select":
                         if afe:
@@ -2255,6 +2339,133 @@ def parse_document(
                     mode = M_IN_BODY
                     reprocess = True
 
+            # -------------------------------------- InHeadNoscript
+            # reachable only with scripting=False (spec §13.2.6.4.5;
+            # with scripting on, noscript is generic rawtext and never
+            # parses children)
+            elif m == M_IN_HEAD_NOSCRIPT:
+                if kind == "Character":
+                    ws_prefix_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+                    if ws_prefix_len:  # in-head rules: ws inserts
+                        tree.append_text(current(), tok[1][:ws_prefix_len])
+                    rest = tok[1][ws_prefix_len:]
+                    if rest:
+                        # anything else: pop noscript, back to InHead
+                        tok = ("Character", rest)
+                        pop()
+                        mode = M_IN_HEAD
+                        reprocess = True
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "html":
+                        break  # in-body rule (attr-merge skipped)
+                    if name in ("basefont", "bgsound", "link", "meta"):
+                        insert_void(name, tok[2])  # in-head rules
+                    elif name in ("style", "noframes"):
+                        insert_element(name, tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    elif name in ("head", "noscript"):
+                        break  # parse error, ignore
+                    else:
+                        pop()
+                        mode = M_IN_HEAD
+                        reprocess = True
+                elif kind == "EndTag":
+                    name = tok[1]
+                    if name == "noscript":
+                        pop()
+                        mode = M_IN_HEAD
+                    elif name == "br":
+                        # acts as "anything else": pop + reprocess
+                        pop()
+                        mode = M_IN_HEAD
+                        reprocess = True
+                    # else ignore
+
+            # ------------------------------------------ InFrameset
+            elif m == M_IN_FRAMESET:
+                if kind == "Character":
+                    # spec: keep only the whitespace characters
+                    ws = "".join(c for c in tok[1] if c in _WS)
+                    if ws:
+                        tree.append_text(current(), ws)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    name = tok[1]
+                    if name == "html":
+                        break  # in-body rule (attr-merge skipped)
+                    if name == "frameset":
+                        insert_element(name, tok[2])
+                    elif name == "frame":
+                        insert_void(name, tok[2])
+                    elif name == "noframes":
+                        # in-head rules: generic rawtext
+                        insert_element(name, tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    # else: parse error, ignore
+                elif kind == "EndTag":
+                    if tok[1] == "frameset":
+                        if stack_names and stack_names[-1] == "html":
+                            break  # fragment root — ignore
+                        pop()
+                        if (
+                            fragment_context is None
+                            and stack_names
+                            and stack_names[-1] != "frameset"
+                        ):
+                            mode = M_AFTER_FRAMESET
+                    # else: parse error, ignore
+
+            # --------------------------------------- AfterFrameset
+            elif m == M_AFTER_FRAMESET:
+                if kind == "Character":
+                    ws = "".join(c for c in tok[1] if c in _WS)
+                    if ws:
+                        tree.append_text(current(), ws)
+                elif kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(current(), nid)
+                elif kind == "DOCTYPE":
+                    break
+                elif kind == "StartTag":
+                    if tok[1] == "noframes":
+                        insert_element("noframes", tok[2])
+                        original_mode = mode
+                        mode = M_TEXT
+                    # html: attr-merge skipped; else ignore
+                elif kind == "EndTag":
+                    if tok[1] == "html":
+                        mode = M_AFTER_AFTER_FRAMESET
+                    # else: parse error, ignore
+
+            # --------------------------------- AfterAfterFrameset
+            elif m == M_AFTER_AFTER_FRAMESET:
+                if kind == "Comment":
+                    nid = tree.new_node(N_COMMENT, None, None)
+                    tree.text[nid] = [tok[1]]
+                    tree.append_child(0, nid)
+                elif kind == "StartTag" and tok[1] == "noframes":
+                    insert_element("noframes", tok[2])
+                    original_mode = mode
+                    mode = M_TEXT
+                # ws/doctype/html start: ignored (in-body ws placement
+                # skipped — extraction-immaterial, mirrors the engine's
+                # AfterAfterBody); anything else: parse error, ignore
+
         # foster parenting is scoped to the token that a table mode
         # redirected into InBody
         foster_parenting = False
@@ -2283,7 +2494,8 @@ def parse_document(
     if head_id == -1:
         head_id = tree.new_node(N_ELEMENT, "head", {})
         tree.append_child(html_id, head_id)
-    if body_id == -1:
+    if body_id == -1 and not saw_frameset:
+        # frameset documents have no body (the frameset replaces it)
         body_id = tree.new_node(N_ELEMENT, "body", {})
         tree.append_child(html_id, body_id)
     return tree, errors

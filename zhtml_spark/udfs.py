@@ -113,13 +113,16 @@ def extract_document(
     errors: list[str] = []
     n_bytes = 0
     html_parts: list[str] = []
+    # include_noscript=True describes a no-JS browser: parse with the
+    # spec scripting flag off so noscript content is markup
+    scripting = not (config.include_noscript if config else False)
 
     def flush_html() -> None:
         if not html_parts:
             return
         fragment = "".join(html_parts)
         html_parts.clear()
-        tree, errs = parse_document(fragment)
+        tree, errs = parse_document(fragment, scripting=scripting)
         errors.extend(errs)
         out.extend(extract_spans(tree, config))
 
