@@ -47,11 +47,11 @@ def _wrap_as_interleaved(docs: DataFrame, html_col: Column) -> DataFrame:
     )
 
 
-def _extract_exploded(df: DataFrame) -> DataFrame:
+def _extract_exploded(df: DataFrame, config=None) -> DataFrame:
     """Run the fused extraction UDF and explode spans to flat rows."""
     from zhtml_spark.pipeline import extract_documents
 
-    out = extract_documents(df)
+    out = extract_documents(df, config)
     return out.select(
         "doc_id", F.explode("spans").alias("s")
     ).select(
@@ -158,6 +158,87 @@ def _q_extract_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</td></tr></table></body>"),
     )
     return _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+
+
+def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates head-metadata harvesting (r3): <title>, meta description/
+    robots/og:image, and link rel=canonical surface as ('meta', value,
+    key) spans ahead of the body content; non-allowlisted keys
+    (viewport) and template-wrapped metadata stay out."""
+    from zhtml_spark.extract import ExtractConfig
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<head><title>Doc "), d, F.lit(" | "), F.col("lang"),
+        F.lit('</title><meta name="description" content="'),
+        F.substring(F.col("text"), 1, 24),
+        F.lit('"><meta name="robots" content="'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("noindex"))
+        .otherwise(F.lit("index,follow")),
+        F.lit(
+            '"><meta property="og:image" content="https://cdn.example/og'
+        ),
+        d,
+        F.lit(
+            '.png"><meta name="viewport" content="width=1">'
+            '<link rel="canonical" href="https://site'
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/c/"), d,
+        F.lit(
+            '"><template><meta name="description" content="ghost">'
+            "</template></head><body><p>"
+        ),
+        F.col("text"),
+        F.lit("</p></body>"),
+    )
+    return _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_head_meta=True),
+    )
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates link-graph harvesting (r3): <a href> anchors surface as
+    ('link', anchor_text, href) spans — including nav anchors whose
+    text block is boilerplate-stripped and href-less anchors staying
+    plain text — composed with textops.absolutize_url against the
+    per-doc page URL (the WARC target-URI shape).  The oracle states
+    the EXPECTED resolved URLs as independent literals, cross-checking
+    the resolver rather than mirroring its regex chain."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import absolutize_url
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><p>Doc "), d, F.lit(' intro: <a href="/r/'), d,
+        F.lit('">rel '), F.col("lang"),
+        F.lit('</a> then <a href="https://peer.example/p'), d,
+        F.lit(
+            '">peer <b>link</b></a> tail words here.</p>'
+            '<nav><a href="../nav/'
+        ),
+        d,
+        F.lit(
+            '">section</a></nav><p><a>plain</a> anchor stays text</p>'
+            "</body>"
+        ),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_links=True),
+    )
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id").cast("bigint") % 7).cast("string"),
+        F.lit(".example/a/b/page"), F.col("doc_id"), F.lit(".html"),
+    )
+    return ex.where(F.col("kind") == "link").select(
+        "doc_id", "offset",
+        F.col("text").alias("anchor_text"),
+        F.col("media_ref").alias("href"),
+        absolutize_url(base, F.col("media_ref")).alias("resolved"),
+    )
 
 
 def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media": _q_extract_media,
         "extract_list": _q_extract_list,
         "extract_table": _q_extract_table,
+        "extract_meta": _q_extract_meta,
+        "extract_links": _q_extract_links,
         "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_template": _q_extract_template,
         "extract_fragment": _q_extract_fragment,
@@ -1080,6 +1163,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {doc_id}, 1 AS offset, 'text' AS kind,
                    'tail ' || lang AS text, {null_ref}
+            FROM documents
+        """,
+        "extract_meta": f"""
+            SELECT {doc_id}, 0 AS offset, 'meta' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' | ' || lang
+                     AS text,
+                   'title' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'meta' AS kind,
+                   trim(substr(text, 1, 24)) AS text,
+                   'description' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 2 AS offset, 'meta' AS kind,
+                   CASE WHEN doc_id % 3 = 0 THEN 'noindex'
+                        ELSE 'index,follow' END AS text,
+                   'robots' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 3 AS offset, 'meta' AS kind,
+                   'https://cdn.example/og' || CAST(doc_id AS VARCHAR)
+                     || '.png' AS text,
+                   'og:image' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 4 AS offset, 'meta' AS kind,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/c/' || CAST(doc_id AS VARCHAR) AS text,
+                   'canonical' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 5 AS offset, 'text' AS kind, text, {null_ref}
+            FROM documents
+        """,
+        "extract_links": f"""
+            SELECT {doc_id}, 0 AS offset, 'rel ' || lang AS anchor_text,
+                   '/r/' || CAST(doc_id AS VARCHAR) AS href,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/r/' || CAST(doc_id AS VARCHAR)
+                     AS resolved
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'peer link' AS anchor_text,
+                   'https://peer.example/p' || CAST(doc_id AS VARCHAR)
+                     AS href,
+                   'https://peer.example/p' || CAST(doc_id AS VARCHAR)
+                     AS resolved
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 3 AS offset, 'section' AS anchor_text,
+                   '../nav/' || CAST(doc_id AS VARCHAR) AS href,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/a/nav/' || CAST(doc_id AS VARCHAR)
+                     AS resolved
             FROM documents
         """,
         "extract_template": f"""

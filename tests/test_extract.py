@@ -240,3 +240,62 @@ def test_cdata_svg_not_in_spans_but_foreignobject_is():
         "<svg><foreignObject><p><![CDATA[fo]]></p></foreignObject></svg>"
     )
     assert spans == [("text", "fo", None)]
+
+
+def test_emit_links_spans():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = (
+        '<body><p>See <a href="/rel">the rel link</a> and '
+        '<a href="https://ext.example/e">ext <b>bold</b></a>.</p>'
+        '<nav><a href="/nav">navlink</a></nav>'
+        "<p><a>no href</a> plain anchor text stays</p></body>"
+    )
+    spans, _ = extract_html(page, ExtractConfig(emit_links=True))
+    links = [s for s in spans if s[0] == "link"]
+    assert links == [
+        ("link", "the rel link", "/rel"),
+        ("link", "ext bold", "https://ext.example/e"),
+        # nav anchor emits even though its text block is boilerplate
+        ("link", "navlink", "/nav"),
+    ]
+    # href-less anchor contributes no link span but keeps its text
+    assert ("text", "no href plain anchor text stays", None) in spans
+    # default config: no link spans at all (span-parity contract)
+    spans_off, _ = extract_html(page)
+    assert not any(s[0] == "link" for s in spans_off)
+
+
+def test_emit_links_media_anchor_stays_media():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = '<body><p><a href="x.png">pic</a> tail words</p></body>'
+    spans, _ = extract_html(page, ExtractConfig(emit_links=True))
+    assert ("media", "pic", "x.png") in spans
+    assert not any(s[0] == "link" for s in spans)
+
+
+def test_emit_head_meta_spans():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = (
+        "<head><title> My  Page </title>"
+        '<meta name="Description" content="a fine page">'
+        '<meta property="og:image" content="https://cdn.x/i.png">'
+        '<meta name="viewport" content="width=1">'
+        '<link rel="canonical" href="https://ex.com/c">'
+        '<base href="https://ex.com/dir/">'
+        '<template><meta name="description" content="ghost"></template>'
+        "</head><body><p>body text</p></body>"
+    )
+    spans, _ = extract_html(page, ExtractConfig(emit_head_meta=True))
+    assert spans == [
+        ("meta", "My Page", "title"),
+        ("meta", "a fine page", "description"),
+        ("meta", "https://cdn.x/i.png", "og:image"),
+        ("meta", "https://ex.com/c", "canonical"),
+        ("meta", "https://ex.com/dir/", "base"),
+        ("text", "body text", None),
+    ]
+    # default config: no meta spans
+    assert extract_html(page)[0] == [("text", "body text", None)]

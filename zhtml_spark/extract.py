@@ -86,6 +86,20 @@ class ExtractConfig:
     # "enable JS" banners — skipped by default.  Flip on to harvest the
     # no-JS fallback markup instead (VERDICT r2 next-round #7).
     include_noscript: bool = False
+    # link-graph harvesting (r3): every HTML <a href> ADDITIONALLY
+    # emits a ('link', anchor_text, href) span at its close position —
+    # the anchor text still flows into the surrounding text block; the
+    # link span is metadata on top.  Anchors whose href is a media URL
+    # keep emitting 'media' spans (disjoint).  Nav/footer anchors emit
+    # too (a link graph wants them even when their text block is
+    # boilerplate-stripped).  Off by default (span-parity contract).
+    emit_links: bool = False
+    # head metadata (r3): emit ('meta', value, key) spans BEFORE the
+    # body content for <title>, <meta name=description/robots/keywords
+    # content=…>, <meta property=og:… content=…>, <link rel=canonical
+    # href=…> and <base href=…> — DIRECT children of <head> only
+    # (template/noscript-wrapped metadata deliberately excluded).
+    emit_head_meta: bool = False
 
 
 _WS_NORM = None  # lazy regex
@@ -129,6 +143,18 @@ def extract_spans(
         if body == -1:
             return []
 
+    head_meta: list[tuple[str, str, str | None]] = []
+    if cfg.emit_head_meta and root is None:
+        html_nid = tree.parent[body]
+        for c in tree.children(html_nid) if html_nid != -1 else ():
+            if (
+                tree.ntype[c] == N_ELEMENT
+                and tree.name[c] == "head"
+                and tree.ns[c] is None
+            ):
+                head_meta = _head_meta_spans(tree, c)
+                break
+
     if cfg.prefer_main_content:
         # preorder DFS for the first <main>/<article> landmark
         walk = [body]
@@ -145,7 +171,7 @@ def extract_spans(
             for c in _reversed_children(tree, nid0):
                 walk.append(c)
 
-    spans: list[tuple[str, str, str | None]] = []
+    spans: list[tuple[str, str, str | None]] = list(head_meta)
 
     # current block accumulator
     parts: list[str] = []
@@ -167,6 +193,9 @@ def extract_spans(
     media_anchor: list[str] | None = None  # text collector inside media <a>
     media_anchor_href = ""
     media_anchor_nest = 0  # nested <a> depth inside the media anchor
+    link_parts: list[str] | None = None  # emit_links anchor-text collector
+    link_href = ""
+    link_nest = 0
 
     def flush() -> None:
         nonlocal parts, anchor_chars, total_chars
@@ -199,6 +228,8 @@ def extract_spans(
             if media_anchor is not None:
                 media_anchor.append(data)
             elif data:
+                if link_parts is not None:
+                    link_parts.append(data)
                 parts.append(data)
                 stripped = len(data.strip())
                 total_chars += stripped
@@ -285,6 +316,14 @@ def extract_spans(
                 pre_depth += 1
             if name == "a":
                 anchor_depth += 1
+                if cfg.emit_links and foreign_suppress == 0:
+                    if link_parts is not None:
+                        link_nest += 1  # nested <a>: balance exits only
+                    else:
+                        href = (tree.attrs[nid] or {}).get("href") or ""
+                        if href:
+                            link_parts = []
+                            link_href = href
 
             stack.append((nid, True))
             for cid in _reversed_children(tree, nid):
@@ -315,9 +354,67 @@ def extract_spans(
                 pre_depth -= 1
             if name == "a":
                 anchor_depth -= 1
+                if link_parts is not None:
+                    if link_nest > 0:
+                        link_nest -= 1
+                    else:
+                        spans.append(
+                            ("link", _normalize("".join(link_parts)),
+                             link_href)
+                        )
+                        link_parts = None
+                        link_href = ""
 
     flush()
     return spans
+
+
+# <meta name=…> keys worth harvesting at crawl scale (og:* accepted
+# via the property attribute as well)
+_META_NAME_KEYS = frozenset(["description", "robots", "keywords"])
+
+
+def _head_meta_spans(
+    tree: DocTree, head: int
+) -> list[tuple[str, str, str | None]]:
+    """('meta', value, key) spans from the DIRECT children of <head>:
+    title text, meta[name|property]+content for the allowlisted keys,
+    link[rel~=canonical] href, base href.  Metadata nested under
+    template/noscript is deliberately not scanned (never rendered /
+    scripting-off fallback)."""
+    out: list[tuple[str, str, str | None]] = []
+    for c in tree.children(head):
+        if tree.ntype[c] != N_ELEMENT or tree.ns[c] is not None:
+            continue
+        name = tree.name[c]
+        attrs = tree.attrs[c] or {}
+        if name == "title":
+            txt = _normalize(
+                "".join(
+                    tree.node_text(cc)
+                    for cc in tree.children(c)
+                    if tree.ntype[cc] == N_TEXT
+                )
+            )
+            if txt:
+                out.append(("meta", txt, "title"))
+        elif name == "meta":
+            key = (attrs.get("name") or attrs.get("property") or "").lower()
+            content = attrs.get("content") or ""
+            if content and (
+                key in _META_NAME_KEYS or key.startswith("og:")
+            ):
+                out.append(("meta", _normalize(content), key))
+        elif name == "link":
+            rel = (attrs.get("rel") or "").lower()
+            href = attrs.get("href") or ""
+            if href and "canonical" in rel.split():
+                out.append(("meta", href, "canonical"))
+        elif name == "base":
+            href = attrs.get("href") or ""
+            if href:
+                out.append(("meta", href, "base"))
+    return out
 
 
 def _is_extract_ip(tree: DocTree, nid: int, name: str) -> bool:
