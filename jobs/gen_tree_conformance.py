@@ -63,8 +63,21 @@ BUTTON_SCOPE = DEFAULT_SCOPE | {"button"}
 LIST_ITEM_SCOPE = DEFAULT_SCOPE | {"ol", "ul"}
 TABLE_SCOPE = frozenset(["html", "table", "template"])
 IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
+
+# in-body start tags whose spec anchors set frameset-ok to "not ok"
+# (independent transcription of §13.2.6.4.7; <input> conditional on
+# type != hidden at the use site)
+FRAMESET_NOT_OK_STARTS = frozenset(
+    "pre listing li dd dt plaintext button applet marquee object xmp "
+    "table area br embed img keygen wbr hr textarea iframe select".split()
+)
 IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
     "caption colgroup rb rtc tbody td tfoot th thead tr".split()
+)
+# in-body start tags the spec ignores outright ("caption, col,
+# colgroup, frame, head, tbody, td, tfoot, th, thead, tr")
+IN_BODY_IGNORED_STARTS = frozenset(
+    "caption col colgroup frame head tbody td tfoot th thead tr".split()
 )
 CLOSES_P = frozenset(
     "p div ul ol blockquote h1 h2 h3 h4 h5 h6 pre".split()
@@ -150,20 +163,46 @@ class MiniParser:
     transcription over ``N`` objects; vocabulary restricted to what the
     generator emits."""
 
-    def __init__(self):
+    def __init__(self, document: bool = False):
+        """``document=False`` (the original harness): pre-built
+        html/head/body skeleton, consuming body-context token streams.
+        ``document=True``: only <html> exists; the head/body/frameset
+        modes build the rest (frameset + head families)."""
         self.html = N("el", "html")
-        self.head = N("el", "head")
-        self.body = N("el", "body")
-        self.html.append(self.head)
-        self.html.append(self.body)
-        self.stack: list[N] = [self.html, self.body]
-        self.mode = "in_body"
+        self.document = document
+        if document:
+            self.head: N | None = None
+            self.body: N | None = None
+            self.stack: list[N] = [self.html]
+            self.mode = "before_head"
+        else:
+            self.head = N("el", "head")
+            self.body = N("el", "body")
+            self.html.append(self.head)
+            self.html.append(self.body)
+            self.stack = [self.html, self.body]
+            self.mode = "in_body"
         self.afe: list = []
         self.tmodes: list[str] = []
         self.pending: list[str] = []
         self.pending_return = "in_table"
         self.foster = False
         self.form: N | None = None
+        self.frameset_ok = True
+        self.saw_frameset = False
+        self.rawtext_return = "in_body"
+
+    def finish(self) -> None:
+        """EOF: imply the document skeleton (document mode only);
+        frameset documents get no body."""
+        if not self.document:
+            return
+        if self.head is None:
+            self.head = N("el", "head")
+            self.html.append(self.head)
+        if self.body is None and not self.saw_frameset:
+            self.body = N("el", "body")
+            self.html.append(self.body)
 
     # ------------------------------------------------------- helpers
     def cur(self) -> N:
@@ -533,14 +572,185 @@ class MiniParser:
     def dispatch_mode(self, t) -> None:
         getattr(self, "m_" + self.mode)(t)
 
+    # ------------------------- document head / frameset modes (r3)
+    # Independent spec transcriptions for the document-context corpus
+    # (BeforeHead/InHead/AfterHead subsets + the frameset trio and the
+    # frameset-ok flag).  Vocabulary: generator emits no comments or
+    # doctype tokens, and rawtext families carry tag-free text only.
+    _WSC = "\t\n\f \r"
+
+    def m_before_head(self, t) -> None:
+        if t[0] == "text":
+            rest = t[1].lstrip(self._WSC)
+            if not rest:
+                return  # leading whitespace ignored
+            t = ("text", rest)
+        elif t[0] == "start" and t[1] == "head":
+            self.head = self.insert_el("head", t[2])
+            self.mode = "in_head"
+            return
+        # anything else: implied <head>, reprocess in InHead
+        self.head = self.insert_el("head", {})
+        self.mode = "in_head"
+        self.dispatch_mode(t)
+
+    def m_in_head(self, t) -> None:
+        if t[0] == "text":
+            n_ws = len(t[1]) - len(t[1].lstrip(self._WSC))
+            if n_ws:
+                self.insert_text(t[1][:n_ws])
+            rest = t[1][n_ws:]
+            if not rest:
+                return
+            t = ("text", rest)
+        elif t[0] == "start":
+            name = t[1]
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self.insert_void(name, t[2])
+                return
+            if name in ("title", "style", "script", "noframes"):
+                self.insert_el(name, t[2])
+                self.rawtext_return = "in_head"
+                self.mode = "rawtext"
+                return
+            if name == "head":
+                return  # parse error, ignore
+        elif t[0] == "end":
+            if t[1] == "head":
+                self.stack.pop()
+                self.mode = "after_head"
+                return
+            if t[1] not in ("body", "html", "br"):
+                return  # parse error, ignore
+        self.stack.pop()  # pop head; reprocess in after_head
+        self.mode = "after_head"
+        self.dispatch_mode(t)
+
+    def m_after_head(self, t) -> None:
+        if t[0] == "text":
+            n_ws = len(t[1]) - len(t[1].lstrip(self._WSC))
+            if n_ws:
+                self.insert_text(t[1][:n_ws])
+            rest = t[1][n_ws:]
+            if not rest:
+                return
+            t = ("text", rest)
+        elif t[0] == "start":
+            name = t[1]
+            if name == "body":
+                self.body = self.insert_el("body", t[2])
+                self.frameset_ok = False  # spec: explicit <body>
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self.insert_el("frameset", t[2])
+                self.saw_frameset = True
+                self.mode = "in_frameset"
+                return
+        elif t[0] == "end" and t[1] not in ("body", "html", "br"):
+            return  # parse error, ignore
+        self.body = self.insert_el("body", {})
+        self.mode = "in_body"
+        self.dispatch_mode(t)
+
+    def m_rawtext(self, t) -> None:
+        # generic raw text: the generator guarantees tag-free text, so
+        # the engine's retokenized rawtext equals these text tokens
+        if t[0] == "text":
+            self.insert_text(t[1])
+            return
+        if t[0] == "end":
+            self.stack.pop()
+            self.mode = self.rawtext_return
+            return
+        raise AssertionError("rawtext families must contain only text")
+
+    def m_in_frameset(self, t) -> None:
+        if t[0] == "text":
+            ws = "".join(c for c in t[1] if c in self._WSC)
+            if ws:  # spec: keep only the whitespace characters
+                self.insert_text(ws)
+            return
+        if t[0] == "start":
+            name = t[1]
+            if name == "frameset":
+                self.insert_el(name, t[2])
+            elif name == "frame":
+                self.insert_void(name, t[2])
+            elif name == "noframes":
+                self.insert_el(name, t[2])
+                self.rawtext_return = "in_frameset"
+                self.mode = "rawtext"
+            return  # anything else: parse error, ignore
+        if t[0] == "end" and t[1] == "frameset":
+            if self.cur() is self.html:
+                return  # fragment-root guard
+            self.stack.pop()
+            if not (self.cur().ns is None and self.cur().name == "frameset"):
+                self.mode = "after_frameset"
+
+    def m_after_frameset(self, t) -> None:
+        if t[0] == "text":
+            ws = "".join(c for c in t[1] if c in self._WSC)
+            if ws:
+                self.insert_text(ws)
+            return
+        if t[0] == "start" and t[1] == "noframes":
+            self.insert_el("noframes", t[2])
+            self.rawtext_return = "after_frameset"
+            self.mode = "rawtext"
+            return
+        if t[0] == "end" and t[1] == "html":
+            self.mode = "after_after_frameset"
+
+    def m_after_after_frameset(self, t) -> None:
+        if t[0] == "start" and t[1] == "noframes":
+            self.insert_el("noframes", t[2])
+            self.rawtext_return = "after_after_frameset"
+            self.mode = "rawtext"
+        # everything else ignored (ws placement skipped — engine parity)
+
     def m_in_body(self, t) -> None:
         kind = t[0]
+        # frameset-ok bookkeeping (spec sets the flag inside each
+        # anchor; the per-token net effect is identical)
+        if self.frameset_ok:
+            if kind in ("text", "cdata"):
+                if t[1].strip(self._WSC):
+                    self.frameset_ok = False
+            elif kind == "start":
+                if t[1] in FRAMESET_NOT_OK_STARTS or (
+                    t[1] == "input"
+                    and (t[2] or {}).get("type", "").lower() != "hidden"
+                ):
+                    self.frameset_ok = False
+            elif kind == "end" and t[1] == "br":
+                self.frameset_ok = False
         if kind in ("text", "cdata"):
             self.reconstruct_afe()
             self.insert_text(t[1])
             return
         if kind == "start":
             name, attrs, selfclose = t[1], t[2], t[3]
+            if name == "frameset":
+                # spec: honored only while the body is replaceable
+                if (
+                    self.frameset_ok
+                    and self.body is not None
+                    and len(self.stack) > 1
+                    and self.stack[1] is self.body
+                ):
+                    self.body.detach()
+                    del self.stack[1:]
+                    self.body = None
+                    self.insert_el("frameset", attrs)
+                    self.saw_frameset = True
+                    self.mode = "in_frameset"
+                return
+            if name == "body":
+                return  # parse error, ignore (attr-merge skipped)
+            if name in IN_BODY_IGNORED_STARTS:
+                return  # parse error, ignore (spec in-body list)
             if name == "template":
                 self.start_template(attrs)
                 return
@@ -1102,8 +1312,8 @@ def CD(data):
     return ("cdata", data)
 
 
-def render(tokens) -> str:
-    parts = ["<!DOCTYPE html><body>"]
+def render(tokens, document: bool = False) -> str:
+    parts = ["<!DOCTYPE html>" if document else "<!DOCTYPE html><body>"]
     for t in tokens:
         if t[0] == "start":
             attrs = "".join(f' {k}="{v}"' for k, v in t[2].items())
@@ -1118,21 +1328,22 @@ def render(tokens) -> str:
     return "".join(parts)
 
 
-def expected(tokens):
-    p = MiniParser()
+def expected(tokens, document: bool = False):
+    p = MiniParser(document=document)
     for t in tokens:
         p.process(t)
+    p.finish()
     return outline(p.html)
 
 
-def case(desc, tokens) -> dict:
+def case(desc, tokens, document: bool = False) -> dict:
     for t in tokens:
         if t[0] == "text":
             assert not any(c in t[1] for c in "<>&"), t
     return {
         "description": desc,
-        "input": render(tokens),
-        "expected": expected(tokens),
+        "input": render(tokens, document),
+        "expected": expected(tokens, document),
     }
 
 
@@ -1866,13 +2077,177 @@ def self_test() -> None:
     want = ["html", ["head"],
             ["body", ["template", ["p", "#x"]], "#y"]]
     assert got == want, got
+    # frameset page (browser behavior): frameset replaces the body,
+    # frames inside, noframes after close lands under html
+    got = expected(
+        [S("frameset"), S("frame"), E("frameset"),
+         S("noframes"), T("old"), E("noframes")],
+        document=True,
+    )
+    want = ["html", ["head"],
+            ["frameset", ["frame"]], ["noframes", "#old"]]
+    assert got == want, got
+    # committed body blocks a late frameset; stray <frame> is ignored
+    got = expected([T("x"), S("frameset"), S("frame")], document=True)
+    want = ["html", ["head"], ["body", "#x"]]
+    assert got == want, got
+    # uncommitted body (empty div) is REPLACED by the frameset
+    got = expected(
+        [S("div"), E("div"), S("frameset"), S("frame"), E("frameset")],
+        document=True,
+    )
+    want = ["html", ["head"], ["frameset", ["frame"]]]
+    assert got == want, got
+
+
+def frameset_cases() -> list[dict]:
+    """Document-context family (r3): the frameset mode trio, the
+    frameset-ok flag, and the BeforeHead/InHead/AfterHead plumbing —
+    rendered WITHOUT the harness <body> prefix."""
+    out = []
+    # F1: structure matrix — nesting depth x frame count x noframes
+    for depth in (1, 2):
+        for nframes in (1, 2):
+            for nof in (False, True):
+                toks = []
+                for _ in range(depth):
+                    toks.append(S("frameset", {"cols": "50%,50%"}))
+                for i in range(nframes):
+                    toks.append(S("frame", {"src": f"f{i}.html"}))
+                for _ in range(depth):
+                    toks.append(E("frameset"))
+                if nof:
+                    toks += [S("noframes"), T("legacy text"),
+                             E("noframes")]
+                out.append(case(
+                    f"frameset depth={depth} frames={nframes} "
+                    f"noframes={nof}",
+                    toks, document=True,
+                ))
+    # F2: frameset-ok commitment — each tag blocks the late frameset
+    out.append(case(
+        "frameset blocked by body text",
+        [T("committed"), S("frameset"), S("frame")], document=True,
+    ))
+    for blocker in ("br", "img", "hr"):
+        out.append(case(
+            f"frameset blocked by {blocker}",
+            [S(blocker), S("frameset"), S("frame")], document=True,
+        ))
+    out.append(case(
+        "frameset blocked by table",
+        [S("table"), E("table"), S("frameset"), S("frame")],
+        document=True,
+    ))
+    out.append(case(
+        "frameset blocked by text input",
+        [S("input", {"type": "text"}), S("frameset"), S("frame"),
+         E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "hidden input does not block frameset",
+        [S("input", {"type": "hidden"}), S("frameset"), S("frame"),
+         E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "frameset blocked by end br",
+        [E("br"), S("frameset"), S("frame")], document=True,
+    ))
+    out.append(case(
+        "frameset blocked by explicit body tag",
+        [S("body"), S("frameset"), S("frame")], document=True,
+    ))
+    # F3: replaceable-body surgery — non-committing content vanishes
+    out.append(case(
+        "frameset replaces body with empty div",
+        [S("div"), E("div"), S("frameset"), S("frame"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "frameset replaces body with formatting",
+        [S("b"), E("b"), S("frameset"), S("frame"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "leading whitespace does not commit the body",
+        [T("   "), S("frameset"), S("frame"), E("frameset")],
+        document=True,
+    ))
+    # F4: InFrameset token handling
+    out.append(case(
+        "non-ws text in frameset keeps only whitespace",
+        [S("frameset"), T("  drop me  "), S("frame"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "stray tags inside frameset ignored",
+        [S("frameset"), E("div"), S("p"), S("frame"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "noframes inside frameset",
+        [S("frameset"), S("noframes"), T("old ui"), E("noframes"),
+         S("frame"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "frameset unclosed at eof",
+        [S("frameset"), S("frameset"), S("frame")], document=True,
+    ))
+    out.append(case(
+        "extra end frameset after close ignored",
+        [S("frameset"), S("frame"), E("frameset"), E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "noframes after html end",
+        [S("frameset"), E("frameset"), E("html"), S("noframes"),
+         T("post"), E("noframes")],
+        document=True,
+    ))
+    out.append(case(
+        "noframes unclosed at eof",
+        [S("frameset"), S("frame"), E("frameset"), S("noframes"),
+         T("never closed")],
+        document=True,
+    ))
+    # F5: head plumbing in document context
+    out.append(case(
+        "explicit head title meta then body",
+        [S("head"), S("title"), T("the title"), E("title"),
+         S("meta", {"charset": "utf-8"}), E("head"), S("body"),
+         T("content")],
+        document=True,
+    ))
+    out.append(case(
+        "implied head collects link before frameset",
+        [S("link", {"rel": "x"}), S("frameset"), S("frame"),
+         E("frameset")],
+        document=True,
+    ))
+    out.append(case(
+        "style rawtext in implied head then body text",
+        [S("style"), T("p brace stuff"), E("style"), T("tail")],
+        document=True,
+    ))
+    out.append(case(
+        "bare text document implies full skeleton",
+        [T("hello world")], document=True,
+    ))
+    out.append(case(
+        "head only document implies body",
+        [S("head"), E("head")], document=True,
+    ))
+    return out
 
 
 def main() -> None:
     self_test()
     cases = (
         table_cases() + foreign_cases() + afe_cases()
-        + select_cases() + template_cases()
+        + select_cases() + template_cases() + frameset_cases()
     )
     names = [c["description"] for c in cases]
     assert len(names) == len(set(names)), "duplicate case descriptions"
@@ -1894,6 +2269,7 @@ def main() -> None:
         "afe": len(afe_cases()),
         "select": len(select_cases()),
         "template": len(template_cases()),
+        "frameset": len(frameset_cases()),
     }
     print(f"wrote {len(cases)} cases -> {OUT} {fam}")
 
