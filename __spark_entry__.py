@@ -795,6 +795,35 @@ def _q_kmv_distinct(spark, sf_dir):
     return est.crossJoin(exact).select("n_exact", "n_estimate")
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Gates the winnowing fingerprint sketch (r3): char-8-gram md5-48
+    hashes, window-4 minima, zero-shuffle higher-order-function plan;
+    oracle recomputes via standard SQL window functions."""
+    from zhtml_spark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "fp"
+    )
+
+
+def _q_winnow_dup_candidates(spark, sf_dir):
+    """Gates the composed winnowing near-dup pass: inverted-index
+    self-join over fingerprints with the doc-frequency boilerplate
+    cap, pairs sharing >= 5 fingerprints.  The dense synthetic
+    vocabulary makes loose settings degenerate (min_shared=3 at
+    df<=50 admits 58% of ALL pairs); df<=20 + shared>=5 keeps 561 of
+    124,750 — the cap doing its selectivity job."""
+    from zhtml_spark.textops import winnow_dup_candidates
+
+    return winnow_dup_candidates(
+        _docs(spark, sf_dir), min_shared=5, max_doc_freq=20
+    ).select(
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+        "shared",
+    )
+
+
 def _q_interval_join(spark, sf_dir):
     """Bucketed range join: events matched to deterministic
     maintenance windows (one 45-minute window per day, from the
@@ -1029,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_candidates": _q_winnow_dup_candidates,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
@@ -1989,6 +2020,59 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(h_k AS DOUBLE)
                               END) AS BIGINT) AS n_estimate
             FROM kth
+        """,
+        "winnow_fingerprints": """
+            WITH g AS (
+                SELECT doc_id, i AS pos,
+                       CAST(('0x' || substr(md5(substr(text,
+                             CAST(i AS INTEGER), 8)), 1, 12))
+                         AS BIGINT) AS h,
+                       length(text) - 8 + 1 AS n
+                FROM documents,
+                     UNNEST(range(1,
+                       CAST(length(text) AS BIGINT) - 8 + 2)) t(i)
+                WHERE length(text) >= 11
+            )
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS fp
+            FROM g
+            QUALIFY pos <= n - 3
+        """,
+        "winnow_dup_candidates": """
+            WITH g AS (
+                SELECT doc_id, i AS pos,
+                       CAST(('0x' || substr(md5(substr(text,
+                             CAST(i AS INTEGER), 8)), 1, 12))
+                         AS BIGINT) AS h,
+                       length(text) - 8 + 1 AS n
+                FROM documents,
+                     UNNEST(range(1,
+                       CAST(length(text) AS BIGINT) - 8 + 2)) t(i)
+                WHERE length(text) >= 11
+            ),
+            f0 AS (
+                SELECT DISTINCT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS fp
+                FROM g
+                QUALIFY pos <= n - 3
+            ),
+            freq AS (
+                SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 20
+            ),
+            kept AS (
+                SELECT f0.doc_id, f0.fp FROM f0 JOIN freq USING (fp)
+            )
+            SELECT CAST(a.doc_id AS VARCHAR) AS doc_a,
+                   CAST(b.doc_id AS VARCHAR) AS doc_b,
+                   count(*) AS shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
         """,
         "interval_join": """
             WITH windows AS (

@@ -684,3 +684,53 @@ def test_redact_pii_ignores_preexisting_placeholders(spark):
     rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
     assert rows[1]["n_redactions"] == 0
     assert rows[2]["n_redactions"] == 1
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing property (Schleimer et al.): two docs sharing a
+    substring of length >= k + window - 1 share at least one
+    fingerprint; docs shorter than k + window - 1 emit nothing."""
+    from zhtml_spark.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB ending one"),
+            (2, "CCCCCC " + shared + " DDD other tail"),
+            (3, "completely different content here"),
+            (4, "tiny"),        # < k: no grams at all
+            (5, "exactly11ch"),  # == k + w - 1: exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, window=4)
+    by_doc = {
+        r["doc_id"]: {x["fp"] for x in rows}
+        for r, rows in [
+            (r, [r2 for r2 in fps.collect() if r2["doc_id"] == r["doc_id"]])
+            for r in fps.select("doc_id").distinct().collect()
+        ]
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fp"
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc  # too short: zero fingerprints
+    assert len(by_doc[5]) == 1  # single full window -> one fp
+
+
+def test_winnow_dup_candidates_selectivity(spark):
+    from zhtml_spark.textops import winnow_dup_candidates
+
+    base = "shared sentence that repeats across near duplicates ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " tail one"),
+            (2, base + " tail two"),
+            (3, "nothing in common with the others at all zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_dup_candidates(
+        docs, k=8, window=4, min_shared=2, max_doc_freq=10
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["shared"] >= 2

@@ -723,6 +723,84 @@ def embedding_dup_candidates(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document
+    Fingerprinting"): hash every character k-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum.  Guarantee: any substring match of length >= k + window
+    - 1 contributes at least one shared fingerprint; expected
+    selection density ~2/(window+1).
+
+    Plan: ZERO shuffle — per-row higher-order functions build the
+    k-gram hash array and the windowed minima (``slice`` +
+    ``array_min`` inside ``transform``), ``array_distinct`` dedups
+    per doc, then one explode.  A pure map stage at any scale; memory
+    per row is O(n_chars).  Hashes are the blessed cross-engine
+    md5-48 form.  Only FULL windows fingerprint (docs shorter than
+    k + window - 1 chars emit nothing) so engine boundaries are
+    well-defined.  Returns (id_col, fp) rows, distinct per doc."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    min_len = k + window - 1
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    hashes = (
+        f"CASE WHEN length({text_col}) < {k} THEN {empty} ELSE "
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"j -> CAST(conv(substring(md5(substring({text_col}, j, {k})),"
+        f" 1, 12), 16, 10) AS BIGINT)) END"
+    )
+    fps = (
+        f"CASE WHEN length({text_col}) < {min_len} THEN {empty} ELSE "
+        f"array_distinct(transform("
+        f"sequence(1, length({text_col}) - {min_len} + 1), "
+        f"i -> array_min(slice(h, i, {window})))) END"
+    )
+    return (
+        docs.select(id_col, text_col)
+        .withColumn("h", F.expr(hashes))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_dup_candidates(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= ``min_shared`` winnowing
+    fingerprints — the inverted-index self-join over
+    :func:`winnow_fingerprints`, with the standard doc-frequency cap
+    (fingerprints shared by more than ``max_doc_freq`` docs are
+    boilerplate and dropped, bounding the per-bucket join at
+    max_doc_freq² — the same scale lever as ngram_jaccard_pairs).
+    Returns (doc_a, doc_b, shared) with doc_a < doc_b."""
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col)
+    freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = fps.join(
+        freq.where(F.col("df") <= max_doc_freq).select("fp"), "fp"
+    )
+    a = kept.select("fp", F.col(id_col).alias("doc_a"))
+    b = kept.select("fp", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def kmv_distinct_estimate(
     docs: DataFrame,
     col: str = "text",
