@@ -124,6 +124,7 @@ def main() -> None:
         simhash_candidate_stats,
         simhash_dup_candidates,
         substring_dup_spans,
+        winnow_dup_candidates,
     )
 
     pair_counts: dict[str, int] = {}
@@ -156,6 +157,15 @@ def main() -> None:
     timed(
         "dedup_substring",
         lambda: substring_dup_spans(docs_tbl, k=25, min_len=60).count(),
+    )
+    timed(
+        "dedup_winnow",
+        lambda: pair_counts.__setitem__(
+            "winnow_candidates",
+            winnow_dup_candidates(
+                docs_tbl, min_shared=5, max_doc_freq=20
+            ).count(),
+        ),
     )
 
     # banding-plan evidence (VERDICT r1 #3/#7): candidate volume + max
