@@ -573,6 +573,67 @@ def _q_dedup_by_url(spark, sf_dir):
     return dedup_by_url(urls.unionByName(recrawl))
 
 
+def _q_dedup_by_canonical(spark, sf_dir):
+    """Gates the canonical-URL dedup tier: odd docs declare
+    rel=canonical at their even sibling's URL, so pairs collapse to
+    the even survivor — composition of the head-meta harvest with the
+    URL-identity tier."""
+    from zhtml_spark.textops import dedup_by_canonical
+
+    did = F.col("doc_id")
+    even = F.floor(did / 2).cast("bigint") * 2
+
+    def art(idc):
+        s = idc.cast("string")
+        return F.concat(
+            F.lit("https://site"), (idc % 7).cast("string"),
+            F.lit(".example/art"), s, F.lit("?ref="), s,
+        )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        art(did).alias("url"),
+        F.when(did % 2 == 1, art(even)).otherwise(F.lit(""))
+        .alias("canonical"),
+    )
+    return dedup_by_canonical(d)
+
+
+def _q_sitemap_urls(spark, sf_dir):
+    """Gates sitemap <loc> extraction: urlset pages (with XML-escaped
+    query separators and whitespace-padded locs) and sitemapindex
+    docs flagged is_index."""
+    from zhtml_spark.textops import sitemap_urls
+
+    d = F.col("doc_id").cast("string")
+    s7 = (F.col("doc_id") % 7).cast("string")
+    xml = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc> '
+                  "https://site"),
+            s7, F.lit(".example/sub"), d,
+            F.lit(".xml </loc></sitemap><sitemap><loc>https://site"),
+            s7, F.lit(".example/more"), d,
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>'
+                  "https://site"),
+            s7, F.lit(".example/art"), d,
+            F.lit("?a=1&amp;b=2</loc></url><url><loc> https://site"),
+            s7, F.lit(".example/p"), d,
+            F.lit(" </loc></url></urlset>"),
+        ),
+    )
+    return sitemap_urls(
+        _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), d).alias("host"), xml.alias("text")
+        )
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -824,6 +885,63 @@ def _q_winnow_dup_candidates(spark, sf_dir):
     )
 
 
+def _robots_corpus(spark, sf_dir):
+    d = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: bot"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\nUser-agent: extra"),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("\nDisallow: /p"), d,
+        F.lit("\nAllow: /p"), d,
+        F.lit("/ok   # inline\n\nUser-agent: *\nDisallow: /tmp"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\nSitemap: https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/map.xml\n"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), d).alias("host"), txt.alias("text")
+    )
+
+
+def _q_robots_parse(spark, sf_dir):
+    """Gates robots.txt parsing (r3): RFC 9309 grouping — shared
+    user-agent lines, group restart after directives, pre-group rules
+    dropped, sitemap agent-independent.  The oracle derives the
+    expected rows from CONSTRUCTION knowledge (literal per-group
+    unions), not by mirroring the window-function parser."""
+    from zhtml_spark.textops import parse_robots
+
+    return parse_robots(_robots_corpus(spark, sf_dir))
+
+
+def _q_robots_gate(spark, sf_dir):
+    """Gates the composed robots URL gate for agent bot0: group
+    selection (specific group suppresses *), longest-prefix
+    precedence, allow-on-tie, default-allow."""
+    from zhtml_spark.textops import parse_robots, robots_gate
+
+    rules = parse_robots(_robots_corpus(spark, sf_dir))
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), d)
+    urls = _docs(spark, sf_dir).select(
+        host.alias("host"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://h"), d, F.lit("/p"), d,
+                         F.lit("/sub")),
+                F.concat(F.lit("https://h"), d, F.lit("/p"), d,
+                         F.lit("/ok/y")),
+                F.concat(F.lit("https://h"), d, F.lit("/tmp"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit("/z")),
+            )
+        ).alias("url"),
+    )
+    return robots_gate(urls, rules, "bot0")
+
+
 def _q_interval_join(spark, sf_dir):
     """Bucketed range join: events matched to deterministic
     maintenance windows (one 45-minute window per day, from the
@@ -1060,6 +1178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
+        "robots_parse": _q_robots_parse,
+        "robots_gate": _q_robots_gate,
+        "dedup_by_canonical": _q_dedup_by_canonical,
+        "sitemap_urls": _q_sitemap_urls,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
@@ -2073,6 +2195,98 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 5
+        """,
+        "robots_parse": """
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       doc_id
+                FROM documents
+            ),
+            agents AS (
+                SELECT host, doc_id,
+                       'bot' || CAST(doc_id % 3 AS VARCHAR) AS agent
+                FROM h
+                UNION ALL
+                SELECT host, doc_id,
+                       'extra' || CAST(doc_id % 2 AS VARCHAR)
+                FROM h
+            )
+            SELECT a.host, a.agent, 'disallow' AS directive,
+                   '/p' || CAST(a.doc_id AS VARCHAR) AS value
+            FROM agents a
+            UNION ALL
+            SELECT a.host, a.agent, 'allow',
+                   '/p' || CAST(a.doc_id AS VARCHAR) || '/ok'
+            FROM agents a
+            UNION ALL
+            SELECT host, '*', 'disallow',
+                   '/tmp' || CAST(doc_id % 5 AS VARCHAR)
+            FROM h
+            UNION ALL
+            SELECT host, CAST(NULL AS VARCHAR), 'sitemap',
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/map.xml'
+            FROM h
+        """,
+        "dedup_by_canonical": """
+            SELECT DISTINCT (doc_id // 2) * 2 AS doc_id,
+                   'https://site'
+                     || CAST(((doc_id // 2) * 2) % 7 AS VARCHAR)
+                     || '.example/art'
+                     || CAST((doc_id // 2) * 2 AS VARCHAR)
+                     || '?ref='
+                     || CAST((doc_id // 2) * 2 AS VARCHAR) AS norm_url
+            FROM documents
+        """,
+        "sitemap_urls": """
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       CAST(doc_id % 7 AS VARCHAR) AS s7,
+                       doc_id
+                FROM documents
+            )
+            SELECT host,
+                   'https://site' || s7 || '.example/sub' || d
+                     || '.xml' AS url,
+                   TRUE AS is_index
+            FROM h WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT host,
+                   'https://site' || s7 || '.example/more' || d
+                     || '.xml', TRUE
+            FROM h WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT host,
+                   'https://site' || s7 || '.example/art' || d
+                     || '?a=1&b=2', FALSE
+            FROM h WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT host,
+                   'https://site' || s7 || '.example/p' || d, FALSE
+            FROM h WHERE doc_id % 10 <> 0
+        """,
+        "robots_gate": """
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       doc_id
+                FROM documents
+            )
+            SELECT host, 'https://h' || d || '/p' || d || '/sub' AS url,
+                   doc_id % 3 <> 0 AS allowed
+            FROM h
+            UNION ALL
+            SELECT host, 'https://h' || d || '/p' || d || '/ok/y',
+                   TRUE
+            FROM h
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/tmp'
+                     || CAST(doc_id % 5 AS VARCHAR) || '/z',
+                   doc_id % 3 = 0
+            FROM h
         """,
         "interval_join": """
             WITH windows AS (

@@ -734,3 +734,122 @@ def test_winnow_dup_candidates_selectivity(spark):
     ).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["shared"] >= 2
+
+
+def test_parse_robots_group_semantics(spark):
+    """RFC 9309 grouping: shared UA lines, new group after directives,
+    pre-group rules ignored, sitemap group-independent."""
+    from zhtml_spark.textops import parse_robots
+
+    txt = (
+        "# top comment\n"
+        "Disallow: /ignored-before-any-group\n"
+        "User-agent: CCBot\n"
+        "USER-AGENT: GPTBot\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok   # inline comment\n"
+        "crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp\n"
+        "Sitemap: https://h1.example/map.xml\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h1", txt)], "host string, text string")
+    ).collect()
+    got = sorted(
+        (r["agent"] or "<null>", r["directive"], r["value"])
+        for r in rules
+    )
+    assert got == sorted([
+        ("ccbot", "disallow", "/private"),
+        ("gptbot", "disallow", "/private"),
+        ("ccbot", "allow", "/private/ok"),
+        ("gptbot", "allow", "/private/ok"),
+        ("ccbot", "crawl-delay", "2"),
+        ("gptbot", "crawl-delay", "2"),
+        ("*", "disallow", "/tmp"),
+        ("<null>", "sitemap", "https://h1.example/map.xml"),
+    ])
+
+
+def test_robots_gate_precedence(spark):
+    from zhtml_spark.textops import parse_robots, robots_gate
+
+    h1 = (
+        "User-agent: CCBot\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /a\nAllow: /a\n"          # tie -> allow wins
+        "User-agent: *\nDisallow: /tmp\n"
+    )
+    h2 = "User-agent: *\nDisallow: /tmp\n"
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h1", h1), ("h2", h2)], "host string, text string"
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h1", "https://h1/private/x"),       # denied
+            ("h1", "https://h1/private/ok/y"),    # longer allow wins
+            ("h1", "https://h1/tmp/z"),  # ccbot group exists -> * ignored
+            ("h1", "https://h1/a"),               # tie -> allow
+            ("h1", "https://h1"),                 # bare origin -> "/"
+            ("h2", "https://h2/tmp/z"),           # * applies -> denied
+            ("h2", "https://h2/fine"),            # no match -> allowed
+        ],
+        "host string, url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_gate(urls, rules, "CCBot").collect()
+    }
+    assert got == {
+        "https://h1/private/x": False,
+        "https://h1/private/ok/y": True,
+        "https://h1/tmp/z": True,
+        "https://h1/a": True,
+        "https://h1": True,
+        "https://h2/tmp/z": False,
+        "https://h2/fine": True,
+    }
+
+
+def test_sitemap_urls_escapes_and_index(spark):
+    from zhtml_spark.textops import sitemap_urls
+
+    docs = spark.createDataFrame(
+        [
+            ("a", '<urlset><url><loc> https://x/p?a=1&amp;b=2 </loc>'
+                  "</url></urlset>"),
+            ("b", "<sitemapindex><sitemap><loc>https://x/sub.xml</loc>"
+                  "</sitemap></sitemapindex>"),
+            ("c", "<urlset></urlset>"),  # no locs -> no rows
+        ],
+        "host string, text string",
+    )
+    rows = sorted(
+        (r["host"], r["url"], r["is_index"])
+        for r in sitemap_urls(docs).collect()
+    )
+    assert rows == [
+        ("a", "https://x/p?a=1&b=2", False),
+        ("b", "https://x/sub.xml", True),
+    ]
+
+
+def test_dedup_by_canonical_collapses_pairs(spark):
+    from zhtml_spark.textops import dedup_by_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://h/a?x=1", ""),          # no canonical
+            (2, "https://h/a-copy", "https://h/a?x=1"),  # -> same key
+            (3, "https://h/b", None),            # null canonical
+        ],
+        "doc_id long, url string, canonical string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["norm_url"])
+        for r in dedup_by_canonical(docs).collect()
+    )
+    assert rows == [(1, "https://h/a?x=1"), (3, "https://h/b")]

@@ -723,6 +723,134 @@ def embedding_dup_candidates(
     )
 
 
+def parse_robots(
+    robots: DataFrame,
+    id_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse robots.txt bodies → (id_col, agent, directive, value)
+    rows (RFC 9309 grouping): consecutive ``User-agent`` lines form
+    one group sharing the directives that follow; a ``User-agent``
+    after a directive starts a new group; rules before any group are
+    ignored; ``Sitemap`` is group-independent (emitted with agent
+    NULL).  Keys are case-insensitive, inline ``#`` comments strip,
+    blank/comment-only lines skip.  Pure JVM: split+posexplode, two
+    regexes, one per-doc window for the group ids (a robots.txt is
+    KBs — per-doc windows never skew), one equality join."""
+    lines = robots.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    parsed = (
+        lines.select(
+            id_col,
+            "pos",
+            F.lower(
+                F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)
+            ).alias("key"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(
+                        "line", r"^\s*[A-Za-z-]+\s*:\s*([^#]*)", 1
+                    ),
+                    r"\s+$",
+                    "",
+                )
+            ).alias("value"),
+        )
+        .where(F.col("key") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = (
+        parsed.withColumn("prev_key", F.lag("key").over(w))
+        .withColumn(
+            "grp_start",
+            (
+                (F.col("key") == "user-agent")
+                & (
+                    F.col("prev_key").isNull()
+                    | (F.col("prev_key") != "user-agent")
+                )
+            ).cast("int"),
+        )
+        .withColumn("grp", F.sum("grp_start").over(w))
+    )
+    agents = grouped.where(F.col("key") == "user-agent").select(
+        id_col, "grp", F.lower(F.col("value")).alias("agent")
+    )
+    directives = grouped.where(
+        F.col("key").isin("disallow", "allow", "crawl-delay")
+    ).select(id_col, "grp", F.col("key").alias("directive"), "value")
+    rules = agents.join(directives, [id_col, "grp"]).select(
+        id_col, "agent", "directive", "value"
+    )
+    sitemaps = grouped.where(F.col("key") == "sitemap").select(
+        id_col,
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("sitemap").alias("directive"),
+        "value",
+    )
+    return rules.unionByName(sitemaps)
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-URL allow/deny against :func:`parse_robots` output for
+    ``agent`` (RFC 9309 subset: literal path prefixes, no ``*``/``$``
+    wildcards — documented approximation).  Group selection: the
+    host's rules for ``agent`` if any exist, else its ``*`` rules.
+    Precedence: longest matching rule wins; on a length tie, allow
+    wins (score = 2*len + is_allow, a single integer both engines
+    compare identically).  URLs with no matching rule are allowed.
+    Plan: one broadcast-or-shuffle join on host + one hash-agg —
+    rules tables are tiny next to URL sets, so mark the rules side
+    broadcastable upstream when hosts are few."""
+    al = agent.lower()
+    path_rules = rules.where(
+        F.col("directive").isin("disallow", "allow")
+        & (F.col("value") != "")
+    )
+    target = path_rules.where(F.col("agent") == al)
+    hosts_with = target.select(host_col).distinct()
+    fallback = path_rules.where(F.col("agent") == "*").join(
+        hosts_with, host_col, "left_anti"
+    )
+    eff = target.unionByName(fallback).select(
+        host_col, "directive", "value"
+    )
+    path0 = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    u = urls.withColumn(
+        "_path", F.when(path0 == "", F.lit("/")).otherwise(path0)
+    )
+    joined = u.join(eff, host_col, "left")
+    score = F.when(
+        F.col("value").isNotNull()
+        & F.col("_path").startswith(F.col("value")),
+        2 * F.length("value")
+        + (F.col("directive") == "allow").cast("int"),
+    )
+    return (
+        joined.groupBy(host_col, url_col)
+        .agg(F.max(score).alias("_best"))
+        .select(
+            host_col,
+            url_col,
+            (
+                F.col("_best").isNull() | (F.col("_best") % 2 == 1)
+            ).alias("allowed"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
@@ -878,6 +1006,56 @@ def dedup_by_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("norm_url")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "norm_url")
+    )
+
+
+def dedup_by_canonical(
+    docs: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Canonical-URL dedup tier: a page declaring ``rel=canonical``
+    (harvested by ``ExtractConfig.emit_head_meta``) dedupes under the
+    canonical TARGET, else under its own URL — collapsing
+    parameterized/syndicated copies the plain URL tier cannot see.
+    Same cost shape as :func:`dedup_by_url`: one hash-agg shuffle."""
+    eff = F.when(
+        F.col(canonical_col).isNotNull() & (F.col(canonical_col) != ""),
+        F.col(canonical_col),
+    ).otherwise(F.col(url_col))
+    return (
+        docs.withColumn("norm_url", url_normalize(eff))
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "norm_url")
+    )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    id_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extract ``<loc>`` URLs from sitemap / sitemap-index XML —
+    the crawl frontier's seed source.  The sitemap schema is strict
+    (no attributes on <loc>, URLs XML-escaped), so one
+    ``regexp_extract_all`` + explode is exact; ``&amp;`` (the only
+    escape that occurs in practice in query strings) is decoded.
+    ``is_index`` marks sitemapindex documents (their locs are
+    sitemap URLs to fetch, not page URLs).  Projection + explode —
+    no shuffle."""
+    locs = F.expr(
+        f"regexp_extract_all({text_col}, "
+        "'<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"
+    )
+    return sitemaps.select(
+        id_col,
+        F.col(text_col).contains("<sitemapindex").alias("is_index"),
+        F.explode(locs).alias("loc"),
+    ).select(
+        id_col,
+        F.regexp_replace("loc", "&amp;", "&").alias("url"),
+        "is_index",
     )
 
 
