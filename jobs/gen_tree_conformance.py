@@ -163,13 +163,16 @@ class MiniParser:
     transcription over ``N`` objects; vocabulary restricted to what the
     generator emits."""
 
-    def __init__(self, document: bool = False):
+    def __init__(self, document: bool = False, scripting: bool = True):
         """``document=False`` (the original harness): pre-built
         html/head/body skeleton, consuming body-context token streams.
         ``document=True``: only <html> exists; the head/body/frameset
-        modes build the rest (frameset + head families)."""
+        modes build the rest (frameset + head families).
+        ``scripting`` mirrors the engine flag: True → noscript is
+        generic rawtext; False → InHeadNoscript / markup children."""
         self.html = N("el", "html")
         self.document = document
+        self.scripting = scripting
         if document:
             self.head: N | None = None
             self.body: N | None = None
@@ -613,6 +616,14 @@ class MiniParser:
                 self.rawtext_return = "in_head"
                 self.mode = "rawtext"
                 return
+            if name == "noscript":
+                self.insert_el(name, t[2])
+                if self.scripting:
+                    self.rawtext_return = "in_head"
+                    self.mode = "rawtext"
+                else:
+                    self.mode = "in_head_noscript"
+                return
             if name == "head":
                 return  # parse error, ignore
         elif t[0] == "end":
@@ -651,6 +662,40 @@ class MiniParser:
             return  # parse error, ignore
         self.body = self.insert_el("body", {})
         self.mode = "in_body"
+        self.dispatch_mode(t)
+
+    def m_in_head_noscript(self, t) -> None:
+        # spec §13.2.6.4.5 (scripting=False only)
+        if t[0] == "text":
+            n_ws = len(t[1]) - len(t[1].lstrip(self._WSC))
+            if n_ws:
+                self.insert_text(t[1][:n_ws])
+            rest = t[1][n_ws:]
+            if not rest:
+                return
+            t = ("text", rest)
+        elif t[0] == "start":
+            name = t[1]
+            if name in ("basefont", "bgsound", "link", "meta"):
+                self.insert_void(name, t[2])
+                return
+            if name in ("style", "noframes"):
+                self.insert_el(name, t[2])
+                self.rawtext_return = "in_head_noscript"
+                self.mode = "rawtext"
+                return
+            if name in ("head", "noscript"):
+                return  # parse error, ignore
+        elif t[0] == "end":
+            if t[1] == "noscript":
+                self.stack.pop()
+                self.mode = "in_head"
+                return
+            if t[1] != "br":
+                return  # parse error, ignore
+        # anything else (incl. </br>): pop noscript, reprocess InHead
+        self.stack.pop()
+        self.mode = "in_head"
         self.dispatch_mode(t)
 
     def m_rawtext(self, t) -> None:
@@ -751,6 +796,12 @@ class MiniParser:
                 return  # parse error, ignore (attr-merge skipped)
             if name in IN_BODY_IGNORED_STARTS:
                 return  # parse error, ignore (spec in-body list)
+            if name == "noscript" and self.scripting:
+                # generic rawtext (no reconstruct — spec path)
+                self.insert_el(name, attrs)
+                self.rawtext_return = "in_body"
+                self.mode = "rawtext"
+                return
             if name == "template":
                 self.start_template(attrs)
                 return
@@ -1328,23 +1379,28 @@ def render(tokens, document: bool = False) -> str:
     return "".join(parts)
 
 
-def expected(tokens, document: bool = False):
-    p = MiniParser(document=document)
+def expected(tokens, document: bool = False, scripting: bool = True):
+    p = MiniParser(document=document, scripting=scripting)
     for t in tokens:
         p.process(t)
     p.finish()
     return outline(p.html)
 
 
-def case(desc, tokens, document: bool = False) -> dict:
+def case(
+    desc, tokens, document: bool = False, scripting: bool = True
+) -> dict:
     for t in tokens:
         if t[0] == "text":
             assert not any(c in t[1] for c in "<>&"), t
-    return {
+    out = {
         "description": desc,
         "input": render(tokens, document),
-        "expected": expected(tokens, document),
+        "expected": expected(tokens, document, scripting),
     }
+    if not scripting:
+        out["scripting"] = False  # replay harness forwards the flag
+    return out
 
 
 # ---------------------------------------------------------------- families
@@ -2243,11 +2299,70 @@ def frameset_cases() -> list[dict]:
     return out
 
 
+def noscript_cases() -> list[dict]:
+    """Both scripting configurations (r3b): scripting=True keeps
+    noscript children as ONE raw text node (tag-free content so the
+    engine's retokenized rawtext equals the mini's text tokens);
+    scripting=False parses markup children via InHeadNoscript (head)
+    and ordinary insertion (body)."""
+    out = []
+    # scripting ON — rawtext semantics (body + document contexts)
+    out.append(case(
+        "noscript rawtext in body keeps text inside",
+        [S("p"), T("before"), E("p"), S("noscript"), T("enable js"),
+         E("noscript"), S("p"), T("after"), E("p")],
+    ))
+    out.append(case(
+        "noscript rawtext in head",
+        [S("head"), S("noscript"), T("no js banner"), E("noscript"),
+         E("head"), S("body"), T("real")],
+        document=True,
+    ))
+    out.append(case(
+        "noscript rawtext unclosed at eof",
+        [S("div"), S("noscript"), T("swallows rest")],
+    ))
+    # scripting OFF — InHeadNoscript + markup children
+    out.append(case(
+        "scripting-off head noscript keeps link and style",
+        [S("head"), S("noscript"), S("link", {"rel": "a"}),
+         S("style"), T("b curly"), E("style"), E("noscript"),
+         E("head"), S("body"), T("real")],
+        document=True, scripting=False,
+    ))
+    out.append(case(
+        "scripting-off head noscript pops on p",
+        [S("head"), S("noscript"), S("p"), T("visible when no js"),
+         E("p"), E("noscript"), E("head"), T("tail")],
+        document=True, scripting=False,
+    ))
+    out.append(case(
+        "scripting-off head noscript end br pops",
+        [S("head"), S("noscript"), S("meta", {"charset": "x"}),
+         E("br"), E("head"), S("body"), T("t")],
+        document=True, scripting=False,
+    ))
+    out.append(case(
+        "scripting-off head noscript ws and nested noscript",
+        [S("head"), S("noscript"), T("  "), S("noscript"),
+         S("link", {"rel": "b"}), E("noscript"), E("head"), T("x")],
+        document=True, scripting=False,
+    ))
+    out.append(case(
+        "scripting-off body noscript is an ordinary element",
+        [S("b"), T("f"), E("b"), S("noscript"), S("p"), T("inside"),
+         E("p"), E("noscript")],
+        scripting=False,
+    ))
+    return out
+
+
 def main() -> None:
     self_test()
     cases = (
         table_cases() + foreign_cases() + afe_cases()
         + select_cases() + template_cases() + frameset_cases()
+        + noscript_cases()
     )
     names = [c["description"] for c in cases]
     assert len(names) == len(set(names)), "duplicate case descriptions"
@@ -2270,6 +2385,7 @@ def main() -> None:
         "select": len(select_cases()),
         "template": len(template_cases()),
         "frameset": len(frameset_cases()),
+        "noscript": len(noscript_cases()),
     }
     print(f"wrote {len(cases)} cases -> {OUT} {fam}")
 

@@ -299,3 +299,26 @@ def test_emit_head_meta_spans():
     ]
     # default config: no meta spans
     assert extract_html(page)[0] == [("text", "body text", None)]
+
+
+def test_emit_links_block_boundaries_separate_words():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = ('<body><a href="/x"><div>Read</div><div>More</div></a>'
+            "<p>tail words</p></body>")
+    spans, _ = extract_html(page, ExtractConfig(emit_links=True))
+    links = [s for s in spans if s[0] == "link"]
+    assert links == [("link", "Read More", "/x")]
+
+
+def test_emit_head_meta_on_frameset_page():
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = ('<head><title>T</title>'
+            '<link rel="canonical" href="https://e/c"></head>'
+            "<frameset><frame></frameset>")
+    spans, _ = extract_html(page, ExtractConfig(emit_head_meta=True))
+    assert spans == [
+        ("meta", "T", "title"),
+        ("meta", "https://e/c", "canonical"),
+    ]

@@ -853,3 +853,67 @@ def test_dedup_by_canonical_collapses_pairs(spark):
         for r in dedup_by_canonical(docs).collect()
     )
     assert rows == [(1, "https://h/a?x=1"), (3, "https://h/b")]
+
+
+def test_robots_gate_allow_all_group_suppresses_star(spark):
+    """Code-review r3b: a specific group that is allow-everything
+    ('Disallow:' with empty value, or crawl-delay only) must still
+    suppress the * group per RFC 9309."""
+    from zhtml_spark.textops import parse_robots, robots_gate
+
+    txts = [
+        ("h1", "User-agent: CCBot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"),
+        ("h2", "User-agent: CCBot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /\n"),
+        ("h3", "User-agent: *\nDisallow: /\n"),
+    ]
+    rules = parse_robots(
+        spark.createDataFrame(txts, "host string, text string")
+    )
+    urls = spark.createDataFrame(
+        [("h1", "https://h1/x"), ("h2", "https://h2/x"),
+         ("h3", "https://h3/x")],
+        "host string, url string",
+    )
+    got = {
+        r["host"]: r["allowed"]
+        for r in robots_gate(urls, rules, "CCBot").collect()
+    }
+    assert got == {"h1": True, "h2": True, "h3": False}
+
+
+def test_parse_robots_strips_bom(spark):
+    from zhtml_spark.textops import parse_robots
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h1", "﻿User-agent: *\nDisallow: /private\n")],
+            "host string, text string",
+        )
+    ).collect()
+    assert [(r["agent"], r["directive"], r["value"]) for r in rules] == [
+        ("*", "disallow", "/private")
+    ]
+
+
+def test_dedup_by_canonical_resolves_relative(spark):
+    """Code-review r3b: relative canonicals resolve against the page
+    URL — '/index' on different hosts must NOT collapse."""
+    from zhtml_spark.textops import dedup_by_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/x?utm=1", "/index"),
+            (2, "https://b.com/y", "/index"),
+            (3, "https://a.com/z", "index2.html"),
+        ],
+        "doc_id long, url string, canonical string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["norm_url"])
+        for r in dedup_by_canonical(docs).collect()
+    )
+    assert rows == [
+        (1, "https://a.com/index"),
+        (2, "https://b.com/index"),
+        (3, "https://a.com/index2.html"),
+    ]

@@ -1084,3 +1084,11 @@ def test_frameset_in_body_removes_uncommitted_body():
     tree2, _ = parse_document("<!DOCTYPE html><br><frameset><frame>")
     body = _body(tree2)
     assert [tree2.name[c] for c in tree2.children(body)] == ["br"]
+
+
+def test_fragment_frameset_context():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment("<frame><frame>", context="frameset")
+    kids = [tree.name[c] for c in tree.children(root)]
+    assert kids == ["frame", "frame"]

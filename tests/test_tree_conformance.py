@@ -56,7 +56,9 @@ def _find_html(tree):
     "case", CASES, ids=[c["description"] for c in CASES]
 )
 def test_tree_conformance(case):
-    tree, _errors = parse_document(case["input"])
+    tree, _errors = parse_document(
+        case["input"], scripting=case.get("scripting", True)
+    )
     got = engine_outline(tree, _find_html(tree))
     assert got == case["expected"], (
         f"{case['description']}\ninput: {case['input']!r}\n"

@@ -128,32 +128,35 @@ def extract_spans(
     """
     cfg = config or ExtractConfig()
 
+    head_meta: list[tuple[str, str, str | None]] = []
     if root is not None:
         body = root
     else:
         # locate body: html is a child of doc 0, body a child of html
         body = -1
+        html_nid = -1
         for c in tree.children(0):
             if tree.ntype[c] == N_ELEMENT and tree.name[c] == "html":
+                html_nid = c
                 for cc in tree.children(c):
                     if tree.ntype[cc] == N_ELEMENT and tree.name[cc] == "body":
                         body = cc
                         break
                 break
+        if cfg.emit_head_meta and html_nid != -1:
+            for c in tree.children(html_nid):
+                if (
+                    tree.ntype[c] == N_ELEMENT
+                    and tree.name[c] == "head"
+                    and tree.ns[c] is None
+                ):
+                    head_meta = _head_meta_spans(tree, c)
+                    break
         if body == -1:
-            return []
-
-    head_meta: list[tuple[str, str, str | None]] = []
-    if cfg.emit_head_meta and root is None:
-        html_nid = tree.parent[body]
-        for c in tree.children(html_nid) if html_nid != -1 else ():
-            if (
-                tree.ntype[c] == N_ELEMENT
-                and tree.name[c] == "head"
-                and tree.ns[c] is None
-            ):
-                head_meta = _head_meta_spans(tree, c)
-                break
+            # body-less documents (frameset pages) still carry head
+            # metadata — title/canonical harvest must not depend on a
+            # body existing (code-review r3b)
+            return head_meta
 
     if cfg.prefer_main_content:
         # preorder DFS for the first <main>/<article> landmark
@@ -308,6 +311,12 @@ def extract_spans(
             # keeps each side under its own whitespace rule.
             if name in BLOCK_TAGS or name in KIND_BY_TAG or name in PRE_TAGS:
                 flush()
+                if link_parts is not None:
+                    # card-style <a><div>Read</div><div>More</div></a>:
+                    # block boundaries inside an open anchor separate
+                    # words ("Read More", not "ReadMore") — normalize
+                    # collapses any doubles (code-review r3b)
+                    link_parts.append(" ")
             if name in cfg.semantic_skip:
                 semantic_skip_depth += 1
             if name in KIND_BY_TAG:
@@ -346,6 +355,8 @@ def extract_spans(
                 continue
             if name in BLOCK_TAGS or name in KIND_BY_TAG or name in PRE_TAGS:
                 flush()
+                if link_parts is not None:
+                    link_parts.append(" ")
             if name in cfg.semantic_skip:
                 semantic_skip_depth -= 1
             if name in KIND_BY_TAG:

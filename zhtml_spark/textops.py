@@ -737,11 +737,13 @@ def parse_robots(
     blank/comment-only lines skip.  Pure JVM: split+posexplode, two
     regexes, one per-doc window for the group ids (a robots.txt is
     KBs — per-doc windows never skew), one equality join."""
+    # strip a UTF-8 BOM: Java \\s excludes U+FEFF, so a BOM-prefixed
+    # first line would silently drop the leading User-agent and fail
+    # the whole gate open (code-review r3b; reference parsers strip it)
+    body = F.regexp_replace(F.col(text_col), "^\\uFEFF", "")
     lines = robots.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias(
-            "pos", "line"
-        ),
+        F.posexplode(F.split(body, "\n")).alias("pos", "line"),
     )
     parsed = (
         lines.select(
@@ -813,12 +815,18 @@ def robots_gate(
     rules tables are tiny next to URL sets, so mark the rules side
     broadcastable upstream when hosts are few."""
     al = agent.lower()
+    # group existence is judged on ALL of the agent's rules (an
+    # allow-everything group is just 'Disallow:' with an empty value,
+    # or only a crawl-delay): its presence must still suppress the *
+    # group per RFC 9309 (code-review r3b)
+    hosts_with = (
+        rules.where(F.col("agent") == al).select(host_col).distinct()
+    )
     path_rules = rules.where(
         F.col("directive").isin("disallow", "allow")
         & (F.col("value") != "")
     )
     target = path_rules.where(F.col("agent") == al)
-    hosts_with = target.select(host_col).distinct()
     fallback = path_rules.where(F.col("agent") == "*").join(
         hosts_with, host_col, "left_anti"
     )
@@ -1018,10 +1026,13 @@ def dedup_by_canonical(
     (harvested by ``ExtractConfig.emit_head_meta``) dedupes under the
     canonical TARGET, else under its own URL — collapsing
     parameterized/syndicated copies the plain URL tier cannot see.
-    Same cost shape as :func:`dedup_by_url`: one hash-agg shuffle."""
+    Relative canonical hrefs (extremely common) are resolved against
+    the page URL first — otherwise '/index' pages on DIFFERENT hosts
+    would collapse into one group (code-review r3b).  Same cost shape
+    as :func:`dedup_by_url`: one hash-agg shuffle."""
     eff = F.when(
         F.col(canonical_col).isNotNull() & (F.col(canonical_col) != ""),
-        F.col(canonical_col),
+        absolutize_url(F.col(url_col), F.col(canonical_col)),
     ).otherwise(F.col(url_col))
     return (
         docs.withColumn("norm_url", url_normalize(eff))

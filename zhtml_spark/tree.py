@@ -576,6 +576,10 @@ def _fragment_initial_mode(context: str) -> int:
         return M_IN_TABLE
     if context == "head":
         return M_IN_HEAD
+    if context == "frameset":
+        # spec: frameset context parses frames (code-review r3b — the
+        # InFrameset fragment-root guard was unreachable without this)
+        return M_IN_FRAMESET
     return M_IN_BODY
 
 
