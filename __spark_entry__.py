@@ -634,6 +634,27 @@ def _q_sitemap_urls(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Gates corpus-level line dedup (the C4 pass): every doc carries
+    a universal cookie-banner line and a per-site (doc_id%7) footer
+    line — both duplicated corpus-wide and removed — plus its unique
+    body text and a unique tail, which survive and rejoin in order.
+    The oracle states the expected surviving text directly."""
+    from zhtml_spark.textops import line_dedup
+
+    d = F.col("doc_id").cast("string")
+    text = F.concat_ws(
+        "\n",
+        F.lit("This site uses cookies ACCEPT ALL"),
+        F.col("text"),
+        F.concat(F.lit("footer of site"),
+                 (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("unique tail "), d),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return line_dedup(docs)
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -1182,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
+        "line_dedup": _q_line_dedup,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
@@ -2228,6 +2250,12 @@ def oracle_sql() -> dict[str, str]:
                    'https://site' || CAST(doc_id % 7 AS VARCHAR)
                      || '.example/map.xml'
             FROM h
+        """,
+        "line_dedup": """
+            SELECT doc_id,
+                   text || chr(10) || 'unique tail '
+                     || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
         """,
         "dedup_by_canonical": """
             SELECT DISTINCT (doc_id // 2) * 2 AS doc_id,

@@ -917,3 +917,28 @@ def test_dedup_by_canonical_resolves_relative(spark):
         (2, "https://b.com/index"),
         (3, "https://a.com/index2.html"),
     ]
+
+
+def test_line_dedup_c4_semantics(spark):
+    from zhtml_spark.textops import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ACCEPT COOKIES\nunique one\n\nshared footer"),
+            (2, "ACCEPT COOKIES\nunique two\nshared footer"),
+            (3, "ACCEPT COOKIES\nshared footer"),  # loses everything
+            (4, "  ACCEPT COOKIES \nkept: trim-insensitive identity"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in line_dedup(docs).collect()
+    }
+    # duplicated lines removed everywhere; blank lines survive;
+    # trim-differing copies count as the same line; empty docs remain
+    assert got == {
+        1: "unique one\n",
+        2: "unique two",
+        3: "",
+        4: "kept: trim-insensitive identity",
+    }

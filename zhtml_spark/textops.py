@@ -1017,6 +1017,66 @@ def dedup_by_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 pipeline's famous
+    pass: any line occurring ``min_count``+ times across the corpus —
+    cookie banners, nav text, boilerplate — is removed from EVERY
+    document).  Returns (id_col, text) with surviving lines rejoined
+    in original order; documents losing all lines keep an empty
+    string.
+
+    Plan: posexplode lines → md5-48 line key → global count
+    (map-side combinable hash-agg) → broadcast-or-shuffle semi-join
+    back → groupBy doc + array_sort(collect_list(struct(pos, line)))
+    rebuild.  Two shuffles (count + rebuild); the rebuild shuffle
+    moves only surviving lines.  Line identity is exact post-trim;
+    blank lines never count as duplicates."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "pos", "line"
+        ),
+    )
+    keyed = lines.withColumn(
+        "lk",
+        F.when(
+            F.trim(F.col("line")) != "",
+            md5_hash48(F.trim(F.col("line"))),
+        ),
+    )
+    dup_keys = (
+        keyed.where(F.col("lk").isNotNull())
+        .groupBy("lk")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("lk")
+    )
+    kept = keyed.join(dup_keys, "lk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    # docs whose every line was removed still appear (empty string)
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col, F.coalesce("text", F.lit("")).alias(text_col)
+        )
+    )
+
+
 def dedup_by_canonical(
     docs: DataFrame,
     url_col: str = "url",
