@@ -942,3 +942,50 @@ def test_line_dedup_c4_semantics(spark):
         3: "",
         4: "kept: trim-insensitive identity",
     }
+
+
+def test_absolutize_url_differential_vs_urljoin(spark):
+    """Differential check against an INDEPENDENT reference:
+    urllib.parse.urljoin (RFC 3986 reference resolution).  Covers the
+    supported input space — absolute/protocol-relative/root-relative/
+    relative refs incl. ./ and ../ chains with queries and fragments
+    on the base.  Excluded by documented approximation: ?query/#frag-
+    only refs and ../ underflow past the root."""
+    from urllib.parse import urljoin
+
+    from zhtml_spark.textops import absolutize_url
+
+    bases = [
+        "https://host.example/a/b/page.html",
+        "https://host.example/a/b/page.html?q=1#frag",
+        "http://u:p@host.example:8080/x/y/z/",
+        "https://host.example/",
+        "https://host.example/one.html",
+    ]
+    refs = [
+        "img.png", "./img.png", "sub/dir/img.png", "../up.png",
+        "../../up2.png", "a/../b.png", "./a/./b/../c.png",
+        "/rooted/x.png", "//cdn.example/c.js",
+        "https://abs.example/v.png", "x/y/../../z.png",
+        "m.png?k=v", "m.png#frag", "../d/e.png?a=1#b",
+    ]
+    cases = []
+    for b in bases:
+        for r in refs:
+            want = urljoin(b, r)
+            # skip cases our documented approximations change:
+            # underflow clamping differences
+            depth = b.split("://", 1)[1].count("/")
+            ups = r.count("../")
+            if ups >= depth:
+                continue
+            cases.append((b, r, want))
+    rows = spark.createDataFrame(
+        cases, "base string, ref string, want string"
+    ).select(
+        "base", "ref", "want",
+        absolutize_url(F.col("base"), F.col("ref")).alias("got"),
+    ).collect()
+    bad = [(r["base"], r["ref"], r["got"], r["want"])
+           for r in rows if r["got"] != r["want"]]
+    assert not bad, bad[:5]
