@@ -2250,6 +2250,12 @@ def oracle_sql() -> dict[str, str]:
                    'https://site' || CAST(doc_id % 7 AS VARCHAR)
                      || '.example/map.xml'
             FROM h
+            UNION ALL
+            SELECT a.host, a.agent, 'user-agent', ''
+            FROM agents a
+            UNION ALL
+            SELECT host, '*', 'user-agent', ''
+            FROM h
         """,
         "line_dedup": """
             SELECT doc_id,

@@ -770,6 +770,10 @@ def test_parse_robots_group_semantics(spark):
         ("gptbot", "crawl-delay", "2"),
         ("*", "disallow", "/tmp"),
         ("<null>", "sitemap", "https://h1.example/map.xml"),
+        # group-presence rows (one per agent per host)
+        ("ccbot", "user-agent", ""),
+        ("gptbot", "user-agent", ""),
+        ("*", "user-agent", ""),
     ])
 
 
@@ -865,20 +869,24 @@ def test_robots_gate_allow_all_group_suppresses_star(spark):
         ("h1", "User-agent: CCBot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"),
         ("h2", "User-agent: CCBot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /\n"),
         ("h3", "User-agent: *\nDisallow: /\n"),
+        # an entirely EMPTY matched group (only a sitemap follows)
+        # still means allow-everything for that agent (r3c)
+        ("h4", "User-agent: CCBot\nSitemap: https://h4/map.xml\n\n"
+               "User-agent: *\nDisallow: /\n"),
     ]
     rules = parse_robots(
         spark.createDataFrame(txts, "host string, text string")
     )
     urls = spark.createDataFrame(
         [("h1", "https://h1/x"), ("h2", "https://h2/x"),
-         ("h3", "https://h3/x")],
+         ("h3", "https://h3/x"), ("h4", "https://h4/x")],
         "host string, url string",
     )
     got = {
         r["host"]: r["allowed"]
         for r in robots_gate(urls, rules, "CCBot").collect()
     }
-    assert got == {"h1": True, "h2": True, "h3": False}
+    assert got == {"h1": True, "h2": True, "h3": False, "h4": True}
 
 
 def test_parse_robots_strips_bom(spark):
@@ -890,8 +898,11 @@ def test_parse_robots_strips_bom(spark):
             "host string, text string",
         )
     ).collect()
-    assert [(r["agent"], r["directive"], r["value"]) for r in rules] == [
-        ("*", "disallow", "/private")
+    assert sorted(
+        (r["agent"], r["directive"], r["value"]) for r in rules
+    ) == [
+        ("*", "disallow", "/private"),
+        ("*", "user-agent", ""),
     ]
 
 
@@ -917,6 +928,26 @@ def test_dedup_by_canonical_resolves_relative(spark):
         (2, "https://b.com/index"),
         (3, "https://a.com/index2.html"),
     ]
+
+
+def test_dedup_by_canonical_unresolvable_falls_back(spark):
+    """Code-review r3c: a canonical that cannot resolve to an
+    absolute URL must never become a (cross-host) group key."""
+    from zhtml_spark.textops import dedup_by_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/list", "?page=2"),
+            (2, "https://b.com/blog", "?page=2"),
+            (3, "https://c.com/page", "#top"),
+        ],
+        "doc_id long, url string, canonical string",
+    )
+    rows = dedup_by_canonical(docs).collect()
+    # three distinct hosts -> three survivors, each host-qualified
+    assert len(rows) == 3
+    for r in rows:
+        assert r["norm_url"].startswith("https://")
 
 
 def test_line_dedup_c4_semantics(spark):

@@ -794,7 +794,17 @@ def parse_robots(
         F.lit("sitemap").alias("directive"),
         "value",
     )
-    return rules.unionByName(sitemaps)
+    # group-presence rows: an agent group with NO directives (or only
+    # a sitemap after it) must still exist — RFC 9309 treats a matched
+    # empty group as allow-everything, suppressing the * group
+    # (code-review r3c); robots_gate keys its group selection on these
+    presence = agents.select(
+        id_col,
+        "agent",
+        F.lit("user-agent").alias("directive"),
+        F.lit("").alias("value"),
+    ).distinct()
+    return rules.unionByName(sitemaps).unionByName(presence)
 
 
 def robots_gate(
@@ -1031,23 +1041,28 @@ def line_dedup(
     in original order; documents losing all lines keep an empty
     string.
 
-    Plan: posexplode lines → md5-48 line key → global count
-    (map-side combinable hash-agg) → broadcast-or-shuffle semi-join
-    back → groupBy doc + array_sort(collect_list(struct(pos, line)))
-    rebuild.  Two shuffles (count + rebuild); the rebuild shuffle
-    moves only surviving lines.  Line identity is exact post-trim;
-    blank lines never count as duplicates."""
+    Plan: posexplode lines → FULL-md5 line key (48 bits would
+    birthday-collide at C4 scale and delete innocent lines —
+    code-review r3c) → global count (map-side combinable hash-agg) →
+    flag-join back → ONE groupBy-doc rebuild that filters flagged
+    lines inside the aggregate.  Two shuffles total; every document
+    keeps at least its (possibly empty) first line row, so docs that
+    lose everything still come back with empty text — no extra
+    docs-side scan.  ``sep`` is escaped before the regex split, so
+    any literal separator works."""
+    import re as _re
+
     lines = docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     keyed = lines.withColumn(
         "lk",
         F.when(
             F.trim(F.col("line")) != "",
-            md5_hash48(F.trim(F.col("line"))),
+            F.md5(F.trim(F.col("line"))),
         ),
     )
     dup_keys = (
@@ -1055,25 +1070,24 @@ def line_dedup(
         .groupBy("lk")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= min_count)
-        .select("lk")
+        .select("lk", F.lit(True).alias("_dup"))
     )
-    kept = keyed.join(dup_keys, "lk", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = keyed.join(dup_keys, "lk", "left")
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", "line", "_dup")
+                        )
+                    ),
+                    lambda s: s["_dup"].isNull(),
+                ),
                 lambda s: s["line"],
             ),
             sep,
-        ).alias("text")
-    )
-    # docs whose every line was removed still appear (empty string)
-    return (
-        docs.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col, F.coalesce("text", F.lit("")).alias(text_col)
-        )
+        ).alias(text_col)
     )
 
 
@@ -1088,11 +1102,18 @@ def dedup_by_canonical(
     parameterized/syndicated copies the plain URL tier cannot see.
     Relative canonical hrefs (extremely common) are resolved against
     the page URL first — otherwise '/index' pages on DIFFERENT hosts
-    would collapse into one group (code-review r3b).  Same cost shape
-    as :func:`dedup_by_url`: one hash-agg shuffle."""
+    would collapse into one group (code-review r3b) — and a canonical
+    that still fails to resolve to an absolute URL (``?page=2`` /
+    ``#top`` pagination canonicals, resolver passthrough) falls back
+    to the page's own URL rather than becoming a cross-host group key
+    (code-review r3c).  Same cost shape as :func:`dedup_by_url`: one
+    hash-agg shuffle."""
+    resolved = absolutize_url(F.col(url_col), F.col(canonical_col))
     eff = F.when(
-        F.col(canonical_col).isNotNull() & (F.col(canonical_col) != ""),
-        absolutize_url(F.col(url_col), F.col(canonical_col)),
+        F.col(canonical_col).isNotNull()
+        & (F.col(canonical_col) != "")
+        & resolved.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+        resolved,
     ).otherwise(F.col(url_col))
     return (
         docs.withColumn("norm_url", url_normalize(eff))
