@@ -322,3 +322,12 @@ def test_emit_head_meta_on_frameset_page():
         ("meta", "T", "title"),
         ("meta", "https://e/c", "canonical"),
     ]
+
+
+def test_media_anchor_block_boundaries_separate_words():
+    # body-level anchor: the divs nest INSIDE the a (no p-closing /
+    # AFE reconstruction splits it), so one media span results
+    spans, _ = extract_html(
+        "<body><a href='x.png'><div>See</div><div>chart</div></a>"
+    )
+    assert spans == [("media", "See chart", "x.png")]

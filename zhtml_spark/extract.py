@@ -317,6 +317,8 @@ def extract_spans(
                     # words ("Read More", not "ReadMore") — normalize
                     # collapses any doubles (code-review r3b)
                     link_parts.append(" ")
+                if media_anchor is not None:
+                    media_anchor.append(" ")  # same rule for media <a>
             if name in cfg.semantic_skip:
                 semantic_skip_depth += 1
             if name in KIND_BY_TAG:
@@ -357,6 +359,8 @@ def extract_spans(
                 flush()
                 if link_parts is not None:
                     link_parts.append(" ")
+                if media_anchor is not None:
+                    media_anchor.append(" ")
             if name in cfg.semantic_skip:
                 semantic_skip_depth -= 1
             if name in KIND_BY_TAG:
