@@ -485,6 +485,10 @@ class MiniParser:
                 return "in_table"
             if nm == "template":
                 return self.tmodes[-1] if self.tmodes else "in_body"
+            if nm == "head":
+                return "in_head"
+            if nm == "frameset":
+                return "in_frameset"
         return "in_body"
 
     # -------------------------------------------- foreign dispatcher
@@ -616,6 +620,9 @@ class MiniParser:
                 self.rawtext_return = "in_head"
                 self.mode = "rawtext"
                 return
+            if name == "template":
+                self.start_template(t[2])
+                return
             if name == "noscript":
                 self.insert_el(name, t[2])
                 if self.scripting:
@@ -630,6 +637,9 @@ class MiniParser:
             if t[1] == "head":
                 self.stack.pop()
                 self.mode = "after_head"
+                return
+            if t[1] == "template":
+                self.end_template()
                 return
             if t[1] not in ("body", "html", "br"):
                 return  # parse error, ignore
@@ -887,6 +897,14 @@ class MiniParser:
             if name in VOIDS:
                 self.reconstruct_afe()
                 self.insert_void(name, attrs)
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self.insert_void(name, attrs)  # in-head rules
+                return
+            if name in ("title", "style", "noframes"):
+                self.insert_el(name, attrs)  # in-head generic rawtext
+                self.rawtext_return = "in_body"
+                self.mode = "rawtext"
                 return
             self.reconstruct_afe()
             self.insert_el(name, attrs)
@@ -1312,6 +1330,14 @@ class MiniParser:
             name = t[1]
             if name == "template":
                 self.start_template(t[2])
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self.insert_void(name, t[2])  # in-head rules
+                return
+            if name in ("title", "style", "script", "noframes"):
+                self.insert_el(name, t[2])  # in-head generic rawtext
+                self.rawtext_return = "in_template"
+                self.mode = "rawtext"
                 return
             if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
                 self.tmodes[-1] = "in_table"
@@ -2295,6 +2321,27 @@ def frameset_cases() -> list[dict]:
     out.append(case(
         "head only document implies body",
         [S("head"), E("head")], document=True,
+    ))
+    # template inside head (engine's in-head template path + the
+    # reset-to-in-head after </template>)
+    out.append(case(
+        "template in head holds meta then head continues",
+        [S("head"), S("template"), S("meta", {"name": "x"}),
+         S("p"), T("hid"), E("p"), E("template"),
+         S("meta", {"charset": "u"}), E("head"), S("body"), T("v")],
+        document=True,
+    ))
+    out.append(case(
+        "template in head with table rows stays inside",
+        [S("head"), S("template"), S("tr"), S("td"), T("ghost"),
+         E("td"), E("tr"), E("template"), E("head"), T("body text")],
+        document=True,
+    ))
+    out.append(case(
+        "nested template in implied head",
+        [S("template"), S("template"), T("inner"), E("template"),
+         T("outer"), E("template"), T("after")],
+        document=True,
     ))
     return out
 
