@@ -1020,3 +1020,78 @@ def test_absolutize_url_differential_vs_urljoin(spark):
     bad = [(r["base"], r["ref"], r["got"], r["want"])
            for r in rows if r["got"] != r["want"]]
     assert not bad, bad[:5]
+
+
+def test_parse_robots_differential_vs_reference(spark):
+    """Differential check: an independent 25-line pure-Python RFC 9309
+    group parser over 120 seeded random robots files must agree with
+    the Spark implementation row-for-row."""
+    import random
+
+    def reference(text):
+        rows = []
+        agents: list[str] = []
+        all_agents: set[str] = set()
+        seen_directive = True  # rules before any UA line are dropped
+        for line in text.lstrip("﻿").split("\n"):
+            body = line.split("#", 1)[0]
+            if ":" not in body:
+                continue
+            key, _, val = body.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if not key.replace("-", "").isalpha():
+                continue
+            if key == "user-agent":
+                if seen_directive:
+                    agents = []
+                    seen_directive = False
+                agents.append(val.lower())
+                all_agents.add(val.lower())
+            elif key == "sitemap":
+                rows.append((None, "sitemap", val))
+            elif key in ("disallow", "allow", "crawl-delay"):
+                seen_directive = True
+                for a in agents:
+                    rows.append((a, key, val))
+            else:
+                seen_directive = True  # unknown directive ends a UA run
+        for a in all_agents:
+            rows.append((a, "user-agent", ""))
+        return set(rows)
+
+    rng = random.Random(20260817)
+    vocab_lines = [
+        "User-agent: BotA", "user-agent: botb", "USER-AGENT: *",
+        "Unknown: v\nUser-agent: BotC\nUnknown: w",
+        "Disallow: /private", "Disallow:", "Allow: /private/ok",
+        "allow: /a", "Crawl-delay: 3", "Sitemap: https://h/m.xml",
+        "# a comment line", "", "   ", "Disallow: /x  # inline",
+        "Unknown: v",
+    ]
+    texts = []
+    for i in range(120):
+        n = rng.randint(1, 10)
+        texts.append(
+            (f"h{i}", "\n".join(rng.choice(vocab_lines)
+                                for _ in range(n)))
+        )
+    from zhtml_spark.textops import parse_robots
+
+    got_rows = parse_robots(
+        spark.createDataFrame(texts, "host string, text string")
+    ).collect()
+    got: dict[str, set] = {}
+    for r in got_rows:
+        got.setdefault(r["host"], set()).add(
+            (r["agent"], r["directive"], r["value"])
+        )
+    key = lambda t: (t[0] or "", t[1], t[2])
+    bad = []
+    for host, text in texts:
+        want = reference(text)
+        if got.get(host, set()) != want:
+            bad.append((host, text,
+                        sorted(got.get(host, set()), key=key),
+                        sorted(want, key=key)))
+    assert not bad, bad[:2]
