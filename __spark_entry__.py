@@ -655,6 +655,24 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(docs)
 
 
+def _q_spans_to_markdown(spark, sf_dir):
+    """Gates the markdown renderer end-to-end: parse → extract spans
+    (heading/text/list/media) → one markdown doc per page.  The
+    oracle states the expected markdown literally."""
+    from zhtml_spark.textops import spans_to_markdown
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><h1>Doc "), d, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>item "), F.col("lang"),
+        F.lit('</li></ul><img src="i'), d,
+        F.lit('.png" alt="fig"></body>'),
+    )
+    ex = _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+    return spans_to_markdown(ex)
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -1204,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
         "line_dedup": _q_line_dedup,
+        "spans_to_markdown": _q_spans_to_markdown,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
@@ -2261,6 +2280,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    text || chr(10) || 'unique tail '
                      || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
+        """,
+        "spans_to_markdown": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   '# Doc ' || CAST(doc_id AS VARCHAR)
+                     || chr(10) || chr(10) || text
+                     || chr(10) || chr(10) || '- item ' || lang
+                     || chr(10) || chr(10) || '![fig](i'
+                     || CAST(doc_id AS VARCHAR) || '.png)' AS markdown
             FROM documents
         """,
         "dedup_by_canonical": """

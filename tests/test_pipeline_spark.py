@@ -1095,3 +1095,27 @@ def test_parse_robots_differential_vs_reference(spark):
                         sorted(got.get(host, set()), key=key),
                         sorted(want, key=key)))
     assert not bad, bad[:2]
+
+
+def test_spans_to_markdown_kinds(spark):
+    from zhtml_spark.textops import spans_to_markdown
+
+    spans = spark.createDataFrame(
+        [
+            ("d", 0, "meta", "My Title", "title"),      # dropped
+            ("d", 1, "heading", "Title", None),
+            ("d", 2, "text", "para", None),
+            ("d", 3, "list", "item", None),
+            ("d", 4, "code", "x = 1", None),
+            ("d", 5, "table", "cell", None),
+            ("d", 6, "media", "fig", "i.png"),
+            ("d", 7, "link", "anchor", "/x"),
+        ],
+        "doc_id string, offset int, kind string, text string, "
+        "media_ref string",
+    )
+    got = spans_to_markdown(spans).collect()[0]["markdown"]
+    assert got == (
+        "# Title\n\npara\n\n- item\n\n```\nx = 1\n```\n\n"
+        "| cell |\n\n![fig](i.png)\n\n[anchor](/x)"
+    )

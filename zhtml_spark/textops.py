@@ -1027,6 +1027,68 @@ def dedup_by_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def spans_to_markdown(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Render an extracted span table (doc_id, offset, kind, text,
+    media_ref) to one markdown document per doc — the common final
+    form for web-derived training corpora.  heading → ``# ``, list →
+    ``- ``, code → fenced block, table → ``| … |`` row, media →
+    ``![text](ref)``, link → ``[text](ref)``, meta → dropped (page
+    metadata is not content), text → plain paragraph; blocks joined
+    with blank lines in offset order.
+
+    Pure JVM: one projection + one groupBy-doc rebuild (same shape as
+    :func:`line_dedup`'s) — shuffles only the rendered lines."""
+    md = (
+        F.when(
+            F.col("kind") == "heading",
+            F.concat(F.lit("# "), F.col("text")),
+        )
+        .when(
+            F.col("kind") == "list",
+            F.concat(F.lit("- "), F.col("text")),
+        )
+        .when(
+            F.col("kind") == "code",
+            F.concat(F.lit("```\n"), F.col("text"), F.lit("\n```")),
+        )
+        .when(
+            F.col("kind") == "table",
+            F.concat(F.lit("| "), F.col("text"), F.lit(" |")),
+        )
+        .when(
+            F.col("kind") == "media",
+            F.concat(
+                F.lit("!["), F.col("text"), F.lit("]("),
+                F.coalesce(F.col("media_ref"), F.lit("")), F.lit(")"),
+            ),
+        )
+        .when(
+            F.col("kind") == "link",
+            F.concat(
+                F.lit("["), F.col("text"), F.lit("]("),
+                F.coalesce(F.col("media_ref"), F.lit("")), F.lit(")"),
+            ),
+        )
+        .when(F.col("kind") == "meta", F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+    )
+    rendered = spans.select(
+        id_col, "offset", md.alias("md")
+    ).where(F.col("md").isNotNull())
+    return rendered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "md"))),
+                lambda s: s["md"],
+            ),
+            "\n\n",
+        ).alias("markdown")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     min_count: int = 2,
