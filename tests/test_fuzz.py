@@ -194,3 +194,57 @@ def test_fragment_total_on_structure_soup(s: str) -> None:
     for ctx in ("div", "tr", "table", "td"):
         tree, root, errors = parse_fragment(s, ctx)
         assert 0 <= root < len(tree)
+
+
+# ------------------- frameset + noscript + head soup (round 3)
+# The r3 additions live in BeforeHead/InHead/InHeadNoscript and the
+# frameset trio; this grammar is biased at exactly those transitions
+# (head tags, frameset nesting, noscript under both scripting flags,
+# stray body-committing tokens around late framesets).
+_FS_TAGS = [
+    "html", "head", "body", "frameset", "frame", "noframes",
+    "noscript", "title", "style", "link", "meta", "base", "template",
+    "p", "div", "b", "br", "img", "table", "select", "input", "a",
+]
+_fs_token = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _FS_TAGS]),
+    st.sampled_from([f"</{t}>" for t in _FS_TAGS]),
+    st.sampled_from(
+        ["<frameset cols='1,2'>", "<input type=hidden>",
+         "<meta charset=x>", "<link rel=canonical href=/c>",
+         "<a href='/x'>", "<a href='p.png'>"]
+    ),
+    st.text(alphabet="zx y\n\t<>&='\"", max_size=8),
+)
+_frameset_soup = st.lists(_fs_token, max_size=50).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_frameset_soup, st.booleans())
+def test_tree_total_on_frameset_noscript_soup(s: str, scripting) -> None:
+    """The 23-mode chain must terminate and keep flat-array
+    invariants on head/frameset/noscript soup under BOTH scripting
+    flags; extraction (incl. link/meta harvesting) stays total."""
+    from zhtml_spark.extract import ExtractConfig, extract_spans
+    from zhtml_spark.tree import parse_document
+
+    tree, errors = parse_document(s, scripting=scripting)
+    for nid in range(len(tree)):
+        c = tree.first_child[nid]
+        prev = -1
+        seen = 0
+        while c != -1:
+            assert tree.parent[c] == nid
+            prev = c
+            c = tree.next_sibling[c]
+            seen += 1
+            assert seen < len(tree) + 1  # no cycles
+        assert tree.last_child[nid] == prev
+    spans = extract_spans(
+        tree, ExtractConfig(emit_links=True, emit_head_meta=True)
+    )
+    for kind, text, ref in spans:
+        assert kind in {
+            "text", "heading", "list", "code", "table", "media",
+            "link", "meta",
+        }
