@@ -121,6 +121,7 @@ def main() -> None:
         minhash_banded_candidates,
         minhash_dup_candidates,
         ngram_jaccard_pairs,
+        line_dedup,
         simhash_candidate_stats,
         simhash_dup_candidates,
         substring_dup_spans,
@@ -166,6 +167,23 @@ def main() -> None:
                 docs_tbl, min_shared=5, max_doc_freq=20
             ).count(),
         ),
+    )
+    timed(
+        "dedup_lines",
+        lambda: line_dedup(
+            docs_tbl.withColumn(
+                "text",
+                F.concat_ws(
+                    "\n",
+                    F.lit("cookie banner line"),
+                    F.col("text"),
+                    F.concat(
+                        F.lit("footer"),
+                        (F.col("doc_id") % 7).cast("string"),
+                    ),
+                ),
+            )
+        ).agg(F.sum(F.length("text"))).collect(),
     )
 
     # banding-plan evidence (VERDICT r1 #3/#7): candidate volume + max
