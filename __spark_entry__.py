@@ -1255,6 +1255,8 @@ def _abs_url_sql() -> str:
     for _ in range(8):
         # captured preceding char guards the authority (never '/'/':')
         u = f"regexp_replace({u}, '([^/:])/[^/?#]+/\\.\\./', '\\1/', 'g')"
+    # root-underflow clamp (browser behavior)
+    u = f"regexp_replace({u}, '(://[^/?#]+/)(\\.\\./)+', '\\1', 'g')"
     u = f"{u} || regexp_extract(joined, '((?:\\?|#).*)$', 1)"
     return f"""
         WITH m AS (

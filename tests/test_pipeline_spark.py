@@ -648,11 +648,12 @@ def test_absolutize_url_never_eats_the_authority(spark):
     from zhtml_spark.textops import absolutize_url
 
     cases = [
-        # single underflow from a root-level page: raw shape kept
+        # underflow from a root-level page clamps to the origin
+        # (browser behavior; r3 clamp pass)
         ("https://host.example/page.html", "../img.png",
-         "https://host.example/../img.png"),
+         "https://host.example/img.png"),
         ("https://host.example/page.html", "/../img.png",
-         "https://host.example/../img.png"),
+         "https://host.example/img.png"),
         # normal one-level up still collapses
         ("https://host.example/a/b/page.html", "../img.png",
          "https://host.example/a/img.png"),
@@ -1000,17 +1001,9 @@ def test_absolutize_url_differential_vs_urljoin(spark):
         "https://abs.example/v.png", "x/y/../../z.png",
         "m.png?k=v", "m.png#frag", "../d/e.png?a=1#b",
     ]
-    cases = []
-    for b in bases:
-        for r in refs:
-            want = urljoin(b, r)
-            # skip cases our documented approximations change:
-            # underflow clamping differences
-            depth = b.split("://", 1)[1].count("/")
-            ups = r.count("../")
-            if ups >= depth:
-                continue
-            cases.append((b, r, want))
+    cases = [
+        (b, r, urljoin(b, r)) for b in bases for r in refs
+    ]  # full space — underflow clamps like urljoin since the r3 pass
     rows = spark.createDataFrame(
         cases, "base string, ref string, want string"
     ).select(

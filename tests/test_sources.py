@@ -385,3 +385,130 @@ def test_warc_html_payload_starting_with_http_not_stripped(spark):
     }
     assert recs["https://ex.com/h2"] == body
     assert recs["https://ex.com/nct"] == "<p>sniffed</p>"
+
+
+def test_crawl_pipeline_end_to_end(spark, tmp_path):
+    """Composition test for the round-3 crawl layer: a WARC with three
+    HTTP-carrying pages flows through read_warc -> fused extraction
+    (head-meta + link harvesting) -> canonical dedup -> markdown, with
+    exact expected outputs at every stage."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.sources import read_warc
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.textops import (
+        absolutize_url,
+        dedup_by_canonical,
+        spans_to_markdown,
+    )
+
+    def page(title, canonical, body):
+        return (
+            f"<html><head><title>{title}</title>"
+            f'<link rel="canonical" href="{canonical}"></head>'
+            f"<body>{body}</body></html>"
+        )
+
+    pages = [
+        ("https://a.example/article?utm=1",
+         page("One", "/article",
+              "<h1>Head</h1><p>Alpha text with "
+              "<a href='../rel'>a link</a>.</p>")),
+        # duplicate of page 1 under a tracking URL, same canonical
+        ("https://a.example/article?utm=2",
+         page("One", "/article", "<p>Alpha text variant.</p>")),
+        ("https://b.example/other",
+         page("Two", "https://b.example/other",
+              "<p>Beta text.</p><noscript><p>no js</p></noscript>")),
+    ]
+    recs = []
+    for url, html in pages:
+        body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html)
+        recs.append(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n" + body
+        )
+    (tmp_path / "t.warc").write_bytes("\r\n\r\n".join(recs).encode())
+
+    docs = read_warc(spark, str(tmp_path))
+    assert docs.count() == 3
+
+    # WARC rows -> interleaved shape -> fused extraction with the
+    # crawl configs on
+    interleaved = docs.select(
+        F.col("warc_url").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("html").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    spans = (
+        extract_documents(
+            interleaved,
+            ExtractConfig(emit_links=True, emit_head_meta=True),
+        )
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id", "s.offset", "s.kind", "s.text", "s.media_ref"
+        )
+    )
+    rows = spans.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["kind"], r["text"], r["media_ref"])
+        )
+    p1 = by_doc["https://a.example/article?utm=1"]
+    assert ("meta", "One", "title") in p1
+    assert ("meta", "/article", "canonical") in p1
+    assert ("link", "a link", "../rel") in p1
+    # noscript content never leaks
+    p3 = by_doc["https://b.example/other"]
+    assert not any("no js" in (t or "") for _, t, _ in p3)
+
+    # canonical dedup: resolve the harvested canonical per page
+    canon = (
+        spans.where(F.col("media_ref") == "canonical")
+        .select(
+            F.col("doc_id").alias("url"),
+            F.col("text").alias("canonical"),
+        )
+    )
+    pages_df = docs.select(
+        F.col("warc_url").alias("url")
+    ).join(canon, "url", "left").select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        "url", "canonical",
+    )
+    survivors = dedup_by_canonical(pages_df)
+    urls = sorted(r["norm_url"] for r in survivors.collect())
+    assert urls == [
+        "https://a.example/article",
+        "https://b.example/other",
+    ]
+
+    # links absolutize against the page URL
+    resolved = spans.where(F.col("kind") == "link").select(
+        absolutize_url(F.col("doc_id"), F.col("media_ref")).alias("u")
+    ).collect()
+    assert [r["u"] for r in resolved] == ["https://a.example/rel"]
+
+    # and the markdown render of page 1
+    md = {
+        r["doc_id"]: r["markdown"]
+        for r in spans_to_markdown(spans).collect()
+    }
+    assert md["https://b.example/other"] == "Beta text."
+    # link spans emit at anchor close, before the enclosing block
+    # flushes (documented emission order)
+    assert md["https://a.example/article?utm=1"] == (
+        "# Head\n\n[a link](../rel)\n\nAlpha text with a link."
+    )

@@ -1528,10 +1528,14 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     group refs (``$1``/``\\1``) are RE2-safe (only pattern-side
     backrefs/lookaround are not).
 
-    Documented approximations: ``?query``/``#frag``-only refs keep
-    their raw shape; ``../`` underflow past the root never touches the
-    origin — a single stray ``../`` stays verbatim, deeper stacks may
-    pairwise-cancel (``/../../x`` → ``/x``, the browser clamp)."""
+    ``../`` underflow past the root CLAMPS to the origin exactly like
+    browsers and ``urllib.parse.urljoin`` (RFC 3986 remove_dot_segments):
+    a final pass rewrites ``://host/../../`` runs to ``://host/``
+    (r3: the integration test hit ``../x`` on a root-level page).
+
+    Documented approximation: ``?query``/``#frag``-only refs resolve
+    against the base DIRECTORY (not the full base path) — rare, and
+    never cross-origin."""
     stripped = F.regexp_replace(base, r"[?#].*$", "")
     scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(
@@ -1557,6 +1561,9 @@ def absolutize_url(base: Column, ref: Column) -> Column:
         head = F.regexp_replace(head, r"/\./", "/")
     for _ in range(8):
         head = F.regexp_replace(head, r"([^/:])/[^/?#]+/\.\./", "$1/")
+    # underflow clamp: leftover ../ runs at the root vanish (browser
+    # behavior); the authority is untouchable by construction
+    head = F.regexp_replace(head, r"(://[^/?#]+/)(?:\.\./)+", "$1")
     return F.concat(head, tail)
 
 
