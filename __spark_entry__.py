@@ -1250,6 +1250,8 @@ def _abs_url_sql() -> str:
     built by loop so the 10 nested regexp_replace passes stay in sync
     with the Spark implementation)."""
     u = "regexp_replace(joined, '[?#].*$', '')"  # collapse PATH only
+    u = f"regexp_replace({u}, '/\\.\\.$', '/../')"
+    u = f"regexp_replace({u}, '/\\.$', '/./')"
     for _ in range(8):
         u = f"regexp_replace({u}, '/\\./', '/', 'g')"
     for _ in range(8):

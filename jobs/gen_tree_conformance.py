@@ -901,7 +901,7 @@ class MiniParser:
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 self.insert_void(name, attrs)  # in-head rules
                 return
-            if name in ("title", "style", "noframes"):
+            if name in ("title", "style", "script", "noframes"):
                 self.insert_el(name, attrs)  # in-head generic rawtext
                 self.rawtext_return = "in_body"
                 self.mode = "rawtext"

@@ -1043,12 +1043,13 @@ def test_parse_robots_differential_vs_reference(spark):
                 all_agents.add(val.lower())
             elif key == "sitemap":
                 rows.append((None, "sitemap", val))
+                seen_directive = True  # separator (r3d symmetric)
             elif key in ("disallow", "allow", "crawl-delay"):
                 seen_directive = True
                 for a in agents:
                     rows.append((a, key, val))
             else:
-                seen_directive = True  # unknown directive ends a UA run
+                seen_directive = True  # unknown keys separate too
         for a in all_agents:
             rows.append((a, "user-agent", ""))
         return set(rows)
@@ -1112,3 +1113,29 @@ def test_spans_to_markdown_kinds(spark):
         "# Title\n\npara\n\n- item\n\n```\nx = 1\n```\n\n"
         "| cell |\n\n![fig](i.png)\n\n[anchor](/x)"
     )
+
+
+def test_parse_robots_sitemap_and_unknown_are_separators(spark):
+    """Code-review r3d settled the asymmetry symmetrically: sitemap
+    and unknown lines SEPARATE groups like rules do — A's group ends
+    at the sitemap (staying an empty allow-all group) and only B gets
+    the Disallow."""
+    from zhtml_spark.textops import parse_robots
+
+    txt = ("User-agent: A\nSitemap: https://h/m.xml\n"
+           "User-agent: B\nUnknown: v\n"
+           "User-agent: C\nDisallow: /p\n")
+    rules = parse_robots(
+        spark.createDataFrame([("h1", txt)], "host string, text string")
+    ).collect()
+    got = sorted(
+        (r["agent"] or "<null>", r["directive"], r["value"])
+        for r in rules
+    )
+    assert got == sorted([
+        ("c", "disallow", "/p"),
+        ("a", "user-agent", ""),
+        ("b", "user-agent", ""),
+        ("c", "user-agent", ""),
+        ("<null>", "sitemap", "https://h/m.xml"),
+    ])

@@ -765,6 +765,13 @@ def parse_robots(
         .where(F.col("key") != "")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
+    # EVERY parsed non-user-agent line (rules, sitemap, unknown keys)
+    # acts as a group SEPARATOR: a user-agent line after any of them
+    # starts a new group.  This is the symmetric seen-separator
+    # semantics of the reference robots parsers (code-review r3d
+    # settled the sitemap/unknown asymmetry this way), and it keeps
+    # 'UA: A / Sitemap / UA: *' as TWO groups — A stays an empty
+    # allow-everything group
     grouped = (
         parsed.withColumn("prev_key", F.lag("key").over(w))
         .withColumn(
@@ -1075,13 +1082,20 @@ def spans_to_markdown(
         .when(F.col("kind") == "meta", F.lit(None).cast("string"))
         .otherwise(F.col("text"))
     )
-    rendered = spans.select(
-        id_col, "offset", md.alias("md")
-    ).where(F.col("md").isNotNull())
+    # keep null-rendered rows through the groupBy and filter INSIDE
+    # the aggregate, so all-meta pages (redirect stubs, paywall
+    # shells) still yield a row with empty markdown — same empty-doc
+    # guarantee as line_dedup (code-review r3d)
+    rendered = spans.select(id_col, "offset", md.alias("md"))
     return rendered.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("offset", "md"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "md"))
+                    ),
+                    lambda s: s["md"].isNotNull(),
+                ),
                 lambda s: s["md"],
             ),
             "\n\n",
@@ -1557,6 +1571,11 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     # query values (player?file=/a/../b) never get rewritten
     head = F.regexp_replace(joined, r"[?#].*$", "")
     tail = F.regexp_extract(joined, r"((?:\?|#).*)$", 1)
+    # a trailing bare '..' or '.' (href=".." parent links) becomes
+    # '../' / './' so the collapse passes see it (code-review r3d;
+    # urljoin parity: the trailing slash is kept)
+    head = F.regexp_replace(head, r"/\.\.$", "/../")
+    head = F.regexp_replace(head, r"/\.$", "/./")
     for _ in range(8):
         head = F.regexp_replace(head, r"/\./", "/")
     for _ in range(8):
