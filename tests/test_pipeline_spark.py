@@ -1139,3 +1139,44 @@ def test_parse_robots_sitemap_and_unknown_are_separators(spark):
         ("c", "user-agent", ""),
         ("<null>", "sitemap", "https://h/m.xml"),
     ])
+
+
+def test_robots_gate_wildcards_rfc9309(spark):
+    """Full RFC 9309 matching: '*' wildcards and trailing '$' end
+    anchor, with longest-pattern precedence."""
+    from zhtml_spark.textops import parse_robots, robots_gate
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /private*/data\n"
+        "Allow: /private-ok/data\n"
+        "Disallow: /exact$\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h", txt)], "host string, text string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h", "https://h/docs/report.pdf"),      # *.pdf$ -> deny
+            ("h", "https://h/docs/report.pdf.html"), # not at end -> ok
+            ("h", "https://h/private123/data"),      # wildcard -> deny
+            # longer allow beats the wildcard disallow
+            ("h", "https://h/private-ok/data"),
+            ("h", "https://h/exact"),                # anchored -> deny
+            ("h", "https://h/exactly"),              # $ mismatch -> ok
+        ],
+        "host string, url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_gate(urls, rules, "CCBot").collect()
+    }
+    assert got == {
+        "https://h/docs/report.pdf": False,
+        "https://h/docs/report.pdf.html": True,
+        "https://h/private123/data": False,
+        "https://h/private-ok/data": True,
+        "https://h/exact": False,
+        "https://h/exactly": True,
+    }

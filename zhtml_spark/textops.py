@@ -822,12 +822,15 @@ def robots_gate(
     host_col: str = "host",
 ) -> DataFrame:
     """Per-URL allow/deny against :func:`parse_robots` output for
-    ``agent`` (RFC 9309 subset: literal path prefixes, no ``*``/``$``
-    wildcards — documented approximation).  Group selection: the
-    host's rules for ``agent`` if any exist, else its ``*`` rules.
-    Precedence: longest matching rule wins; on a length tie, allow
-    wins (score = 2*len + is_allow, a single integer both engines
-    compare identically).  URLs with no matching rule are allowed.
+    ``agent``, with full RFC 9309 matching: literal prefixes, ``*``
+    wildcards, and a trailing ``$`` end anchor (wildcard rules
+    compile to anchored regexes; plain rules keep the cheap
+    startswith path).  Group selection: the host's rules for
+    ``agent`` if any exist, else its ``*`` rules.  Precedence:
+    longest matching RULE wins (pattern octets per the RFC); on a
+    length tie, allow wins (score = 2*len + is_allow, a single
+    integer both engines compare identically).  URLs with no
+    matching rule are allowed.
     Plan: one broadcast-or-shuffle join on host + one hash-agg —
     rules tables are tiny next to URL sets, so mark the rules side
     broadcastable upstream when hosts are few."""
@@ -857,9 +860,32 @@ def robots_gate(
         "_path", F.when(path0 == "", F.lit("/")).otherwise(path0)
     )
     joined = u.join(eff, host_col, "left")
+    # RFC 9309 matching: '*' matches any char run, a TRAILING '$'
+    # anchors the end; plain rules are literal prefixes (fast path —
+    # no per-row regex compile).  Wildcard rules compile to an
+    # anchored Java/RE2 regex: strip the trailing $, escape regex
+    # metacharacters, swap * for .* — identical steps exist in DuckDB.
+    has_wild = F.col("value").contains("*") | F.col("value").endswith("$")
+    anchored = F.col("value").endswith("$")
+    body = F.when(
+        anchored,
+        F.expr("substring(value, 1, length(value) - 1)"),
+    ).otherwise(F.col("value"))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rule_re = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    matches = F.when(
+        F.col("value").isNull(), F.lit(False)
+    ).when(
+        has_wild, F.regexp_like(F.col("_path"), rule_re)
+    ).otherwise(F.col("_path").startswith(F.col("value")))
+    # precedence: longest RULE (pattern octets, per the RFC), allow
+    # wins length ties
     score = F.when(
-        F.col("value").isNotNull()
-        & F.col("_path").startswith(F.col("value")),
+        matches,
         2 * F.length("value")
         + (F.col("directive") == "allow").cast("int"),
     )
