@@ -1000,6 +1000,8 @@ def test_absolutize_url_differential_vs_urljoin(spark):
         "/rooted/x.png", "//cdn.example/c.js",
         "https://abs.example/v.png", "x/y/../../z.png",
         "m.png?k=v", "m.png#frag", "../d/e.png?a=1#b",
+        # trailing bare dot segments (r3d: href=".." parent links)
+        "..", ".", "x/..", "a/b/.", "../..",
     ]
     cases = [
         (b, r, urljoin(b, r)) for b in bases for r in refs
