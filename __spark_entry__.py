@@ -517,6 +517,15 @@ def _q_embedding_dup(spark, sf_dir):
     return embedding_dup_candidates(emb, threshold=0.1, n_centroids=8)
 
 
+def _q_embedding_dedup_survivors(spark, sf_dir):
+    """Gates the composed SemDeDup-style pass: IVF-bucketed cosine
+    candidates -> smallest-neighbor dominance anti-join."""
+    from zhtml_spark.textops import embedding_dedup_survivors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup_survivors(emb, threshold=0.1, n_centroids=8)
+
+
 def _synthetic_urls(spark, sf_dir):
     """Deterministic messy URLs from documents (testdata has no URL
     column): three shapes exercising fragment strip, case folding,
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": _q_nearest_centroid,
         "ivf_topk": _q_ivf_topk,
         "embedding_dup_candidates": _q_embedding_dup,
+        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
         "text_quality": _q_text_quality,
@@ -1307,6 +1317,53 @@ def _abs_url_sql() -> str:
 _STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
 _STOP_ES = "['el','la','de','que','y','en','un','es','por','los']"
 _STOP_DE = "['der','die','und','das','ist','ein','zu','mit','den','von']"
+
+
+_EMB_CAND_SQL = """            WITH c AS (
+                SELECT vec_id AS centroid_id, embedding AS ce
+                FROM embeddings WHERE vec_id < 8
+            ),
+            adist AS (
+                SELECT e.vec_id, c.centroid_id,
+                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM embeddings e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM adist
+                ) WHERE r = 1
+            ),
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       ea.embedding AS ea, eb.embedding AS eb
+                FROM assign a
+                JOIN assign b ON a.centroid_id = b.centroid_id
+                             AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+            ),
+            dots AS (
+                SELECT vec_a, vec_b,
+                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS dot,
+                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS na,
+                       (SELECT sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(eb) + 1)) t(i)) AS nb
+                FROM pairs
+            )
+            SELECT vec_a, vec_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+            FROM dots
+            WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.1
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1874,51 +1931,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, centroid_id, dist
             FROM ranked WHERE rank = 1
         """,
-        "embedding_dup_candidates": """
-            WITH c AS (
-                SELECT vec_id AS centroid_id, embedding AS ce
-                FROM embeddings WHERE vec_id < 8
-            ),
-            adist AS (
-                SELECT e.vec_id, c.centroid_id,
-                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
-                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
-                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
-                FROM embeddings e, c
-            ),
-            assign AS (
-                SELECT vec_id, centroid_id FROM (
-                    SELECT vec_id, centroid_id,
-                           row_number() OVER (
-                               PARTITION BY vec_id
-                               ORDER BY dist ASC, centroid_id ASC
-                           ) AS r
-                    FROM adist
-                ) WHERE r = 1
-            ),
-            pairs AS (
-                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                       ea.embedding AS ea, eb.embedding AS eb
-                FROM assign a
-                JOIN assign b ON a.centroid_id = b.centroid_id
-                             AND a.vec_id < b.vec_id
-                JOIN embeddings ea ON ea.vec_id = a.vec_id
-                JOIN embeddings eb ON eb.vec_id = b.vec_id
-            ),
-            dots AS (
-                SELECT vec_a, vec_b,
-                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS dot,
-                       (SELECT sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(ea) + 1)) t(i)) AS na,
-                       (SELECT sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(eb) + 1)) t(i)) AS nb
-                FROM pairs
-            )
-            SELECT vec_a, vec_b,
-                   round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
-            FROM dots
-            WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.1
+        "embedding_dup_candidates": _EMB_CAND_SQL,
+        "embedding_dedup_survivors": f"""
+            WITH cand AS ({_EMB_CAND_SQL})
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_b FROM cand)
         """,
         "url_normalize": """
             WITH urls AS (

@@ -1182,3 +1182,24 @@ def test_robots_gate_wildcards_rfc9309(spark):
         "https://h/exact": False,
         "https://h/exactly": True,
     }
+
+
+def test_embedding_dedup_survivors_dominance(spark):
+    from zhtml_spark.textops import embedding_dedup_survivors
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-dup of 1 -> dominated
+            (3, [0.0, 1.0]),      # orthogonal -> survives
+            (4, [0.01, 0.999]),   # near-dup of 3 -> dominated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in embedding_dedup_survivors(
+            emb, threshold=0.9, n_centroids=2
+        ).collect()
+    )
+    assert got == [1, 3]

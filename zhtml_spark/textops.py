@@ -902,6 +902,25 @@ def robots_gate(
     )
 
 
+def embedding_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup-style): keep one representative per
+    embedding-cosine near-dup relation — a vector survives iff no
+    near-duplicate with a smaller ``vec_id`` exists (the same
+    smallest-neighbor dominance rule :func:`dedup_survivors` uses for
+    MinHash; one-pass approximation of connected components,
+    deterministic).  Distributed shape: the IVF-bucketed candidate
+    join of :func:`embedding_dup_candidates` plus ONE anti-join —
+    never an all-pairs comparison."""
+    cands = embedding_dup_candidates(emb, threshold, n_centroids)
+    # vec_a < vec_b by construction → the b side is dominated
+    losers = cands.select(F.col("vec_b").alias("vec_id")).distinct()
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
