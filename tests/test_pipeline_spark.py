@@ -1187,12 +1187,14 @@ def test_robots_gate_wildcards_rfc9309(spark):
 def test_embedding_dedup_survivors_dominance(spark):
     from zhtml_spark.textops import embedding_dedup_survivors
 
+    # vec_ids start at 0 so BOTH centroids (vec_id < 2) exist and the
+    # IVF bucketing path is genuinely two-bucket (code-review r3e)
     emb = spark.createDataFrame(
         [
-            (1, [1.0, 0.0]),
-            (2, [0.999, 0.01]),   # near-dup of 1 -> dominated
-            (3, [0.0, 1.0]),      # orthogonal -> survives
-            (4, [0.01, 0.999]),   # near-dup of 3 -> dominated
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.999, 0.01]),   # near-dup of 0 -> dominated
+            (3, [0.01, 0.999]),   # near-dup of 1 -> dominated
         ],
         "vec_id long, embedding array<double>",
     )
@@ -1202,4 +1204,41 @@ def test_embedding_dedup_survivors_dominance(spark):
             emb, threshold=0.9, n_centroids=2
         ).collect()
     )
-    assert got == [1, 3]
+    assert got == [0, 1]
+
+
+def test_robots_gate_query_rules_and_star_cap(spark):
+    """Code-review r3e: rules match path+query (RFC 9309 §2.2.2), and
+    rules with >2 stars are ignored (Java-regex backtracking guard —
+    fail-open, never a stalled stage)."""
+    import time
+
+    from zhtml_spark.textops import parse_robots, robots_gate
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid=\n"
+        "Disallow: /a*a*a*a*a*a*a*a*a*a*a*a*a$\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h", txt)], "host string, text string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h", "https://h/page?sessionid=1"),   # query rule -> deny
+            ("h", "https://h/page?other=1"),       # no match -> allow
+            ("h", "https://h/" + "a" * 45 + "b"),  # capped rule ignored
+        ],
+        "host string, url string",
+    )
+    t0 = time.time()
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_gate(urls, rules, "CCBot").collect()
+    }
+    assert time.time() - t0 < 30  # no catastrophic backtracking
+    assert got == {
+        "https://h/page?sessionid=1": False,
+        "https://h/page?other=1": True,
+        "https://h/" + "a" * 45 + "b": True,
+    }

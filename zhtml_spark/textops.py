@@ -850,43 +850,66 @@ def robots_gate(
     fallback = path_rules.where(F.col("agent") == "*").join(
         hosts_with, host_col, "left_anti"
     )
-    eff = target.unionByName(fallback).select(
-        host_col, "directive", "value"
-    )
-    path0 = F.regexp_extract(
-        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
-    )
-    u = urls.withColumn(
-        "_path", F.when(path0 == "", F.lit("/")).otherwise(path0)
-    )
-    joined = u.join(eff, host_col, "left")
     # RFC 9309 matching: '*' matches any char run, a TRAILING '$'
-    # anchors the end; plain rules are literal prefixes (fast path —
-    # no per-row regex compile).  Wildcard rules compile to an
-    # anchored Java/RE2 regex: strip the trailing $, escape regex
-    # metacharacters, swap * for .* — identical steps exist in DuckDB.
-    has_wild = F.col("value").contains("*") | F.col("value").endswith("$")
+    # anchors the end; plain rules stay on the cheap literal-prefix
+    # path.  Wildcard rules PRE-compile to an anchored regex on the
+    # tiny rules table (never per joined row): consecutive stars
+    # collapse, the trailing $ is kept as the anchor, every other
+    # metacharacter is escaped.  Backtracking guard: Java regex (not
+    # RE2) is exponential in the star count, so rules with more than
+    # 2 stars — far beyond any real robots.txt; an adversarial host
+    # could otherwise stall the stage — are ignored for matching
+    # (fail-open is the right direction for a gating advisory).
+    star_runs = F.regexp_replace(F.col("value"), r"\*+", "*")
+    n_stars = F.length(star_runs) - F.length(
+        F.regexp_replace(star_runs, r"\*", "")
+    )
+    has_wild = (
+        F.col("value").contains("*") | F.col("value").endswith("$")
+    )
     anchored = F.col("value").endswith("$")
     body = F.when(
         anchored,
         F.expr("substring(value, 1, length(value) - 1)"),
     ).otherwise(F.col("value"))
+    body = F.regexp_replace(body, r"\*+", "*")
     esc = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     rule_re = F.concat(
         F.lit("^"),
         F.regexp_replace(esc, r"\*", ".*"),
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
+    eff = (
+        target.unionByName(fallback)
+        .where(n_stars <= 2)
+        .select(
+            host_col,
+            "directive",
+            "value",
+            has_wild.alias("_wild"),
+            F.when(has_wild, rule_re).alias("_re"),
+        )
+    )
+    # the match target is path + query (RFC 9309 §2.2.2 matches the
+    # path INCLUDING the query — '/*?sessionid=' rules must work);
+    # only the fragment is stripped
+    path0 = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    u = urls.withColumn(
+        "_path", F.when(path0 == "", F.lit("/")).otherwise(path0)
+    )
+    joined = u.join(eff, host_col, "left")
     matches = F.when(
         F.col("value").isNull(), F.lit(False)
     ).when(
-        has_wild, F.regexp_like(F.col("_path"), rule_re)
+        F.col("_wild"), F.regexp_like(F.col("_path"), F.col("_re"))
     ).otherwise(F.col("_path").startswith(F.col("value")))
-    # precedence: longest RULE (pattern octets, per the RFC), allow
-    # wins length ties
+    # precedence: longest RULE in OCTETS (per the RFC — non-ASCII
+    # rules score by byte length), allow wins length ties
     score = F.when(
         matches,
-        2 * F.length("value")
+        2 * F.octet_length("value")
         + (F.col("directive") == "allow").cast("int"),
     )
     return (
@@ -1092,7 +1115,9 @@ def spans_to_markdown(
     with blank lines in offset order.
 
     Pure JVM: one projection + one groupBy-doc rebuild (same shape as
-    :func:`line_dedup`'s) — shuffles only the rendered lines."""
+    :func:`line_dedup`'s).  Dropped (meta/null) spans shuffle as
+    (offset, NULL) stubs — their text never moves — so every doc
+    keeps a row even when nothing renders."""
     md = (
         F.when(
             F.col("kind") == "heading",
