@@ -831,6 +831,12 @@ def robots_gate(
     length tie, allow wins (score = 2*len + is_allow, a single
     integer both engines compare identically).  URLs with no
     matching rule are allowed.
+
+    Documented approximation: percent-encoding is NOT normalized
+    before comparison (RFC 9309 §2.2.2 decodes both sides except
+    %2F) — rules and paths compare in their wire form; crawlers that
+    emit canonical encodings are unaffected.
+
     Plan: one broadcast-or-shuffle join on host + one hash-agg —
     rules tables are tiny next to URL sets, so mark the rules side
     broadcastable upstream when hosts are few."""
