@@ -944,7 +944,7 @@ def _robots_corpus(spark, sf_dir):
         F.lit("\nAllow: /p"), d,
         F.lit("/ok   # inline\n\nUser-agent: *\nDisallow: /tmp"),
         (F.col("doc_id") % 5).cast("string"),
-        F.lit("\nSitemap: https://site"),
+        F.lit("\nDisallow: /*.pdf$\nSitemap: https://site"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example/map.xml\n"),
     )
@@ -984,6 +984,10 @@ def _q_robots_gate(spark, sf_dir):
                 F.concat(F.lit("https://h"), d, F.lit("/tmp"),
                          (F.col("doc_id") % 5).cast("string"),
                          F.lit("/z")),
+                # wildcard rule target: denied only when the * group
+                # applies (no bot0 group)
+                F.concat(F.lit("https://h"), d, F.lit("/file"), d,
+                         F.lit(".pdf")),
             )
         ).alias("url"),
     )
@@ -2286,6 +2290,9 @@ def oracle_sql() -> dict[str, str]:
                    '/tmp' || CAST(doc_id % 5 AS VARCHAR)
             FROM h
             UNION ALL
+            SELECT host, '*', 'disallow', '/*.pdf$'
+            FROM h
+            UNION ALL
             SELECT host, CAST(NULL AS VARCHAR), 'sitemap',
                    'https://site' || CAST(doc_id % 7 AS VARCHAR)
                      || '.example/map.xml'
@@ -2368,6 +2375,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT host,
                    'https://h' || d || '/tmp'
                      || CAST(doc_id % 5 AS VARCHAR) || '/z',
+                   doc_id % 3 = 0
+            FROM h
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
         """,
