@@ -642,6 +642,7 @@ def main() -> None:
     tests += comment_differential_cases()
     tests += attr_differential_cases()
     tests += doctype_differential_cases()
+    tests += charref_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -1564,5 +1565,162 @@ def doctype_differential_cases(n_cases: int = 250) -> list[dict]:
             "errors": [{"code": e} for e in errs],
         })
     return cases
+# ------------------------------------------------------------------
+# Independent mini-reference for the CHARACTER REFERENCE family
+# (§13.2.5.72-80): fifth differential family.  A sequential decoder
+# written from the spec (longest table prefix, historical
+# attribute-context suppression, ambiguous ampersand, numeric parsing
+# with the null/range/surrogate/noncharacter/control ladder and the
+# C1 remap), sharing no code with the engine's state machine.  The
+# existing entity families sweep the TABLE one entry at a time; this
+# family composes truncated/extended names, numeric edges and
+# boundary followers randomly in both Data and attribute contexts.
+
+_ASCII_ALNUM = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def _mini_charref(s: str, in_attr: bool):
+    """Decode character references in a markup-free string →
+    (decoded_text, error_codes)."""
+    out: list[str] = []
+    errs: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "&":
+            out.append(c)
+            i += 1
+            continue
+        j = i + 1
+        if j < n and s[j] in _ASCII_ALNUM:
+            # named: longest table prefix
+            best = None
+            for ln in range(min(32, n - j), 0, -1):
+                if s[j:j + ln] in H5:
+                    best = s[j:j + ln]
+                    break
+            if best is not None:
+                after = j + len(best)
+                if (
+                    in_attr
+                    and not best.endswith(";")
+                    and after < n
+                    and (s[after] == "=" or s[after] in _ASCII_ALNUM)
+                ):
+                    out.append("&" + best)  # historical suppression
+                    i = after
+                    continue
+                if not best.endswith(";"):
+                    errs.append(
+                        "missing-semicolon-after-character-reference"
+                    )
+                out.append(H5[best])
+                i = after
+                continue
+            # no match: '&' flushes; ambiguous-ampersand run
+            out.append("&")
+            k = j
+            while k < n and s[k] in _ASCII_ALNUM:
+                out.append(s[k])
+                k += 1
+            if k < n and s[k] == ";" and k > j:
+                errs.append("unknown-named-character-reference")
+            i = k  # the ';'/other char reprocesses as plain text
+            continue
+        if j < n and s[j] == "#":
+            k = j + 1
+            hexmode = False
+            if k < n and s[k] in "xX":
+                hexmode = True
+                k += 1
+            digits = ""
+            hexd = "0123456789abcdefABCDEF"
+            while k < n and (
+                s[k] in hexd if hexmode else s[k].isdigit()
+            ):
+                digits += s[k]
+                k += 1
+            if not digits:
+                errs.append(
+                    "absence-of-digits-in-numeric-character-reference"
+                )
+                out.append(s[i:k])  # flush '&#' (and the x/X)
+                i = k
+                continue
+            if k < n and s[k] == ";":
+                k += 1
+            else:
+                errs.append(
+                    "missing-semicolon-after-character-reference"
+                )
+            v = int(digits, 16 if hexmode else 10)
+            if v == 0:
+                errs.append("null-character-reference")
+                v = 0xFFFD
+            elif v > 0x10FFFF:
+                errs.append(
+                    "character-reference-outside-unicode-range"
+                )
+                v = 0xFFFD
+            elif 0xD800 <= v <= 0xDFFF:
+                errs.append("surrogate-character-reference")
+                v = 0xFFFD
+            elif (0xFDD0 <= v <= 0xFDEF) or (v & 0xFFFF) in (
+                0xFFFE, 0xFFFF,
+            ):
+                errs.append("noncharacter-character-reference")
+            elif v == 0x0D or (
+                v < 0x20 and v not in (0x09, 0x0A, 0x0C)
+            ) or 0x7F <= v <= 0x9F:
+                errs.append("control-character-reference")
+                v = C1_REMAP.get(v, v)
+            out.append(chr(v))
+            i = k
+            continue
+        out.append("&")  # bare ampersand (incl. at EOF)
+        i = j
+    return "".join(out), errs
+
+
+def charref_differential_cases(n_cases: int = 250) -> list[dict]:
+    import random
+
+    rng = random.Random(17082026)
+    atoms = [
+        "&amp;", "&amp", "&am", "&ampx", "&amp=", "&notin;", "&notin",
+        "&not;", "&noti", "&not", "&gt", "&gt;", "&ltcc;", "&ltc",
+        "&frac34", "&there4;", "&fjlig;", "&ThickSpace;", "&xyzzy;",
+        "&#65;", "&#x41;", "&#65", "&#x41", "&#", "&#x", "&#0;",
+        "&#x110000;", "&#xD800;", "&#xFDD0;", "&#x80;", "&#x9D;",
+        "&#13;", "&#xffff;", "&;", "&", " ", "z", ";", "=", "q8",
+    ]
+    cases: list[dict] = []
+    for ci in range(n_cases):
+        body = "".join(
+            rng.choice(atoms) for _ in range(rng.randint(1, 6))
+        )
+        in_attr = ci % 2 == 1
+        text, errs = _mini_charref(body, in_attr)
+        if in_attr:
+            cases.append({
+                "description": f"charref differential {ci} (attr)",
+                "input": f'<a x="{body}">',
+                "output": [["StartTag", "a", {"x": text}]],
+                "errors": [{"code": e} for e in errs],
+            })
+        else:
+            cases.append({
+                "description": f"charref differential {ci}",
+                "input": body,
+                "output": (
+                    [["Character", text]] if text else []
+                ),
+                "errors": [{"code": e} for e in errs],
+            })
+    return cases
+
+
 if __name__ == "__main__":
     main()
