@@ -643,6 +643,7 @@ def main() -> None:
     tests += attr_differential_cases()
     tests += doctype_differential_cases()
     tests += charref_differential_cases()
+    tests += rawtext_differential_cases()
     # de-duplicate descriptions (pytest ids must be unique enough)
     seen: dict[str, int] = {}
     for t in tests:
@@ -1719,6 +1720,112 @@ def charref_differential_cases(n_cases: int = 250) -> list[dict]:
                 ),
                 "errors": [{"code": e} for e in errs],
             })
+    return cases
+
+
+# ------------------------------------------------------------------
+# Independent mini-reference for the RCDATA/RAWTEXT end-tag family
+# (sec 13.2.5.2-14): sixth differential family.  The subtle part is
+# the temporary-buffer RE-EMISSION: a partial or inappropriate end
+# tag ("</styl", "</div>", "</style=") must come back out as raw
+# characters in ORIGINAL case, with the terminating character
+# reprocessed (it may open another end tag).  Vocabulary excludes
+# char refs (own family), NUL, and attribute-carrying end tags
+# (asserted, skipped like the attr family).
+
+def _mini_rawtext(s: str, tag: str):
+    """Tokenize a RAWTEXT/RCDATA body with appropriate end tag
+    ``tag`` -> (tokens, error_codes, consumed).  STOPS after the
+    first emitted end tag: the spec switches to the Data state there
+    (tree feedback re-arms rawtext in a real parse), so the case
+    input is truncated to the consumed prefix."""
+    toks: list = []
+    chars: list[str] = []
+    errs: list[str] = []
+
+    def flush():
+        if chars:
+            toks.append(["Character", "".join(chars)])
+            chars.clear()
+
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "<":
+            chars.append(c)
+            i += 1
+            continue
+        if i + 1 < n and s[i + 1] == "/":
+            j = i + 2
+            name: list[str] = []
+            while j < n and s[j].isascii() and s[j].isalpha():
+                name.append(s[j])
+                j += 1
+            nm = "".join(name).lower()
+            if name and nm == tag and j < n:
+                if s[j] in "\t\n\f ":
+                    k = j
+                    while k < n and s[k] in "\t\n\f ":
+                        k += 1
+                    assert k < n and s[k] == ">", "attr end tag"
+                    flush()
+                    toks.append(["EndTag", nm])
+                    return toks, errs, k + 1
+                if s[j] == "/":
+                    assert j + 1 < n and s[j + 1] == ">", "solidus"
+                    flush()
+                    errs.append("end-tag-with-trailing-solidus")
+                    toks.append(["EndTag", nm])
+                    return toks, errs, j + 2
+                if s[j] == ">":
+                    flush()
+                    toks.append(["EndTag", nm])
+                    return toks, errs, j + 1
+            # inappropriate / partial / EOF: re-emit raw, reprocess
+            # the terminator (original case preserved)
+            chars.append("</")
+            chars.extend(name)
+            i = j
+            continue
+        chars.append("<")
+        i += 1
+    flush()
+    return toks, errs, n
+
+
+def rawtext_differential_cases(n_cases: int = 200) -> list[dict]:
+    import random
+
+    rng = random.Random(82026171)
+    cases: list[dict] = []
+    for ci in range(n_cases):
+        rcdata = ci % 2 == 0
+        tag = "title" if rcdata else "style"
+        up = tag.upper()
+        atoms = [
+            "a b", "c", "x<y", "<", ">", "</", "z>", "<b>", "</div>",
+            f"</{tag}>", f"</{up}>", f"</{tag} >", f"</{tag}\t>",
+            f"</{tag}/>", f"</{tag[:-1]}>", f"</{tag}x>", f"</{tag}",
+            f"</{tag}=", f"q</{up} >", "</ w",
+        ]
+        body = "".join(
+            rng.choice(atoms) for _ in range(rng.randint(1, 7))
+        )
+        try:
+            toks, errs, consumed = _mini_rawtext(body, tag)
+        except AssertionError:
+            continue
+        cases.append({
+            "description": (
+                f"rawtext differential {ci} "
+                f"({'rcdata' if rcdata else 'rawtext'})"
+            ),
+            "input": body[:consumed],
+            "initialStates": ["RCDATA" if rcdata else "RAWTEXT"],
+            "lastStartTag": tag,
+            "output": toks,
+            "errors": [{"code": e} for e in errs],
+        })
     return cases
 
 
