@@ -1639,7 +1639,7 @@ def _mini_charref(s: str, in_attr: bool):
             digits = ""
             hexd = "0123456789abcdefABCDEF"
             while k < n and (
-                s[k] in hexd if hexmode else s[k].isdigit()
+                s[k] in hexd if hexmode else s[k] in "0123456789"
             ):
                 digits += s[k]
                 k += 1
@@ -1826,6 +1826,9 @@ def rawtext_differential_cases(n_cases: int = 200) -> list[dict]:
             "output": toks,
             "errors": [{"code": e} for e in errs],
         })
+    # the assert-skip paths must stay unreachable with this atom
+    # vocabulary — a silent shrink would undercut the documented count
+    assert len(cases) == n_cases, len(cases)
     return cases
 
 
