@@ -682,6 +682,25 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_host_stats(spark, sf_dir):
+    """Gates the per-host crawl report: messy-case hosts + unsorted
+    queries + fragment-bearing recrawls (every 4th doc) must collapse
+    under url_normalize, so n_distinct_urls < n_pages per host."""
+    from zhtml_spark.textops import host_stats
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (did % 7).cast("string"),
+        F.lit(".example/art"), did.cast("string"), F.lit("?b=2&a=1"),
+    )
+    base = d.select(url.alias("url"), "text")
+    recrawl = d.where(did % 4 == 0).select(
+        F.concat(url, F.lit("#frag")).alias("url"), "text"
+    )
+    return host_stats(base.unionByName(recrawl))
+
+
 def _q_text_quality(spark, sf_dir):
     from zhtml_spark.textops import text_quality
 
@@ -1237,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
+        "host_stats": _q_host_stats,
         "interval_join": _q_interval_join,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
@@ -2309,6 +2329,29 @@ def oracle_sql() -> dict[str, str]:
                    text || chr(10) || 'unique tail '
                      || CAST(doc_id AS VARCHAR) AS text
             FROM documents
+        """,
+        "host_stats": """
+            WITH pages AS (
+                SELECT doc_id % 7 AS h, length(text) AS c
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 7, length(text)
+                FROM documents WHERE doc_id % 4 = 0
+            ),
+            agg AS (
+                SELECT h, count(*) AS n_pages,
+                       CAST(floor(avg(c)) AS BIGINT) AS mean_chars
+                FROM pages GROUP BY h
+            ),
+            dis AS (
+                SELECT doc_id % 7 AS h,
+                       count(*) AS n_distinct_urls
+                FROM documents GROUP BY 1
+            )
+            SELECT 'site' || CAST(agg.h AS VARCHAR) || '.example'
+                     AS host,
+                   agg.n_pages, dis.n_distinct_urls, agg.mean_chars
+            FROM agg JOIN dis USING (h)
         """,
         "spans_to_markdown": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

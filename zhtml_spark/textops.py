@@ -1096,6 +1096,33 @@ def url_host(col: Column) -> Column:
     )
 
 
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host crawl-quality report — the standard corpus triage
+    view: page count, distinct normalized URLs (URL-dedup ratio per
+    site), and mean text length.  One hash-agg shuffle on the host
+    key; at corpus scale hosts are the natural politeness/quality
+    partition so this agg is the fan-in everything else reads."""
+    return (
+        docs.select(
+            url_host(F.col(url_col)).alias("host"),
+            url_normalize(F.col(url_col)).alias("norm_url"),
+            F.length(text_col).alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("norm_url").alias("n_distinct_urls"),
+            F.floor(F.avg("n_chars")).cast("bigint").alias(
+                "mean_chars"
+            ),
+        )
+    )
+
+
 def dedup_by_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """URL-identity dedup: one survivor (min doc_id) per normalized
     URL — one hash-agg shuffle, the cheapest dedup tier (runs before
