@@ -926,10 +926,12 @@ def _q_kmv_distinct(spark, sf_dir):
 def _q_winnow_fingerprints(spark, sf_dir):
     """Gates the winnowing fingerprint sketch (r3): char-8-gram md5-48
     hashes, window-4 minima, zero-shuffle higher-order-function plan;
-    oracle recomputes via standard SQL window functions."""
+    oracle recomputes via standard SQL window functions.  Pins
+    hash_fn='md5' (DuckDB has no xxhash64 — the r4 engine default);
+    the xxhash64 path is pytest-gated for scheme equivalence."""
     from zhtml_spark.textops import winnow_fingerprints
 
-    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+    return winnow_fingerprints(_docs(spark, sf_dir), hash_fn="md5").select(
         F.col("doc_id").cast("string").alias("doc_id"), "fp"
     )
 
@@ -944,7 +946,8 @@ def _q_winnow_dup_candidates(spark, sf_dir):
     from zhtml_spark.textops import winnow_dup_candidates
 
     return winnow_dup_candidates(
-        _docs(spark, sf_dir), min_shared=5, max_doc_freq=20
+        _docs(spark, sf_dir), min_shared=5, max_doc_freq=20,
+        hash_fn="md5",
     ).select(
         F.col("doc_a").cast("string").alias("doc_a"),
         F.col("doc_b").cast("string").alias("doc_b"),
@@ -1010,6 +1013,59 @@ def _q_robots_gate(spark, sf_dir):
             )
         ).alias("url"),
     )
+    return robots_gate(urls, rules, "bot0")
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Composite crawl-frontier gate (r4, VERDICT r3 #8): the three
+    crawl ops composed in ONE plan — extract links from parsed HTML
+    (``ExtractConfig(emit_links=True)``), absolutize each href against
+    the page URL (``textops.absolutize_url``), derive the host, then
+    gate for agent bot0 against per-host robots rules
+    (``parse_robots`` + ``robots_gate``).  Pages live on hosts
+    ``h<doc_id>`` matching the robots corpus; hrefs rotate rooted
+    (``/p<d>/sub``, ``/p<d>/ok/y``, ``/file<d>.pdf``) and relative
+    (``../../tmp<d%5>/z`` walks up from ``/a/b/``).  The oracle states
+    the expected (host, url, allowed) rows from CONSTRUCTION knowledge
+    — same literal shape the unit gates use, but the URLs here only
+    come out right if extraction, resolution, and gating all compose."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import (
+        absolutize_url,
+        parse_robots,
+        robots_gate,
+    )
+
+    d = F.col("doc_id").cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit("<body><p>Doc "), d,
+        F.lit(' frontier: <a href="/p'), d, F.lit('/sub">crawl '),
+        F.col("lang"),
+        F.lit('</a> and <a href="/p'), d,
+        F.lit('/ok/y">ok page</a> words.</p><p><a href="../../tmp'),
+        m5,
+        F.lit('/z">tmp</a> then <a href="/file'), d,
+        F.lit('.pdf">pdf</a> trailing text here.</p></body>'),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_links=True),
+    )
+    base = F.concat(
+        F.lit("https://h"), F.col("doc_id"), F.lit("/a/b/page"),
+        F.col("doc_id"), F.lit(".html"),
+    )
+    # anchors to media-extension targets (the .pdf) surface as
+    # 'media' spans per the extractor's ref classification — a
+    # frontier fetches both kinds, so keep link + media
+    urls = ex.where(F.col("kind").isin("link", "media")).select(
+        absolutize_url(base, F.col("media_ref")).alias("url")
+    ).select(
+        F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),
+        "url",
+    )
+    rules = parse_robots(_robots_corpus(spark, sf_dir))
     return robots_gate(urls, rules, "bot0")
 
 
@@ -1152,11 +1208,13 @@ def _q_substring_dup_spans(spark, sf_dir):
     """Exact substring dedup (r3): maximal verbatim runs ≥60 chars
     shared across doc pairs, with offsets — positioned 25-shingle
     inverted-index join + per-diagonal gaps-and-islands; the oracle is
-    the identical construction in SQL window functions."""
+    the identical construction in SQL window functions.  Runs with the
+    DEFAULT df≤20 boilerplate cap ON (r4: the gate now exercises the
+    scale lever; the oracle mirrors the cap in its `keep` CTE)."""
     from zhtml_spark.textops import substring_dup_spans
 
     d = _docs(spark, sf_dir)
-    out = substring_dup_spans(d, k=25, min_len=60)
+    out = substring_dup_spans(d, k=25, min_len=60, hash_fn="md5")
     return out.select(
         F.col("doc_a").cast("string").alias("doc_a"),
         F.col("doc_b").cast("string").alias("doc_b"),
@@ -1198,11 +1256,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER IS EVIDENCE POLICY (VERDICT r3 #1/#9): the driver
+    checks only the FIRST 50 entries against the DuckDB oracle each
+    round, so the window is ordered by evidence debt —
+
+      block A: queries with NO driver-green row yet (new this round,
+               or rotated out of a past window) — always first;
+      block B: driver-green once, still young (r2/r3 additions);
+      block C (positions 51+): long-stable r1 queries with 3+ green
+               driver rows, rotated OUT of the window.
+
+    When adding a query, insert it at the TOP of block A and move a
+    block-B query to block C if the window would overflow — never
+    let a never-checked query sit past position 50 (the whole r3
+    crawl-ops layer shipped driver-unevidenced that way).  The local
+    sweep (`python jobs/oracle_sweep.py`) still covers ALL entries."""
     return {
-        "extract_heading_para": _q_extract_heading_para,
-        "extract_entities": _q_extract_entities,
-        "extract_media": _q_extract_media,
-        "extract_list": _q_extract_list,
+        # -- block A: never driver-checked (r4 additions first) -------
+        "crawl_frontier": _q_crawl_frontier,
+        "winnow_dup_candidates": _q_winnow_dup_candidates,
+        "robots_parse": _q_robots_parse,
+        "robots_gate": _q_robots_gate,
+        "dedup_by_canonical": _q_dedup_by_canonical,
+        "sitemap_urls": _q_sitemap_urls,
+        "line_dedup": _q_line_dedup,
+        "spans_to_markdown": _q_spans_to_markdown,
+        "host_stats": _q_host_stats,
+        "interval_join_guarded": _q_interval_join_guarded,
+        "media_absolutize": _q_media_absolutize,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
+        # -- block A': green in r2, rotated out of the r3 window ------
+        "interval_join": _q_interval_join,
+        "events_rollup": _q_events_rollup,
+        # -- block B: driver-green, young (r2/r3 first green) ---------
         "extract_table": _q_extract_table,
         "extract_meta": _q_extract_meta,
         "extract_links": _q_extract_links,
@@ -1210,31 +1300,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_template": _q_extract_template,
         "extract_fragment": _q_extract_fragment,
         "warc_extract": _q_warc_extract,
-        "extract_boilerplate": _q_extract_boilerplate,
-        "span_kind_counts": _q_span_kind_counts,
-        "interleaved_passthrough": _q_interleaved_passthrough,
-        "media_resolution": _q_media_resolution,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_signatures,
         "minhash_char_signatures": _q_minhash_char_signatures,
-        "minhash_dup_candidates": _q_minhash_candidates,
         "minhash_banded_candidates": _q_minhash_banded,
-        "dedup_survivors": _q_dedup_survivors,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
-        "simhash48": _q_simhash,
         "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
-        "cosine_topk": _q_cosine_topk,
-        "nearest_centroid": _q_nearest_centroid,
         "ivf_topk": _q_ivf_topk,
         "embedding_dup_candidates": _q_embedding_dup,
         "embedding_dedup_survivors": _q_embedding_dedup_survivors,
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
-        "text_quality": _q_text_quality,
         "quality_filter": _q_quality_filter,
-        "lang_id": _q_lang_id,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
@@ -1249,23 +1325,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_dup_candidates": _q_winnow_dup_candidates,
-        "robots_parse": _q_robots_parse,
-        "robots_gate": _q_robots_gate,
-        "dedup_by_canonical": _q_dedup_by_canonical,
-        "sitemap_urls": _q_sitemap_urls,
-        "line_dedup": _q_line_dedup,
-        "spans_to_markdown": _q_spans_to_markdown,
-        "host_stats": _q_host_stats,
-        "interval_join": _q_interval_join,
-        "interval_join_guarded": _q_interval_join_guarded,
-        "media_absolutize": _q_media_absolutize,
-        "substring_dup_spans": _q_substring_dup_spans,
-        "decontaminate": _q_decontaminate,
-        "redact_pii": _q_redact_pii,
-        "repetition_stats": _q_repetition_stats,
-        "hash_sample": _q_hash_sample,
-        "events_rollup": _q_events_rollup,
+        # -- block C (position 51+): 3×-green r1 queries, rotated out -
+        "extract_heading_para": _q_extract_heading_para,
+        "extract_entities": _q_extract_entities,
+        "extract_media": _q_extract_media,
+        "extract_list": _q_extract_list,
+        "extract_boilerplate": _q_extract_boilerplate,
+        "span_kind_counts": _q_span_kind_counts,
+        "interleaved_passthrough": _q_interleaved_passthrough,
+        "media_resolution": _q_media_resolution,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_dup_candidates": _q_minhash_candidates,
+        "dedup_survivors": _q_dedup_survivors,
+        "simhash48": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "nearest_centroid": _q_nearest_centroid,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
     }
 
 
@@ -2426,6 +2504,32 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 3 = 0
             FROM h
         """,
+        "crawl_frontier": """
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       doc_id
+                FROM documents
+            )
+            SELECT host, 'https://h' || d || '/p' || d || '/sub' AS url,
+                   doc_id % 3 <> 0 AS allowed
+            FROM h
+            UNION ALL
+            SELECT host, 'https://h' || d || '/p' || d || '/ok/y',
+                   TRUE
+            FROM h
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/tmp'
+                     || CAST(doc_id % 5 AS VARCHAR) || '/z',
+                   doc_id % 3 = 0
+            FROM h
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/file' || d || '.pdf',
+                   doc_id % 3 = 0
+            FROM h
+        """,
         "interval_join": """
             WITH windows AS (
                 SELECT DISTINCT
@@ -2462,11 +2566,18 @@ def oracle_sql() -> dict[str, str]:
                      UNNEST(range(1, length(text) - 25 + 2)) AS t(i)
                 WHERE length(text) >= 25
             ),
+            keep AS (
+                SELECT gh FROM g
+                GROUP BY gh HAVING count(DISTINCT doc_id) <= 20
+            ),
+            gk AS (
+                SELECT g.* FROM g JOIN keep USING (gh)
+            ),
             p AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.pos AS pos_a, b.pos AS pos_b,
                        a.pos - b.pos AS d
-                FROM g a JOIN g b USING (gh)
+                FROM gk a JOIN gk b USING (gh)
                 WHERE a.doc_id < b.doc_id
             ),
             isl AS (
@@ -2533,7 +2644,7 @@ def oracle_sql() -> dict[str, str]:
                              '<EMAIL>', 'g'),
                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                            '<IP>', 'g'),
-                         '\\b\\+?\\d[\\d -]{7,}\\d\\b', '<PHONE>', 'g'
+                         '\\+?\\b\\d[\\d -]{7,}\\d\\b', '<PHONE>', 'g'
                        ) AS clean_text
                 FROM pii
             )
@@ -2553,7 +2664,7 @@ def oracle_sql() -> dict[str, str]:
                              '<EMAIL>', 'g'),
                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                            '<IP>', 'g'),
-                         '\\b\\+?\\d[\\d -]{7,}\\d\\b'))
+                         '\\+?\\b\\d[\\d -]{7,}\\d\\b'))
                    AS INTEGER) AS n_redactions
             FROM scrubbed JOIN pii USING (doc_id)
         """,

@@ -125,6 +125,7 @@ def main() -> None:
         simhash_candidate_stats,
         simhash_dup_candidates,
         substring_dup_spans,
+        substring_gram_stats,
         winnow_dup_candidates,
     )
 
@@ -155,6 +156,8 @@ def main() -> None:
         "dedup_ngram_jaccard",
         lambda: ngram_jaccard_pairs(docs_tbl, n=3, threshold=0.05).count(),
     )
+    # default df≤20 boilerplate cap ON (r4: the scale lever ships
+    # enabled; capped-vs-uncapped volumes land in plan_stats below)
     timed(
         "dedup_substring",
         lambda: substring_dup_spans(docs_tbl, k=25, min_len=60).count(),
@@ -226,6 +229,31 @@ def main() -> None:
         ),
         "sparse_single_block_k6": simhash_candidate_stats(
             sparse, max_hamming=6, n_blocks=7
+        ),
+        # substring-dedup gram fan-out, cap OFF vs ON (VERDICT r3 #2).
+        # The sf corpus is boilerplate-free (max_df 16 < 20, cap is a
+        # no-op there), so the second row injects a shared 120-char
+        # license header into every doc — the 100 TB failure mode the
+        # cap exists for: header grams land in EVERY doc and the
+        # uncapped join volume goes quadratic in corpus size while the
+        # capped volume stays bounded by true dup structure.
+        "substring_grams_k25": substring_gram_stats(
+            docs_tbl, k=25, max_gram_freq=20
+        ),
+        "substring_grams_k25_boilerplate": substring_gram_stats(
+            docs_tbl.withColumn(
+                "text",
+                F.concat(
+                    F.lit(
+                        "Licensed under the Apache License Version 2.0"
+                        " you may not use this file except in"
+                        " compliance with the License. "
+                    ),
+                    F.col("text"),
+                ),
+            ),
+            k=25,
+            max_gram_freq=20,
         ),
     }
 

