@@ -17,11 +17,15 @@ independent-reference cross-check.  This generator closes that gap:
   misnesting/foster-parenting trees transcribed from the html5lib
   tree-construction docs before any case is written.
 
-Families (≥300 cases): table structure matrix (sections / implied
+Families (≥500 cases): table structure matrix (sections / implied
 tbody+tr / cell autoclose / caption / colgroup / foster parenting /
 hidden input / nested tables), foreign content (case-fix tags,
 integration points, breakout, CDATA, self-closing), adoption agency /
-AFE reconstruction patterns, and template placements.
+AFE reconstruction patterns, template placements, document-context
+frameset/head, noscript under both scripting configs, and (r4,
+family 7) foreign+template crossings: CDATA × position × payload over
+all 8 integration points, the form pointer's template transparency,
+select-in-template, and a 5×5 nested-template mode re-entry matrix.
 
 Output: ``tests/fixtures/tree_conformance_generated.json``
 (deterministic — re-running must be a git no-op).
@@ -238,6 +242,10 @@ class MiniParser:
         return node
 
     def insert_text(self, data: str) -> None:
+        if not data:
+            # empty CDATA sections emit no character tokens — an empty
+            # text node must never appear (family 7)
+            return
         parent, before = self._insert_point()
         sibs = parent.kids
         idx = len(sibs) if before is None else sibs.index(before)
@@ -250,6 +258,25 @@ class MiniParser:
             parent.append(node)
         else:
             parent.insert_before(node, before)
+
+    def template_on_stack(self) -> bool:
+        return any(
+            n.ns is None and n.name == "template" for n in self.stack
+        )
+
+    def node_in_scope(self, node: N, boundaries=DEFAULT_SCOPE) -> bool:
+        """Spec "has NODE in scope" — identity, not name (the </form>
+        no-template branch checks the POINTER's node)."""
+        foreign_bounds = boundaries is not TABLE_SCOPE
+        for n in reversed(self.stack):
+            if n is node:
+                return True
+            if n.ns is None:
+                if n.name in boundaries:
+                    return False
+            elif foreign_bounds and foreign_boundary(n):
+                return False
+        return False
 
     def in_scope(self, name, boundaries=DEFAULT_SCOPE) -> bool:
         # spec "specific scope": foreign integration points are scope
@@ -828,6 +855,18 @@ class MiniParser:
                 if selfclose:
                     self.stack.pop()
                 return
+            if name == "form":
+                # §13.2.6.4.7 <form>: ignored while the pointer is set
+                # UNLESS a template is open (pointer is
+                # template-transparent); inserted nodes only bind the
+                # pointer outside templates
+                if self.form is not None and not self.template_on_stack():
+                    return
+                self.close_p()
+                node = self.insert_el(name, attrs)
+                if not self.template_on_stack():
+                    self.form = node
+                return
             if name in CLOSES_P:
                 self.close_p()
                 if name in HEADINGS:
@@ -946,6 +985,23 @@ class MiniParser:
             if name in FORMATTING:
                 self.adoption_agency(name)
                 return
+            if name == "form":
+                # §13.2.6.4.7 </form>: outside templates the POINTER's
+                # node (identity) closes — and is REMOVED in place, so
+                # misnested content above a deep form survives; inside
+                # templates it is a plain scoped pop-until
+                if not self.template_on_stack():
+                    node, self.form = self.form, None
+                    if node is None or not self.node_in_scope(node):
+                        return
+                    self.implied_end()
+                    if node in self.stack:
+                        self.stack.remove(node)
+                    return
+                if self.in_scope("form"):
+                    self.implied_end()
+                    self.pop_until("form")
+                return
             if name in ("div", "ul", "ol", "blockquote", "pre",
                         "applet", "marquee", "object"):
                 if self.in_scope(name):
@@ -1013,7 +1069,9 @@ class MiniParser:
             ):
                 self.insert_void(name, attrs)
             elif name == "form":
-                if self.form is None:
+                # spec in-table form: ignored when the pointer is set
+                # OR a template is open; else insert + pop immediately
+                if self.form is None and not self.template_on_stack():
                     self.form = self.insert_el(name, attrs)
                     self.stack.pop()
             else:
@@ -2117,6 +2175,249 @@ def template_cases() -> list[dict]:
     return out
 
 
+def foreign_template_cases() -> list[dict]:
+    """Family 7 (r4, VERDICT r3 #5): the two newest engine paths —
+    tree-aware CDATA routing (tokenizer S_CDATA under foreign_depth>0)
+    and InTemplate — crossed with each other, with integration points,
+    and with the form pointer / select machinery.
+
+    CDATA ground rules both sides model identically: inside foreign
+    content a CDATA section is character data; at integration points
+    the HTML tree rules receive the characters (the engine's
+    DOCUMENTED approximation reads CDATA wherever foreign_depth>0 —
+    the strict spec would bogus-comment CDATA when the adjusted
+    current node is an HTML element inside an IP, but both the engine
+    and browsers-in-practice keep the text, and the Mini receives
+    cdata TOKENS so it models the same choice).  No case places CDATA
+    in a pure HTML context (depth 0), where the tokenizer
+    legitimately produces a bogus comment instead."""
+    out = []
+
+    # -- A. CDATA × foreign position × payload matrix ----------------
+    payloads = {
+        "plain": "cd data",
+        "rbrk": "a]b",
+        "dbl rbrk": "a]]b",
+        "brackets": "[brk]",
+        "empty": "",
+    }
+    # (description-root, token prefix, token suffix) for each position;
+    # every position keeps the CDATA in foreign/IP context per the
+    # ground rules above
+    positions = []
+    for root, child in (("svg", "g"), ("math", "mrow")):
+        positions += [
+            (f"{root} root", [S(root)], [E(root), T("tail")]),
+            (f"{root} {child}", [S(root), S(child)],
+             [E(child), E(root), T("tail")]),
+            (f"{root} {child} between siblings",
+             [S(root), S(child), T("s1"), E(child)],
+             [S(child), T("s2"), E(child), E(root)]),
+            (f"{root} unclosed at eof", [S(root), S(child)], []),
+        ]
+    for ip in ("mi", "mo", "mn", "ms", "mtext"):
+        positions.append(
+            (f"math text ip {ip}", [S("math"), S(ip)],
+             [E(ip), E("math"), T("tail")])
+        )
+        positions.append(
+            (f"math text ip {ip} inside b",
+             [S("math"), S(ip), S("b")],
+             [E("b"), E(ip), E("math")])
+        )
+    for ip in ("foreignobject", "desc", "title"):
+        positions.append(
+            (f"svg ip {ip}", [S("svg"), S(ip)],
+             [E(ip), E("svg"), T("tail")])
+        )
+        positions.append(
+            (f"svg ip {ip} inside p",
+             [S("svg"), S(ip), S("p")],
+             [E("p"), E(ip), E("svg")])
+        )
+    for pname, ptoks_pre, ptoks_post in positions:
+        for plabel, data in sorted(payloads.items()):
+            out.append(case(
+                f"cdata {plabel} in {pname}",
+                ptoks_pre + [CD(data)] + ptoks_post,
+            ))
+
+    # CDATA/text coalescing and odd neighbours
+    out += [
+        case("cdata merges with flanking text in svg",
+             [S("svg"), S("g"), T("a"), CD("b"), T("c"), E("g"),
+              E("svg")]),
+        case("cdata merges with flanking text in math ip",
+             [S("math"), S("mi"), T("a"), CD("b"), T("c"), E("mi"),
+              E("math")]),
+        case("adjacent cdata sections coalesce",
+             [S("svg"), S("g"), CD("x"), CD("y"), E("g"), E("svg")]),
+        case("cdata after self-closing foreign child",
+             [S("svg"), S("circle", selfclose=True), CD("post"),
+              E("svg"), T("tail")]),
+        case("cdata in deep foreign nesting",
+             [S("svg"), S("g"), S("g"), S("g"), CD("deep"), E("g"),
+              E("g"), E("g"), E("svg")]),
+        case("cdata in fostered svg inside table",
+             [S("table"), S("svg"), CD("fostered"), E("svg"),
+              S("tr"), S("td"), T("cell"), E("table")]),
+        case("cdata before breakout only",
+             [S("svg"), CD("pre"), S("div"), T("after breakout"),
+              E("div")]),
+        case("cdata in annotation-xml foreign (no encoding)",
+             [S("math"), S("annotation-xml"), CD("axml"),
+              E("annotation-xml"), E("math")]),
+        case("cdata in annotation-xml html ip",
+             [S("math"), S("annotation-xml", {"encoding": "text/html"}),
+              S("p"), CD("axhtml"), E("p"), E("annotation-xml"),
+              E("math")]),
+    ]
+
+    # -- B. template × form pointer / select -------------------------
+    out += [
+        case("duplicate form in body ignored",
+             [S("form"), T("a"), S("form"), T("b"), E("form"),
+              T("c")]),
+        case("form end removes pointer node in place",
+             [S("form"), S("div"), T("inside"), E("form"), T("still"),
+              E("div"), T("after")]),
+        case("form inside template does not bind pointer",
+             [S("template"), S("form"), T("tf"), E("form"),
+              E("template"), S("form"), T("vis"), E("form")]),
+        case("form after template form still inserts",
+             [S("template"), S("form"), T("a"), E("template"),
+              S("form"), T("b"), E("form")]),
+        case("outer form pointer survives template form",
+             [S("form"), T("a"), S("template"), S("form"), T("b"),
+              E("form"), E("template"), T("c"), E("form"), T("d")]),
+        case("second form inside template inserts",
+             [S("template"), S("form"), T("f1"), E("form"), S("form"),
+              T("f2"), E("form"), E("template")]),
+        case("form in table with open template ignored",
+             [S("template"), S("table"), S("form"), S("tr"), S("td"),
+              T("x"), E("table"), E("template"), T("after")]),
+        case("form in plain table sets pointer only",
+             [S("table"), S("form"), S("tr"), S("td"), T("x"),
+              E("form"), E("table"), S("form"), T("ignored-dup"),
+              E("form")]),
+        case("form in template cell",
+             [S("template"), S("table"), S("tr"), S("td"), S("form"),
+              T("x"), E("form"), E("td"), E("tr"), E("table"),
+              E("template"), S("form"), T("vis")]),
+        case("form unclosed when template ends",
+             [S("template"), S("form"), T("open"), E("template"),
+              S("form"), T("vis"), E("form")]),
+        case("select inside template",
+             [S("template"), S("select"), S("option"), T("one"),
+              S("option"), T("two"), E("select"), E("template"),
+              T("after")]),
+        case("select with optgroup inside template",
+             [S("template"), S("select"), S("optgroup"), S("option"),
+              T("x"), E("optgroup"), E("select"), E("template")]),
+        case("select unclosed when template ends",
+             [S("template"), S("select"), S("option"), T("x"),
+              E("template"), T("after")]),
+        case("select in table inside template",
+             [S("template"), S("table"), S("tr"), S("td"), S("select"),
+              S("option"), T("x"), E("td"), E("tr"), E("table"),
+              E("template"), T("after")]),
+        case("table tag closes select inside template table",
+             [S("template"), S("table"), S("tr"), S("td"), S("select"),
+              S("option"), T("x"), S("td"), T("y"), E("table"),
+              E("template")]),
+        case("template inside select hosts option",
+             [S("select"), S("template"), S("option"), T("t"),
+              E("template"), E("select"), T("after")]),
+        case("input pops select back to template mode",
+             [S("template"), S("select"), S("option"), T("x"),
+              S("input"), T("after input"), E("template")]),
+        case("select reset after inner template closes",
+             [S("select"), S("template"), E("template"), S("option"),
+              T("opt"), E("select"), T("after")]),
+    ]
+
+    # -- C. nested template re-entry ---------------------------------
+    # content-mode matrix: outer mode resumes after the inner template
+    # closes (tmodes stack discipline)
+    modes = {
+        "body": ([S("p"), T("m")], [E("p")]),
+        "table": ([S("tr"), S("td"), T("m"), E("td"), E("tr")], []),
+        "colgroup": ([S("col")], []),
+        "rows": ([S("tbody"), S("tr"), S("td"), T("m"), E("td"),
+                  E("tr")], []),
+        "caption": ([S("caption"), T("m"), E("caption")], []),
+    }
+    for m1, (pre1, post1) in sorted(modes.items()):
+        for m2, (pre2, post2) in sorted(modes.items()):
+            out.append(case(
+                f"template re-entry {m1} hosting {m2}",
+                [S("template")] + pre1 + post1
+                + [S("template")] + pre2 + post2
+                + [E("template")] + pre1 + post1 + [E("template"),
+                   T("after")],
+            ))
+    out += [
+        case("triple nested templates close in order",
+             [S("template"), T("a"), S("template"), T("b"),
+              S("template"), T("c"), E("template"), T("b2"),
+              E("template"), T("a2"), E("template"), T("vis")]),
+        case("triple nested unclosed at eof depth 3",
+             [S("template"), T("a"), S("template"), T("b"),
+              S("template"), T("c")]),
+        case("triple nested unclosed at eof depth 2",
+             [S("template"), T("a"), S("template"), T("b"),
+              E("template"), T("a2")]),
+        case("extra stray end template after close",
+             [S("template"), T("a"), E("template"), E("template"),
+              T("b")]),
+        case("template in caption in template",
+             [S("template"), S("table"), S("caption"), S("template"),
+              S("p"), T("hid"), E("template"), T("cap"), E("caption"),
+              E("table"), E("template"), T("after")]),
+        case("sibling templates in one table",
+             [S("table"), S("template"), S("tr"), S("td"), T("a"),
+              E("template"), S("template"), S("col"), E("template"),
+              S("tr"), S("td"), T("live"), E("table")]),
+        case("template formatting isolated per nesting level",
+             [S("b"), T("1"), S("template"), S("i"), T("2"),
+              S("template"), T("3"), E("template"), T("4"),
+              E("template"), T("5")]),
+    ]
+
+    # -- D. template × foreign × CDATA -------------------------------
+    out += [
+        case("cdata in svg inside template",
+             [S("template"), S("svg"), S("g"), CD("tcd"), E("g"),
+              E("svg"), E("template"), T("after")]),
+        case("cdata in svg inside nested template table",
+             [S("template"), S("table"), S("template"), S("svg"),
+              CD("deep"), E("svg"), E("template"), E("table"),
+              E("template"), T("after")]),
+        case("template inside foreignObject with cdata",
+             [S("svg"), S("foreignobject"), S("template"), S("p"),
+              CD("x"), E("p"), E("template"), T("vis"),
+              E("foreignobject"), E("svg")]),
+        case("template with open svg at eof",
+             [S("template"), S("svg"), S("g"), CD("eof")]),
+        case("foreign svg template hosts cdata",
+             [S("svg"), S("template"), CD("ft"), E("template"),
+              E("svg"), T("after")]),
+        case("template in annotation-xml html ip",
+             [S("math"), S("annotation-xml", {"encoding": "text/html"}),
+              S("template"), S("p"), T("x"), E("template"), T("vis"),
+              E("annotation-xml"), E("math")]),
+        case("svg after inner template closes stays foreign",
+             [S("template"), S("template"), E("template"), S("svg"),
+              S("g"), CD("post"), E("g"), E("svg"), E("template"),
+              T("after")]),
+        case("cdata in math inside template caption",
+             [S("template"), S("table"), S("caption"), S("math"),
+              S("mrow"), CD("capm"), E("mrow"), E("math"),
+              E("caption"), E("table"), E("template")]),
+    ]
+    return out
+
+
 # ---------------------------------------------------------------- main
 
 def self_test() -> None:
@@ -2409,7 +2710,7 @@ def main() -> None:
     cases = (
         table_cases() + foreign_cases() + afe_cases()
         + select_cases() + template_cases() + frameset_cases()
-        + noscript_cases()
+        + noscript_cases() + foreign_template_cases()
     )
     names = [c["description"] for c in cases]
     assert len(names) == len(set(names)), "duplicate case descriptions"
@@ -2433,6 +2734,7 @@ def main() -> None:
         "template": len(template_cases()),
         "frameset": len(frameset_cases()),
         "noscript": len(noscript_cases()),
+        "foreign_template": len(foreign_template_cases()),
     }
     print(f"wrote {len(cases)} cases -> {OUT} {fam}")
 

@@ -798,6 +798,23 @@ def parse_document(
                 return False
         return False
 
+    def node_in_scope(node: int, boundaries: frozenset) -> bool:
+        """Spec "has NODE in scope" — identity, not name (the </form>
+        no-template branch checks the form POINTER's node, which may
+        not be the nearest form by name)."""
+        foreign_bounds = boundaries is not _SCOPE_TABLE
+        for idx in range(len(stack_ids) - 1, -1, -1):
+            if stack_ids[idx] == node:
+                return True
+            nm = stack_names[idx]
+            ns = tree.ns[stack_ids[idx]]
+            if ns is None:
+                if nm in boundaries:
+                    return False
+            elif foreign_bounds and _is_foreign_scope_boundary(ns, nm):
+                return False
+        return False
+
     def has_in_select_scope(name: str) -> bool:
         # spec "select scope": boundary is every element EXCEPT
         # optgroup/option (the inverted set)
@@ -1652,6 +1669,23 @@ def parse_document(
                         else:
                             insert_void(name, attrs)
                         break
+                    if name == "form":
+                        # §13.2.6.4.7: a second <form> is IGNORED
+                        # while the pointer is set UNLESS a template is
+                        # open (the pointer is template-transparent);
+                        # forms inserted inside templates never bind
+                        # the pointer (r4, differential family 7 —
+                        # /root/reference has no form pointer at all:
+                        # src/parser.zig is a 2-mode skeleton)
+                        if form_id != -1 and not open_counts.get(
+                            "template"
+                        ):
+                            break
+                        close_p_if_open()
+                        nid = insert_element(name, attrs)
+                        if not open_counts.get("template"):
+                            form_id = nid
+                        break
                     if name in CLOSES_P:
                         close_p_if_open()
                         if name in HEADINGS:
@@ -1669,9 +1703,9 @@ def parse_document(
                                 original_mode = mode
                                 mode = M_TEXT
                         else:
-                            nid = insert_element(name, attrs)
-                            if name == "form" and form_id == -1:
-                                form_id = nid
+                            # form never reaches here (dedicated
+                            # branch above owns the pointer rules)
+                            insert_element(name, attrs)
                         break
                     if name == "table":
                         # spec: the p-close is conditional on quirks
@@ -1822,14 +1856,34 @@ def parse_document(
                     if name in FORMATTING:
                         adoption_agency(name)
                         break
+                    if name == "form":
+                        # §13.2.6.4.7 </form> (r4, family 7): outside
+                        # templates the POINTER's node closes — by
+                        # identity, REMOVED in place so misnested
+                        # content above a deep form survives; inside
+                        # templates it is a plain scoped pop-until
+                        if open_counts.get("template"):
+                            if has_in_scope("form", _SCOPE_DEFAULT):
+                                generate_implied_end_tags()
+                                pop_until("form")
+                            break
+                        node, form_id = form_id, -1
+                        if node == -1 or node not in open_set:
+                            break
+                        if not node_in_scope(node, _SCOPE_DEFAULT):
+                            break
+                        generate_implied_end_tags()
+                        sidx = len(stack_ids) - 1
+                        while stack_ids[sidx] != node:
+                            sidx -= 1
+                        _unstack(sidx)
+                        break
                     if name in END_TAG_POP:
                         if has_in_scope(name, _SCOPE_DEFAULT):
                             generate_implied_end_tags()
                             pop_until(name)
                             if name in _AFE_MARKER_TAGS:
                                 clear_afe_to_marker()
-                            if name == "form":
-                                form_id = -1
                         break
                     # stray table-structure end tags fall through to
                     # any_other_end_tag, whose SPECIAL guard ignores
@@ -1924,9 +1978,12 @@ def parse_document(
                     ):
                         insert_void(name, tok[2])  # NOT foster-parented
                     elif name == "form":
-                        # parse error; insert only if no form pointer,
-                        # pop immediately (spec)
-                        if form_id == -1:
+                        # parse error; insert only if no form pointer
+                        # AND no open template (spec — the template
+                        # guard is r4, family 7), pop immediately
+                        if form_id == -1 and not open_counts.get(
+                            "template"
+                        ):
                             form_id = insert_element(name, tok[2])
                             pop()
                     else:
