@@ -241,6 +241,34 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DENSITY_LEAD = (
+    "In this article we cover the following points in careful detail"
+)
+
+
+def _q_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the WSDM'10 densitometric classifier (r4): a share bar at
+    0.44 link density (between the 1/3 density threshold and the 0.66
+    hard cap — only the classifier can drop it) and a 3-word footer
+    whose prev block has ≤4 words both vanish; the short headline
+    (rescued by its ≥21-word next paragraph) and the paragraph stay.
+    The oracle states the surviving spans from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><h1>Doc "), d,
+        F.lit(f"</h1><p>{_DENSITY_LEAD} "), F.col("text"),
+        F.lit('</p><p><a href="/s'), d,
+        F.lit('">Share on</a> social now</p>'
+              "<p>Legal footer text</p></body>"),
+    )
+    return _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(density_classifier=True),
+    )
+
+
 def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates fragment parsing (r2): innerHTML-shaped list fragments in
     a ul context through the distributed fragment UDF."""
@@ -1103,6 +1131,27 @@ def _q_crawl_frontier(spark, sf_dir):
     return robots_gate(urls, rules, "bot0")
 
 
+def _q_bloom_seen(spark, sf_dir):
+    """Bloom seen-set gate (r4): the crawl-frontier membership sketch.
+    Even-doc URLs build a deliberately TIGHT filter (m=2048 bits for
+    250 keys at k=4 → ~2% false-positive rate, so the probabilistic
+    path is actually exercised, not just the all-hits one); every URL
+    then gates against it.  All arithmetic is the blessed md5-48 form
+    + integer DIV/pmod + 63-bit word packing, so DuckDB mirrors the
+    exact bit table — false positives and all."""
+    from zhtml_spark.textops import bloom_build, bloom_gate
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/art"), F.col("doc_id").cast("string"),
+    )
+    urls = d.select(url.alias("url"))
+    crawled = d.where(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    bloom = bloom_build(crawled, m_bits=2048, k=4)
+    return bloom_gate(urls, bloom, m_bits=2048, k=4)
+
+
 def _q_interval_join(spark, sf_dir):
     """Bucketed range join: events matched to deterministic
     maintenance windows (one 45-minute window per day, from the
@@ -1309,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block A: never driver-checked (r4 additions first) -------
         "crawl_frontier": _q_crawl_frontier,
         "image_meta": _q_image_meta,
+        "extract_density": _q_extract_density,
+        "bloom_seen": _q_bloom_seen,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1346,9 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
         "quality_filter": _q_quality_filter,
-        "token_count": _q_token_count,
         "media_features": _q_media_features,
-        "frame_sample": _q_frame_sample,
         "resize_dims": _q_resize_dims,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
@@ -1379,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "frame_sample": _q_frame_sample,
+        "token_count": _q_token_count,
     }
 
 
@@ -2539,6 +2590,15 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 3 = 0
             FROM h
         """,
+        "extract_density": f"""
+            SELECT {doc_id}, 0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'text' AS kind,
+                   '{_DENSITY_LEAD} ' || text AS text, {null_ref}
+            FROM documents
+        """,
         "image_meta": """
             SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
                    'png' AS format,
@@ -2572,6 +2632,47 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
+        """,
+        "bloom_seen": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example/art' || CAST(doc_id AS VARCHAR)
+                         AS url
+                FROM documents
+            ),
+            pos AS (
+                SELECT u.url,
+                       ('0x' || substr(md5(
+                           'bloom' || CAST(i AS VARCHAR) || ':' || u.url
+                       ), 1, 12))::BIGINT % 2048 AS p
+                FROM urls u, UNNEST(range(0, 4)) t(i)
+                WHERE u.doc_id % 2 = 0
+            ),
+            words AS (
+                SELECT p // 63 AS word_idx,
+                       bit_or(1::BIGINT << CAST(p % 63 AS INTEGER))
+                         AS word
+                FROM pos GROUP BY 1
+            ),
+            cand AS (
+                SELECT u.url,
+                       ('0x' || substr(md5(
+                           'bloom' || CAST(i AS VARCHAR) || ':' || u.url
+                       ), 1, 12))::BIGINT % 2048 AS p
+                FROM urls u, UNNEST(range(0, 4)) t(i)
+            ),
+            hits AS (
+                SELECT c.url,
+                       CASE WHEN w.word IS NOT NULL AND
+                            (w.word & (1::BIGINT
+                              << CAST(c.p % 63 AS INTEGER))) <> 0
+                       THEN 1 ELSE 0 END AS hit
+                FROM cand c
+                LEFT JOIN words w ON w.word_idx = c.p // 63
+            )
+            SELECT url, sum(hit) = 4 AS maybe_seen
+            FROM hits GROUP BY url
         """,
         "interval_join": """
             WITH windows AS (

@@ -331,3 +331,66 @@ def test_media_anchor_block_boundaries_separate_words():
         "<body><a href='x.png'><div>See</div><div>chart</div></a>"
     )
     assert spans == [("media", "See chart", "x.png")]
+
+
+def test_density_classifier_rules():
+    """WSDM'10 NumWordsRules decision-tree edges (r4): a moderately
+    link-dense share bar (0.333 < ld < the 0.66 hard cap) and a short
+    low-context footer drop; the short headline before a long
+    paragraph and the paragraph itself stay."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    para = "word " * 30  # 30 words, safely content
+    page = (
+        "<body><h1>Doc Seven</h1>"
+        f"<p>{para}</p>"
+        '<p><a href="/s">Share on</a> social now</p>'
+        "<p>Legal footer text</p></body>"
+    )
+    spans, _ = extract_html(page, ExtractConfig(density_classifier=True))
+    assert [(k, t.split()[0]) for k, t, _ in spans] == [
+        ("heading", "Doc"), ("text", "word"),
+    ]
+    # default OFF keeps all four blocks (span-parity contract): the
+    # share bar's 0.44 density is under the 0.66 hard rule
+    spans_off, _ = extract_html(page)
+    assert len(spans_off) == 4
+
+
+def test_density_classifier_prev_dense_branch():
+    """pld > 0.555 branch: after a nav-dense block, a medium block
+    (≤40 words) needs a substantial next block (>17 words) to stay."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    mid = "just ten words of mildly interesting mid block content here"
+    long_next = "tail " * 20
+    nav = '<p><a href="/a">Home</a> <a href="/b">News x</a> y</p>'
+    kept, _ = extract_html(
+        f"<body>{nav}<p>{mid}</p><p>{long_next}</p></body>",
+        ExtractConfig(density_classifier=True),
+    )
+    assert [t.split()[0] for _, t, _ in kept] == ["just", "tail"]
+    # with a short tail the mid block loses its nw>17 rescue and
+    # drops; the tail itself, following mid's 10 substantive words
+    # (pw>4 on ORIGINAL features), legitimately stays
+    dropped, _ = extract_html(
+        f"<body>{nav}<p>{mid}</p><p>short tail</p></body>",
+        ExtractConfig(density_classifier=True),
+    )
+    assert [t for _, t, _ in dropped] == ["short tail"]
+    # the nav ghost (dropped by the 0.66 hard rule) still feeds the
+    # pld > 0.555 branch — without it mid would be judged on pld=0
+
+
+def test_density_classifier_media_pass_through():
+    """Media spans are not blocks: they survive and do not count as
+    neighbours in the block sequence."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    para = "content " * 25
+    page = (
+        f"<body><p>{para}</p><img src=\"i.png\" alt=\"fig\">"
+        f"<p>{para}</p></body>"
+    )
+    spans, _ = extract_html(page, ExtractConfig(density_classifier=True))
+    assert [k for k, _, _ in spans] == ["text", "media", "text"]

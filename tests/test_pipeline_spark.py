@@ -796,6 +796,59 @@ def test_hash_fn_paths_equivalent(spark):
         winnow_fingerprints(docs, hash_fn="sha1").collect()
 
 
+def test_bloom_seen_set(spark):
+    """Bloom gate (r4): no false negatives ever; false positives only
+    at the designed rate; the word table merges by BIT_OR; the whole
+    plan stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from zhtml_spark.textops import bloom_build, bloom_gate
+
+    seen = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(200)], "url string"
+    )
+    fresh = spark.createDataFrame(
+        [(f"https://new/{i}",) for i in range(200)], "url string"
+    )
+    m, k = 1 << 14, 4  # 16384 bits / 200 keys: fp ~ 5e-5
+    bloom = bloom_build(seen, m_bits=m, k=k)
+    # every inserted key MUST hit (no false negatives — the Bloom
+    # guarantee this op exists for)
+    got = {r["url"]: r["maybe_seen"]
+           for r in bloom_gate(seen, bloom, m_bits=m, k=k).collect()}
+    assert all(got.values()) and len(got) == 200
+    # fresh keys essentially never hit at this sizing
+    fp = [r["url"] for r in
+          bloom_gate(fresh, bloom, m_bits=m, k=k).collect()
+          if r["maybe_seen"]]
+    assert fp == []
+    # merge = groupBy word_idx + BIT_OR (cross-snapshot union)
+    more = spark.createDataFrame(
+        [(f"https://new/{i}",) for i in range(50)], "url string"
+    )
+    merged = (
+        bloom.unionByName(bloom_build(more, m_bits=m, k=k))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    got2 = bloom_gate(
+        more.unionByName(seen.limit(20)), merged, m_bits=m, k=k
+    ).collect()
+    assert all(r["maybe_seen"] for r in got2)
+    # plan: no Python stage anywhere
+    plan = (
+        bloom_gate(fresh, bloom, m_bits=m, k=k)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        bloom_build(seen, m_bits=0)
+    with _p.raises(ValueError):
+        bloom_build(seen, k=0)
+
+
 def test_parse_robots_group_semantics(spark):
     """RFC 9309 grouping: shared UA lines, new group after directives,
     pre-group rules ignored, sitemap group-independent."""

@@ -94,6 +94,18 @@ class ExtractConfig:
     # too (a link graph wants them even when their text block is
     # boilerplate-stripped).  Off by default (span-parity contract).
     emit_links: bool = False
+    # densitometric block classification (r4): Boilerpipe-style
+    # shallow-text-features pass (Kohlschütter/Fankhauser/Nejdl,
+    # "Boilerplate Detection using Shallow Text Features", WSDM 2010)
+    # over the block SEQUENCE — each text block is judged by its own
+    # word count + link density AND its neighbours', via the paper's
+    # published NumWordsRules decision tree (transcribed from the
+    # published rules, not from any implementation).  Catches what the
+    # per-block rules cannot: short "related articles" lists between
+    # long paragraphs, nav crumbs outside <nav>, share-bar stubs.
+    # Runs AFTER the per-block rules above; off by default
+    # (span-parity contract).
+    density_classifier: bool = False
     # head metadata (r3): emit ('meta', value, key) spans BEFORE the
     # body content for <title>, <meta name=description/robots/keywords
     # content=…>, <meta property=og:… content=…>, <link rel=canonical
@@ -200,6 +212,14 @@ def extract_spans(
     link_href = ""
     link_nest = 0
 
+    # block sequence for the density post-pass: (span_index | None,
+    # words, link_density).  Blocks the per-block rules already
+    # dropped stay in the sequence as FEATURE-ONLY ghosts (None) — in
+    # the WSDM'10 setup every block contributes its neighbours'
+    # context even when it is boilerplate itself (a nav bar's high
+    # link density is exactly what condemns the stub after it).
+    blocks: list[tuple[int | None, int, float]] = []
+
     def flush() -> None:
         nonlocal parts, anchor_chars, total_chars
         if not parts:
@@ -207,6 +227,7 @@ def extract_spans(
         raw = "".join(parts)
         text = raw if pre_depth > 0 else _normalize(raw)
         keep = bool(text) and len(text) >= cfg.min_block_chars
+        had_text = bool(text)
         if keep and cfg.strip_boilerplate:
             if semantic_skip_depth > 0:
                 keep = False
@@ -214,6 +235,12 @@ def extract_spans(
                 keep = False
         if keep:
             spans.append((kind_stack[-1] if kind_stack else "text", text, None))
+        if cfg.density_classifier and had_text:
+            blocks.append((
+                len(spans) - 1 if keep else None,
+                len(text.split()),
+                anchor_chars / total_chars if total_chars else 0.0,
+            ))
         parts = []
         anchor_chars = 0
         total_chars = 0
@@ -381,7 +408,51 @@ def extract_spans(
                         link_href = ""
 
     flush()
+    if cfg.density_classifier and blocks:
+        spans = _density_filter(spans, blocks)
     return spans
+
+
+def _density_content(
+    pw: int, pld: float, cw: int, cld: float, nw: int
+) -> bool:
+    """The WSDM'10 NumWordsRules decision tree (paper Fig. 4 /
+    published rule listing; thresholds are the paper's): classify the
+    CURRENT block from (prev, curr, next) word counts and curr/prev
+    link densities.  Transcribed from the published rules."""
+    if cld > 0.333333:
+        return False
+    if pld <= 0.555556:
+        if cw <= 16:
+            if nw <= 15:
+                return pw > 4
+            return True
+        return True
+    if cw <= 40:
+        return nw > 17
+    return True
+
+
+def _density_filter(
+    spans: list[tuple[str, str, str | None]],
+    blocks: list[tuple[int | None, int, float]],
+) -> list[tuple[str, str, str | None]]:
+    """Apply the densitometric classifier over the text-block SEQUENCE
+    (media/link/meta spans are not blocks: they pass through untouched
+    and do not count as neighbours; ghost entries — blocks the
+    per-block rules dropped — contribute features but emit nothing).
+    Every verdict uses the ORIGINAL neighbour features, never
+    post-removal ones.  Edge blocks see an empty neighbour (0 words,
+    0 density), per the paper's setup."""
+    drop: set[int] = set()
+    for pos, (span_idx, cw, cld) in enumerate(blocks):
+        if span_idx is None:
+            continue
+        _, pw, pld = blocks[pos - 1] if pos > 0 else (None, 0, 0.0)
+        nw = blocks[pos + 1][1] if pos + 1 < len(blocks) else 0
+        if not _density_content(pw, pld, cw, cld, nw):
+            drop.add(span_idx)
+    return [s for i, s in enumerate(spans) if i not in drop]
 
 
 # <meta name=…> keys worth harvesting at crawl scale (og:* accepted

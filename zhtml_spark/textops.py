@@ -1088,6 +1088,106 @@ def kmv_distinct_estimate(
     )
 
 
+def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """Array of ``k`` salted bit positions in [0, m_bits) for a value
+    (the blessed cross-engine md5-48 hash per salt — deterministic,
+    oracle-mirrorable)."""
+    return F.array(
+        *[
+            md5_hash48(col, salt=f"bloom{i}:") % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter seen-set as a SPARSE BITMAP WORD TABLE — the
+    crawl-frontier membership sketch for 10^12-URL scale, where the
+    seen-set itself is too big to broadcast but its bit array is not.
+
+    Each value sets ``k`` salted md5-48 bit positions in an
+    ``m_bits``-wide filter; positions pack 63 per BIGINT word
+    (63, not 64: ``1 << 62`` is the largest shift that stays positive
+    in a signed BIGINT on BOTH engines — DuckDB errors on signed
+    overflow where Java wraps).  Output rows (word_idx, word) exist
+    only for words with at least one set bit, so an m=2^33 filter
+    over a sparse frontier stays proportional to what was inserted.
+
+    Fully mergeable: union two filters by grouping on word_idx and
+    OR-ing words (the standard Bloom union) — cross-snapshot
+    incremental crawls re-aggregate yesterday's table with today's
+    inserts.  One explode + one map-side-combinable BIT_OR
+    aggregation; deterministic, no Python.
+
+    Sizing note (plan evidence, not enforcement): false-positive rate
+    ≈ (1 − e^(−k·n/m))^k; at the k=4 default, m/n = 16 bits per key
+    gives ~0.24%.  Callers pick m for their n; the gate reports
+    probabilistic membership and a frontier treats a false positive
+    as an already-crawled URL (skipped work, never corruption).
+    """
+    if not 0 < m_bits <= 1 << 48:
+        raise ValueError("m_bits must be in (0, 2^48] (md5-48 positions)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos DIV 63").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 63) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_gate(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build` word table:
+    adds ``maybe_seen`` (True = all k bits set — present OR false
+    positive; False = definitely never inserted).
+
+    Distributed shape: explode each candidate's k positions, ONE join
+    against the word table on word_idx (broadcast it upstream when
+    the filter is small — a 2^30-bit filter is 128 MB of words worst
+    case, usually far less sparse), then a count-of-hits aggregation
+    per candidate.  No Python, no driver state."""
+    pos = df.select(
+        F.col(col),
+        F.posexplode(_bloom_positions(F.col(col), m_bits, k)).alias(
+            "i", "pos"
+        ),
+    ).select(
+        col,
+        "i",
+        F.expr("pos DIV 63").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(pmod(pos, 63) AS INT))").alias("bit"),
+    )
+    joined = pos.join(bloom, "word_idx", "left")
+    hit = (
+        F.col("word").isNotNull()
+        & (F.expr("word & bit") != 0)
+    ).cast("int")
+    return (
+        joined.groupBy(col)
+        .agg(F.sum(hit).alias("_hits"))
+        .select(col, (F.col("_hits") == k).alias("maybe_seen"))
+    )
+
+
 # ---------------------------------------------------------- URL ops
 def url_normalize(col: Column) -> Column:
     """Canonical URL form for URL-level dedup (training pipelines
