@@ -2671,7 +2671,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand c
                 LEFT JOIN words w ON w.word_idx = c.p // 63
             )
-            SELECT url, sum(hit) = 4 AS maybe_seen
+            SELECT url, min(hit) = 1 AS maybe_seen
             FROM hits GROUP BY url
         """,
         "interval_join": """

@@ -2334,6 +2334,17 @@ def foreign_template_cases() -> list[dict]:
         case("select reset after inner template closes",
              [S("select"), S("template"), E("template"), S("option"),
               T("opt"), E("select"), T("after")]),
+        # a FOREIGN svg:template shares only the name — it must not
+        # make the form pointer transparent (code-review r4: the
+        # engine's name-keyed open-element counter briefly did)
+        case("foreign svg template does not unlock form pointer",
+             [S("svg"), S("template"), S("foreignobject"),
+              S("form", {"id": "a"}), S("form", {"id": "b"}),
+              T("x")]),
+        case("foreign svg template does not guard in-table form",
+             [S("svg"), S("template"), S("foreignobject"), S("table"),
+              S("form"), S("tr"), S("td"), T("cell"), E("table"),
+              S("form"), T("dup ignored")]),
     ]
 
     # -- C. nested template re-entry ---------------------------------

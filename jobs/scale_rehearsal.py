@@ -44,21 +44,31 @@ def _vm_hwm_kb(pid: int | str = "self") -> int:
 
 
 def _jvm_children_hwm_kb() -> int:
-    """Max VmHWM over this process's direct children (the local-mode
-    JVM and python workers)."""
-    me = str(os.getpid())
-    best = 0
+    """Max VmHWM over ALL live descendants of this process — the
+    local-mode JVM and, transitively, its pyspark worker children
+    (code-review r4: a direct-children-only scan missed the workers,
+    i.e. the fused UDF stage's actual footprint).  Workers that
+    already exited are unobservable via /proc — their peak is bounded
+    by the live ones in a steady-state job."""
+    ppid_of: dict[str, str] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as fh:
-                parts = fh.read().split()
-            if parts[3] == me:  # ppid
-                best = max(best, _vm_hwm_kb(pid))
+                ppid_of[pid] = fh.read().split()[3]
         except OSError:
             continue
-    return best
+    descendants: set[str] = set()
+    frontier = {str(os.getpid())}
+    while frontier:
+        nxt = {
+            pid for pid, pp in ppid_of.items()
+            if pp in frontier and pid not in descendants
+        }
+        descendants |= nxt
+        frontier = nxt
+    return max((_vm_hwm_kb(p) for p in descendants), default=0)
 
 
 def main() -> None:

@@ -90,7 +90,17 @@ def _bmp(w, h):
     import struct
 
     return (
-        b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 8
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", w, -h) + b"\x00" * 8
+    )
+
+
+def _bmp_core(w, h):
+    import struct
+
+    return (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+        + struct.pack("<HH", w, h) + b"\x00" * 12
     )
 
 
@@ -104,6 +114,11 @@ def test_sniff_image_meta_formats():
     assert sniff_image_meta(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
     # BMP top-down (negative height) reports absolute value
     assert sniff_image_meta(_bmp(64, 48)) == ("bmp", 64, 48)
+    # OS/2 core header: u16 layout, NOT misread as i32s (r4 review)
+    assert sniff_image_meta(_bmp_core(64, 48)) == ("bmp", 64, 48)
+    # unknown DIB header size: refuse rather than guess
+    bad = b"BM" + b"\x00" * 12 + (20).to_bytes(4, "little") + b"\x00" * 10
+    assert sniff_image_meta(bad) is None
     assert sniff_image_meta(b"\x89PNG\r\n\x1a\n\x00") is None  # truncated
     assert sniff_image_meta(b"\xff\xd8\x00garbage") is None  # desynced
     assert sniff_image_meta(b"not an image at all") is None
@@ -140,9 +155,6 @@ def test_decode_image_meta_spark_paths(spark):
         decode_image_meta(df, engine="webp")
 
 
-@pytest.mark.skipif(
-    condition=False, reason="runs everywhere; body branches on PIL"
-)
 def test_decode_image_meta_pil_capability(spark):
     """engine='pil' is the Pillow capability gate: decodes for real
     when the library exists, raises the declared NotImplementedError

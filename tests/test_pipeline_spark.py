@@ -817,6 +817,12 @@ def test_bloom_seen_set(spark):
     got = {r["url"]: r["maybe_seen"]
            for r in bloom_gate(seen, bloom, m_bits=m, k=k).collect()}
     assert all(got.values()) and len(got) == 200
+    # DUPLICATE input rows (same URL found on many pages — the
+    # frontier's normal state) must still gate True (code-review r4:
+    # a sum-of-hits == k verdict false-negatives on duplicates)
+    dup = seen.limit(3).unionByName(seen.limit(3))
+    got_dup = bloom_gate(dup, bloom, m_bits=m, k=k).collect()
+    assert len(got_dup) == 3 and all(r["maybe_seen"] for r in got_dup)
     # fresh keys essentially never hit at this sizing
     fp = [r["url"] for r in
           bloom_gate(fresh, bloom, m_bits=m, k=k).collect()

@@ -144,8 +144,12 @@ def sniff_image_meta(b: bytes) -> tuple[str, int, int] | None:
     * JPEG: walk the marker stream to the first frame header (SOFn,
       0xC0-0xCF except DHT/JPG/DAC) — height then width, big-endian,
       3 bytes into the segment.
-    * BMP: BITMAPINFOHEADER little-endian i32s at 18/22 (height may
-      be negative = top-down; absolute value reported).
+    * BMP: dispatch on the DIB header-size field at offset 14 —
+      BITMAPINFOHEADER and successors (≥40: V4/V5 share the layout)
+      read little-endian i32s at 18/22 (height may be negative =
+      top-down; absolute value reported); the OS/2 BITMAPCOREHEADER
+      (12) reads u16s at 18/20.  Unknown header sizes return None
+      rather than misreading i32s from a u16 layout (code-review r4).
     """
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", b[16:24])
@@ -176,8 +180,14 @@ def sniff_image_meta(b: bytes) -> tuple[str, int, int] | None:
             i += 2 + seg_len
         return None
     if len(b) >= 26 and b[:2] == b"BM":
-        w, h = struct.unpack("<ii", b[18:26])
-        return ("bmp", w, abs(h))
+        hdr = struct.unpack("<I", b[14:18])[0]
+        if hdr >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))
+        if hdr == 12:  # OS/2 BITMAPCOREHEADER: u16 dims
+            w, h = struct.unpack("<HH", b[18:22])
+            return ("bmp", w, h)
+        return None
     return None
 
 

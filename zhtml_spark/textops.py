@@ -1157,22 +1157,25 @@ def bloom_gate(
     k: int = 4,
 ) -> DataFrame:
     """Membership test against a :func:`bloom_build` word table:
-    adds ``maybe_seen`` (True = all k bits set — present OR false
-    positive; False = definitely never inserted).
+    one (distinct ``col``, ``maybe_seen``) row per candidate value —
+    True = all k bits set (present OR false positive), False =
+    definitely never inserted.
 
     Distributed shape: explode each candidate's k positions, ONE join
     against the word table on word_idx (broadcast it upstream when
     the filter is small — a 2^30-bit filter is 128 MB of words worst
-    case, usually far less sparse), then a count-of-hits aggregation
-    per candidate.  No Python, no driver state."""
+    case, usually far less sparse), then an all-bits-hit aggregation
+    per candidate.  The verdict is ``min(hit) == 1`` — NOT a hit
+    count compared to k — so duplicate input rows (the same URL
+    discovered from many pages, a crawl frontier's normal state)
+    cannot produce a false negative (code-review r4: ``sum == k``
+    broke the no-false-negative guarantee on duplicates).  No
+    Python, no driver state."""
     pos = df.select(
         F.col(col),
-        F.posexplode(_bloom_positions(F.col(col), m_bits, k)).alias(
-            "i", "pos"
-        ),
+        F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos"),
     ).select(
         col,
-        "i",
         F.expr("pos DIV 63").alias("word_idx"),
         F.expr("shiftleft(1L, CAST(pmod(pos, 63) AS INT))").alias("bit"),
     )
@@ -1183,8 +1186,8 @@ def bloom_gate(
     ).cast("int")
     return (
         joined.groupBy(col)
-        .agg(F.sum(hit).alias("_hits"))
-        .select(col, (F.col("_hits") == k).alias("maybe_seen"))
+        .agg(F.min(hit).alias("_all_hit"))
+        .select(col, (F.col("_all_hit") == 1).alias("maybe_seen"))
     )
 
 

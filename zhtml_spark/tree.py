@@ -1676,14 +1676,15 @@ def parse_document(
                         # forms inserted inside templates never bind
                         # the pointer (r4, differential family 7 —
                         # /root/reference has no form pointer at all:
-                        # src/parser.zig is a 2-mode skeleton)
-                        if form_id != -1 and not open_counts.get(
-                            "template"
-                        ):
+                        # src/parser.zig is a 2-mode skeleton).
+                        # template_modes, NOT open_counts["template"]:
+                        # the counter is name-keyed and would count a
+                        # foreign svg:template (code-review r4)
+                        if form_id != -1 and not template_modes:
                             break
                         close_p_if_open()
                         nid = insert_element(name, attrs)
-                        if not open_counts.get("template"):
+                        if not template_modes:
                             form_id = nid
                         break
                     if name in CLOSES_P:
@@ -1861,8 +1862,11 @@ def parse_document(
                         # templates the POINTER's node closes — by
                         # identity, REMOVED in place so misnested
                         # content above a deep form survives; inside
-                        # templates it is a plain scoped pop-until
-                        if open_counts.get("template"):
+                        # templates it is a plain scoped pop-until.
+                        # template_modes = HTML templates only
+                        # (code-review r4: open_counts would count
+                        # foreign svg:template)
+                        if template_modes:
                             if has_in_scope("form", _SCOPE_DEFAULT):
                                 generate_implied_end_tags()
                                 pop_until("form")
@@ -1979,11 +1983,10 @@ def parse_document(
                         insert_void(name, tok[2])  # NOT foster-parented
                     elif name == "form":
                         # parse error; insert only if no form pointer
-                        # AND no open template (spec — the template
-                        # guard is r4, family 7), pop immediately
-                        if form_id == -1 and not open_counts.get(
-                            "template"
-                        ):
+                        # AND no open HTML template (spec — the
+                        # template guard is r4, family 7; ns-aware via
+                        # template_modes), pop immediately
+                        if form_id == -1 and not template_modes:
                             form_id = insert_element(name, tok[2])
                             pop()
                     else:
