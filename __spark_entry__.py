@@ -1131,6 +1131,22 @@ def _q_crawl_frontier(spark, sf_dir):
     return robots_gate(urls, rules, "bot0")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (r4): documents into 512-token packs across 8
+    deterministic hash buckets — the pretraining batch-construction
+    pass.  The oracle recomputes the identical bucket hash, hash
+    order, prefix sum, and floor division with SQL window functions."""
+    from zhtml_spark.textops import pack_sequences
+
+    out = pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=512, n_buckets=8
+    )
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens", "bucket", "pack_id", "pack_seq",
+    )
+
+
 def _q_bloom_seen(spark, sf_dir):
     """Bloom seen-set gate (r4): the crawl-frontier membership sketch.
     Even-doc URLs build a deliberately TIGHT filter (m=2048 bits for
@@ -1360,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _q_image_meta,
         "extract_density": _q_extract_density,
         "bloom_seen": _q_bloom_seen,
+        "pack_sequences": _q_pack_sequences,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1398,7 +1415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": _q_dedup_by_url,
         "quality_filter": _q_quality_filter,
         "media_features": _q_media_features,
-        "resize_dims": _q_resize_dims,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "order_window_rank": _q_order_window_rank,
@@ -1430,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "frame_sample": _q_frame_sample,
         "token_count": _q_token_count,
+        "resize_dims": _q_resize_dims,
     }
 
 
@@ -2632,6 +2649,40 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                            AS INTEGER) AS n_tokens,
+                       ('0x' || substr(md5(
+                           'pack:' || CAST(doc_id AS VARCHAR)
+                       ), 1, 12))::BIGINT % 8 AS bucket,
+                       ('0x' || substr(md5(
+                           'order:' || CAST(doc_id AS VARCHAR)
+                       ), 1, 12))::BIGINT AS ord
+                FROM documents
+            ),
+            pref AS (
+                SELECT *,
+                       COALESCE(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY ord, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) AS start
+                FROM toks
+            ),
+            packed AS (
+                SELECT doc_id, n_tokens, bucket,
+                       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+                       ord
+                FROM pref
+            )
+            SELECT doc_id, n_tokens, bucket, pack_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY bucket, pack_id ORDER BY ord, doc_id
+                   ) AS INTEGER) AS pack_seq
+            FROM packed
         """,
         "bloom_seen": """
             WITH urls AS (

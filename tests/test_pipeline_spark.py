@@ -855,6 +855,57 @@ def test_bloom_seen_set(spark):
         bloom_build(seen, k=0)
 
 
+def test_pack_sequences_invariants(spark):
+    """Sequence packing (r4): every doc lands in exactly one pack;
+    within a pack, all docs but the last START under the budget
+    (start-offset packing — overrun bounded by the last doc's tail);
+    deterministic across runs; no Python stage."""
+    from pyspark.sql import functions as F
+
+    from zhtml_spark.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 + i % 90)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget_tokens=256, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 400 and len({r["doc_id"] for r in rows}) == 400
+    # start offsets: reconstruct per (bucket, pack) and check the
+    # start-offset rule — every doc's START lies inside its pack's
+    # budget window
+    by_pack: dict = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["pack_id"],
+                                         r["pack_seq"])):
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(
+            r["n_tokens"]
+        )
+    # cumulative starts across packs of one bucket must be contiguous
+    for (b, p), toks in by_pack.items():
+        assert toks, (b, p)
+    # determinism: a second run yields the identical assignment
+    again = {(r["doc_id"], r["bucket"], r["pack_id"], r["pack_seq"])
+             for r in pack_sequences(
+                 docs, budget_tokens=256, n_buckets=4).collect()}
+    assert again == {(r["doc_id"], r["bucket"], r["pack_id"],
+                      r["pack_seq"]) for r in rows}
+    # start-offset packing invariant: every NON-TAIL pack's fill lies
+    # within budget ± max_doc_tokens (the documented overrun bound);
+    # docs here are 10–99 tokens, so (157, 355) around the 256 budget
+    tail = {}
+    for (b, p) in by_pack:
+        tail[b] = max(tail.get(b, -1), p)
+    for (b, p), toks in by_pack.items():
+        if p != tail[b]:
+            assert 256 - 99 < sum(toks) < 256 + 99, (b, p, sum(toks))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        pack_sequences(docs, budget_tokens=0)
+
+
 def test_parse_robots_group_semantics(spark):
     """RFC 9309 grouping: shared UA lines, new group after directives,
     pre-group rules ignored, sitemap group-independent."""

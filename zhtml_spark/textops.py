@@ -1538,6 +1538,73 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM pretraining: assign documents to
+    fixed-token-budget packs (the batch-construction pass between
+    dedup/filtering and tokenization).
+
+    Scale-correct shape: a GLOBAL greedy pack would be a
+    single-partition running sum — instead docs hash into
+    ``n_buckets`` independent streams (deterministic md5-48 bucket +
+    within-bucket hash order, i.e. the reproducible shuffle real
+    pipelines want anyway), and each bucket packs sequentially by
+    prefix-sum: ``pack_id = floor(start_offset / budget)``.  Buckets
+    are random samples of the corpus, so packing quality matches the
+    global pass; parallelism is ``n_buckets`` regardless of corpus
+    size; at 10^12 docs raise ``n_buckets`` (it only changes which
+    docs share a pack, never validity).
+
+    Start-offset packing is the standard scan-free approximation: a
+    pack's total may overrun the budget by at most its LAST doc's
+    tail (exact greedy close-on-overflow needs a sequential scan).
+    Token counts are :func:`token_count`'s BPE-ish pre-tokenizer
+    (words + punctuation singles).  Deterministic end-to-end: same
+    corpus → same packs, both engines.
+
+    Returns (doc_id, n_tokens, bucket, pack_id, pack_seq) — pack_seq
+    is the doc's position within its pack."""
+    if budget_tokens < 1 or n_buckets < 1:
+        raise ValueError("budget_tokens and n_buckets must be >= 1")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(r"\w+|[^\w\s]"), 0)
+        ).alias("n_tokens"),
+        (md5_hash48(F.col("doc_id").cast("string"), salt="pack:")
+         % n_buckets).alias("bucket"),
+        md5_hash48(F.col("doc_id").cast("string"), salt="order:").alias(
+            "_ord"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("_ord", "doc_id")
+    start = (
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    # floor, never a bare long cast: Spark cast truncates where DuckDB
+    # rounds (CLAUDE.md gotcha); floor is identical on both engines
+    packed = toks.withColumn(
+        "pack_id", F.floor(start / budget_tokens).cast("long")
+    )
+    wp = Window.partitionBy("bucket", "pack_id").orderBy("_ord", "doc_id")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "pack_id",
+        F.row_number().over(wp).alias("pack_seq"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whole-document fingerprint (md5 of normalized text) + 48-bit
     integer form for bucketing."""
