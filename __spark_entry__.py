@@ -1323,6 +1323,50 @@ def _q_substring_dup_spans(spark, sf_dir):
     )
 
 
+def _q_substring_dedup_apply(spark, sf_dir):
+    """The ACTION half of exact-substring dedup (r4): detect shared
+    runs with the default xxhash64 engine path, then CUT every doc_b
+    occurrence.  Texts are FULLY constructed (the sf corpus's native
+    near-dup texts would add data-dependent spans no literal oracle
+    can state): a per-doc head with the doc id woven in every segment
+    (all its 25-grams doc-unique), then a pair tail
+    ``repeat('p<k> ', 24)``.  Periodic tails with different primitive
+    periods share no 25-substring (Fine–Wilf), so every tail gram is
+    pair-local — df=2, immune to the df≤20 cap (the first cut of
+    this query embedded partial-digit boundary grams like
+    '6 repeated verbatim by p1' with df=22: the cap correctly split
+    those runs and taught this construction).  A non-digit ``#``
+    separator pins the run's left edge — without it an odd doc whose
+    id shares its last digit with the pair key matched one char
+    deeper into the tail's period (doc 159 vs ``p79``, found by the
+    first gate run).  The oracle states the
+    rewritten texts from construction — even docs unchanged, odd
+    docs lose exactly the shared tail — which only matches if
+    detection, interval merge, and the splice fold all compose."""
+    from zhtml_spark.textops import (
+        substring_dedup_apply,
+        substring_dup_spans,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    sk = F.concat(F.lit("p"), F.expr("CAST(doc_id DIV 2 AS STRING)"))
+    head = F.concat(
+        F.lit("document "), did, F.lit(" head section "), did,
+        F.lit(" marker region "), did,
+    )
+    tail = F.repeat(F.concat(sk, F.lit(" ")), 24)
+    built = d.select(
+        "doc_id",
+        F.concat(head, F.lit(" # "), tail).alias("text"),
+    )
+    spans = substring_dup_spans(built, k=25, min_len=60)
+    out = substring_dedup_apply(built, spans)
+    return out.select(
+        did.alias("doc_id"), "text", "n_cut_chars"
+    )
+
+
 def _q_interval_join_guarded(spark, sf_dir):
     """Skew-guarded range join (r3): LONG per-day windows (18 h at
     60-min buckets) through the two-tier coarse/fine decomposition
@@ -1377,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_density": _q_extract_density,
         "bloom_seen": _q_bloom_seen,
         "pack_sequences": _q_pack_sequences,
+        "substring_dedup_apply": _q_substring_dedup_apply,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1414,7 +1459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
         "quality_filter": _q_quality_filter,
-        "media_features": _q_media_features,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "order_window_rank": _q_order_window_rank,
@@ -1447,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "token_count": _q_token_count,
         "resize_dims": _q_resize_dims,
+        "media_features": _q_media_features,
     }
 
 
@@ -2649,6 +2694,27 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
+        """,
+        "substring_dedup_apply": """
+            WITH shaped AS (
+                SELECT doc_id,
+                       'document ' || CAST(doc_id AS VARCHAR)
+                         || ' head section ' || CAST(doc_id AS VARCHAR)
+                         || ' marker region ' || CAST(doc_id AS VARCHAR)
+                         AS head,
+                       repeat(
+                           'p' || CAST(doc_id // 2 AS VARCHAR) || ' ',
+                           24
+                       ) AS tail
+                FROM documents
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN head || ' # ' || tail
+                        ELSE head END AS text,
+                   CASE WHEN doc_id % 2 = 0 THEN 0
+                        ELSE 3 + length(tail) END AS n_cut_chars
+            FROM shaped
         """,
         "pack_sequences": r"""
             WITH toks AS (

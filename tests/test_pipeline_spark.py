@@ -855,6 +855,53 @@ def test_bloom_seen_set(spark):
         bloom_build(seen, k=0)
 
 
+def test_substring_dedup_apply(spark):
+    """The removal half of exact-substring dedup (r4): doc_a keeps
+    the shared run, doc_b loses it; overlapping cuts union; untouched
+    docs pass through byte-identical; no Python stage."""
+    from pyspark.sql import functions as F
+
+    from zhtml_spark.textops import (
+        substring_dedup_apply,
+        substring_dup_spans,
+    )
+
+    shared = "the exact same sixty character run appears verbatim here ok"
+    docs = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail alpha"),
+         (2, "a different lead-in text " + shared + " other ending"),
+         (3, "untouched doc with nothing shared at all anywhere")],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=25, min_len=40)
+    out = {r["doc_id"]: r for r in
+           substring_dedup_apply(docs, spans).collect()}
+    assert shared in out[1]["text"] and out[1]["n_cut_chars"] == 0
+    assert shared not in out[2]["text"]
+    # the cut is the maximal run (one space of identical context each
+    # side), splicing the flanks together
+    assert out[2]["text"] == "a different lead-in textother ending"
+    assert out[2]["n_cut_chars"] == len(shared) + 2
+    assert out[3]["text"].startswith("untouched")
+    assert out[3]["n_cut_chars"] == 0
+
+    # overlapping cuts from different partners merge before splicing
+    d2 = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    s2 = spark.createDataFrame(
+        [(9, 1, 0, 5, 10), (8, 1, 0, 8, 10)],
+        "doc_a long, doc_b long, start_a int, start_b int, length int",
+    )
+    row = substring_dedup_apply(d2, s2).collect()[0]
+    assert (row["text"], row["n_cut_chars"]) == ("abcdestuvwxyz", 13)
+    plan = (
+        substring_dedup_apply(docs, spans)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_pack_sequences_invariants(spark):
     """Sequence packing (r4): every doc lands in exactly one pack;
     within a pack, all docs but the last START under the budget

@@ -1837,6 +1837,74 @@ def substring_dup_spans(
     )
 
 
+def substring_dedup_apply(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY exact-substring dedup (the action half of
+    :func:`substring_dup_spans`, completing the Lee-et-al pipeline:
+    detect shared runs, then CUT them from every doc but the first):
+    for each (doc_a < doc_b) span, the doc_b occurrence
+    [start_b, start_b + length) is removed; doc_a keeps its copy.
+
+    Shape: cut intervals per doc → gaps-and-islands interval MERGE
+    (overlapping cuts from different partners union cleanly) → one
+    sorted struct-array per doc → a single ``aggregate`` fold splices
+    the kept segments back together.  Two shuffles (merge window +
+    per-doc collect) over the CUT set only — the corpus itself joins
+    once and untouched docs pass through a null-guard unchanged.  No
+    Python, no explode of the corpus text.
+
+    Returns (doc_id, text, n_cut_chars) with ``text`` rewritten.
+    Deterministic: same spans → same output, both engines."""
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("cs"),
+        (F.col("start_b") + F.col("length")).alias("ce"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("cs", "ce")
+    run_max = F.max("ce").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = cuts.withColumn(
+        "new_isl",
+        F.when(
+            run_max.isNull() | (F.col("cs") > run_max), 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("cs").alias("cs"), F.max("ce").alias("ce")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("cs", "ce"))).alias("_cuts")
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    # fold: walk the sorted cuts keeping [pos, cs) segments, then the
+    # tail after the last cut (substring past the end is safely empty)
+    splice = F.expr(
+        "aggregate(_cuts, struct(0L as pos, '' as acc), "
+        "(st, c) -> struct(CAST(c.ce AS BIGINT) as pos, "
+        f"concat(st.acc, substring({text_col}, "
+        "CAST(st.pos AS INT) + 1, CAST(c.cs - st.pos AS INT))) as acc), "
+        f"st -> concat(st.acc, substring({text_col}, "
+        f"CAST(st.pos AS INT) + 1, length({text_col}))))"
+    )
+    cut_chars = F.expr(
+        "aggregate(_cuts, 0L, (n, c) -> n + c.ce - c.cs)"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("_cuts").isNull(), F.col(text_col))
+        .otherwise(splice)
+        .alias(text_col),
+        F.coalesce(cut_chars, F.lit(0)).cast("long").alias("n_cut_chars"),
+    )
+
+
 def substring_gram_stats(
     docs: DataFrame,
     k: int = 25,
