@@ -269,6 +269,28 @@ def _q_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_svg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates svg media harvesting (r4): svg <image> refs via the
+    legacy xlink:href and the SVG2 href both surface as media spans
+    (ExtractConfig.svg_media), svg text stays suppressed, and the
+    enclosing paragraph splits at the media emission like every other
+    media span."""
+    from zhtml_spark.extract import ExtractConfig
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><p>Doc "), d,
+        F.lit(' intro <svg><image xlink:href="img/a'), d,
+        F.lit('.png"></image><image href="img/b'), d,
+        F.lit('.png"/><text>chart label</text></svg> closing words.'
+              "</p></body>"),
+    )
+    return _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(svg_media=True),
+    )
+
+
 def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates fragment parsing (r2): innerHTML-shaped list fragments in
     a ul context through the distributed fragment UDF."""
@@ -470,6 +492,33 @@ def _q_minhash_banded(spark, sf_dir):
     )
     return minhash_banded_candidates(
         d.unionByName(copies), n=3, bands=4, rows=2
+    )
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Exact duplicate clusters (r4): connected components by
+    iterative min-label propagation over the banded-LSH candidate
+    edges (same augmented corpus as `minhash_banded_candidates`, so
+    every doc is connected at least to its +10000 shifted copy).  The
+    oracle computes the same components INDEPENDENTLY — a recursive
+    transitive-closure CTE over the identical candidate SQL — so the
+    iterative Spark loop is checked against a non-iterative
+    formulation, not against itself."""
+    from zhtml_spark.textops import (
+        dedup_components,
+        minhash_banded_candidates,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    cands = minhash_banded_candidates(
+        d.unionByName(copies), n=3, bands=4, rows=2
+    )
+    return dedup_components(cands).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "component"
     )
 
 
@@ -1422,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": _q_bloom_seen,
         "pack_sequences": _q_pack_sequences,
         "substring_dedup_apply": _q_substring_dedup_apply,
+        "dedup_components": _q_dedup_components,
+        "extract_svg_media": _q_extract_svg_media,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1458,11 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_survivors": _q_embedding_dedup_survivors,
         "url_normalize": _q_url_normalize,
         "dedup_by_url": _q_dedup_by_url,
-        "quality_filter": _q_quality_filter,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "order_window_rank": _q_order_window_rank,
-        "events_by_type": _q_events_by_type,
         "events_windowed": _q_events_windowed,
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
@@ -1492,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "resize_dims": _q_resize_dims,
         "media_features": _q_media_features,
+        "quality_filter": _q_quality_filter,
+        "events_by_type": _q_events_by_type,
     }
 
 
@@ -1619,7 +1670,7 @@ _EMB_CAND_SQL = """            WITH c AS (
 def oracle_sql() -> dict[str, str]:
     doc_id = "CAST(doc_id AS VARCHAR) AS doc_id"
     null_ref = "CAST(NULL AS VARCHAR) AS media_ref"
-    return {
+    sqls = {
         "extract_heading_para": f"""
             SELECT {doc_id}, 0 AS offset, 'heading' AS kind,
                    'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
@@ -2652,6 +2703,26 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 3 = 0
             FROM h
         """,
+        "extract_svg_media": f"""
+            SELECT {doc_id}, 0 AS offset, 'text' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' intro'
+                     AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 1 AS offset, 'media' AS kind, '' AS text,
+                   'img/a' || CAST(doc_id AS VARCHAR) || '.png'
+                     AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 2 AS offset, 'media' AS kind, '' AS text,
+                   'img/b' || CAST(doc_id AS VARCHAR) || '.png'
+                     AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 3 AS offset, 'text' AS kind,
+                   'closing words.' AS text, {null_ref}
+            FROM documents
+        """,
         "extract_density": f"""
             SELECT {doc_id}, 0 AS offset, 'heading' AS kind,
                    'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
@@ -2995,3 +3066,25 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, session_id
         """,
     }
+    # components oracle reuses the banded-candidate SQL verbatim as a
+    # subquery, then closes it transitively with a RECURSIVE CTE — an
+    # independent (non-iterative) formulation of the same components
+    sqls["dedup_components"] = f"""
+        WITH RECURSIVE cand AS (
+            {sqls["minhash_banded_candidates"]}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION ALL
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach AS (
+            SELECT a AS v, a AS label FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.v = e.b
+        )
+        SELECT CAST(v AS VARCHAR) AS doc_id,
+               min(label) AS component
+        FROM reach GROUP BY v
+    """
+    return sqls

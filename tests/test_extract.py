@@ -394,3 +394,27 @@ def test_density_classifier_media_pass_through():
     )
     spans, _ = extract_html(page, ExtractConfig(density_classifier=True))
     assert [k for k, _, _ in spans] == ["text", "media", "text"]
+
+
+def test_svg_media_harvest_flag():
+    """r4: svg <image> href / legacy xlink:href emit media spans when
+    svg_media is on; default stays span-parity (no svg media)."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    page = ('<body><p>before <svg><image xlink:href="a.png"></image>'
+            '<image href="b.png"/><image></image><text>label</text>'
+            "</svg> after</p></body>")
+    spans, _ = extract_html(page, ExtractConfig(svg_media=True))
+    assert [(k, r) for k, _, r in spans if k == "media"] == [
+        ("media", "a.png"), ("media", "b.png"),
+    ]
+    # svg text stays suppressed; the paragraph splits at the media
+    # emission like every other media span does
+    assert spans == [
+        ("text", "before", None),
+        ("media", "", "a.png"),
+        ("media", "", "b.png"),
+        ("text", "after", None),
+    ]
+    spans_off, _ = extract_html(page)
+    assert all(k != "media" for k, _, _ in spans_off)

@@ -855,6 +855,31 @@ def test_bloom_seen_set(spark):
         bloom_build(seen, k=0)
 
 
+def test_dedup_components_chains_and_convergence(spark):
+    """Connected components (r4): a 6-long chain resolves to ONE
+    component (the case smallest-neighbor dominance mislabels), two
+    disjoint clusters stay separate, and max_iter raises instead of
+    returning a half-propagated labelling."""
+    import pytest
+
+    from zhtml_spark.textops import dedup_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6 plus separate triangle 10-11-12
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in dedup_components(pairs).collect()}
+    assert all(got[v] == 1 for v in (1, 2, 3, 4, 5, 6))
+    assert all(got[v] == 10 for v in (10, 11, 12))
+    assert len(got) == 9
+    # the chain needs ~5 propagation rounds; 2 must fail loudly
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=2)
+
+
 def test_substring_dedup_apply(spark):
     """The removal half of exact-substring dedup (r4): doc_a keeps
     the shared run, doc_b loses it; overlapping cuts union; untouched

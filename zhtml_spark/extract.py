@@ -94,6 +94,15 @@ class ExtractConfig:
     # too (a link graph wants them even when their text block is
     # boilerplate-stripped).  Off by default (span-parity contract).
     emit_links: bool = False
+    # svg media harvesting (r4): svg <image> elements reference real
+    # raster assets via href (SVG2) or the legacy xlink:href — with
+    # this on they emit ('media', '', ref) spans even though svg
+    # subtrees stay text-suppressed.  The xlink: prefix survives as
+    # the flat attr name per the spec's adjust-foreign-attributes
+    # table (tree.py stores prefixed names; the namespace split is a
+    # lookup on the 11 fixed entries, not storage).  Off by default
+    # (span-parity contract).
+    svg_media: bool = False
     # densitometric block classification (r4): Boilerpipe-style
     # shallow-text-features pass (Kohlschütter/Fankhauser/Nejdl,
     # "Boilerplate Detection using Shallow Text Features", WSDM 2010)
@@ -282,6 +291,17 @@ def extract_spans(
             ):
                 continue  # scripting-on parity: noscript never renders
             if tree.ns[nid] is not None:
+                if (
+                    cfg.svg_media
+                    and tree.ns[nid] == "svg"
+                    and name == "image"
+                ):
+                    ref = (tree.attrs[nid] or {}).get("href") or (
+                        tree.attrs[nid] or {}
+                    ).get("xlink:href") or ""
+                    if ref:
+                        flush()
+                        spans.append(("media", "", ref))
                 if _is_extract_ip(tree, nid, name):
                     # HTML integration point: children are HTML flow
                     # content — re-enable collection underneath

@@ -1050,6 +1050,79 @@ def winnow_dup_candidates(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """EXACT duplicate clusters from a candidate-pair edge set:
+    connected components by iterative min-label propagation — the
+    precise grouping (`component = min doc_id in the cluster`) that
+    :func:`dedup_survivors`' one-pass smallest-NEIGHBOR dominance
+    approximates (dominance can keep two docs of one chain A−B−C when
+    B is the smallest; components never do).
+
+    Algorithm: every vertex starts labelled with itself; each round
+    takes the min of its own and all neighbours' labels; stop when a
+    round changes nothing.  Rounds needed = cluster diameter — for
+    near-dup clusters (dense, star-like) typically 2-3; the
+    production-scale variant for adversarial long chains is
+    large-star/small-star contraction (Kiveris et al., O(log n)
+    rounds), same per-round plan shape.  Each round is one join + one
+    map-side-combinable min-agg; intermediates ``localCheckpoint`` so
+    lineage stays O(1) instead of O(rounds).
+
+    Convergence is detected DISTRIBUTEDLY (one count per round — the
+    only driver action, a scalar).  Raises after ``max_iter`` rounds
+    rather than returning a half-propagated labelling.
+
+    Returns (doc_id, component) for every vertex that appears in
+    ``pairs``; singleton docs never enter the edge set and are their
+    own component by definition (callers union them back if needed).
+    Deterministic, Python-free plan per round."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels, sym["doc_b"] == labels["doc_id"]
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        merged = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("n_comp", "component")
+                    < F.col("component")
+                ).cast("int").alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = merged.drop("_chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iter} rounds — "
+        "pathological chain structure; use star-contraction rounds"
+    )
+
+
 def kmv_distinct_estimate(
     docs: DataFrame,
     col: str = "text",
