@@ -2789,8 +2789,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": r"""
             WITH toks AS (
-                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                -- doc_id stays NUMERIC through every window ORDER BY:
+                -- Spark tie-breaks the _ord hash on the BIGINT id, and
+                -- a VARCHAR tie-break would order '10' < '9'
+                -- (code-review r4b; latent until a 48-bit collision)
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(
+                           COALESCE(text, ''), '\w+|[^\w\s]'))
                             AS INTEGER) AS n_tokens,
                        ('0x' || substr(md5(
                            'pack:' || CAST(doc_id AS VARCHAR)
@@ -2815,7 +2820,8 @@ def oracle_sql() -> dict[str, str]:
                        ord
                 FROM pref
             )
-            SELECT doc_id, n_tokens, bucket, pack_id,
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   n_tokens, bucket, pack_id,
                    CAST(row_number() OVER (
                        PARTITION BY bucket, pack_id ORDER BY ord, doc_id
                    ) AS INTEGER) AS pack_seq

@@ -1084,7 +1084,10 @@ def dedup_components(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    # materialize ONCE: the edge set may be an expensive candidate
+    # pipeline (LSH generation) — without this every propagation
+    # round re-runs it (code-review r4b)
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -1601,14 +1604,20 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("predicted_lang"))
 
 
+def _n_tokens(col: str) -> Column:
+    """The BPE-ish pre-tokenizer count expression (words + punctuation
+    singles) — the ONE definition :func:`token_count` and
+    :func:`pack_sequences` (and their oracles) share.  NULL-safe:
+    ``size`` of a null extraction is -1 in legacy Spark, which would
+    silently corrupt prefix sums (code-review r4b) — null text counts
+    as zero tokens in both engines."""
+    safe = F.coalesce(F.col(col), F.lit(""))
+    return F.size(F.regexp_extract_all(safe, F.lit(r"\w+|[^\w\s]"), 0))
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """BPE-ish pre-tokenizer count: words + punctuation singles."""
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
-            "n_tokens"
-        ),
-    )
+    return docs.select("doc_id", _n_tokens("text").alias("n_tokens"))
 
 
 def pack_sequences(
@@ -1645,9 +1654,7 @@ def pack_sequences(
         raise ValueError("budget_tokens and n_buckets must be >= 1")
     toks = docs.select(
         "doc_id",
-        F.size(
-            F.regexp_extract_all(text_col, F.lit(r"\w+|[^\w\s]"), 0)
-        ).alias("n_tokens"),
+        _n_tokens(text_col).alias("n_tokens"),
         (md5_hash48(F.col("doc_id").cast("string"), salt="pack:")
          % n_buckets).alias("bucket"),
         md5_hash48(F.col("doc_id").cast("string"), salt="order:").alias(
