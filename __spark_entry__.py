@@ -291,6 +291,53 @@ def _q_extract_svg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_src_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates span source provenance (r4): tokenizer token positions →
+    tree node anchors → 4-tuple spans, distributed through one
+    mapInPandas stage.  The page shape makes every anchor computable
+    from construction: the heading text starts at char 10
+    ('<body><h1>'), the paragraph text at 22 + len(doc_id) — the
+    oracle states those arithmetic offsets, so the whole
+    positions chain (including entity-free run starts) must be
+    byte-exact to match."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("src", IntegerType()),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        from zhtml_spark.extract import ExtractConfig, extract_html
+
+        cfg = ExtractConfig(with_source_offsets=True)
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                html = f"<body><h1>Doc {did}</h1><p>{text}</p></body>"
+                spans, _ = extract_html(html, cfg)
+                for off, (k, t, _ref, src) in enumerate(spans):
+                    rows.append((str(did), off, k, t, src))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "kind", "text", "src"]
+            )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return d.mapInPandas(batches, schema)
+
+
 def _q_extract_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates fragment parsing (r2): innerHTML-shaped list fragments in
     a ul context through the distributed fragment UDF."""
@@ -1473,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_apply": _q_substring_dedup_apply,
         "dedup_components": _q_dedup_components,
         "extract_svg_media": _q_extract_svg_media,
+        "extract_src_offsets": _q_extract_src_offsets,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1511,7 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": _q_dedup_by_url,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
@@ -1543,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
+        "order_window_rank": _q_order_window_rank,
     }
 
 
@@ -2702,6 +2750,17 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
+        """,
+        "extract_src_offsets": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text,
+                   10 AS src
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 'text', text,
+                   22 + length(CAST(doc_id AS VARCHAR))
+            FROM documents
         """,
         "extract_svg_media": f"""
             SELECT {doc_id}, 0 AS offset, 'text' AS kind,

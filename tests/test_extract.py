@@ -418,3 +418,40 @@ def test_svg_media_harvest_flag():
     ]
     spans_off, _ = extract_html(page)
     assert all(k != "media" for k, _, _ in spans_off)
+
+
+def test_source_offsets_end_to_end():
+    """r4 provenance: with_source_offsets=True emits 4-tuple spans
+    whose src anchors point exactly where each span's content
+    originates in the raw document — text blocks at their first
+    char's origin, media/link/meta elements at their '<'."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    src = ('<head><title>T</title></head><body><h1>Big Story</h1>'
+           '<p>First paragraph here.</p><img src="hero.jpg" alt="H">'
+           '<p>see <a href="photo.png">the photo</a> now</p></body>')
+    spans, _ = extract_html(
+        src,
+        ExtractConfig(with_source_offsets=True, emit_head_meta=True),
+    )
+    by_kindtext = {(k, t): p for k, t, _, p in spans}
+    assert src[by_kindtext[("meta", "T")]:].startswith("<title>")
+    assert src[by_kindtext[("heading", "Big Story")]:].startswith("Big Story")
+    assert src[by_kindtext[("text", "First paragraph here.")]:].startswith(
+        "First paragraph"
+    )
+    assert src[by_kindtext[("media", "H")]:].startswith("<img")
+    assert src[by_kindtext[("media", "the photo")]:].startswith(
+        '<a href="photo.png"'
+    )
+    # offsets are monotone in span order
+    offs = [p for *_, p in spans]
+    assert offs == sorted(offs) and all(o >= 0 for o in offs)
+    # default stays 3-tuples (span-parity contract)
+    spans3, _ = extract_html(src)
+    assert all(len(s) == 3 for s in spans3)
+    # entity-bearing text still anchors at its run start
+    ent = "<body><p>&amp;start of text</p></body>"
+    sp, _ = extract_html(ent, ExtractConfig(with_source_offsets=True))
+    assert sp == [("text", "&start of text", None, 9)]
+    assert ent[9:].startswith("&amp;")

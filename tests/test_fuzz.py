@@ -45,11 +45,23 @@ _taggish = st.text(
 @given(_taggish)
 def test_fast_tag_path_equivalent_to_state_machine(s: str) -> None:
     """The regex fast path must be observationally identical to the
-    pure state machine: same tokens, same error multiset."""
+    pure state machine: same tokens, same error multiset — INCLUDING
+    source-offset tuples (r4: with_token_positions extends every
+    token with its start offset; both paths must compute the same
+    value, not just the same token)."""
     fast = tokenize(s, enable_fast_tags=True)
     slow = tokenize(s, enable_fast_tags=False)
     assert fast[0] == slow[0]
     assert sorted(fast[1]) == sorted(slow[1])
+    fast_p = tokenize(s, enable_fast_tags=True, with_token_positions=True)
+    slow_p = tokenize(s, enable_fast_tags=False, with_token_positions=True)
+    assert fast_p[0] == slow_p[0]
+    # stripping the offsets recovers the unpositioned stream exactly
+    assert [t[:-1] for t in fast_p[0]] == fast[0]
+    # offsets are monotone non-decreasing and in range
+    offs = [t[-1] for t in fast_p[0]]
+    assert all(0 <= o <= len(s) + 1 for o in offs)
+    assert offs == sorted(offs)
 
 
 @settings(max_examples=200, deadline=None)

@@ -1092,3 +1092,27 @@ def test_fragment_frameset_context():
     tree, root, _ = parse_fragment("<frame><frame>", context="frameset")
     kids = [tree.name[c] for c in tree.children(root)]
     assert kids == ["frame", "frame"]
+
+
+def test_src_positions_node_anchors():
+    """r4: parse_document(src_positions=True) anchors every node at
+    the source offset of its creating token; flag off costs nothing
+    and leaves src at -1."""
+    from zhtml_spark.tree import parse_document, N_ELEMENT, N_TEXT
+
+    src = '<!DOCTYPE html><body><p>Hello <b>world</b></p></body>'
+    tree, _ = parse_document(src, src_positions=True)
+    anchors = {}
+    for nid in range(len(tree.parent)):
+        if tree.ntype[nid] == N_ELEMENT:
+            anchors[tree.name[nid]] = tree.src[nid]
+        elif tree.ntype[nid] == N_TEXT:
+            anchors["#" + tree.node_text(nid)] = tree.src[nid]
+    assert src[anchors["p"]:].startswith("<p>")
+    assert src[anchors["b"]:].startswith("<b>")
+    assert src[anchors["#Hello "]:].startswith("Hello")
+    assert src[anchors["#world"]:].startswith("world")
+    # implied html/head/body anchor at the token that created them
+    assert anchors["html"] == src.index("<body>")
+    t2, _ = parse_document(src)
+    assert set(t2.src) == {-1}

@@ -94,6 +94,15 @@ class ExtractConfig:
     # too (a link graph wants them even when their text block is
     # boilerplate-stripped).  Off by default (span-parity contract).
     emit_links: bool = False
+    # source provenance (r4): emit spans as 4-tuples
+    # (kind, text, media_ref, src) where src = the source-char offset
+    # the span's content originates at (a text block's first char, a
+    # media/link element's '<', a head-meta element's '<') — requires
+    # a tree parsed with parse_document(src_positions=True);
+    # extract_html wires the two flags together.  Spans from trees
+    # WITHOUT positions report -1.  Off by default (span-parity
+    # contract: the judged shape is 3-tuples).
+    with_source_offsets: bool = False
     # svg media harvesting (r4): svg <image> elements reference real
     # raster assets via href (SVG2) or the legacy xlink:href — with
     # this on they emit ('media', '', ref) spans even though svg
@@ -150,6 +159,7 @@ def extract_spans(
     cfg = config or ExtractConfig()
 
     head_meta: list[tuple[str, str, str | None]] = []
+    head_meta_srcs: list[int] = []
     if root is not None:
         body = root
     else:
@@ -171,12 +181,16 @@ def extract_spans(
                     and tree.name[c] == "head"
                     and tree.ns[c] is None
                 ):
-                    head_meta = _head_meta_spans(tree, c)
+                    head_meta, head_meta_srcs = _head_meta_spans(tree, c)
                     break
         if body == -1:
             # body-less documents (frameset pages) still carry head
             # metadata — title/canonical harvest must not depend on a
             # body existing (code-review r3b)
+            if cfg.with_source_offsets:
+                return [
+                    s + (p,) for s, p in zip(head_meta, head_meta_srcs)
+                ]
             return head_meta
 
     if cfg.prefer_main_content:
@@ -196,6 +210,10 @@ def extract_spans(
                 walk.append(c)
 
     spans: list[tuple[str, str, str | None]] = list(head_meta)
+    # parallel source anchors, one per span (kept aligned through the
+    # density filter); -1 where the tree carries no position
+    span_srcs: list[int] = list(head_meta_srcs)
+    block_src = -1  # src of the current block's first text node
 
     # current block accumulator
     parts: list[str] = []
@@ -216,9 +234,11 @@ def extract_spans(
     _ip_saved: list[int] = []  # suppress counts saved at IP entry
     media_anchor: list[str] | None = None  # text collector inside media <a>
     media_anchor_href = ""
+    media_anchor_src = -1
     media_anchor_nest = 0  # nested <a> depth inside the media anchor
     link_parts: list[str] | None = None  # emit_links anchor-text collector
     link_href = ""
+    link_src = -1
     link_nest = 0
 
     # block sequence for the density post-pass: (span_index | None,
@@ -230,7 +250,7 @@ def extract_spans(
     blocks: list[tuple[int | None, int, float]] = []
 
     def flush() -> None:
-        nonlocal parts, anchor_chars, total_chars
+        nonlocal parts, anchor_chars, total_chars, block_src
         if not parts:
             return
         raw = "".join(parts)
@@ -244,6 +264,7 @@ def extract_spans(
                 keep = False
         if keep:
             spans.append((kind_stack[-1] if kind_stack else "text", text, None))
+            span_srcs.append(block_src)
         if cfg.density_classifier and had_text:
             blocks.append((
                 len(spans) - 1 if keep else None,
@@ -253,6 +274,7 @@ def extract_spans(
         parts = []
         anchor_chars = 0
         total_chars = 0
+        block_src = -1
 
     # iterative DFS with enter/exit events over the flat arrays
     stack: list[tuple[int, bool]] = [(body, False)]
@@ -269,6 +291,8 @@ def extract_spans(
             elif data:
                 if link_parts is not None:
                     link_parts.append(data)
+                if not parts:
+                    block_src = tree.src[nid]
                 parts.append(data)
                 stripped = len(data.strip())
                 total_chars += stripped
@@ -302,6 +326,7 @@ def extract_spans(
                     if ref:
                         flush()
                         spans.append(("media", "", ref))
+                        span_srcs.append(tree.src[nid])
                 if _is_extract_ip(tree, nid, name):
                     # HTML integration point: children are HTML flow
                     # content — re-enable collection underneath
@@ -324,6 +349,7 @@ def extract_spans(
                     flush()
                     alt = (tree.attrs[nid] or {}).get("alt") or ""
                     spans.append(("media", _normalize(alt), src))
+                    span_srcs.append(tree.src[nid])
                 if name == "iframe":
                     # iframe body is RAWTEXT (raw markup source) —
                     # never content; prune after emitting the media span
@@ -345,6 +371,7 @@ def extract_spans(
                     flush()
                     media_anchor = []
                     media_anchor_href = href
+                    media_anchor_src = tree.src[nid]
                     stack.append((nid, True))
                     for cids in _reversed_children(tree, nid):
                         stack.append((cids, False))
@@ -382,6 +409,7 @@ def extract_spans(
                         if href:
                             link_parts = []
                             link_href = href
+                            link_src = tree.src[nid]
 
             stack.append((nid, True))
             for cid in _reversed_children(tree, nid):
@@ -399,6 +427,7 @@ def extract_spans(
                     continue
                 text = _normalize("".join(media_anchor))
                 spans.append(("media", text, media_anchor_href))
+                span_srcs.append(media_anchor_src)
                 media_anchor = None
                 media_anchor_href = ""
                 continue
@@ -424,12 +453,15 @@ def extract_spans(
                             ("link", _normalize("".join(link_parts)),
                              link_href)
                         )
+                        span_srcs.append(link_src)
                         link_parts = None
                         link_href = ""
 
     flush()
     if cfg.density_classifier and blocks:
-        spans = _density_filter(spans, blocks)
+        spans, span_srcs = _density_filter(spans, blocks, span_srcs)
+    if cfg.with_source_offsets:
+        return [s + (p,) for s, p in zip(spans, span_srcs)]
     return spans
 
 
@@ -456,14 +488,17 @@ def _density_content(
 def _density_filter(
     spans: list[tuple[str, str, str | None]],
     blocks: list[tuple[int | None, int, float]],
-) -> list[tuple[str, str, str | None]]:
+    span_srcs: list[int],
+) -> tuple[list[tuple[str, str, str | None]], list[int]]:
     """Apply the densitometric classifier over the text-block SEQUENCE
     (media/link/meta spans are not blocks: they pass through untouched
     and do not count as neighbours; ghost entries — blocks the
     per-block rules dropped — contribute features but emit nothing).
     Every verdict uses the ORIGINAL neighbour features, never
     post-removal ones.  Edge blocks see an empty neighbour (0 words,
-    0 density), per the paper's setup."""
+    0 density), per the paper's setup.  The parallel source-anchor
+    list filters with the same drop set so spans and anchors stay
+    aligned."""
     drop: set[int] = set()
     for pos, (span_idx, cw, cld) in enumerate(blocks):
         if span_idx is None:
@@ -472,7 +507,10 @@ def _density_filter(
         nw = blocks[pos + 1][1] if pos + 1 < len(blocks) else 0
         if not _density_content(pw, pld, cw, cld, nw):
             drop.add(span_idx)
-    return [s for i, s in enumerate(spans) if i not in drop]
+    return (
+        [s for i, s in enumerate(spans) if i not in drop],
+        [p for i, p in enumerate(span_srcs) if i not in drop],
+    )
 
 
 # <meta name=…> keys worth harvesting at crawl scale (og:* accepted
@@ -482,13 +520,15 @@ _META_NAME_KEYS = frozenset(["description", "robots", "keywords"])
 
 def _head_meta_spans(
     tree: DocTree, head: int
-) -> list[tuple[str, str, str | None]]:
-    """('meta', value, key) spans from the DIRECT children of <head>:
-    title text, meta[name|property]+content for the allowlisted keys,
+) -> tuple[list[tuple[str, str, str | None]], list[int]]:
+    """('meta', value, key) spans from the DIRECT children of <head>
+    plus their parallel source anchors: title text,
+    meta[name|property]+content for the allowlisted keys,
     link[rel~=canonical] href, base href.  Metadata nested under
     template/noscript is deliberately not scanned (never rendered /
     scripting-off fallback)."""
     out: list[tuple[str, str, str | None]] = []
+    srcs: list[int] = []
     for c in tree.children(head):
         if tree.ntype[c] != N_ELEMENT or tree.ns[c] is not None:
             continue
@@ -504,6 +544,7 @@ def _head_meta_spans(
             )
             if txt:
                 out.append(("meta", txt, "title"))
+                srcs.append(tree.src[c])
         elif name == "meta":
             key = (attrs.get("name") or attrs.get("property") or "").lower()
             content = attrs.get("content") or ""
@@ -511,16 +552,19 @@ def _head_meta_spans(
                 key in _META_NAME_KEYS or key.startswith("og:")
             ):
                 out.append(("meta", _normalize(content), key))
+                srcs.append(tree.src[c])
         elif name == "link":
             rel = (attrs.get("rel") or "").lower()
             href = attrs.get("href") or ""
             if href and "canonical" in rel.split():
                 out.append(("meta", href, "canonical"))
+                srcs.append(tree.src[c])
         elif name == "base":
             href = attrs.get("href") or ""
             if href:
                 out.append(("meta", href, "base"))
-    return out
+                srcs.append(tree.src[c])
+    return out, srcs
 
 
 def _is_extract_ip(tree: DocTree, nid: int, name: str) -> bool:
@@ -554,9 +598,15 @@ def extract_html(
 
     ``include_noscript=True`` parses with the spec scripting flag OFF
     (noscript content is markup, InHeadNoscript applies) — the two
-    flags describe the same browser configuration."""
+    flags describe the same browser configuration.
+    ``with_source_offsets=True`` parses with token positions on and
+    returns 4-tuple spans carrying source anchors."""
     from .tree import parse_document
 
     cfg = config or ExtractConfig()
-    tree, errors = parse_document(html, scripting=not cfg.include_noscript)
+    tree, errors = parse_document(
+        html,
+        scripting=not cfg.include_noscript,
+        src_positions=cfg.with_source_offsets,
+    )
     return extract_spans(tree, cfg), errors

@@ -269,6 +269,7 @@ def tokenize(
     enable_fast_tags: bool = True,
     with_positions: bool = False,
     scripting: bool = True,
+    with_token_positions: bool = False,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -284,6 +285,17 @@ def tokenize(
     its own harness disables comparing them,
     test/tokenizer-html5lib.zig:151-153).  Opt-in: triage at corpus
     scale wants positions; the hot path stays a bare list append.
+
+    ``with_token_positions=True`` (r4) appends each token's SOURCE
+    START offset (0-based char offset into the post-``preprocess``
+    text) as the tuple's last element: tag/comment/doctype tokens
+    record their opening ``<``; a Character run records the end of
+    the token before it (token extents partition the source, so that
+    IS where its first char came from — entity expansions keep the
+    run's start, as they must).  Exact on both the state machine and
+    the regex fast path (the equivalence fuzz compares the extended
+    tuples too).  Off by default: the only always-on cost is one
+    integer store per ``<`` seen in a text state.
     """
     if do_preprocess:
         text = preprocess(text)
@@ -316,11 +328,25 @@ def tokenize(
     chars: list[str] = []
     # svg/math nesting depth (tree-aware rawtext-switch suppression)
     foreign_depth = 0
+    # token source offsets (with_token_positions): tok_start = the
+    # most recent '<' consumed from a TEXT state (every tag/comment/
+    # doctype build begins there — '<' inside attr values, comments,
+    # or bogus-comment data is consumed by non-text states and never
+    # touches it); prev_end = scan cursor right after the last
+    # non-character token, i.e. where the next character run begins
+    tok_start = 0
+    prev_end = 0
 
-    def flush_chars() -> None:
-        if chars:
-            out.append(("Character", "".join(chars)))
-            chars.clear()
+    if with_token_positions:
+        def flush_chars() -> None:
+            if chars:
+                out.append(("Character", "".join(chars), prev_end))
+                chars.clear()
+    else:
+        def flush_chars() -> None:
+            if chars:
+                out.append(("Character", "".join(chars)))
+                chars.clear()
 
     # --- in-flight tag / comment / doctype builders (the analog of the
     # reference's IncompleteToken, src/tokenizer.zig:2365-2492)
@@ -373,6 +399,7 @@ def tokenize(
         """Emit the built tag; return the tokenizer state to resume in
         (Data, or a raw-text state under tree-aware feedback)."""
         nonlocal last_start, attrs, tag_self_closing, foreign_depth
+        nonlocal prev_end
         flush_attr()
         flush_chars()
         next_state = S_DATA
@@ -381,11 +408,22 @@ def tokenize(
                 err("end-tag-with-attributes")
             if tag_self_closing:
                 err("end-tag-with-trailing-solidus")
-            out.append(("EndTag", tag_name))
+            if with_token_positions:
+                out.append(("EndTag", tag_name, tok_start))
+                prev_end = i
+            else:
+                out.append(("EndTag", tag_name))
             if foreign_depth and tag_name in ("svg", "math"):
                 foreign_depth -= 1
         else:
-            out.append(("StartTag", tag_name, attrs, tag_self_closing))
+            if with_token_positions:
+                out.append(
+                    ("StartTag", tag_name, attrs, tag_self_closing,
+                     tok_start)
+                )
+                prev_end = i
+            else:
+                out.append(("StartTag", tag_name, attrs, tag_self_closing))
             last_start = tag_name
             if tag_name in ("svg", "math") and not tag_self_closing:
                 foreign_depth += 1
@@ -410,8 +448,13 @@ def tokenize(
         attrs = {}
 
     def emit_comment() -> None:
+        nonlocal prev_end
         flush_chars()
-        out.append(("Comment", "".join(comment)))
+        if with_token_positions:
+            out.append(("Comment", "".join(comment), tok_start))
+            prev_end = i
+        else:
+            out.append(("Comment", "".join(comment)))
         comment.clear()
 
     def new_doctype() -> None:
@@ -422,8 +465,18 @@ def tokenize(
         dt_force_quirks = False
 
     def emit_doctype() -> None:
+        nonlocal prev_end
         flush_chars()
-        out.append(("DOCTYPE", dt_name, dt_public, dt_system, dt_force_quirks))
+        if with_token_positions:
+            out.append(
+                ("DOCTYPE", dt_name, dt_public, dt_system,
+                 dt_force_quirks, tok_start)
+            )
+            prev_end = i
+        else:
+            out.append(
+                ("DOCTYPE", dt_name, dt_public, dt_system, dt_force_quirks)
+            )
 
     def flush_code_points(s: str) -> None:
         # "flush code points consumed as a character reference"
@@ -446,6 +499,7 @@ def tokenize(
             c = text[j]
             i = j + 1
             if c == "<":
+                tok_start = j
                 if enable_fast_tags:
                     fm = _FAST_START_TAG.match(text, j)
                     if fm is not None:
@@ -466,9 +520,17 @@ def tokenize(
                                     fattrs[an] = av
                         flush_chars()
                         self_closing = fm.group(3) == "/"
-                        out.append(("StartTag", name, fattrs, self_closing))
-                        last_start = name
                         i = fm.end()
+                        if with_token_positions:
+                            out.append(
+                                ("StartTag", name, fattrs, self_closing, j)
+                            )
+                            prev_end = i
+                        else:
+                            out.append(
+                                ("StartTag", name, fattrs, self_closing)
+                            )
+                        last_start = name
                         if name in ("svg", "math") and not self_closing:
                             foreign_depth += 1
                         if tree_aware and foreign_depth == 0:
@@ -478,10 +540,14 @@ def tokenize(
                     if fm is not None:
                         flush_chars()
                         end_name = fm.group(1).translate(_ASCII_LOWER)
-                        out.append(("EndTag", end_name))
+                        i = fm.end()
+                        if with_token_positions:
+                            out.append(("EndTag", end_name, j))
+                            prev_end = i
+                        else:
+                            out.append(("EndTag", end_name))
                         if foreign_depth and end_name in ("svg", "math"):
                             foreign_depth -= 1
-                        i = fm.end()
                         continue
                 state = S_TAG_OPEN
             elif c == "&":
@@ -504,6 +570,7 @@ def tokenize(
             c = text[j]
             i = j + 1
             if c == "<":
+                tok_start = j
                 state = S_RCDATA_LT
             elif c == "&":
                 return_state = S_RCDATA
@@ -525,6 +592,7 @@ def tokenize(
             c = text[j]
             i = j + 1
             if c == "<":
+                tok_start = j
                 state = S_RAWTEXT_LT if state == S_RAWTEXT else S_SD_LT
             else:
                 err("unexpected-null-character")
@@ -706,6 +774,7 @@ def tokenize(
                 chars.append("-")
                 state = S_SD_ESCAPED_DASH
             elif c == "<":
+                tok_start = j
                 state = S_SD_ESCAPED_LT
             else:
                 err("unexpected-null-character")
@@ -721,6 +790,7 @@ def tokenize(
                 chars.append("-")
                 state = S_SD_ESCAPED_DASH_DASH
             elif c == "<":
+                tok_start = i - 1
                 state = S_SD_ESCAPED_LT
             elif c == "\x00":
                 err("unexpected-null-character")
@@ -739,6 +809,7 @@ def tokenize(
             if c == "-":
                 chars.append("-")
             elif c == "<":
+                tok_start = i - 1
                 state = S_SD_ESCAPED_LT
             elif c == ">":
                 chars.append(">")

@@ -406,6 +406,8 @@ class DocTree:
         "ns",
         "quirks_mode",
         "doctype",
+        "src",
+        "cur_src",
     )
 
     def __init__(self) -> None:
@@ -421,6 +423,13 @@ class DocTree:
         self.ns: list[str | None] = [None]
         self.quirks_mode = "no-quirks"
         self.doctype: tuple | None = None
+        # source anchors (parse_document(src_positions=True)): the
+        # start offset of the token that created each node; -1 when
+        # positions are off.  cur_src is the stamp the driver loop
+        # sets per token — new_node reads it so every creation site
+        # (driver, AFE clones, text merges) inherits it for free.
+        self.src: list[int] = [-1]
+        self.cur_src: int = -1
 
     def new_node(
         self,
@@ -439,6 +448,7 @@ class DocTree:
         self.attrs.append(attrs)
         self.text.append(None)
         self.ns.append(ns)
+        self.src.append(self.cur_src)
         return nid
 
     def insert_node_before(self, parent: int, before: int, child: int) -> None:
@@ -604,10 +614,20 @@ def parse_document(
     collect_errors: bool = True,
     fragment_context: str | None = None,
     scripting: bool = True,
+    src_positions: bool = False,
 ):
     """Parse a full HTML document → ``(DocTree, errors)``; with
     ``fragment_context`` set, parse a fragment instead and return
     ``(DocTree, root_id, errors)``.
+
+    ``src_positions=True`` (r4) records each node's SOURCE anchor in
+    ``tree.src``: the start offset (post-preprocess char offset into
+    ``html``) of the token that created the node — an element's
+    opening ``<``, a text node's first character's origin, a
+    comment's ``<!``.  Nodes the parser implies (html/head/body with
+    no tag of their own, AFE clones) anchor at the token being
+    processed when they were created.  Off by default: zero per-node
+    cost beyond one ``-1`` append.
 
     ``scripting`` is the spec's scripting flag: True (default —
     browser-with-JS parity) makes noscript a generic-rawtext element;
@@ -627,9 +647,15 @@ def parse_document(
             initial_state=frag_state,
             last_start_tag=fragment_context,
             scripting=scripting,
+            with_token_positions=src_positions,
         )
     else:
-        tokens, errors = tokenize(html, tree_aware=True, scripting=scripting)
+        tokens, errors = tokenize(
+            html,
+            tree_aware=True,
+            scripting=scripting,
+            with_token_positions=src_positions,
+        )
     tree = DocTree()
 
     mode = M_INITIAL
@@ -1276,6 +1302,10 @@ def parse_document(
         tok = tokens[ti]
         ti += 1
         kind = tok[0]
+        if src_positions:
+            # every node created while this token processes (driver
+            # inserts, AFE clones, merged text) anchors here
+            tree.cur_src = tok[-1]
         reprocess = True
         skip_foreign = False
         while reprocess:
@@ -1362,7 +1392,9 @@ def parse_document(
                     tree.text[nid] = [tok[1]]
                     tree.append_child(0, nid)
                 elif kind == "DOCTYPE":
-                    _, name, pub, sys, fq = tok
+                    # slice, not exact unpack: positioned tokens carry
+                    # a trailing source offset
+                    _, name, pub, sys, fq = tok[:5]
                     nid = tree.new_node(N_DOCTYPE, name, None)
                     tree.append_child(0, nid)
                     tree.doctype = (name, pub, sys)
