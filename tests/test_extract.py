@@ -455,3 +455,50 @@ def test_source_offsets_end_to_end():
     sp, _ = extract_html(ent, ExtractConfig(with_source_offsets=True))
     assert sp == [("text", "&start of text", None, 9)]
     assert ent[9:].startswith("&amp;")
+
+
+def test_source_offsets_whitespace_and_cdata_anchors():
+    """Code-review r4c: anchors must point at CONTENT — leading
+    whitespace-only nodes and CDATA delimiters are skipped, so
+    doc[src:] always starts with the span's first characters."""
+    from zhtml_spark.extract import ExtractConfig, extract_html
+
+    cfg = ExtractConfig(with_source_offsets=True)
+    # leading whitespace node + in-node leading whitespace
+    for page in ("<body><p> <b>Hi there</b></p></body>",
+                 "<body><p>   Hi there</p></body>"):
+        spans, _ = extract_html(page, cfg)
+        (k, t, _r, p) = spans[0]
+        assert (k, t) == ("text", "Hi there")
+        assert page[p:].startswith("Hi there"), (page, p)
+    # CDATA content (foreign IP) anchors past the delimiter
+    page = ("<body><svg><foreignObject><p>"
+            "<![CDATA[hello world block]]></p>"
+            "</foreignObject></svg></body>")
+    spans, _ = extract_html(page, cfg)
+    text_spans = [s for s in spans if s[0] == "text"]
+    assert text_spans[0][1] == "hello world block"
+    assert page[text_spans[0][3]:].startswith("hello world block")
+    # a run already in progress keeps its own first char's anchor
+    page2 = ("<body><svg><foreignObject><p>"
+             "pre <![CDATA[mid]]> post</p></foreignObject></svg></body>")
+    spans2, _ = extract_html(page2, cfg)
+    t2 = [s for s in spans2 if s[0] == "text"][0]
+    assert t2[1] == "pre mid post"
+    assert page2[t2[3]:].startswith("pre ")
+
+
+def test_fused_stage_rejects_source_offsets():
+    """Code-review r4c: the fused stages' schema has no src column —
+    asking for with_source_offsets must fail at CONSTRUCTION time on
+    the driver, never as an executor unpack error past the per-doc
+    poison-pill guard."""
+    import pytest
+
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.udfs import make_extract_arrow_udf, make_extract_udf
+
+    with pytest.raises(ValueError, match="src column"):
+        make_extract_udf(ExtractConfig(with_source_offsets=True))
+    with pytest.raises(ValueError, match="src column"):
+        make_extract_arrow_udf(ExtractConfig(with_source_offsets=True))

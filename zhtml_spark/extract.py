@@ -291,8 +291,21 @@ def extract_spans(
             elif data:
                 if link_parts is not None:
                     link_parts.append(data)
-                if not parts:
-                    block_src = tree.src[nid]
+                if block_src == -1 and tree.src[nid] >= 0:
+                    # anchor at the first NON-whitespace char: the
+                    # normalized span text strips leading whitespace,
+                    # so doc[src:] must start at real content
+                    # (code-review r4c).  Pre blocks keep raw starts
+                    # (their leading whitespace IS content).  Leading
+                    # whitespace is assumed literal in source —
+                    # entity-encoded leading spaces shift the anchor
+                    # (documented approximation).
+                    if pre_depth > 0:
+                        block_src = tree.src[nid]
+                    else:
+                        lead = len(data) - len(data.lstrip())
+                        if lead < len(data):
+                            block_src = tree.src[nid] + lead
                 parts.append(data)
                 stripped = len(data.strip())
                 total_chars += stripped

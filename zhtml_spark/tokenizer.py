@@ -1156,6 +1156,14 @@ def tokenize(
                     # still count as foreign here, failing toward
                     # emitting the bracketed text as characters rather
                     # than swallowing it as a bogus comment.
+                    if not chars:
+                        # a character run STARTING with CDATA content
+                        # anchors at the first content char, not at
+                        # the '<![CDATA[' delimiter (which belongs to
+                        # no token); a run already in progress keeps
+                        # its own first char's anchor (code-review
+                        # r4c)
+                        prev_end = i
                     state = S_CDATA
                 else:
                     # HTML content: bogus comment, like the reference

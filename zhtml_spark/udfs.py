@@ -144,9 +144,28 @@ def extract_document(
     return out, errors, n_bytes
 
 
+def _reject_source_offsets(cfg: ExtractConfig) -> None:
+    """The fused stages' span schema (EXTRACT_SCHEMA — the driver/sink
+    contract) has no ``src`` column, so ``with_source_offsets`` cannot
+    ride through them: fail LOUDLY at stage-construction time on the
+    driver (code-review r4c — the 4-tuple spans previously blew up as
+    an unpack ValueError inside the executor, OUTSIDE the per-doc
+    poison-pill guard, killing the task after 4 retries).  Provenance
+    consumers use ``extract_html``/``extract_spans`` directly or a
+    bespoke stage with a src-bearing schema (see the
+    ``extract_src_offsets`` gate query)."""
+    if cfg.with_source_offsets:
+        raise ValueError(
+            "with_source_offsets is not supported by the fused extract "
+            "stage (EXTRACT_SCHEMA has no src column); use "
+            "extract_html/extract_spans or a custom mapInPandas stage"
+        )
+
+
 def make_extract_udf(config: ExtractConfig | None = None):
     """Build the mapInPandas function for the extraction stage."""
     cfg = config or ExtractConfig()
+    _reject_source_offsets(cfg)
 
     def extract_batches(
         batches: Iterator[pd.DataFrame],
@@ -214,6 +233,7 @@ def make_extract_arrow_udf(config: ExtractConfig | None = None):
     import pyarrow as pa
 
     cfg = config or ExtractConfig()
+    _reject_source_offsets(cfg)
 
     out_span_type = pa.struct(
         [
