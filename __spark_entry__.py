@@ -1174,6 +1174,45 @@ def _q_robots_gate(spark, sf_dir):
     return robots_gate(urls, rules, "bot0")
 
 
+def _q_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation (r4): the link-graph relevance signal,
+    composed through the REAL extraction path — parse pages with
+    emit_links, absolutize each href against the page URL, then
+    aggregate incoming anchors per target.  Targets shard by doc_id%7
+    (the per-site hub) plus one corpus-wide target everyone links, so
+    the aggregation has real fan-in; hub anchors vary by doc_id%3 so
+    the top-anchor rank exercises the count-then-lexicographic
+    tie-break.  The oracle recomputes the identical aggregation over
+    the constructed link set."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import absolutize_url, anchor_text_stats
+
+    d = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m3 = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit("<body><p>Doc "), d,
+        F.lit(': <a href="/hub/'), m7, F.lit('">hub '), m3,
+        F.lit('</a> and <a href="https://peer.example/home">peer home'
+              "</a> tail words.</p></body>"),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_links=True),
+    )
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id").cast("bigint") % 7).cast("string"),
+        F.lit(".example/a/page"), F.col("doc_id"), F.lit(".html"),
+    )
+    links = ex.where(F.col("kind") == "link").select(
+        "doc_id",
+        F.col("text").alias("anchor_text"),
+        absolutize_url(base, F.col("media_ref")).alias("resolved"),
+    )
+    return anchor_text_stats(links)
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Composite crawl-frontier gate (r4, VERDICT r3 #8): the three
     crawl ops composed in ONE plan — extract links from parsed HTML
@@ -1521,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "extract_svg_media": _q_extract_svg_media,
         "extract_src_offsets": _q_extract_src_offsets,
+        "anchor_stats": _q_anchor_stats,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
@@ -1559,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": _q_dedup_by_url,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        "events_windowed": _q_events_windowed,
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
@@ -1591,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
+        "events_windowed": _q_events_windowed,
     }
 
 
@@ -2750,6 +2790,41 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || d || '/file' || d || '.pdf',
                    doc_id % 3 = 0
             FROM h
+        """,
+        "anchor_stats": """
+            WITH links AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example/hub/'
+                         || CAST(doc_id % 7 AS VARCHAR) AS resolved,
+                       'hub ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'https://peer.example/home', 'peer home'
+                FROM documents
+            ),
+            per AS (
+                SELECT resolved, anchor, count(*) AS n
+                FROM links GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT resolved, anchor, n,
+                       row_number() OVER (
+                           PARTITION BY resolved
+                           ORDER BY n DESC, anchor ASC
+                       ) AS rn
+                FROM per
+            ),
+            tot AS (
+                SELECT resolved, count(*) AS n_links,
+                       count(DISTINCT doc_id) AS n_sources
+                FROM links GROUP BY 1
+            )
+            SELECT t.resolved, t.n_links, t.n_sources,
+                   r.anchor AS top_anchor,
+                   r.n AS top_anchor_count
+            FROM tot t JOIN ranked r
+              ON r.resolved = t.resolved AND r.rn = 1
         """,
         "extract_src_offsets": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -855,6 +855,30 @@ def test_bloom_seen_set(spark):
         bloom_build(seen, k=0)
 
 
+def test_anchor_text_stats(spark):
+    """Anchor aggregation (r4): counts, distinct sources, and the
+    count-then-lexicographic top-anchor tie-break."""
+    from zhtml_spark.textops import anchor_text_stats
+
+    links = spark.createDataFrame(
+        [(1, "https://t/a", "click"), (2, "https://t/a", "click"),
+         (3, "https://t/a", "here"), (3, "https://t/a", "here"),
+         (1, "https://t/b", "beta"), (1, "https://t/b", "alpha")],
+        "doc_id long, resolved string, anchor_text string",
+    )
+    got = {r["resolved"]: r for r in anchor_text_stats(links).collect()}
+    a = got["https://t/a"]
+    # 'click' and 'here' both appear twice -> lexicographic winner
+    assert (a["n_links"], a["n_sources"], a["top_anchor"],
+            a["top_anchor_count"]) == (4, 3, "click", 2)
+    b = got["https://t/b"]
+    assert (b["n_links"], b["n_sources"], b["top_anchor"]) == (
+        2, 1, "alpha")
+    plan = anchor_text_stats(links)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_dedup_components_chains_and_convergence(spark):
     """Connected components (r4): a 6-long chain resolves to ONE
     component (the case smallest-neighbor dominance mislabels), two

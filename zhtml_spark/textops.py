@@ -1297,6 +1297,48 @@ def url_host(col: Column) -> Column:
     )
 
 
+def anchor_text_stats(
+    links: DataFrame,
+    target_col: str = "resolved",
+    text_col: str = "anchor_text",
+    source_col: str = "doc_id",
+) -> DataFrame:
+    """Incoming anchor-text aggregation per link target — the classic
+    web-corpus relevance signal (anchor text describes the TARGET
+    page better than the source; search and labeling pipelines
+    aggregate it per URL).
+
+    Returns one row per target: ``n_links`` (total incoming),
+    ``n_sources`` (distinct linking docs), ``top_anchor`` +
+    ``top_anchor_count`` (the most common anchor text; ties break
+    lexicographically so reruns and the oracle agree).
+
+    Shape: two hash-aggs on the target key + one rank window over the
+    (target, anchor) GROUPS (bounded by distinct anchor texts, not
+    link volume) + a broadcast-friendly join back.  All counts
+    integer, fully deterministic."""
+    per_anchor = links.groupBy(target_col, text_col).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy(target_col).orderBy(
+        F.col("n").desc(), F.col(text_col).asc()
+    )
+    top = (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            target_col,
+            F.col(text_col).alias("top_anchor"),
+            F.col("n").alias("top_anchor_count"),
+        )
+    )
+    totals = links.groupBy(target_col).agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct(source_col).alias("n_sources"),
+    )
+    return totals.join(top, target_col)
+
+
 def host_stats(
     docs: DataFrame,
     url_col: str = "url",
