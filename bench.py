@@ -116,12 +116,15 @@ def main() -> None:
 
     from zhtml_spark.textops import (
         cosine_topk,
+        dedup_components,
         ivf_topk,
         minhash_band_stats,
         minhash_banded_candidates,
         minhash_dup_candidates,
         ngram_jaccard_pairs,
         line_dedup,
+        pack_sequences,
+        substring_dedup_apply,
         simhash_candidate_stats,
         simhash_dup_candidates,
         substring_dup_spans,
@@ -170,6 +173,26 @@ def main() -> None:
                 docs_tbl, min_shared=5, max_doc_freq=20
             ).count(),
         ),
+    )
+    # r4 composed ops: exact clusters over the banded candidates
+    # (iterative propagation incl. the LSH edge generation), the
+    # substring-dedup APPLY pass (detect + cut), and sequence packing
+    timed(
+        "dedup_components",
+        lambda: dedup_components(
+            minhash_banded_candidates(docs_tbl, n=3, bands=4, rows=2)
+        ).count(),
+    )
+    timed(
+        "dedup_apply",
+        lambda: substring_dedup_apply(
+            docs_tbl, substring_dup_spans(docs_tbl, k=25, min_len=60)
+        ).agg(F.sum("n_cut_chars")).collect(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: pack_sequences(docs_tbl, budget_tokens=2048)
+        .agg(F.count_distinct("bucket", "pack_id")).collect(),
     )
     timed(
         "dedup_lines",
