@@ -1551,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep (`python jobs/oracle_sweep.py`) still covers ALL entries."""
     return {
         # -- block A: never driver-checked (r4 additions first) -------
+        "anchor_stats": _q_anchor_stats,
         "crawl_frontier": _q_crawl_frontier,
         "image_meta": _q_image_meta,
         "extract_density": _q_extract_density,
@@ -1560,7 +1561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "extract_svg_media": _q_extract_svg_media,
         "extract_src_offsets": _q_extract_src_offsets,
-        "anchor_stats": _q_anchor_stats,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,

@@ -1316,12 +1316,17 @@ def anchor_text_stats(
     Shape: two hash-aggs on the target key + one rank window over the
     (target, anchor) GROUPS (bounded by distinct anchor texts, not
     link volume) + a broadcast-friendly join back.  All counts
-    integer, fully deterministic."""
+    integer, fully deterministic.  NULL targets (an unresolvable
+    href) are dropped EXPLICITLY up front — the join-back would lose
+    them silently otherwise — and the anchor tie-break pins NULLS
+    LAST, where Spark and DuckDB default opposite ways (code-review
+    r4d)."""
+    links = links.where(F.col(target_col).isNotNull())
     per_anchor = links.groupBy(target_col, text_col).agg(
         F.count("*").alias("n")
     )
     w = Window.partitionBy(target_col).orderBy(
-        F.col("n").desc(), F.col(text_col).asc()
+        F.col("n").desc(), F.col(text_col).asc_nulls_last()
     )
     top = (
         per_anchor.withColumn("rn", F.row_number().over(w))
