@@ -2950,7 +2950,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             packed AS (
                 SELECT doc_id, n_tokens, bucket,
-                       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+                       -- integer // mirrors Spark's DIV: exact past
+                       -- 2^53 where floor(x/512.0) would round
+                       -- (ADVICE r4)
+                       CAST(start // 512 AS BIGINT) AS pack_id,
                        ord
                 FROM pref
             )

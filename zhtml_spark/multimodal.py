@@ -169,6 +169,12 @@ def sniff_image_meta(b: bytes) -> tuple[str, int, int] | None:
             if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                 i += 2  # standalone markers carry no length
                 continue
+            if marker == 0xDA:
+                # SOS without a prior SOF: everything after is
+                # entropy-coded data, not a marker stream — stop here
+                # instead of scanning it and hoping byte stuffing
+                # desyncs us safely (ADVICE r4)
+                return None
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (
                 0xC4,  # DHT
