@@ -930,6 +930,91 @@ def _q_image_meta(spark, sf_dir):
     )
 
 
+def _hex_be(col, n_bytes):
+    """Big-endian fixed-width hex of an integer column (JVM-side)."""
+    return F.lpad(F.hex(col), 2 * n_bytes, "0")
+
+
+def _hex_le(col, n_bytes):
+    """LITTLE-endian fixed-width hex (RIFF fields): byte-swap the
+    big-endian hex pairwise, JVM-side."""
+    be = _hex_be(col, n_bytes)
+    return F.concat(
+        *[
+            F.substring(be, 2 * i + 1, 2)
+            for i in reversed(range(n_bytes))
+        ]
+    )
+
+
+def _q_media_container_meta(spark, sf_dir):
+    """Video/audio container-header decode (r5, VERDICT r4 #4): the
+    image_meta recipe extended to the moving-media containers.  Three
+    payload families are synthesized JVM-side with ``unhex``:
+
+    * doc_id%3==0 — ISO-BMFF mp4: ftyp + moov(mvhd timescale 600 +
+      per-doc duration; trak/tkhd with per-doc 16.16 fixed dims),
+      every box size exact;
+    * doc_id%3==1 — RIFF WAV: fmt (per-doc channels/sample-rate) +
+      a declared data size (streamed-prefix sniffing: header fields
+      only, little-endian throughout, byte-swapped JVM-side);
+    * doc_id%3==2 — a fixed valid WebM EBML tree (DocType, Info with
+      TimecodeScale+Duration, Tracks/Video pixel dims).
+
+    ``decode_container_meta``'s pure-Python walker parses them back in
+    one Arrow-batched ``mapInPandas`` stage; the oracle states every
+    field from CONSTRUCTION arithmetic (integer //), so rows match
+    only if the byte-level round trip is exact."""
+    from zhtml_spark.multimodal import decode_container_meta
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    # -- mp4: per-doc dims + duration (timescale 600) ---------------
+    w = (did % 640 + 16).cast("int")
+    h = (did % 480 + 9).cast("int")
+    dur = (did * 7 + 600).cast("long")
+    mp4_hex = F.concat(
+        F.lit("0000001066747970" "69736F6D" "00000200"),  # ftyp isom
+        F.lit("000000D8" "6D6F6F76"),                     # moov(216)
+        F.lit("0000006C" "6D766864"), F.lit("00" * 12),   # mvhd(108) v0
+        F.lit("00000258"), _hex_be(dur, 4), F.lit("00" * 80),
+        F.lit("00000064" "7472616B"),                     # trak(100)
+        F.lit("0000005C" "746B6864"), F.lit("00" * 76),   # tkhd(92) v0
+        _hex_be(w, 2), F.lit("0000"), _hex_be(h, 2), F.lit("0000"),
+    )
+    # -- wav: per-doc audio params, declared data size --------------
+    ch = (did % 2 + 1).cast("int")
+    sr = (did % 5 * 1000 + 8000).cast("int")
+    block = (ch * 2).cast("int")
+    byte_rate = (sr * block).cast("int")
+    data_size = (byte_rate * (did % 4 + 1) + did % 997).cast("int")
+    wav_hex = F.concat(
+        F.lit("52494646"), _hex_le(data_size + 36, 4), F.lit("57415645"),
+        F.lit("666D7420" "10000000" "0100"),  # fmt(16), PCM
+        _hex_le(ch, 2), _hex_le(sr, 4), _hex_le(byte_rate, 4),
+        _hex_le(block, 2), F.lit("1000"),     # 16-bit
+        F.lit("64617461"), _hex_le(data_size, 4),
+    )
+    # -- webm: fixed EBML tree (640x480, 12345 ms) ------------------
+    webm_hex = F.lit(
+        "1A45DFA3874282847765626D18538067A41549A9668E2AD7B1830F4240"
+        "4489844640E4001654AE6B8CAE8AE088B0820280BA8201E0"
+    )
+    payload = F.unhex(
+        F.when(did % 3 == 0, mp4_hex)
+        .when(did % 3 == 1, wav_hex)
+        .otherwise(webm_hex)
+    )
+    media = d.select(
+        F.concat(F.lit("med://"), did.cast("string")).alias("media_ref"),
+        payload.alias("payload"),
+    )
+    return decode_container_meta(media).select(
+        "media_ref", "format", "width", "height", "duration_ms",
+        "sample_rate", "channels", "decoder",
+    )
+
+
 def _q_frame_sample(spark, sf_dir):
     from zhtml_spark.multimodal import frame_sample_refs
 
@@ -1550,7 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crawl-ops layer shipped driver-unevidenced that way).  The local
     sweep (`python jobs/oracle_sweep.py`) still covers ALL entries."""
     return {
-        # -- block A: never driver-checked (r4 additions first) -------
+        # -- block A: never driver-checked (r5 additions first) -------
+        "media_container_meta": _q_media_container_meta,
         "anchor_stats": _q_anchor_stats,
         "crawl_frontier": _q_crawl_frontier,
         "image_meta": _q_image_meta,
@@ -2873,6 +2959,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 480 + 9 AS INTEGER) AS height,
                    'sniff' AS decoder
             FROM documents
+        """,
+        "media_container_meta": """
+            -- expected output from CONSTRUCTION arithmetic (integer //
+            -- mirrors the sniffer's Python // exactly); the Spark side
+            -- earns these rows only via the byte-level header walk
+            WITH wavp AS (
+                SELECT doc_id,
+                       CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+                       CAST(doc_id % 5 * 1000 + 8000 AS INTEGER) AS sr
+                FROM documents
+            ),
+            wav AS (
+                SELECT doc_id, ch, sr,
+                       sr * ch * 2 AS byte_rate,
+                       sr * ch * 2 * (doc_id % 4 + 1) + doc_id % 997
+                         AS data_size
+                FROM wavp
+            )
+            SELECT 'med://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   'mp4' AS format,
+                   CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 480 + 9 AS INTEGER) AS height,
+                   CAST((doc_id * 7 + 600) * 1000 // 600 AS BIGINT)
+                     AS duration_ms,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS INTEGER) AS channels,
+                   'sniff' AS decoder
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'med://' || CAST(doc_id AS VARCHAR),
+                   'wav', NULL, NULL,
+                   CAST(data_size * 1000 // byte_rate AS BIGINT),
+                   sr, ch, 'sniff'
+            FROM wav WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT 'med://' || CAST(doc_id AS VARCHAR),
+                   'webm', 640, 480, CAST(12345 AS BIGINT),
+                   NULL, NULL, 'sniff'
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "crawl_frontier": """
             WITH h AS (
