@@ -634,6 +634,40 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
 
 
+def _q_embed_hashing(spark, sf_dir):
+    """Self-derived document embeddings (r5, VERDICT r4 #6): the
+    hashing-trick sketch over the documents table, emitted as
+    (doc_id, dim_idx, q_weight) rows with the weight FLOOR-quantized
+    at 1e-6 (floor is identical on both engines; the doubles
+    themselves are bit-identical — integer counts, IEEE sqrt/divide).
+    The oracle recomputes bucket, sign bit 47, signed counts, and the
+    L2 norm from the same md5-48 hash."""
+    from zhtml_spark.textops import embed_hashing
+
+    emb = embed_hashing(_docs(spark, sf_dir), dim=16)
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("dim_idx", "w"),
+    ).select(
+        "doc_id",
+        "dim_idx",
+        F.floor(F.col("w") * 1000000).cast("long").alias("q_weight"),
+    )
+
+
+def _q_ivf_topk_embedded(spark, sf_dir):
+    """IVF ANN re-gated over SELF-DERIVED embeddings (r5): the full
+    composition extraction-side pipelines run — text → hashing-trick
+    embedding → centroid prune → cosine top-k — in one plan, oracle =
+    the same restricted brute force over SQL-recomputed embeddings."""
+    from zhtml_spark.textops import embed_hashing, ivf_topk
+
+    emb = embed_hashing(_docs(spark, sf_dir), dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
+
+
 def _q_embedding_dup(spark, sf_dir):
     from zhtml_spark.textops import embedding_dup_candidates
 
@@ -1637,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block A: never driver-checked (r5 additions first) -------
         "media_container_meta": _q_media_container_meta,
+        "embed_hashing": _q_embed_hashing,
+        "ivf_topk_embedded": _q_ivf_topk_embedded,
         "anchor_stats": _q_anchor_stats,
         "crawl_frontier": _q_crawl_frontier,
         "image_meta": _q_image_meta,
@@ -1719,6 +1755,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
     }
 
+
+_EMB_HASH_ORACLE_HEAD = r"""
+    -- hashing-trick embedding recomputed from scratch (mirrors
+    -- textops.embed_hashing dim=16, md5-48, sign bit 47): bucketed
+    -- signed counts, L2 norm; integer sums exact, doubles then
+    -- bit-identical across engines
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('emb:' || t), 1, 12)) AS BIGINT)
+                 AS h
+        FROM toks
+    ),
+    bs AS (
+        SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+               CASE WHEN ((h >> 47) & 1) = 0 THEN 1 ELSE -1 END AS s
+        FROM hashed
+    ),
+    cnts AS (
+        SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS cnt
+        FROM bs GROUP BY doc_id, b
+    ),
+    dims AS (
+        SELECT d.doc_id, CAST(t.i AS INTEGER) AS dim_idx
+        FROM documents d, UNNEST(range(0, 16)) t(i)
+    ),
+    fullc AS (
+        SELECT dims.doc_id, dims.dim_idx, COALESCE(cnts.cnt, 0) AS cnt
+        FROM dims LEFT JOIN cnts
+          ON dims.doc_id = cnts.doc_id AND dims.dim_idx = cnts.b
+    ),
+    n2 AS (
+        SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS norm2
+        FROM fullc GROUP BY doc_id
+    ),
+    wts AS (
+        SELECT f.doc_id, f.dim_idx,
+               CASE WHEN norm2 > 0
+                    THEN CAST(f.cnt AS DOUBLE)
+                         / sqrt(CAST(norm2 AS DOUBLE))
+                    ELSE 0.0 END AS w
+        FROM fullc f JOIN n2 USING (doc_id)
+    )
+"""
 
 _GRAMS_CTE = """
     WITH words AS (
@@ -2133,6 +2217,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << s)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM per_bit GROUP BY doc_id
+        """,
+        "embed_hashing": _EMB_HASH_ORACLE_HEAD + """
+            SELECT doc_id, dim_idx,
+                   CAST(floor(w * 1000000) AS BIGINT) AS q_weight
+            FROM wts
+        """,
+        "ivf_topk_embedded": _EMB_HASH_ORACLE_HEAD + """
+            , emb AS (
+                SELECT doc_id AS vec_id, list(w ORDER BY dim_idx)
+                         AS embedding
+                FROM wts GROUP BY doc_id
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, embedding AS ce
+                FROM emb WHERE vec_id < 8
+            ),
+            adist AS (
+                SELECT e.vec_id, c.centroid_id,
+                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM emb e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM adist
+                ) WHERE r = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM emb WHERE vec_id < 5
+            ),
+            qdist AS (
+                SELECT q.query_id, c.centroid_id, q.qe,
+                       round((SELECT sum((CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                                       * (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
+                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
+                FROM q, c
+            ),
+            probes AS (
+                SELECT query_id, centroid_id, qe FROM (
+                    SELECT query_id, centroid_id, qe,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY dist ASC, centroid_id ASC
+                           ) AS r
+                    FROM qdist
+                ) WHERE r <= 2
+            ),
+            cand AS (
+                SELECT p.query_id, e.vec_id, p.qe, e.embedding AS ee
+                FROM probes p
+                JOIN assign a USING (centroid_id)
+                JOIN emb e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> p.query_id
+            ),
+            dots AS (
+                SELECT query_id, vec_id,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS dot,
+                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS nq,
+                       (SELECT sum(CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
+                        FROM UNNEST(range(1, len(ee) + 1)) t(i)) AS ne
+                FROM cand
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC,
+                                    vec_id ASC
+                       ) AS INTEGER) AS rank
+                FROM dots
+            )
+            SELECT query_id, vec_id AS neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 5
         """,
         "ivf_topk": """
             WITH c AS (

@@ -1550,3 +1550,35 @@ def test_robots_gate_query_rules_and_star_cap(spark):
         "https://h/page?other=1": True,
         "https://h/" + "a" * 45 + "b": True,
     }
+
+
+def test_embed_hashing_semantics_and_plan(spark):
+    """Hashing-trick embeddings (r5): unit L2 norm, deterministic,
+    hash_fn paths share bucket structure, zero vector for empty text,
+    and the plan is pure JVM (no Python stage)."""
+    import math
+
+    from zhtml_spark.textops import embed_hashing
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma alpha"),
+         (3, "totally different words here"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["embedding"]
+           for r in embed_hashing(docs, dim=16).collect()}
+    assert all(len(v) == 16 for v in got.values())
+    # identical text -> identical vector; unit norm (or zero for empty)
+    assert got[1] == got[2]
+    assert abs(math.sqrt(sum(x * x for x in got[1])) - 1.0) < 1e-12
+    assert got[4] == [0.0] * 16
+    assert got[1] != got[3]
+    # engine fast path: same shape, unit norm, no cross-engine pin
+    fast = {r["doc_id"]: r["embedding"]
+            for r in embed_hashing(docs, dim=16,
+                                   hash_fn="xxhash64").collect()}
+    assert abs(math.sqrt(sum(x * x for x in fast[1])) - 1.0) < 1e-12
+    assert fast[4] == [0.0] * 16
+    plan = embed_hashing(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -675,6 +675,97 @@ def ivf_topk(
     )
 
 
+def embed_hashing(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Hashing-trick document embedding (VERDICT r4 #6): token →
+    hash bucket with a hash-derived ±1 sign, signed counts summed per
+    bucket, L2-normalized — the classic feature-hashing sketch
+    (Weinberger et al. 2009), so SemDeDup / IVF / cosine ops compose
+    with the REAL extraction output instead of driver-synthesized
+    vectors.
+
+    Distributed shape: ZERO-shuffle, pure JVM higher-order functions —
+    tokenize (the same ``\\w+|[^\\w\\s]`` pre-tokenizer as
+    :func:`token_count`), one ``transform`` to (bucket, sign) pairs
+    (ONE hash per token), one ``aggregate`` folding into a
+    ``dim``-wide count array, one normalize pass.  Per-row cost is
+    O(tokens × dim) for the fold — right for sketch-sized dims
+    (16–64); a pivot via explode+groupBy would add a shuffle to win
+    only at dims far beyond sketch size.  Embarrassingly parallel at
+    10^12 docs.
+
+    ``hash_fn``: ``'md5'`` (default) is the blessed cross-engine
+    md5-48 form so DuckDB oracles mirror it exactly; ``'xxhash64'``
+    is the faster engine-only path (same switch contract as
+    winnow/substring).  Bucket = low bits (pmod), sign = a HIGH bit
+    (47 for md5-48, 62 for xxhash64) so they are independent.
+
+    Returns (id_col, embedding array<double>); all-empty docs get the
+    zero vector (no NaN from 0/0)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"\w+|[^\w\s]"),
+        0,
+    )
+    if hash_fn == "md5":
+        def _h(t):
+            return md5_hash48(t, salt="emb:")
+        sign_bit = 47
+    else:
+        def _h(t):
+            return F.xxhash64(F.concat(F.lit("emb:"), t))
+        sign_bit = 62
+    hashes = F.transform(toks, _h)
+    pairs = F.transform(
+        hashes,
+        lambda h: F.struct(
+            F.pmod(h, F.lit(dim)).cast("int").alias("b"),
+            F.when(
+                F.pmod(F.shiftright(h, sign_bit), F.lit(2)) == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), dim)
+    counts = F.aggregate(
+        pairs,
+        zeros,
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    with_counts = docs.select(id_col, counts.alias("_c"))
+    norm2 = F.aggregate(
+        F.col("_c"),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v * v,
+    )
+    with_norm = with_counts.withColumn("_n2", norm2)
+    embedding = F.when(
+        F.col("_n2") > 0,
+        F.transform(
+            F.col("_c"),
+            lambda v: v.cast("double")
+            / F.sqrt(F.col("_n2").cast("double")),
+        ),
+    ).otherwise(F.transform(F.col("_c"), lambda v: F.lit(0.0)))
+    return with_norm.select(id_col, embedding.alias("embedding"))
+
+
 def embedding_dup_candidates(
     emb: DataFrame,
     threshold: float = 0.95,
