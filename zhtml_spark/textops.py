@@ -1094,15 +1094,40 @@ def winnow_fingerprints(
         f"transform(sequence(1, length({text_col}) - {k} + 1), "
         f"j -> {gh}) END"
     )
-    fps = (
+    # window minimum as a flat least() chain of element_at lookups —
+    # stays inside codegen with no per-position slice() array
+    # allocation (VERDICT r4 #5: the post-xxhash64 cost is this stage's
+    # intermediate volume); falls back to slice+array_min for wide
+    # windows where a 1-deep expression chain would bloat codegen
+    if window == 1:
+        win_min = "element_at(h, i)"
+    elif window <= 16:
+        terms = ", ".join(
+            f"element_at(h, i + {d})" for d in range(window)
+        )
+        win_min = f"least({terms})"
+    else:
+        win_min = f"array_min(slice(h, i, {window}))"
+    mins = (
         f"CASE WHEN length({text_col}) < {min_len} THEN {empty} ELSE "
-        f"array_distinct(transform("
-        f"sequence(1, length({text_col}) - {min_len} + 1), "
-        f"i -> array_min(slice(h, i, {window})))) END"
+        f"transform(sequence(1, length({text_col}) - {min_len} + 1), "
+        f"i -> {win_min}) END"
+    )
+    # consecutive windows usually share their minimum (expected
+    # selection density 2/(window+1)); dropping adjacent repeats
+    # BEFORE array_distinct cuts its input ~(window+1)/2× and changes
+    # nothing — the distinct VALUE set is identical by construction
+    # greatest(i-1, 0) keeps the subscript in range at i=0 (SQL OR is
+    # not guaranteed short-circuit; ANSI mode would throw on m[-1]) —
+    # the i=0 disjunct then decides that row
+    fps = (
+        "array_distinct(filter(m, "
+        "(v, i) -> i = 0 OR v <> m[greatest(i - 1, 0)]))"
     )
     return (
         docs.select(id_col, text_col)
         .withColumn("h", F.expr(hashes))
+        .withColumn("m", F.expr(mins))
         .select(id_col, F.explode(F.expr(fps)).alias("fp"))
     )
 
@@ -1124,17 +1149,36 @@ def winnow_dup_candidates(
     (fingerprints shared by more than ``max_doc_freq`` docs are
     boilerplate and dropped, bounding the per-bucket join at
     max_doc_freq² — the same scale lever as ngram_jaccard_pairs).
+    Plan (r5): df-capped POSTING-LIST pair expansion instead of the
+    fp×fp self-join — after the frequency gate every posting list is
+    ≤ ``max_doc_freq`` entries, so ``collect_list`` per fingerprint is
+    bounded (never the unbounded-group OOM of an uncapped collect)
+    and the i<j pairs come from one higher-order flatten.  One fewer
+    shuffle than the self-join (the a/b sides shuffled `kept` twice),
+    no join, identical pair counts.
+
     Returns (doc_a, doc_b, shared) with doc_a < doc_b."""
     fps = winnow_fingerprints(docs, k, window, text_col, id_col, hash_fn)
     freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
     kept = fps.join(
-        freq.where(F.col("df") <= max_doc_freq).select("fp"), "fp"
+        freq.where(
+            (F.col("df") <= max_doc_freq) & (F.col("df") >= 2)
+        ).select("fp"),
+        "fp",
     )
-    a = kept.select("fp", F.col(id_col).alias("doc_a"))
-    b = kept.select("fp", F.col(id_col).alias("doc_b"))
+    posting = kept.groupBy("fp").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS doc_a, b AS doc_b))))"
+        )
+    ).alias("p")
     return (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        posting.select(pairs)
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
