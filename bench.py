@@ -280,6 +280,107 @@ def main() -> None:
         ),
     }
 
+    # 5b. ADVERSARIAL web-shape corpus column (VERDICT r4 #1): the sf
+    # corpora are boilerplate-free and host-flat, so the df caps, the
+    # line-dedup pass, and skew salting are green there on inputs that
+    # never stress them.  Every dedup family re-runs on a seed-stable
+    # corpus with power-law hosts, shared cookie/license/footer
+    # boilerplate, chained near-dup families, and giant pages — and
+    # plan_stats measures each lever where it actually bites.
+    from zhtml_spark.corpus import adversarial_web_corpus
+    from zhtml_spark.textops import winnow_candidate_stats
+
+    N_ADV = int(os.environ.get("ZX_BENCH_ADV_DOCS", "20000"))
+    ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42"
+    if not os.path.exists(ADV_CACHE):
+        adversarial_web_corpus(spark, N_ADV, seed=42).write.mode(
+            "overwrite"
+        ).parquet(ADV_CACHE)
+    adv = spark.read.parquet(ADV_CACHE)
+
+    timed(
+        "adv_minhash_banded",
+        lambda: pair_counts.__setitem__(
+            "adv_minhash_banded_candidates",
+            minhash_banded_candidates(adv, n=3, bands=4, rows=2).count(),
+        ),
+    )
+    timed(
+        "adv_winnow",
+        lambda: pair_counts.__setitem__(
+            "adv_winnow_candidates",
+            winnow_dup_candidates(
+                adv, min_shared=5, max_doc_freq=20
+            ).count(),
+        ),
+    )
+    timed(
+        "adv_substring",
+        lambda: substring_dup_spans(adv, k=25, min_len=60).count(),
+    )
+    timed(
+        "adv_components",
+        lambda: dedup_components(
+            minhash_banded_candidates(adv, n=3, bands=4, rows=2)
+        ).count(),
+    )
+    adv_line_chars: dict[str, int] = {}
+    def _adv_lines():
+        before = adv.agg(F.sum(F.length("text"))).collect()[0][0]
+        after = line_dedup(adv).agg(
+            F.sum(F.length("text"))
+        ).collect()[0][0]
+        adv_line_chars.update(
+            {"chars_before": int(before), "chars_after": int(after)}
+        )
+    timed("adv_lines", _adv_lines)
+
+    # lever evidence on BOTH corpora: winnow + substring df caps
+    # (uncapped vs capped candidate volume — the boilerplate fps
+    # dominate only on adv), minhash bucket mass, line-dedup removal,
+    # and the salted-repartition byte spread under giant-page skew
+    plan_stats["adv_minhash_banded_b4r2"] = minhash_band_stats(
+        adv, n=3, bands=4, rows=2
+    )
+    plan_stats["clean_winnow_df20"] = winnow_candidate_stats(
+        docs_tbl, max_doc_freq=20
+    )
+    plan_stats["adv_winnow_df20"] = winnow_candidate_stats(
+        adv, max_doc_freq=20
+    )
+    plan_stats["adv_substring_grams_k25"] = substring_gram_stats(
+        adv, k=25, max_gram_freq=20
+    )
+    plan_stats["adv_line_dedup"] = adv_line_chars
+
+    def _byte_spread(df, n_parts: int) -> float:
+        """max/mean of per-partition byte mass after a repartition."""
+        per = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.sum("n_bytes").alias("b"))
+            .agg(
+                (F.max("b") / F.avg("b")).alias("spread")
+            )
+            .collect()[0]["spread"]
+        )
+        return round(float(per), 3)
+
+    from zhtml_spark.pipeline import salted_repartition
+
+    adv_sized = adv.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_bytes"
+    )
+    plan_stats["adv_salted_spread"] = {
+        "partitions": CPUS,
+        "hash_only": _byte_spread(
+            adv_sized.repartition(CPUS, "doc_id"), CPUS
+        ),
+        "salted": _byte_spread(
+            salted_repartition(adv_sized, CPUS), CPUS
+        ),
+    }
+
     # 6. similarity search: brute force vs composed IVF prune
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("cosine_topk", lambda: cosine_topk(emb, n_queries=100, k=10).count())

@@ -1,0 +1,296 @@
+"""One-job frontier-to-packs demo (VERDICT r4 #7) — the product story.
+
+Composes the full training-corpus pipeline in a single Spark job over
+a synthetic web-shaped crawl (the adversarial corpus rendered as HTML
+pages inside WARC response records):
+
+    WARC read → extract (links + head meta, salted repartition) →
+    crawl frontier (absolutize + robots gate) → quality filter →
+    dedup tiers (URL → exact → banded-minhash survivors → optional
+    substring apply) → corpus line dedup → sequence packing →
+    spans-to-markdown render
+
+and reports per-stage rows/seconds/docs-per-sec as ONE JSON line
+(BENCH/NOTES.md records the 2M-doc run).  Every stage is the same
+public operator the oracle gates individually — this job exists to
+surface CROSS-op schema friction and to measure the composition, not
+to re-verify semantics.
+
+Usage:
+    python jobs/corpus_job.py [--docs 2000000] [--cores 32]
+                              [--substring / --no-substring]
+
+The substring-apply tier defaults OFF above 100k docs (its candidate
+volume on the chain-heavy adversarial corpus is the most expensive
+tier; it is bench-measured separately at 20k) and ON below.
+Smoke-tested in pytest at ~800 docs (tests/test_corpus_job.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, n_docs: int, cores: int, substring: bool) -> dict:
+    from pyspark.sql import functions as F
+
+    from zhtml_spark.corpus import adversarial_web_corpus
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_record,
+        warc_to_documents,
+    )
+    from zhtml_spark.textops import (
+        absolutize_url,
+        dedup_survivors,
+        line_dedup,
+        pack_sequences,
+        parse_robots,
+        quality_filter,
+        robots_gate,
+        spans_to_markdown,
+        substring_dedup_apply,
+        substring_dup_spans,
+        url_normalize,
+    )
+
+    stages: dict[str, dict] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        stages[name] = {"sec": round(time.time() - t0, 2)}
+        return out
+
+    # ---- 0. synthetic crawl: adversarial corpus → HTML → WARC -----
+    # (pure JVM; page URL doubles as the doc identity downstream)
+    adv = adversarial_web_corpus(spark, n_docs)
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/page"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    para = F.array_join(
+        F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda ln: F.concat(F.lit("<p>"), ln, F.lit("</p>")),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>page "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav><ul>"
+              '<li><a href="/">home</a></li>'
+              '<li><a href="/private/admin">admin</a></li>'
+              "</ul></nav>"),
+        para,
+        F.lit('<p>next: <a href="page'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('.html">more</a> <img src="/img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png" alt="fig"></p></body></html>'),
+    )
+    archives = adv.select(
+        warc_record(
+            url, F.lit("2026-01-01T00:00:00Z"), html, http_headers=True
+        ).alias("content")
+    )
+
+    # ---- 1. WARC parse → interleaved documents --------------------
+    docs = warc_to_documents(parse_warc_records(archives))
+    n_in = timed("warc_parse", docs.count)
+    stages["warc_parse"]["rows"] = n_in
+
+    # ---- 2. extraction (the heavy stage): salted repartition +
+    # fused parse UDF; checkpoint because frontier, text rebuild, and
+    # the final markdown render all reuse it
+    cfg = ExtractConfig(emit_links=True, emit_head_meta=True)
+    t0 = time.time()
+    spans = (
+        extract_documents(docs, config=cfg, num_partitions=2 * cores)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .localCheckpoint()
+    )
+    n_spans = spans.count()
+    el = time.time() - t0
+    stages["extract"] = {
+        "sec": round(el, 2),
+        "docs": n_in,
+        "spans": n_spans,
+        "docs_per_sec": round(n_in / el, 1),
+    }
+
+    # ---- 3. crawl frontier: links/media → absolutize → robots -----
+    hosts = adv.select("host").distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(
+            "User-agent: *\nDisallow: /private\nDisallow: /*.png$"
+        ).alias("text"),
+    )
+    rules = parse_robots(robots)
+    links = spans.where(F.col("kind").isin("link", "media")).select(
+        "doc_id", F.col("media_ref").alias("href")
+    )
+    resolved = links.select(
+        absolutize_url(F.col("doc_id"), F.col("href")).alias("url")
+    ).select(
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        "url",
+    )
+    frontier = robots_gate(resolved, rules, "trainbot")
+
+    def _frontier():
+        row = frontier.agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("allowed")).alias("allowed"),
+        ).collect()[0]
+        return row["n"], row["allowed"]
+
+    n_urls, n_allowed = timed("frontier", _frontier)
+    stages["frontier"].update({"urls": n_urls, "allowed": n_allowed})
+
+    # ---- 4. text rebuild + quality gate ---------------------------
+    text_tbl = (
+        spans.where(F.col("kind").isin("text", "heading", "list"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "text"))
+                ).getField("text"),
+                "\n",
+            ).alias("text")
+        )
+        .localCheckpoint()
+    )
+    quality = timed(
+        "quality_filter", lambda: quality_filter(text_tbl, min_tokens=8)
+    )
+    n_quality = quality.count()
+    stages["quality_filter"]["rows"] = n_quality
+
+    # ---- 5. dedup tiers: URL → exact → banded near-dup ------------
+    def _url_tier():
+        keep = (
+            quality.withColumn("norm_url", url_normalize(F.col("doc_id")))
+            .groupBy("norm_url")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return quality.join(keep, "doc_id").localCheckpoint()
+
+    after_url = timed("dedup_url", _url_tier)
+    stages["dedup_url"]["rows"] = after_url.count()
+
+    survivors = timed(
+        "dedup_exact_banded",
+        lambda: dedup_survivors(
+            after_url, n=3, bands=4, rows=2
+        ).localCheckpoint(),
+    )
+    n_surv = survivors.count()
+    stages["dedup_exact_banded"]["rows"] = n_surv
+
+    if substring:
+        def _apply():
+            cut = substring_dedup_apply(
+                survivors, substring_dup_spans(survivors, k=25, min_len=60)
+            ).localCheckpoint()
+            row = cut.agg(
+                F.count("*").alias("n"), F.sum("n_cut_chars").alias("c")
+            ).collect()[0]
+            return cut.select("doc_id", "text"), row["c"]
+
+        survivors, cut_chars = timed("substring_apply", _apply)
+        stages["substring_apply"]["cut_chars"] = int(cut_chars or 0)
+
+    # ---- 6. corpus line dedup (C4 pass) ---------------------------
+    def _lines():
+        out = line_dedup(survivors).localCheckpoint()
+        return out
+
+    lined = timed("line_dedup", _lines)
+    stages["line_dedup"]["chars"] = int(
+        lined.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+    )
+
+    # ---- 7. sequence packing --------------------------------------
+    def _packs():
+        packed = pack_sequences(lined, budget_tokens=2048)
+        return packed.agg(
+            F.count("*").alias("docs"),
+            F.count_distinct("bucket", "pack_id").alias("packs"),
+        ).collect()[0]
+
+    prow = timed("pack_sequences", _packs)
+    stages["pack_sequences"].update(
+        {"docs": prow["docs"], "packs": prow["packs"]}
+    )
+
+    # ---- 8. final form: markdown render of surviving docs ---------
+    def _markdown():
+        surv_spans = spans.join(
+            lined.select("doc_id"), "doc_id"
+        )
+        return spans_to_markdown(surv_spans).count()
+
+    n_md = timed("markdown", _markdown)
+    stages["markdown"]["rows"] = n_md
+
+    total = round(sum(s["sec"] for s in stages.values()), 2)
+    return {
+        "metric": "corpus_job_stages",
+        "docs": n_docs,
+        "cores": cores,
+        "total_sec": total,
+        "end_to_end_docs_per_sec": round(n_in / total, 1),
+        "stages": stages,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--substring",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="substring-apply tier (default: on below 100k docs)",
+    )
+    args = ap.parse_args()
+    substring = (
+        args.substring
+        if args.substring is not None
+        else args.docs <= 100_000
+    )
+    if args.docs >= 500_000:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+    from zhtml_spark.pipeline import build_session
+
+    spark = build_session(app="corpus-job", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, args.docs, args.cores, substring)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Smoke test for the composed frontier-to-packs job (VERDICT r4 #7):
+every stage runs over a small adversarial crawl, stage metrics are
+sane, and the composition preserves the invariants the unit gates
+check individually (survivor monotonicity, robots blocking, packs
+covering survivors)."""
+
+from __future__ import annotations
+
+
+def test_corpus_job_stages_compose(spark):
+    from jobs.corpus_job import run
+
+    out = run(spark, n_docs=800, cores=4, substring=True)
+    st = out["stages"]
+    assert st["warc_parse"]["rows"] == 800
+    assert st["extract"]["docs"] == 800
+    assert st["extract"]["spans"] > 800  # multiple spans per page
+    # frontier: every page's next-link resolves; all .png media and
+    # /private links are robots-blocked, so allowed < urls
+    assert 0 < st["frontier"]["allowed"] < st["frontier"]["urls"]
+    # tiers only ever shrink the corpus
+    n_q = st["quality_filter"]["rows"]
+    n_u = st["dedup_url"]["rows"]
+    n_s = st["dedup_exact_banded"]["rows"]
+    assert 0 < n_s <= n_u <= n_q <= 800
+    # chains guarantee the banded tier actually removes docs
+    assert n_s < n_u
+    # substring tier ran and cut the chain-shared runs
+    assert st["substring_apply"]["cut_chars"] > 0
+    # line dedup kept every surviving doc, packs cover all of them
+    assert st["pack_sequences"]["docs"] == n_s
+    assert 0 < st["pack_sequences"]["packs"] <= n_s
+    assert st["markdown"]["rows"] == n_s
+    assert out["total_sec"] > 0

@@ -228,3 +228,134 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, **kwargs):
 
     rdd = sc.parallelize(starts, len(starts)).flatMap(gen_chunk)
     return spark.createDataFrame(rdd, schema)
+
+
+def adversarial_web_corpus(
+    spark,
+    n_docs: int = 20000,
+    seed: int = 42,
+    n_hosts: int = 100,
+    chain_len: int = 8,
+    body_words: int = 120,
+    vocab: int = 500,
+):
+    """Adversarial WEB-SHAPED dedup corpus (VERDICT r4 #1): the sf
+    corpora are boilerplate-free and host-flat, so every scale lever
+    (df caps, bloom density, skew salting) passes on inputs that never
+    stress it.  This generator is seed-stable, pure-JVM (md5-derived
+    pseudo-randomness, no RNG, no Python rows) and builds the three
+    structures the levers exist for:
+
+    * **power-law host skew** — ``host_id = floor(n_hosts^u)`` for a
+      uniform md5 ``u`` (log-uniform ≈ Zipf mass: ~15% of docs land on
+      host 1 at n_hosts=100), plus per-host footer boilerplate whose
+      line df IS the host mass;
+    * **shared boilerplate at realistic df** — a global cookie-banner
+      line on ~60% of docs, a fixed license header on 10%, per-host
+      copyright footers on all — exactly the df shapes the substring/
+      winnow caps and the C4 line-dedup pass target;
+    * **chained near-dup families** — every 20-id block contributes a
+      ``chain_len``-member chain over one base text: member m mutates
+      a sliding word window [12m, 12m+24), so ADJACENT members are
+      near-dups but chain ends are not — the mirror-ring/pagination
+      topology that breaks one-pass dominance and O(diameter)
+      components;
+    * **giant pages** — every 1999th doc repeats its body 300× (~180
+      KB vs the ~700-byte median): rare enough to be collectable,
+      large enough to EXCEED the salting threshold (25% of a
+      partition's byte budget at the bench's 20k docs × 32 partitions)
+      so the salted-repartition lever is measured where it actually
+      fires, not below its own trigger.
+
+    Returns (doc_id long, host string, n_bytes long, text string).
+    """
+    from pyspark.sql import functions as F
+
+    from .textops import md5_hash48
+
+    def u01(salt):
+        """Deterministic uniform [0,1) per doc from md5-48."""
+        return md5_hash48(
+            F.concat(F.lit(f"{seed}:{salt}:"), F.col("doc_id").cast("string"))
+        ) / F.lit(float(1 << 48))
+
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    host_id = F.floor(
+        F.pow(F.lit(float(n_hosts)), u01("host"))
+    ).cast("int")
+    is_chain = F.col("doc_id") % 5 < 2  # 40% of docs, 8 per 20-block
+    fam = (F.col("doc_id") / 20).cast("long")
+    member = (
+        (F.col("doc_id") % 20 / 5).cast("long") * 2 + F.col("doc_id") % 5
+    )
+    # base word i of family f: 'w' || md5(f:i) % vocab; chain member m
+    # overrides the window [12m, 12m+24); unique docs key on doc_id
+    mut_lo = member * 12
+    mut_hi = member * 12 + 24
+    word_src = F.when(
+        is_chain,
+        F.concat(F.lit("f"), fam.cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(body_words - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    md5_hash48(
+                        F.concat(
+                            F.when(
+                                is_chain & (i >= mut_lo) & (i < mut_hi),
+                                F.concat(
+                                    word_src,
+                                    F.lit("m"),
+                                    member.cast("string"),
+                                ),
+                            ).otherwise(word_src),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    F.lit(vocab),
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    # giants are UNIQUE docs only: a giant chain member would repeat
+    # its chain-shared text 300×, turning the substring-dedup diagonal
+    # merge into a 300-diagonal blowup per chain pair — realistic skew
+    # wants big pages, not big × near-dup compound interest
+    giant = (F.col("doc_id") % 1999 == 0) & ~is_chain
+    body = F.when(
+        giant, F.array_join(F.array_repeat(body, 300), " ")
+    ).otherwise(body)
+    license_line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.lit(
+            "licensed under the apache license version two point zero "
+            "you may not use this file except in compliance"
+        ),
+    )
+    cookie_line = F.when(
+        u01("cookie") < 0.6,
+        F.lit(
+            "we use cookies to improve your experience accept all or "
+            "manage preferences in settings"
+        ),
+    )
+    footer_line = F.concat(
+        F.lit("copyright host"),
+        host_id.cast("string"),
+        F.lit(" all rights reserved contact admin at host"),
+        host_id.cast("string"),
+    )
+    text = F.concat_ws(
+        "\n", license_line, cookie_line, body, footer_line
+    )
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("host"), host_id.cast("string")).alias("host"),
+        F.length(text).cast("long").alias("n_bytes"),
+        text.alias("text"),
+    )
