@@ -1653,79 +1653,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ORDER IS EVIDENCE POLICY (VERDICT r3 #1/#9): the driver
-    checks only the FIRST 50 entries against the DuckDB oracle each
-    round, so the window is ordered by evidence debt —
+    """Registry ORDER IS EVIDENCE POLICY (VERDICT r3 #1/#9, rotation
+    per VERDICT r4 #3): the driver checks only the FIRST 50 entries
+    against the DuckDB oracle each round, so the window is ordered by
+    evidence debt —
 
-      block A: queries with NO driver-green row yet (new this round,
-               or rotated out of a past window) — always first;
-      block B: driver-green once, still young (r2/r3 additions);
-      block C (positions 51+): long-stable r1 queries with 3+ green
-               driver rows, rotated OUT of the window.
+      block A: NO driver-green row yet (new this round) — always
+               first;
+      block A'': implementation CHANGED this round — past green rows
+               evidence the old code, so they re-enter the window;
+      block B: oldest latest-green row (rotated out of earlier
+               windows) — refreshed so no query's latest green row
+               ever ages past 2 rounds;
+      tail (positions 51+): green THIS-or-last round, rotated out.
 
-    When adding a query, insert it at the TOP of block A and move a
-    block-B query to block C if the window would overflow — never
-    let a never-checked query sit past position 50 (the whole r3
-    crawl-ops layer shipped driver-unevidenced that way).  The local
-    sweep (`python jobs/oracle_sweep.py`) still covers ALL entries."""
+    When adding a query, insert it at the TOP of block A and demote
+    the youngest-green window entry to the tail — never let a
+    never-checked query sit past position 50 (the whole r3 crawl-ops
+    layer shipped driver-unevidenced that way), and re-window any
+    query whose implementation changed.  The local sweep
+    (`python jobs/oracle_sweep.py`) still covers ALL entries.
+
+    Green-row ledger (round → window): r5 window = 3 new + 5 changed
+    (winnow plan, pack DIV, components jumping, image JPEG guard) +
+    27 whose latest green is r3 + 15 r4-greens; the 28 tail entries
+    are all r4-green (age ≤ 2 at r6, when they rotate back in)."""
     return {
-        # -- block A: never driver-checked (r5 additions first) -------
+        # -- block A: never driver-checked (r5 additions) -------------
         "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
         "ivf_topk_embedded": _q_ivf_topk_embedded,
-        "anchor_stats": _q_anchor_stats,
-        "crawl_frontier": _q_crawl_frontier,
-        "image_meta": _q_image_meta,
-        "extract_density": _q_extract_density,
-        "bloom_seen": _q_bloom_seen,
-        "pack_sequences": _q_pack_sequences,
-        "substring_dedup_apply": _q_substring_dedup_apply,
-        "dedup_components": _q_dedup_components,
-        "extract_svg_media": _q_extract_svg_media,
-        "extract_src_offsets": _q_extract_src_offsets,
-        "winnow_dup_candidates": _q_winnow_dup_candidates,
-        "robots_parse": _q_robots_parse,
-        "robots_gate": _q_robots_gate,
-        "dedup_by_canonical": _q_dedup_by_canonical,
-        "sitemap_urls": _q_sitemap_urls,
-        "line_dedup": _q_line_dedup,
-        "spans_to_markdown": _q_spans_to_markdown,
-        "host_stats": _q_host_stats,
-        "interval_join_guarded": _q_interval_join_guarded,
-        "media_absolutize": _q_media_absolutize,
-        "substring_dup_spans": _q_substring_dup_spans,
-        "decontaminate": _q_decontaminate,
-        "redact_pii": _q_redact_pii,
-        "repetition_stats": _q_repetition_stats,
-        "hash_sample": _q_hash_sample,
-        # -- block A': green in r2, rotated out of the r3 window ------
-        "interval_join": _q_interval_join,
-        "events_rollup": _q_events_rollup,
-        # -- block B: driver-green, young (r2/r3 first green) ---------
-        "extract_table": _q_extract_table,
-        "extract_meta": _q_extract_meta,
-        "extract_links": _q_extract_links,
-        "extract_svg_mixed": _q_extract_svg_mixed,
-        "extract_template": _q_extract_template,
-        "extract_fragment": _q_extract_fragment,
-        "warc_extract": _q_warc_extract,
-        "minhash_char_signatures": _q_minhash_char_signatures,
-        "minhash_banded_candidates": _q_minhash_banded,
-        "dedup_survivors_banded": _q_dedup_survivors_banded,
-        "simhash60": _q_simhash60,
-        "simhash_dup_candidates": _q_simhash_candidates,
-        "ivf_topk": _q_ivf_topk,
-        "embedding_dup_candidates": _q_embedding_dup,
-        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
-        "url_normalize": _q_url_normalize,
-        "dedup_by_url": _q_dedup_by_url,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "asof_join": _q_asof_join,
-        "events_sessionized": _q_sessionize,
-        "kmv_distinct": _q_kmv_distinct,
+        # -- block A'': implementation changed in r5 (re-evidence) ----
         "winnow_fingerprints": _q_winnow_fingerprints,
-        # -- block C (position 51+): 3×-green r1 queries, rotated out -
+        "winnow_dup_candidates": _q_winnow_dup_candidates,
+        "pack_sequences": _q_pack_sequences,
+        "dedup_components": _q_dedup_components,
+        "image_meta": _q_image_meta,
+        # -- block B: latest green row is r1–r3 (oldest debt first) ---
         "extract_heading_para": _q_extract_heading_para,
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
@@ -1753,6 +1717,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
+        # -- block B (cont.): latest green row is r4, single green ----
+        "anchor_stats": _q_anchor_stats,
+        "crawl_frontier": _q_crawl_frontier,
+        "extract_density": _q_extract_density,
+        "bloom_seen": _q_bloom_seen,
+        "substring_dedup_apply": _q_substring_dedup_apply,
+        "extract_svg_media": _q_extract_svg_media,
+        "extract_src_offsets": _q_extract_src_offsets,
+        "robots_parse": _q_robots_parse,
+        "robots_gate": _q_robots_gate,
+        "dedup_by_canonical": _q_dedup_by_canonical,
+        "sitemap_urls": _q_sitemap_urls,
+        "line_dedup": _q_line_dedup,
+        "spans_to_markdown": _q_spans_to_markdown,
+        "host_stats": _q_host_stats,
+        "interval_join_guarded": _q_interval_join_guarded,
+        # ---------------- position 51+: r4-green tail ----------------
+        "media_absolutize": _q_media_absolutize,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
+        "interval_join": _q_interval_join,
+        "events_rollup": _q_events_rollup,
+        "extract_table": _q_extract_table,
+        "extract_meta": _q_extract_meta,
+        "extract_links": _q_extract_links,
+        "extract_svg_mixed": _q_extract_svg_mixed,
+        "extract_template": _q_extract_template,
+        "extract_fragment": _q_extract_fragment,
+        "warc_extract": _q_warc_extract,
+        "minhash_char_signatures": _q_minhash_char_signatures,
+        "minhash_banded_candidates": _q_minhash_banded,
+        "dedup_survivors_banded": _q_dedup_survivors_banded,
+        "simhash60": _q_simhash60,
+        "simhash_dup_candidates": _q_simhash_candidates,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_dup_candidates": _q_embedding_dup,
+        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
+        "url_normalize": _q_url_normalize,
+        "dedup_by_url": _q_dedup_by_url,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "asof_join": _q_asof_join,
+        "events_sessionized": _q_sessionize,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 

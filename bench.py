@@ -59,6 +59,9 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[name] = round(min(first, time.time() - t0), 3)
+        # progress to stderr (the json contract owns stdout): lets a
+        # wedged run be attributed to a query without a profiler
+        print(f"[bench] {name}: {timings[name]}", file=sys.stderr)
 
     # 1. flagship: full extraction pipeline (salted repartition + fused UDF)
     timed(

@@ -114,3 +114,84 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path):
     assert got.count() == batch.count() == 8  # 4 hours x 2 types
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_ttl_eviction_and_rocksdb(spark, tmp_path):
+    """TTL compaction + RocksDB state store (VERDICT r4 #10), two
+    deterministic halves: (A) a LONG ttl proves in-window duplicates
+    stay suppressed across drains on the RocksDB provider; (B) a
+    short ttl proves an expired fingerprint is evicted by a later
+    drain's trailing timeout batches and its next copy RE-emits —
+    bounded-window dedup.  (A single short-ttl sequence would race:
+    multi-second drains can outlive the window before the duplicate
+    arrives.)"""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.streaming import stream_dedup_first_seen
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        # -- A: suppression within a window that cannot expire ------
+        inp = str(tmp_path / "a_in")
+        out = str(tmp_path / "a_out")
+        ckpt = str(tmp_path / "a_ckpt")
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha"), (3, "beta")],
+            "doc_id bigint, text string",
+        ).write.parquet(inp)
+        stream_dedup_first_seen(
+            spark, inp, out, ckpt, ttl="1 hour", state_store="rocksdb"
+        )
+        assert spark.read.parquet(out).count() == 2  # alpha(1), beta(3)
+        spark.createDataFrame(
+            [(10, "alpha")], "doc_id bigint, text string"
+        ).write.mode("append").parquet(inp)
+        stream_dedup_first_seen(
+            spark, inp, out, ckpt, ttl="1 hour", state_store="rocksdb"
+        )
+        assert spark.read.parquet(out).count() == 2
+
+        # -- B: eviction after expiry -------------------------------
+        inp = str(tmp_path / "b_in")
+        out = str(tmp_path / "b_out")
+        ckpt = str(tmp_path / "b_ckpt")
+        spark.createDataFrame(
+            [(1, "alpha")], "doc_id bigint, text string"
+        ).write.parquet(inp)
+        stream_dedup_first_seen(
+            spark, inp, out, ckpt, ttl="1 second", state_store="rocksdb"
+        )
+        time.sleep(1.5)  # let the TTL pass
+        # this drain's trailing timeout batches evict the expired key
+        spark.createDataFrame(
+            [(20, "gamma")], "doc_id bigint, text string"
+        ).write.mode("append").parquet(inp)
+        stream_dedup_first_seen(
+            spark, inp, out, ckpt, ttl="1 second", state_store="rocksdb"
+        )
+        # post-eviction copy re-emits
+        spark.createDataFrame(
+            [(30, "alpha")], "doc_id bigint, text string"
+        ).write.mode("append").parquet(inp)
+        stream_dedup_first_seen(
+            spark, inp, out, ckpt, ttl="1 second", state_store="rocksdb"
+        )
+        got = spark.read.parquet(out)
+        assert got.where(F.col("text") == "gamma").count() == 1
+        alphas = got.where(F.col("text") == "alpha").select(
+            "doc_id"
+        ).collect()
+        assert sorted(r["doc_id"] for r in alphas) == [1, 30]
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -1116,3 +1116,101 @@ def test_src_positions_node_anchors():
     assert anchors["html"] == src.index("<body>")
     t2, _ = parse_document(src)
     assert set(t2.src) == {-1}
+
+
+# ------------------------------------------- foreign fragment contexts
+# r5 (VERDICT r4 #8): the context element is the ADJUSTED current
+# node (spec §13.2.2.2 + §13.2.6 dispatcher); children parse under
+# the foreign-content rules.  The reference cannot parse fragments at
+# all (src/parser.zig:55 stub) — browser innerHTML is the model.
+
+
+def test_fragment_svg_context_namespaces_children():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment('<path d="m0 0"/><circle/>x', "svg g")
+    kids = list(tree.children(root))
+    assert [tree.name[k] for k in kids[:2]] == ["path", "circle"]
+    assert [tree.ns[k] for k in kids[:2]] == ["svg", "svg"]
+    assert tree.ntype[kids[2]] == N_TEXT and tree.node_text(kids[2]) == "x"
+
+
+def test_fragment_svg_context_camelcase_and_cdata():
+    from zhtml_spark.tree import parse_fragment
+
+    # svg tag-name case fix applies; CDATA tokenizes as text because
+    # the tokenizer's foreign depth is seeded by the context
+    tree, root, _ = parse_fragment(
+        "<lineargradient/>a<![CDATA[b]]>c", "svg defs"
+    )
+    kids = list(tree.children(root))
+    assert tree.name[kids[0]] == "linearGradient"
+    assert tree.node_text(kids[1]) == "abc"
+
+
+def test_fragment_svg_title_not_rcdata():
+    from zhtml_spark.tree import parse_fragment
+
+    # <title> inside an svg context is markup, never RCDATA: a child
+    # element survives (in an HTML title context it would be text)
+    tree, root, _ = parse_fragment("<title><g>t</g></title>", "svg svg")
+    kids = list(tree.children(root))
+    assert tree.name[kids[0]] == "title" and tree.ns[kids[0]] == "svg"
+    inner = list(tree.children(kids[0]))
+    assert tree.name[inner[0]] == "g"
+
+
+def test_fragment_svg_foreignobject_is_html_ip():
+    from zhtml_spark.tree import parse_fragment
+
+    # HTML integration point context: children parse as HTML
+    tree, root, _ = parse_fragment("<p>hi<p>there", "svg foreignObject")
+    kids = list(tree.children(root))
+    assert [tree.name[k] for k in kids] == ["p", "p"]
+    assert [tree.ns[k] for k in kids] == [None, None]
+
+
+def test_fragment_math_context_and_breakout():
+    from zhtml_spark.tree import parse_fragment
+
+    tree, root, _ = parse_fragment(
+        '<mi>x</mi><font color="red">b</font>', "math mrow"
+    )
+    kids = list(tree.children(root))
+    assert tree.name[kids[0]] == "mi" and tree.ns[kids[0]] == "math"
+    # <font color> is a breakout tag -> HTML rules -> HTML namespace
+    assert tree.name[kids[1]] == "font" and tree.ns[kids[1]] is None
+
+
+def test_fragment_math_text_ip_context():
+    from zhtml_spark.tree import parse_fragment
+
+    # MathML text integration point (mtext): HTML start tags parse as
+    # HTML, mglyph stays MathML
+    tree, root, _ = parse_fragment("<b>t</b><mglyph/>", "math mtext")
+    kids = list(tree.children(root))
+    assert tree.name[kids[0]] == "b" and tree.ns[kids[0]] is None
+    assert tree.name[kids[1]] == "mglyph" and tree.ns[kids[1]] == "math"
+
+
+def test_fragment_foreign_stray_close_cannot_unforeign():
+    from zhtml_spark.tree import parse_fragment
+
+    # a stray </svg> must not flip the rest of the fragment to HTML
+    # tokenization/dispatch: the context is not on the stack to pop
+    tree, root, _ = parse_fragment("</svg><rect/>", "svg g")
+    els = [c for c in tree.children(root)
+           if tree.ntype[c] == N_ELEMENT]
+    assert [tree.name[e] for e in els] == ["rect"]
+    assert tree.ns[els[0]] == "svg"
+
+
+def test_fragment_html_contexts_unchanged_by_foreign_support():
+    from zhtml_spark.tree import parse_fragment
+
+    # regression guard: plain contexts keep their semantics
+    tree, root, _ = parse_fragment("<title><g>t</g></title>", "head")
+    kids = list(tree.children(root))
+    assert tree.name[kids[0]] == "title"
+    inner = list(tree.children(kids[0]))
+    assert tree.ntype[inner[0]] == N_TEXT  # RCDATA: '<g>t</g>' is text

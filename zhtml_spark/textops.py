@@ -52,15 +52,28 @@ def _words(col: str = "text") -> Column:
 
 
 def word_ngrams(n: int, col: str = "text") -> Column:
-    """Distinct word n-grams as an array column (JVM higher-order fns)."""
-    # guard: sequence(0, -1) yields [0, -1] and slice(..., 0, n)
-    # throws — short docs (< n words) must produce an EMPTY gram array
+    """Distinct word n-grams as an array column (JVM higher-order
+    fns), built in LINEAR time: ``arrays_zip`` of ``n`` shifted
+    word-array slices + a per-element ``concat_ws`` — every
+    ``split``/``slice`` is a row-level operand evaluated once per
+    row.  The previous form sliced ``split(col, ' ')`` INSIDE the
+    transform lambda; CollapseProject-style inlining re-ran the O(n)
+    split per element, making every word-shingle op quadratic in doc
+    length — 80 s for banded minhash over a corpus whose giant pages
+    hold 36k words (r5 adversarial-corpus finding, the word-side
+    twin of :func:`_char_gram_expr`)."""
+    # guard: short docs (< n words) must produce an EMPTY gram array
+    # (slice with length <= 0 throws)
+    w = f"split({col}, ' ')"
+    ln = f"size({w}) - {n} + 1"
+    slices = ", ".join(f"slice({w}, {j + 1}, {ln})" for j in range(n))
+    fields = ", ".join(f"s.`{j}`" for j in range(n))
     return F.array_distinct(
         F.expr(
-            f"CASE WHEN size(split({col}, ' ')) < {n} "
-            f"THEN array() "
-            f"ELSE transform(sequence(0, size(split({col}, ' ')) - {n}),"
-            f" i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {n}))) END"
+            f"CASE WHEN size({w}) < {n} "
+            f"THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(arrays_zip({slices}),"
+            f" s -> concat_ws(' ', {fields})) END"
         )
     )
 
@@ -71,7 +84,15 @@ def char_ngrams(n: int, col: str = "text") -> Column:
     The CJK-safe shingle: whitespace word-splitting produces one
     giant "word" for unsegmented scripts (zh/ja/th), collapsing every
     word-gram op; character shingles need no segmentation.  JVM
-    higher-order fns only."""
+    higher-order fns only.
+
+    WARNING (r5): this column form calls ``substring(col, i, n)`` per
+    position, which is O(position) on UTF8String (code-point scan
+    from byte 0) — QUADRATIC in doc length.  Fine for short strings;
+    every corpus-facing path must instead bind a char array column
+    once and gram via :func:`_char_gram_expr` (see
+    ``ngram_gram_table``) — the r5 adversarial corpus's giant pages
+    turned this exact pattern into a 20× slowdown."""
     return F.array_distinct(
         F.expr(
             f"CASE WHEN length({col}) < {n} "
@@ -79,6 +100,40 @@ def char_ngrams(n: int, col: str = "text") -> Column:
             f"ELSE transform(sequence(1, length({col}) - {n} + 1),"
             f" i -> substring({col}, i, {n})) END"
         )
+    )
+
+
+def _char_gram_expr(text_col: str, k: int) -> str:
+    """SQL expr for the array of ALL ``k``-char grams of ``text_col``
+    in LINEAR time — positioned ``substring(text, i, k)`` is O(i) on
+    UTF8String (code-point re-scan from byte 0), so the obvious
+    per-position loop is O(n²/2) character scans per document: 16 G
+    scans for one 180 KB page, and winnow ran 20× slower on 220 KB
+    docs than on the same bytes as 11 KB docs (r5, found by the
+    adversarial giant-page corpus).
+
+    Construction: ``arrays_zip`` of ``k`` SHIFTED char-array slices,
+    then a per-element struct concat.  Every ``split``/``slice`` is a
+    row-level operand of arrays_zip — evaluated once per row — and
+    the lambda touches only its own struct element.  The tempting
+    alternative (bind ``split(text,'')`` as a column and
+    ``slice(ch, i, k)`` inside the lambda) is a trap: CollapseProject
+    inlines the single-use alias into the lambda body, re-running the
+    O(n) split per element and reintroducing the quadratic (measured:
+    6.6 s → 94 s).  Cost here is k row-level O(n) passes → O(n·k)
+    per doc, the best a no-shuffle plan can do."""
+    if k > 64:
+        raise ValueError(
+            "char grams wider than 64 need a different plan shape"
+        )
+    ch = f"split({text_col}, '')"
+    ln = f"length({text_col}) - {k} + 1"
+    slices = ", ".join(f"slice({ch}, {j + 1}, {ln})" for j in range(k))
+    fields = ", ".join(f"s.`{j}`" for j in range(k))
+    return (
+        f"CASE WHEN length({text_col}) < {k} THEN "
+        f"CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(arrays_zip({slices}), s -> concat({fields})) END"
     )
 
 
@@ -96,7 +151,13 @@ def ngram_gram_table(
     docs: DataFrame, n: int = 3, shingle: str = "word"
 ) -> DataFrame:
     # doc_id keeps its input type (numeric OR string ids both order)
-    grams = word_ngrams(n) if shingle == "word" else char_ngrams(n)
+    if shingle == "word":
+        return docs.select(
+            "doc_id", F.explode(word_ngrams(n)).alias("gram")
+        )
+    # char shingles via the linear arrays_zip gram builder — the
+    # substring() form is quadratic in doc length (r5)
+    grams = F.array_distinct(F.expr(_char_gram_expr("text", n)))
     return docs.select("doc_id", F.explode(grams).alias("gram"))
 
 
@@ -1082,7 +1143,11 @@ def winnow_fingerprints(
         raise ValueError("k and window must be >= 1")
     min_len = k + window - 1
     empty = "CAST(array() AS ARRAY<BIGINT>)"
-    gram = f"substring({text_col}, j, {k})"
+    # grams from the linear arrays_zip builder, not per-position
+    # substring(text, j, k): positional substring re-scans from byte
+    # 0 per call → quadratic per doc; giant web pages made this 20×
+    # (r5, _char_gram_expr)
+    gram = "g"
     if hash_fn == "xxhash64":
         gh = f"xxhash64({gram})"
     elif hash_fn == "md5":
@@ -1091,8 +1156,7 @@ def winnow_fingerprints(
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     hashes = (
         f"CASE WHEN length({text_col}) < {k} THEN {empty} ELSE "
-        f"transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"j -> {gh}) END"
+        f"transform({_char_gram_expr(text_col, k)}, g -> {gh}) END"
     )
     # window minimum as a flat least() chain of element_at lookups —
     # stays inside codegen with no per-position slice() array
@@ -2129,11 +2193,7 @@ def substring_dup_spans(
         raise ValueError(
             f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
         )
-    arr = F.expr(
-        f"CASE WHEN length({text_col}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1),"
-        f" i -> substring({text_col}, i, {k})) END"
-    )
+    arr = F.expr(_char_gram_expr(text_col, k))
     grams = docs.select(
         "doc_id", F.posexplode(arr).alias("pos", "gram")
     ).select("doc_id", "pos", ghash(F.col("gram")).alias("gh"))
@@ -2262,11 +2322,7 @@ def substring_gram_stats(
     rows (the a.doc < b.doc filter only shrinks it); ``max_bucket`` is
     the largest position list a single gram fans out to.  ONE
     aggregation pass serves both variants."""
-    arr = F.expr(
-        f"CASE WHEN length({text_col}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1),"
-        f" i -> substring({text_col}, i, {k})) END"
-    )
+    arr = F.expr(_char_gram_expr(text_col, k))
     per_gram = (
         docs.select("doc_id", F.explode(arr).alias("gram"))
         .select("doc_id", md5_hash48(F.col("gram")).alias("gh"))

@@ -270,6 +270,7 @@ def tokenize(
     with_positions: bool = False,
     scripting: bool = True,
     with_token_positions: bool = False,
+    foreign_seed: int = 0,
 ):
     """Tokenize one document.  Returns ``(tokens, errors)``.
 
@@ -326,8 +327,12 @@ def tokenize(
 
     # --- character-run accumulator (coalesces adjacent char tokens)
     chars: list[str] = []
-    # svg/math nesting depth (tree-aware rawtext-switch suppression)
-    foreign_depth = 0
+    # svg/math nesting depth (tree-aware rawtext-switch suppression).
+    # ``foreign_seed`` > 0 models a FOREIGN fragment context (spec:
+    # the context element is the adjusted current node but never on
+    # the stack, so the depth floors at the seed — a stray </svg>
+    # cannot tokenize the rest of an svg-context fragment as HTML)
+    foreign_depth = foreign_seed
     # token source offsets (with_token_positions): tok_start = the
     # most recent '<' consumed from a TEXT state (every tag/comment/
     # doctype build begins there — '<' inside attr values, comments,
@@ -414,7 +419,7 @@ def tokenize(
             else:
                 out.append(("EndTag", tag_name))
             if foreign_depth and tag_name in ("svg", "math"):
-                foreign_depth -= 1
+                foreign_depth = max(foreign_seed, foreign_depth - 1)
         else:
             if with_token_positions:
                 out.append(
@@ -547,7 +552,9 @@ def tokenize(
                         else:
                             out.append(("EndTag", end_name))
                         if foreign_depth and end_name in ("svg", "math"):
-                            foreign_depth -= 1
+                            foreign_depth = max(
+                                foreign_seed, foreign_depth - 1
+                            )
                         continue
                 state = S_TAG_OPEN
             elif c == "&":

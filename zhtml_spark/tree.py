@@ -603,8 +603,16 @@ def parse_fragment(html: str, context: str = "div", scripting: bool = True):
     Context drives (a) the tokenizer start state + seeded
     last-start-tag (title/textarea → RCDATA, script → ScriptData, …),
     (b) the initial insertion mode via the spec reset algorithm with
-    ``last = true``.  Foreign (svg/math) contexts are not supported —
-    content extraction never parses fragments inside foreign markup.
+    ``last = true``.  Foreign contexts (r5, closing the r4 gap) are
+    written ``"svg <name>"`` / ``"math <name>"`` (bare ``"svg"`` /
+    ``"math"`` = the container element): the context element acts as
+    the spec's adjusted current node while only the synthetic root is
+    open, so children parse with the foreign-content rules — svg/math
+    namespaces, breakout tags, HTML/MathML-text integration points
+    (name-based for the context itself, which carries no attributes)
+    — and the tokenizer's foreign depth is seeded (CDATA sections
+    work; rawtext switching stays off; a stray close tag cannot
+    un-foreign the context).
     """
     return parse_document(html, fragment_context=context, scripting=scripting)
 
@@ -637,17 +645,42 @@ def parse_document(
     loop (the analog of Parser.parse, src/parser.zig:77-142 — but over
     the full mode chain instead of two modes).
     """
+    # foreign fragment contexts (r5, closes the r4 gap): "svg <name>"
+    # / "math <name>" (or bare "svg"/"math" = the container element
+    # itself).  The context element is the spec's ADJUSTED current
+    # node while only the synthetic root is open — §13.2.2.2 step 11
+    # note + the §13.2.6 dispatcher; the reference cannot parse
+    # fragments at all (src/parser.zig:55 stub).
+    frag_ctx_ns: str | None = None
+    frag_ctx_name = fragment_context
     if fragment_context is not None:
-        frag_state = _FRAGMENT_TOKENIZER_STATE.get(fragment_context, "Data")
-        if fragment_context == "noscript" and scripting:
-            frag_state = "RAWTEXT"  # spec §13.2.2.2 step 4
+        parts = fragment_context.split(" ", 1)
+        if len(parts) == 2 and parts[0] in ("svg", "math"):
+            frag_ctx_ns, frag_ctx_name = parts[0], parts[1]
+        elif fragment_context in ("svg", "math"):
+            frag_ctx_ns = frag_ctx_name = fragment_context
+    if fragment_context is not None:
+        if frag_ctx_ns is not None:
+            # spec step 4 applies to HTML-namespace contexts only:
+            # foreign content always tokenizes from Data, with the
+            # tokenizer's foreign depth seeded so rawtext switching
+            # stays off and CDATA sections work (floor at the seed —
+            # the context element is never on the stack to pop)
+            frag_state = "Data"
+        else:
+            frag_state = _FRAGMENT_TOKENIZER_STATE.get(
+                fragment_context, "Data"
+            )
+            if fragment_context == "noscript" and scripting:
+                frag_state = "RAWTEXT"  # spec §13.2.2.2 step 4
         tokens, errors = tokenize(
             html,
             tree_aware=True,
             initial_state=frag_state,
-            last_start_tag=fragment_context,
+            last_start_tag=frag_ctx_name,
             scripting=scripting,
             with_token_positions=src_positions,
+            foreign_seed=1 if frag_ctx_ns is not None else 0,
         )
     else:
         tokens, errors = tokenize(
@@ -1249,16 +1282,24 @@ def parse_document(
             return enc.lower() in ("text/html", "application/xhtml+xml")
         return ns == "svg" and name in ("foreignObject", "desc", "title")
 
+    def _adjusted_current() -> tuple[str | None, str, int]:
+        """(ns, name, nid) of the spec's ADJUSTED current node: the
+        fragment context element while only the synthetic root is
+        open (nid -1 — the context is never in the tree), else the
+        stack top."""
+        if frag_ctx_ns is not None and len(stack_ids) == 1:
+            return (frag_ctx_ns, frag_ctx_name or "", -1)
+        nid = stack_ids[-1]
+        return (tree.ns[nid], stack_names[-1] or "", nid)
+
     def _use_foreign(kind: str, tok: tuple) -> bool:
         """Tree-construction dispatcher: process this token with the
         foreign-content rules instead of the insertion mode?"""
         if not stack_ids:
             return False
-        nid = stack_ids[-1]
-        ns = tree.ns[nid]
+        ns, name, nid = _adjusted_current()
         if ns is None:
             return False
-        name = stack_names[-1]
         if ns == "math" and name in _MATHML_TEXT_IP:
             if kind == "Character":
                 return False
@@ -1271,7 +1312,16 @@ def parse_document(
             and tok[1] == "svg"
         ):
             return False
-        if _is_html_ip(nid) and kind in ("StartTag", "Character"):
+        # HTML integration point: name-based for the context element
+        # (nid -1 carries no attrs, so the annotation-xml encoding
+        # check — attribute-driven — cannot apply there, matching the
+        # attribute-less way the context is specified)
+        is_ip = (
+            ns == "svg" and name in ("foreignObject", "desc", "title")
+            if nid == -1
+            else _is_html_ip(nid)
+        )
+        if is_ip and kind in ("StartTag", "Character"):
             return False
         return True
 
@@ -1295,6 +1345,11 @@ def parse_document(
         push_open(fragment_root, "html")
         html_id = fragment_root
         mode = _fragment_initial_mode(fragment_context)
+        if frag_ctx_ns is not None:
+            # the adjusted current node is foreign from token one —
+            # arm the dispatcher (reset algorithm yields InBody for a
+            # foreign context, its fall-through case)
+            has_foreign = True
 
     ti = 0
     ntok = len(tokens)
@@ -1336,7 +1391,11 @@ def parse_document(
                         skip_foreign = True  # HTML rules next (spec)
                         reprocess = True
                     else:
-                        cur_ns = tree.ns[stack_ids[-1]]
+                        # namespace of the ADJUSTED current node — the
+                        # fragment context's while only the root is
+                        # open (spec: "the adjusted current node's
+                        # namespace")
+                        cur_ns = _adjusted_current()[0]
                         if cur_ns == "svg":
                             name = _SVG_TAG_FIXES.get(name, name)
                         insert_element(
