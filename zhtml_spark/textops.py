@@ -112,20 +112,31 @@ def _char_gram_expr(text_col: str, k: int) -> str:
     docs than on the same bytes as 11 KB docs (r5, found by the
     adversarial giant-page corpus).
 
-    Construction: ``arrays_zip`` of ``k`` SHIFTED char-array slices,
-    then a per-element struct concat.  Every ``split``/``slice`` is a
-    row-level operand of arrays_zip — evaluated once per row — and
-    the lambda touches only its own struct element.  The tempting
-    alternative (bind ``split(text,'')`` as a column and
+    Construction, PER ROW by document length:
+
+    * short docs (< ``switch_chars``) — the plain per-position
+      substring transform.  Its byte re-scans are quadratic but
+      allocation-free, which WINS below a few KB: at k=25 the zip
+      form's 2×k object allocations per position cost ~2× on the
+      sf corpus (measured 6.7 → 12.3 s before this hybrid);
+    * long docs — ``arrays_zip`` of ``k`` SHIFTED char-array slices,
+      then a per-element struct concat.  Every ``split``/``slice``
+      is a row-level operand of arrays_zip — evaluated once per row
+      — and the lambda touches only its own struct element, so cost
+      is k row-level O(n) passes → O(n·k): 220 KB docs went 128.6 s
+      → 1.09 s.  CASE branches evaluate lazily per row, so each doc
+      pays only its own branch.
+
+    The tempting third form (bind ``split(text,'')`` as a column and
     ``slice(ch, i, k)`` inside the lambda) is a trap: CollapseProject
     inlines the single-use alias into the lambda body, re-running the
     O(n) split per element and reintroducing the quadratic (measured:
-    6.6 s → 94 s).  Cost here is k row-level O(n) passes → O(n·k)
-    per doc, the best a no-shuffle plan can do."""
+    6.6 s → 94 s)."""
     if k > 64:
         raise ValueError(
             "char grams wider than 64 need a different plan shape"
         )
+    switch_chars = 4096
     ch = f"split({text_col}, '')"
     ln = f"length({text_col}) - {k} + 1"
     slices = ", ".join(f"slice({ch}, {j + 1}, {ln})" for j in range(k))
@@ -133,6 +144,9 @@ def _char_gram_expr(text_col: str, k: int) -> str:
     return (
         f"CASE WHEN length({text_col}) < {k} THEN "
         f"CAST(array() AS ARRAY<STRING>) "
+        f"WHEN length({text_col}) < {switch_chars} THEN "
+        f"transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" i -> substring({text_col}, i, {k})) "
         f"ELSE transform(arrays_zip({slices}), s -> concat({fields})) END"
     )
 
