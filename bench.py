@@ -294,7 +294,11 @@ def main() -> None:
     from zhtml_spark.textops import winnow_candidate_stats
 
     N_ADV = int(os.environ.get("ZX_BENCH_ADV_DOCS", "20000"))
-    ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42"
+    # v-suffix = generator version: bump when adversarial_web_corpus
+    # changes shape so a stale /tmp cache can never masquerade as the
+    # current corpus (the clean corpus has the same property via its
+    # byte-identical seeding)
+    ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42-v2"
     if not os.path.exists(ADV_CACHE):
         adversarial_web_corpus(spark, N_ADV, seed=42).write.mode(
             "overwrite"

@@ -260,12 +260,15 @@ def adversarial_web_corpus(
       near-dups but chain ends are not — the mirror-ring/pagination
       topology that breaks one-pass dominance and O(diameter)
       components;
-    * **giant pages** — every 1999th doc repeats its body 300× (~180
-      KB vs the ~700-byte median): rare enough to be collectable,
-      large enough to EXCEED the salting threshold (25% of a
-      partition's byte budget at the bench's 20k docs × 32 partitions)
-      so the salted-repartition lever is measured where it actually
-      fires, not below its own trigger.
+    * **giant pages** — every 999th non-chain doc repeats its body
+      300× (~180 KB vs the ~700-byte median): rare enough to be
+      collectable, large enough to EXCEED the salting threshold (25%
+      of a partition's byte budget at the bench's 20k docs × 32
+      partitions), and numerous enough (~12) that hash placement
+      collides giants deterministically — so the salted-repartition
+      lever is measured where it actually fires, not below its own
+      trigger (6 giants at seed 42 happened to hash collision-free
+      and showed nothing).
 
     Returns (doc_id long, host string, n_bytes long, text string).
     """
@@ -326,7 +329,7 @@ def adversarial_web_corpus(
     # its chain-shared text 300×, turning the substring-dedup diagonal
     # merge into a 300-diagonal blowup per chain pair — realistic skew
     # wants big pages, not big × near-dup compound interest
-    giant = (F.col("doc_id") % 1999 == 0) & ~is_chain
+    giant = (F.col("doc_id") % 999 == 0) & ~is_chain
     body = F.when(
         giant, F.array_join(F.array_repeat(body, 300), " ")
     ).otherwise(body)
