@@ -89,8 +89,8 @@ def char_ngrams(n: int, col: str = "text") -> Column:
     WARNING (r5): this column form calls ``substring(col, i, n)`` per
     position, which is O(position) on UTF8String (code-point scan
     from byte 0) — QUADRATIC in doc length.  Fine for short strings;
-    every corpus-facing path must instead bind a char array column
-    once and gram via :func:`_char_gram_expr` (see
+    every corpus-facing path must instead build grams via
+    :func:`_char_gram_expr`'s length-hybrid plan (see
     ``ngram_gram_table``) — the r5 adversarial corpus's giant pages
     turned this exact pattern into a 20× slowdown."""
     return F.array_distinct(
