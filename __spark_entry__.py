@@ -1049,6 +1049,107 @@ def _q_media_container_meta(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """PDF text + layout extraction (r5, north_rule: "PDF/layout
+    parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
+    (catalog → pages → page with an image-XObject resource, content
+    stream with exact ``/Length`` from ``octet_length``); odd docs a
+    FIXED two-page file mixing FlateDecode and ASCIIHexDecode content
+    streams (bytes computed once at plan-build time with zlib —
+    deterministic — and embedded as a hex literal).
+    ``pdfops.decode_pdf_spans`` earns every row back through the full
+    byte-level round trip: object scan, trailer/page-tree walk,
+    filter chains, text operators (Td/TD/T*/TJ kerning spaces,
+    octal/hex/UTF-16BE strings), baseline line grouping, the
+    1.5×-median heading rule, and the ``Do`` image media span.  The
+    oracle states every span from CONSTRUCTION knowledge."""
+    import zlib as _zlib
+
+    from zhtml_spark.pdfops import decode_pdf_spans
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    w = (did % 640 + 16).cast("int").cast("string")
+    h = (did % 480 + 9).cast("int").cast("string")
+    content = F.concat(
+        F.lit("BT /F1 24 Tf 72 720 Td (Title "), ids,
+        F.lit(") Tj ET\nBT /F1 10 Tf 72 700 Td (Body line "), ids,
+        F.lit(") Tj 0 -14 TD [(Second) -250 (part "),
+        (did % 7).cast("string"),
+        F.lit(")] TJ ET\nq /Im1 Do Q"),
+    )
+    filea = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >>"
+            " endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Resources"
+            " << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"
+            " endobj\n"
+            "4 0 obj << /Length "
+        ),
+        F.octet_length(content).cast("string"),
+        F.lit(" >> stream\n"),
+        content,
+        F.lit(
+            "\nendstream endobj\n"
+            "5 0 obj << /Type /XObject /Subtype /Image /Width "
+        ),
+        w,
+        F.lit(" /Height "),
+        h,
+        F.lit(
+            " /Length 1 >> stream\nX\nendstream endobj\n"
+            "trailer << /Root 1 0 R >>\n%%EOF"
+        ),
+    )
+    flate = _zlib.compress(
+        b"BT /F1 20 Tf 14 TL 72 720 Td (Flate \\(layout\\) line) Tj "
+        b"/F1 10 Tf T* (Esc \\164ab) Tj T* <48657821> Tj "
+        b"T* (\\376\\377\\000H\\000i) Tj ET",
+        9,
+    )
+    hexed = (
+        b"BT /F1 10 Tf 72 720 Td (Page two) Tj ET".hex().encode()
+        + b">"
+    )
+    fileb = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R]"
+            b" /Count 2 >> endobj\n",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+            b" endobj\n",
+            b"4 0 obj << /Filter /FlateDecode /Length ",
+            str(len(flate)).encode(),
+            b" >> stream\n",
+            flate,
+            b"\nendstream endobj\n",
+            b"6 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R >>"
+            b" endobj\n",
+            b"7 0 obj << /Filter /ASCIIHexDecode /Length ",
+            str(len(hexed)).encode(),
+            b" >> stream\n",
+            hexed,
+            b"\nendstream endobj\n",
+            b"trailer << /Root 1 0 R >>\n%%EOF",
+        ]
+    )
+    payload = F.when(did % 2 == 0, F.encode(filea, "UTF-8")).otherwise(
+        F.unhex(F.lit(fileb.hex().upper()))
+    )
+    pdfs = d.select(
+        F.concat(F.lit("pdf://"), ids).alias("media_ref"),
+        payload.alias("payload"),
+    )
+    return decode_pdf_spans(pdfs).select(
+        "media_ref", "offset", "kind", "text", "span_ref"
+    )
+
+
 def _q_frame_sample(spark, sf_dir):
     from zhtml_spark.multimodal import frame_sample_refs
 
@@ -1674,12 +1775,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 3 new + 5 changed
+    Green-row ledger (round → window): r5 window = 4 new + 5 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard) +
-    27 whose latest green is r3 + 15 r4-greens; the 28 tail entries
-    are all r4-green (age ≤ 2 at r6, when they rotate back in)."""
+    27 whose latest green is r3 + 14 r4-greens; the 29 tail entries
+    are all r4-green (age ≤ 2 at r6, when they rotate back in) —
+    interval_join_guarded demoted to the tail when pdf_extract
+    entered block A."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
         "ivf_topk_embedded": _q_ivf_topk_embedded,
@@ -1732,8 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
         "host_stats": _q_host_stats,
-        "interval_join_guarded": _q_interval_join_guarded,
         # ---------------- position 51+: r4-green tail ----------------
+        "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
         "substring_dup_spans": _q_substring_dup_spans,
         "decontaminate": _q_decontaminate,
@@ -3129,6 +3233,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT {doc_id}, 1 AS offset, 'text' AS kind,
                    '{_DENSITY_LEAD} ' || text AS text, {null_ref}
             FROM documents
+        """,
+        "pdf_extract": """
+            -- expected spans stated from CONSTRUCTION knowledge of
+            -- the synthesized PDFs (see _q_pdf_extract): the Spark
+            -- side earns each row only via the byte-level parse
+            WITH ev AS (
+                SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            ),
+            od AS (
+                SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   0 AS offset, 'heading' AS kind,
+                   'Title ' || CAST(doc_id AS VARCHAR) AS text,
+                   CAST(NULL AS VARCHAR) AS span_ref
+            FROM ev
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Body line ' || CAST(doc_id AS VARCHAR), NULL
+            FROM ev
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 2, 'text',
+                   'Second part ' || CAST(doc_id % 7 AS VARCHAR), NULL
+            FROM ev
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 3, 'media', '',
+                   'pdf:image:Im1:'
+                     || CAST(doc_id % 640 + 16 AS VARCHAR)
+                     || 'x' || CAST(doc_id % 480 + 9 AS VARCHAR)
+            FROM ev
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 0, 'heading',
+                   'Flate (layout) line', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Esc tab', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 2, 'text',
+                   'Hex!', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 3, 'text',
+                   'Hi', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 4, 'text',
+                   'Page two', NULL
+            FROM od
         """,
         "image_meta": """
             SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -1,0 +1,317 @@
+"""PDF text + layout extraction (pdfops) — pure-Python parser units
+plus the Spark mapInPandas round trip.
+
+Every builder here constructs the PDF bytes from scratch (no
+fixtures, no libraries), so each test states its expectation from
+construction knowledge — the same discipline as the image/container
+sniffer oracles."""
+
+import zlib
+
+import pytest
+
+from zhtml_spark.pdfops import (
+    _parse_lit_string,
+    _parse_object,
+    _Ref,
+    extract_pdf_spans,
+)
+
+
+def _pdf(objects: dict[int, bytes], root: int = 1) -> bytes:
+    """Assemble numbered objects + a classic trailer."""
+    out = [b"%PDF-1.5\n"]
+    for num in sorted(objects):
+        out.append(b"%d 0 obj " % num + objects[num] + b" endobj\n")
+    out.append(b"trailer << /Root %d 0 R >>\n%%%%EOF" % root)
+    return b"".join(out)
+
+
+def _stream_obj(d: bytes, data: bytes, length: int | None = None) -> bytes:
+    n = len(data) if length is None else length
+    return (
+        b"<< %s /Length %d >> stream\n" % (d, n) + data + b"\nendstream"
+    )
+
+
+def _doc(content: bytes, extra: dict[int, bytes] | None = None,
+         page_extra: bytes = b"") -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           + page_extra + b" >>",
+        4: _stream_obj(b"", content),
+    }
+    if extra:
+        objs.update(extra)
+    return _pdf(objs)
+
+
+# ------------------------------------------------------------ syntax
+
+def test_literal_string_escapes():
+    s, _ = _parse_lit_string(rb"(a\(b\)c \164 \n nest(ed) \\)", 0)
+    assert s == b"a(b)c t \n nest(ed) \\"
+
+
+def test_literal_string_octal_and_continuation():
+    s, _ = _parse_lit_string(b"(\\101\\0028 cont\\\nnext)", 0)
+    # \101='A'; \002 stops at 3 digits then literal '8'; \<LF> vanishes
+    assert s == b"A\x028 contnext"
+
+
+def test_object_parser_dict_array_ref():
+    v, _ = _parse_object(
+        b"<< /A [1 2.5 (s) /N] /R 7 0 R /Neg -3 >>", 0
+    )
+    assert v["A"] == [1, 2.5, b"s", "N"]
+    assert isinstance(v["R"], _Ref) and v["R"].num == 7
+    assert v["Neg"] == -3
+
+
+def test_number_pair_is_not_a_reference():
+    # "0 -14 TD"-shaped input must not eat the second int as a ref
+    v, j = _parse_object(b"0 -14 TD", 0)
+    assert v == 0 and j == 1
+
+
+# ------------------------------------------------------- text layout
+
+def test_basic_lines_and_heading_classification():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 24 Tf 72 720 Td (Title) Tj ET\n"
+        b"BT /F1 10 Tf 72 700 Td (Body one) Tj 0 -14 TD (Body two) Tj ET"
+    ))
+    assert spans == [
+        ("heading", "Title", None, 0),
+        ("text", "Body one", None, 1),
+        ("text", "Body two", None, 2),
+    ]
+
+
+def test_tj_kerning_space_threshold():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 72 720 Td [(A) -250 (B) -50 (C)] TJ ET"
+    ))
+    # -250 < -180 emits a space; -50 does not
+    assert [s[1] for s in spans] == ["A BC"]
+
+
+def test_same_baseline_x_move_inserts_gap():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 72 720 Td (left) Tj 200 0 Td (right) Tj ET"
+    ))
+    assert [s[1] for s in spans] == ["left right"]
+
+
+def test_tstar_leading_and_quote_ops():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 14 TL 72 720 Td (a) Tj T* (b) Tj (c) ' ET"
+    ))
+    assert [s[1] for s in spans] == ["a", "b", "c"]
+
+
+def test_hex_and_utf16_strings():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 72 720 Td <48657821> Tj "
+        b"0 -20 Td (\\376\\377\\000H\\000i) Tj ET"
+    ))
+    assert [s[1] for s in spans] == ["Hex!", "Hi"]
+
+
+def test_tm_positioning_and_scale():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 2 0 0 2 72 720 Tm (big) Tj "
+        b"1 0 0 1 72 700 Tm (small one) Tj "
+        b"1 0 0 1 72 680 Tm (small two) Tj ET"
+    ))
+    # eff sizes 20/10/10 -> median 10, 20 >= 15 -> heading
+    assert [(s[0], s[1]) for s in spans] == [
+        ("heading", "big"), ("text", "small one"), ("text", "small two"),
+    ]
+
+
+# ----------------------------------------------- streams and filters
+
+def test_flate_and_asciihex_content():
+    content = b"BT /F1 10 Tf 72 720 Td (compressed) Tj ET"
+    flate = zlib.compress(content, 9)
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"/Filter /FlateDecode", flate),
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        6: _stream_obj(
+            b"/Filter /ASCIIHexDecode",
+            b"BT /F1 10 Tf 72 720 Td (hexed) Tj ET".hex().encode()
+            + b">",
+        ),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == [
+        "compressed", "hexed"
+    ]
+
+
+def test_unknown_filter_and_predictor_are_skipped_not_fatal():
+    good = b"BT /F1 10 Tf 72 720 Td (ok) Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"/Filter /DCTDecode", b"\xff\xd8junk"),
+        5: b"<< /Type /Page /Contents 6 0 R >>",
+        6: _stream_obj(
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+            zlib.compress(good),
+        ),
+        7: b"<< /Type /Page /Contents 8 0 R >>",
+        8: _stream_obj(b"", good),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["ok"]
+
+
+def test_indirect_length_falls_back_to_endstream_search():
+    content = b"BT /F1 10 Tf 72 720 Td (indirect) Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: b"<< /Length 5 0 R >> stream\n" + content + b"\nendstream",
+        5: b"%d" % len(content),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["indirect"]
+
+
+def test_object_stream_expansion():
+    # page 3 and contents dict live INSIDE a compressed ObjStm;
+    # the content stream itself stays a direct object (7)
+    inner = b"3 0 << /Type /Page /Contents 7 0 R >>"
+    # header: "3 3" -> obj 3 at offset 3+len("3 3 ")? build precisely:
+    body = b"<< /Type /Page /Contents 7 0 R >>"
+    head = b"3 0 "
+    data = head + body
+    first = len(head)
+    objstm = zlib.compress(data)
+    content = b"BT /F1 10 Tf 72 720 Td (from objstm) Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        6: _stream_obj(
+            b"/Type /ObjStm /N 1 /First %d /Filter /FlateDecode"
+            % first,
+            objstm,
+        ),
+        7: _stream_obj(b"", content),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["from objstm"]
+    assert inner  # silence lint on the explanatory literal
+
+
+# ------------------------------------------------- pages and media
+
+def test_page_tree_order_and_inherited_resources():
+    img = _stream_obj(
+        b"/Type /XObject /Subtype /Image /Width 33 /Height 44", b"X"
+    )
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # resources on the Pages NODE, inherited by both kids
+        2: b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 "
+           b"/Resources << /XObject << /Im9 8 0 R >> >> >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (second) Tj ET"),
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        6: _stream_obj(
+            b"",
+            b"BT /F1 10 Tf 72 720 Td (first) Tj ET q /Im9 Do Q",
+        ),
+        8: img,
+    })
+    assert extract_pdf_spans(doc) == [
+        ("text", "first", None, 0),
+        ("media", "", "pdf:image:Im9:33x44", 1),
+        ("text", "second", None, 2),
+    ]
+
+
+def test_inline_image_skipped_safely_and_emitted():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 7 /H 9 /BPC 8 ID \x00\x01EIEI\xff EI\n"
+        b"BT /F1 10 Tf 72 700 Td (after) Tj ET"
+    ))
+    assert spans == [
+        ("text", "before", None, 0),
+        ("media", "", "pdf:image:inline:7x9", 1),
+        ("text", "after", None, 2),
+    ]
+
+
+def test_non_image_do_is_not_media():
+    form = _stream_obj(b"/Type /XObject /Subtype /Form", b"")
+    spans = extract_pdf_spans(_doc(
+        b"q /Fm1 Do Q BT /F1 10 Tf 72 720 Td (t) Tj ET",
+        extra={5: form},
+        page_extra=b"/Resources << /XObject << /Fm1 5 0 R >> >>",
+    ))
+    assert [s[0] for s in spans] == ["text"]
+
+
+# ------------------------------------------------------- robustness
+
+@pytest.mark.parametrize("b", [
+    b"",
+    b"not a pdf at all",
+    b"%PDF-1.4\ngarbage only",
+    b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj",  # page, no content
+    b"%PDF-1.4\n1 0 obj << /Unterminated",
+    b"%PDF-1.4\n1 0 obj (string never closes",
+])
+def test_malformed_inputs_yield_no_spans_and_no_exception(b):
+    assert extract_pdf_spans(b) == []
+
+
+def test_page_tree_cycle_is_guarded():
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (cyc) Tj ET"),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["cyc"]
+
+
+def test_incremental_update_last_definition_wins():
+    old = _doc(b"BT /F1 10 Tf 72 720 Td (old) Tj ET")
+    append = (
+        b"\n4 0 obj "
+        + _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (new) Tj ET")
+        + b" endobj\ntrailer << /Root 1 0 R >>\n"
+    )
+    assert [s[1] for s in extract_pdf_spans(old + append)] == ["new"]
+
+
+# ------------------------------------------------------------ spark
+
+def test_decode_pdf_spans_spark_roundtrip(spark):
+    docs = [
+        ("pdf://0", bytearray(_doc(
+            b"BT /F1 24 Tf 72 720 Td (T0) Tj /F1 10 Tf 0 -20 TD "
+            b"(b) Tj 0 -14 TD (c) Tj ET"
+        ))),
+        ("pdf://1", bytearray(b"broken")),
+    ]
+    df = spark.createDataFrame(docs, "media_ref string, payload binary")
+    from zhtml_spark.pdfops import decode_pdf_spans
+
+    rows = sorted(
+        (r.media_ref, r.offset, r.kind, r.text, r.span_ref)
+        for r in decode_pdf_spans(df).collect()
+    )
+    assert rows == [
+        ("pdf://0", 0, "heading", "T0", None),
+        ("pdf://0", 1, "text", "b", None),
+        ("pdf://0", 2, "text", "c", None),
+    ]
