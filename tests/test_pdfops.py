@@ -259,6 +259,53 @@ def test_non_image_do_is_not_media():
     assert [s[0] for s in spans] == ["text"]
 
 
+def test_obj_header_bytes_inside_stream_do_not_clobber():
+    # the content stream CONTAINS the bytes "3 0 obj" (the real page
+    # object's number) — the scanner must skip stream bodies
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (about 3 0 obj syntax) Tj ET"
+    )
+    assert [s[1] for s in extract_pdf_spans(_doc(content))] == [
+        "about 3 0 obj syntax"
+    ]
+
+
+def test_root_pattern_inside_stream_is_ignored():
+    # "/Root 9 0 R" inside the content stream must not select a
+    # bogus catalog (object 9 does not exist)
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (trailer has /Root 9 0 R) Tj ET"
+    )
+    assert [s[1] for s in extract_pdf_spans(_doc(content))] == [
+        "trailer has /Root 9 0 R"
+    ]
+
+
+def test_malformed_object_does_not_swallow_later_objects():
+    # an unterminated dict BEFORE the real objects: the scan must
+    # still find the document behind it
+    broken = b"%PDF-1.4\n9 0 obj << /Never /Terminated\n"
+    good = _doc(b"BT /F1 10 Tf 72 720 Td (survives) Tj ET")
+    doc = broken + good[len(b"%PDF-1.4\n"):]
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["survives"]
+
+
+def test_zero_size_hidden_text_is_dropped():
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 6 Tf 72 720 Td (visible) Tj "
+        b"/F1 0 Tf 0 -20 Td (hidden spam layer) Tj ET"
+    ))
+    assert [(s[0], s[1]) for s in spans] == [("text", "visible")]
+
+
+def test_rotated_text_stays_visible():
+    # 90-degree rotation matrix has d=0 but |(c,d)| = 1
+    spans = extract_pdf_spans(_doc(
+        b"BT /F1 10 Tf 0 1 -1 0 300 300 Tm (sideways) Tj ET"
+    ))
+    assert [(s[0], s[1]) for s in spans] == [("text", "sideways")]
+
+
 # ------------------------------------------------------- robustness
 
 @pytest.mark.parametrize("b", [

@@ -51,10 +51,12 @@ Scope (documented, test-pinned):
   skipped binary-safely) emit ``media`` spans carrying construction
   dims, so PDF docs interleave text + media spans exactly like the
   HTML extraction path;
-* failure mode: any unexpected parse error yields a single
-  ``error`` span (exception class name) instead of raising — at
-  10^12 docs a malformed input must cost one metric row, not the
-  job.
+* failure mode: structurally unreadable documents (no header, no
+  reachable pages, undecodable content) yield ZERO spans — count
+  them with an anti-join of input doc ids against span output;
+  a decoder EXCEPTION (a parser bug, not a bad document) yields a
+  single ``error`` span with the exception class name, so at
+  10^12 docs a surprise costs one metric row, never the job.
 
 The reference (watzon/zhtml) has no PDF surface at all — this layer
 is brief-driven (north_rule: "PDF/layout parse"), so there is no
@@ -181,14 +183,20 @@ def _parse_lit_string(b: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), j
 
 
+def _hex_decode(raw: bytes) -> bytes:
+    """Shared ASCIIHex normalization (§7.3.4.3 / §7.4.2): strip
+    non-hex bytes, pad a trailing odd digit with 0."""
+    hx = _NONHEX_RE.sub(b"", raw)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
 def _parse_hex_string(b: bytes, i: int) -> tuple[bytes, int]:
     j = b.find(b">", i + 1)
     if j < 0:
         j = len(b)
-    hx = _NONHEX_RE.sub(b"", b[i + 1 : j])
-    if len(hx) % 2:
-        hx += b"0"
-    return bytes.fromhex(hx.decode("ascii")), min(j + 1, len(b))
+    return _hex_decode(b[i + 1 : j]), min(j + 1, len(b))
 
 
 def _parse_object(b: bytes, i: int, depth: int = 0):
@@ -279,11 +287,23 @@ def _resolve(v, objs, depth: int = 0):
 # document structure (§7.5): object scan, streams, page tree
 # ------------------------------------------------------------------
 
-def _scan_objects(b: bytes) -> dict:
-    """``{num: (value, raw_stream | None)}`` for every ``N G obj`` in
-    the file — later definitions override (incremental updates)."""
+def _scan_objects(b: bytes) -> tuple[dict, list]:
+    """``({num: (value, raw_stream | None)}, stream_extents)`` for
+    every ``N G obj`` in the file — later definitions override
+    (incremental updates).  The scan RESUMES past each object's
+    parsed extent (dict body, stream body, ``endstream``), so bytes
+    INSIDE streams or string values can never spawn phantom objects
+    that clobber real ones; the returned ``(start, end)`` extents
+    let callers exclude stream bodies from their own raw-byte
+    searches (the trailer ``/Root`` scan)."""
     objs: dict = {}
-    for m in _OBJ_HEAD_RE.finditer(b):
+    extents: list = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(b, pos)
+        if not m:
+            break
         num = int(m.group(1))
         val, j = _parse_object(b, m.end())
         raw = None
@@ -293,18 +313,26 @@ def _scan_objects(b: bytes) -> dict:
                 start = sm.end()
                 ln = val.get("Length")
                 end = None
-                if isinstance(ln, int) and 0 <= ln <= len(b) - start:
+                if isinstance(ln, int) and 0 <= ln <= n - start:
                     cand = start + ln
                     if b.startswith(b"endstream", _skip_ws(b, cand)):
                         end = cand
                 if end is None:  # indirect or wrong /Length
                     k = b.find(b"endstream", start)
-                    end = k if k >= 0 else len(b)
+                    end = k if k >= 0 else n
                     while end > start and b[end - 1] in (0x0A, 0x0D):
                         end -= 1
                 raw = b[start:end]
+                extents.append((start, end))
+                k = b.find(b"endstream", end)
+                j = (k + len(b"endstream")) if k >= 0 else n
         objs[num] = (val, raw)
-    return objs
+        # trust the parsed extent only when the object terminates
+        # cleanly; a malformed body rescans from just past the
+        # header so later real objects are never swallowed
+        j2 = _skip_ws(b, j)
+        pos = j2 + 6 if b.startswith(b"endobj", j2) else m.end()
+    return objs, extents
 
 
 def _decode_stream(d: dict, raw: bytes, objs) -> bytes | None:
@@ -332,11 +360,8 @@ def _decode_stream(d: dict, raw: bytes, objs) -> bytes | None:
                 except zlib.error:
                     return None
         elif f == "ASCIIHexDecode":
-            hx = _NONHEX_RE.sub(b"", data.split(b">")[0])
-            if len(hx) % 2:
-                hx += b"0"
             try:
-                data = bytes.fromhex(hx.decode("ascii"))
+                data = _hex_decode(data.split(b">")[0])
             except ValueError:
                 return None
         else:
@@ -374,15 +399,25 @@ def _expand_object_streams(objs) -> None:
             objs[onum] = (v, None)
 
 
-def _page_order(b: bytes, objs) -> list:
+def _in_extents(i: int, extents: list) -> bool:
+    return any(s <= i < e for s, e in extents)
+
+
+def _page_order(b: bytes, objs, extents: list) -> list:
     """Pages in reading order: trailer ``/Root`` → catalog ``/Pages``
     → DFS over ``/Kids`` (with ``/Resources`` inheritance, §7.7.3.4);
-    falls back to ``/Type /Page`` objects in object-number order."""
+    falls back to ``/Type /Page`` objects in object-number order.
+    ``/Root`` matches inside stream bodies are ignored (a content
+    stream ABOUT PDFs must not select a bogus catalog)."""
     pages: list = []
     seen: set = set()
-    roots = _ROOT_RE.findall(b)
+    roots = [
+        int(m.group(1))
+        for m in _ROOT_RE.finditer(b)
+        if not _in_extents(m.start(), extents)
+    ]
     if roots:
-        cat = _resolve(objs.get(int(roots[-1]), (None, None))[0], objs)
+        cat = _resolve(objs.get(roots[-1], (None, None))[0], objs)
         top = cat.get("Pages") if isinstance(cat, dict) else None
         stack = [(top.num, None)] if isinstance(top, _Ref) else []
         while stack and len(pages) <= 100_000:
@@ -510,7 +545,7 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
     if not isinstance(xobjects, dict):
         xobjects = {}
 
-    tf_size = 0.0
+    tf_size: float | None = None  # None = never set; 0.0 = hidden
     leading = 0.0
     # text line matrix (a b c d e f); only d (y-scale) and f
     # (baseline) feed layout, but Td composes through all six
@@ -541,7 +576,13 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
         s = _decode_pdf_string(bytes(raw))
         if s == "":
             return
-        eff = (tf_size or _DEFAULT_SIZE) * abs(lm[3] or 1.0)
+        # y-scale magnitude |(c,d)| keeps rotated text visible while
+        # an EXPLICIT "0 Tf" / degenerate matrix renders size 0
+        eff = (_DEFAULT_SIZE if tf_size is None else tf_size) * (
+            lm[2] * lm[2] + lm[3] * lm[3]
+        ) ** 0.5
+        if eff <= 0:
+            return  # invisible (hidden-text spam layer) — no span
         ny = lm[5]
         if cur_y is not None and abs(ny - cur_y) > _LINE_TOL:
             flush()
@@ -635,10 +676,10 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     """
     if b"%PDF-" not in b[:1024]:  # §7.5.2 allows leading junk
         return []
-    objs = _scan_objects(b)
+    objs, extents = _scan_objects(b)
     _expand_object_streams(objs)
     items: list = []
-    for page, res in _page_order(b, objs):
+    for page, res in _page_order(b, objs, extents):
         content = _page_content(page, objs)
         if content:
             _page_spans(content, res, objs, items)
@@ -683,9 +724,12 @@ def decode_pdf_spans(df: DataFrame) -> DataFrame:
     embarrassingly parallel at any scale; no shuffle, no driver
     state).  Input columns: ``media_ref`` (document identity) +
     ``payload`` (binary).  Output: one row per span, offsets dense
-    per document; a doc that fails to parse emits one ``error`` span
-    (exception class name) so 10^12-doc jobs surface failure COUNTS
-    without dying."""
+    per document.  Structurally unreadable docs produce ZERO rows
+    (anti-join input ids against the output to count them); a doc
+    that makes the decoder RAISE — a parser bug, not a bad document
+    — emits one ``error`` span carrying the exception class name, so
+    10^12-doc jobs surface surprises as metric rows, never as a dead
+    job."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
