@@ -1049,6 +1049,100 @@ def _q_media_container_meta(spark, sf_dir):
     )
 
 
+def _fixed_two_page_pdf() -> bytes:
+    """The FIXED two-page PDF (page 1 FlateDecode with escape/hex/
+    UTF-16BE strings + per-line font sizes, page 2 ASCIIHexDecode)
+    shared by ``pdf_extract`` (odd docs) and ``warc_pdf_extract``
+    (odd docs) — deterministic bytes built once at plan-build time.
+    Expected spans (construction): heading "Flate (layout) line",
+    text "Esc tab" / "Hex!" / "Hi" / "Page two"."""
+    import zlib as _zlib
+
+    flate = _zlib.compress(
+        b"BT /F1 20 Tf 14 TL 72 720 Td (Flate \\(layout\\) line) Tj "
+        b"/F1 10 Tf T* (Esc \\164ab) Tj T* <48657821> Tj "
+        b"T* (\\376\\377\\000H\\000i) Tj ET",
+        9,
+    )
+    hexed = (
+        b"BT /F1 10 Tf 72 720 Td (Page two) Tj ET".hex().encode()
+        + b">"
+    )
+    return b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R]"
+            b" /Count 2 >> endobj\n",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+            b" endobj\n",
+            b"4 0 obj << /Filter /FlateDecode /Length ",
+            str(len(flate)).encode(),
+            b" >> stream\n",
+            flate,
+            b"\nendstream endobj\n",
+            b"6 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R >>"
+            b" endobj\n",
+            b"7 0 obj << /Filter /ASCIIHexDecode /Length ",
+            str(len(hexed)).encode(),
+            b" >> stream\n",
+            hexed,
+            b"\nendstream endobj\n",
+            b"trailer << /Root 1 0 R >>\n%%EOF",
+        ]
+    )
+
+
+def _q_warc_pdf_extract(spark, sf_dir):
+    """Interleaved multi-format WARC extraction (r5): even docs are
+    ``text/html`` HTTP response records, odd docs ``application/pdf``
+    records carrying the fixed two-page PDF as latin-1 text — the
+    byte-faithful carrier ``read_warc(charset='ISO-8859-1')`` uses
+    for mixed archives.  ``parse_warc_records`` extracts each
+    payload's Content-Type from its HTTP headers and
+    ``warc_interleaved_spans`` routes on it: HTML re-decodes to UTF-8
+    into the fused extraction path, PDFs re-encode to EXACT original
+    bytes into ``pdfops``.  One span schema out; the oracle states
+    both branches' spans from construction, so a single corrupted
+    byte anywhere in the latin-1 round trip fails the hash."""
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+    html_rec = warc_record(
+        url,
+        date,
+        F.concat(
+            F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+            F.col("text"), F.lit("</p></body>"),
+        ),
+        http_headers=True,
+    )
+    pdf_rec = warc_record(
+        url,
+        date,
+        F.decode(
+            F.unhex(F.lit(_fixed_two_page_pdf().hex().upper())),
+            "ISO-8859-1",
+        ),
+        http_headers=True,
+        payload_ctype="application/pdf",
+    )
+    archives = d.select(
+        F.when(did % 2 == 0, html_rec).otherwise(pdf_rec).alias(
+            "content"
+        )
+    )
+    return warc_interleaved_spans(parse_warc_records(archives))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF text + layout extraction (r5, north_rule: "PDF/layout
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
@@ -1063,8 +1157,6 @@ def _q_pdf_extract(spark, sf_dir):
     octal/hex/UTF-16BE strings), baseline line grouping, the
     1.5×-median heading rule, and the ``Do`` image media span.  The
     oracle states every span from CONSTRUCTION knowledge."""
-    import zlib as _zlib
-
     from zhtml_spark.pdfops import decode_pdf_spans
 
     d = _docs(spark, sf_dir)
@@ -1105,39 +1197,7 @@ def _q_pdf_extract(spark, sf_dir):
             "trailer << /Root 1 0 R >>\n%%EOF"
         ),
     )
-    flate = _zlib.compress(
-        b"BT /F1 20 Tf 14 TL 72 720 Td (Flate \\(layout\\) line) Tj "
-        b"/F1 10 Tf T* (Esc \\164ab) Tj T* <48657821> Tj "
-        b"T* (\\376\\377\\000H\\000i) Tj ET",
-        9,
-    )
-    hexed = (
-        b"BT /F1 10 Tf 72 720 Td (Page two) Tj ET".hex().encode()
-        + b">"
-    )
-    fileb = b"".join(
-        [
-            b"%PDF-1.4\n",
-            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
-            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R]"
-            b" /Count 2 >> endobj\n",
-            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
-            b" endobj\n",
-            b"4 0 obj << /Filter /FlateDecode /Length ",
-            str(len(flate)).encode(),
-            b" >> stream\n",
-            flate,
-            b"\nendstream endobj\n",
-            b"6 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R >>"
-            b" endobj\n",
-            b"7 0 obj << /Filter /ASCIIHexDecode /Length ",
-            str(len(hexed)).encode(),
-            b" >> stream\n",
-            hexed,
-            b"\nendstream endobj\n",
-            b"trailer << /Root 1 0 R >>\n%%EOF",
-        ]
-    )
+    fileb = _fixed_two_page_pdf()
     payload = F.when(did % 2 == 0, F.encode(filea, "UTF-8")).otherwise(
         F.unhex(F.lit(fileb.hex().upper()))
     )
@@ -1775,19 +1835,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 4 new + 5 changed
-    (winnow plan, pack DIV, components jumping, image JPEG guard) +
-    27 whose latest green is r3 + 14 r4-greens; the 29 tail entries
-    are all r4-green (age ≤ 2 at r6, when they rotate back in) —
-    interval_join_guarded demoted to the tail when pdf_extract
-    entered block A."""
+    Green-row ledger (round → window): r5 window = 5 new + 6 changed
+    (winnow plan, pack DIV, components jumping, image JPEG guard,
+    warc_extract re-windowed for the parse_warc_records
+    payload_ctype change) + 27 whose latest green is r3 + 12
+    r4-greens; the 31 tail entries are all r4-green (age ≤ 2 at r6,
+    when they rotate back in) — interval_join_guarded,
+    spans_to_markdown, and host_stats demoted to the tail as
+    pdf_extract / warc_pdf_extract / warc_extract entered the
+    window."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
         "ivf_topk_embedded": _q_ivf_topk_embedded,
         # -- block A'': implementation changed in r5 (re-evidence) ----
+        "warc_extract": _q_warc_extract,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "pack_sequences": _q_pack_sequences,
@@ -1834,9 +1899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
         "line_dedup": _q_line_dedup,
+        # ---------------- position 51+: r4-green tail ----------------
         "spans_to_markdown": _q_spans_to_markdown,
         "host_stats": _q_host_stats,
-        # ---------------- position 51+: r4-green tail ----------------
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -1852,7 +1917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_template": _q_extract_template,
         "extract_fragment": _q_extract_fragment,
-        "warc_extract": _q_warc_extract,
         "minhash_char_signatures": _q_minhash_char_signatures,
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
@@ -3233,6 +3297,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT {doc_id}, 1 AS offset, 'text' AS kind,
                    '{_DENSITY_LEAD} ' || text AS text, {null_ref}
             FROM documents
+        """,
+        "warc_pdf_extract": f"""
+            -- even docs: HTML branch (warc_extract's span shape);
+            -- odd docs: the fixed two-page PDF's spans (see
+            -- _fixed_two_page_pdf) — both stated from construction,
+            -- so any byte corruption in the latin-1 carrier round
+            -- trip or a misrouted Content-Type fails the hash
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text,
+                   {null_ref}
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 1,
+                   'text', text, NULL
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 0,
+                   'heading', 'Flate (layout) line', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 1,
+                   'text', 'Esc tab', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 2,
+                   'text', 'Hex!', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 3,
+                   'text', 'Hi', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 4,
+                   'text', 'Page two', NULL
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "pdf_extract": """
             -- expected spans stated from CONSTRUCTION knowledge of

@@ -34,7 +34,11 @@ _CHUNK_TARGET = 64 << 20  # max Arrow string cell after decompression
 
 
 def warc_record(
-    url: Column, date: Column, html: Column, http_headers: bool = False
+    url: Column,
+    date: Column,
+    html: Column,
+    http_headers: bool = False,
+    payload_ctype: str = "text/html",
 ) -> Column:
     """Render one WARC response record (header block + payload) —
     used by tests/queries to synthesize archives deterministically.
@@ -42,11 +46,15 @@ def warc_record(
     With ``http_headers=True`` the payload is a full HTTP response
     (status line + headers + CRLFCRLF + body), Common Crawl's actual
     wire shape (``Content-Type: application/http``) — exercises the
-    HTTP-header strip in ``parse_warc_records``."""
+    HTTP-header strip in ``parse_warc_records``.  ``payload_ctype``
+    is the PAYLOAD's media type (``text/html``, ``application/pdf``,
+    …): the HTTP ``Content-Type`` header when ``http_headers``, else
+    the record's own ``Content-Type`` — what the multi-format
+    dispatch routes on."""
     if http_headers:
         payload = F.concat(
             F.lit(
-                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"HTTP/1.1 200 OK\r\nContent-Type: {payload_ctype}\r\n"
                 "Server: synthetic\r\n\r\n"
             ),
             html,
@@ -54,7 +62,7 @@ def warc_record(
         ctype = "application/http; msgtype=response"
     else:
         payload = html
-        ctype = "text/html"
+        ctype = payload_ctype
     return F.concat(
         F.lit(f"{WARC_VERSION}\r\n"),
         F.lit("WARC-Type: response\r\n"),
@@ -135,6 +143,20 @@ def parse_warc_records(
         is_http & payload.startswith("HTTP/"),
         F.regexp_extract(payload, r"(?s)^HTTP/.*?\r\n\r\n(.*)$", 1),
     ).otherwise(payload)
+    # the PAYLOAD's media type (what multi-format dispatch routes
+    # on): the HTTP response's Content-Type header when the record
+    # is HTTP-carried, else the record's own Content-Type
+    http_hdr_block = F.regexp_extract(
+        payload, r"(?s)^(HTTP/.*?)\r\n\r\n", 1
+    )
+    payload_ctype = F.when(
+        is_http & payload.startswith("HTTP/"),
+        F.lower(
+            F.regexp_extract(
+                http_hdr_block, r"(?im)^content-type:\s*([^\r\n]*)", 1
+            )
+        ),
+    ).otherwise(rec_ctype)
     return (
         recs.select(
             F.lower(
@@ -149,6 +171,7 @@ def parse_warc_records(
                 warc_hdr, r"(?im)^warc-date:\s*([^\r\n]*)", 1
             ).alias("warc_date"),
             html.alias("html"),
+            payload_ctype.alias("payload_ctype"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")
@@ -156,9 +179,13 @@ def parse_warc_records(
     )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, charset: str = "UTF-8"
+) -> DataFrame:
     """Scan a directory/glob of ``.warc`` / ``.warc.gz`` files →
-    record rows.
+    record rows.  ``charset='ISO-8859-1'`` selects the byte-faithful
+    carrier for archives with binary payloads (PDFs) — pair with
+    :func:`warc_interleaved_spans`.
 
     ``binaryFile`` keeps whole-archive integrity (a text scan would
     split records at arbitrary line boundaries).  Plain archives
@@ -173,7 +200,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     Arrow's per-cell string limit nor executor memory.
     """
     raw = spark.read.format("binaryFile").load(path)
-    return parse_warc_records(_decoded_archives(raw))
+    return parse_warc_records(_decoded_archives(raw, charset))
 
 
 def _record_aligned_chunks(content: str) -> list[str]:
@@ -197,10 +224,13 @@ _GZ_FEED = 1 << 20        # compressed bytes fed per decompressor step
 _GZ_STEP = 8 << 20        # max decompressed bytes produced per call
 
 
-def _stream_gunzip_chunks(blob: bytes) -> list[str]:
+def _stream_gunzip_chunks(blob: bytes, charset: str = "utf-8") -> list[str]:
     """Incrementally gunzip a (possibly multi-member) archive into
     record-aligned ≤ ~_CHUNK_TARGET text chunks — identical output to
-    ``_record_aligned_chunks(gzip.decompress(blob).decode())``.
+    ``_record_aligned_chunks(gzip.decompress(blob).decode(charset))``.
+    ``charset='latin-1'`` is the BYTE-FAITHFUL carrier (every byte
+    maps 1:1 to U+00–U+FF, so binary payloads like PDFs survive the
+    string plan and re-encode to exact bytes).
 
     Bounded-memory guarantee: peak Python heap per task is
     O(_CHUNK_TARGET + _GZ_STEP + zlib window), NEVER the full
@@ -221,7 +251,7 @@ def _stream_gunzip_chunks(blob: bytes) -> list[str]:
             cut = buf.find(sep, _CHUNK_TARGET)
             if cut == -1:
                 return  # single over-long record: keep accumulating
-            out.append(bytes(buf[: cut + 4]).decode("utf-8"))
+            out.append(bytes(buf[: cut + 4]).decode(charset))
             del buf[: cut + 4]
 
     d = zlib.decompressobj(wbits=31)  # 31 = gzip container
@@ -248,16 +278,19 @@ def _stream_gunzip_chunks(blob: bytes) -> list[str]:
         raise EOFError(
             "Compressed file ended before the end-of-stream marker"
         )
-    out.append(bytes(buf).decode("utf-8"))
+    out.append(bytes(buf).decode(charset))
     return out
 
 
-def _decoded_archives(raw: DataFrame) -> DataFrame:
+def _decoded_archives(raw: DataFrame, charset: str = "UTF-8") -> DataFrame:
     """binaryFile rows → one string ``content`` row per (chunk of an)
     archive.  Plain ``.warc`` decodes JVM-side; ``.gz`` goes through
-    the Arrow-native gunzip codec stage."""
+    the Arrow-native gunzip codec stage.  ``charset='ISO-8859-1'``
+    selects the byte-faithful carrier for mixed text+binary archives
+    (see :func:`warc_interleaved_spans`)."""
+    py_charset = "latin-1" if charset.upper() == "ISO-8859-1" else charset
     plain = raw.where(~F.col("path").endswith(".gz")).select(
-        F.decode(F.col("content"), "UTF-8").alias("content")
+        F.decode(F.col("content"), charset).alias("content")
     )
     gz = raw.where(F.col("path").endswith(".gz")).select("content")
 
@@ -269,7 +302,9 @@ def _decoded_archives(raw: DataFrame) -> DataFrame:
             for blob in batch.column("content"):
                 # streamed: bounded working set, never the whole
                 # decompressed segment (see _stream_gunzip_chunks)
-                chunks.extend(_stream_gunzip_chunks(blob.as_py()))
+                chunks.extend(
+                    _stream_gunzip_chunks(blob.as_py(), py_charset)
+                )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(chunks, pa.string())], names=["content"]
             )
@@ -344,3 +379,69 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
             )
         ).alias("spans"),
     )
+
+
+def warc_interleaved_spans(
+    records: DataFrame,
+    config=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-format extraction over WARC records parsed from the
+    BYTE-FAITHFUL carrier (``read_warc(..., charset='ISO-8859-1')``):
+    route each record on its payload ``Content-Type`` —
+
+    * ``text/html`` (and anything else text-shaped) re-decodes
+      latin-1 → exact original bytes → UTF-8 JVM-side and runs the
+      fused HTML extraction path;
+    * ``application/pdf`` re-encodes latin-1 → exact original bytes
+      and runs :func:`zhtml_spark.pdfops.decode_pdf_spans`.
+
+    One exploded span schema out — ``(doc_id, offset, kind, text,
+    media_ref)`` — so interleaved text+PDF crawls produce a single
+    downstream table.  Both branches read the SAME parsed-record
+    plan (one scan, two filters; Spark re-uses the split/explode
+    stage), and each branch stays embarrassingly parallel: the
+    dispatch adds a union, not a shuffle.
+
+    The latin-1↔UTF-8 round trip is exact for the HTML branch
+    because latin-1 decoding is a 1:1 byte↔codepoint map — encoding
+    back yields the original payload bytes, which are then decoded
+    as the UTF-8 they actually are (invalid sequences degrade to
+    replacement chars exactly as a direct UTF-8 read would)."""
+    from .pdfops import decode_pdf_spans
+    from .pipeline import extract_documents
+
+    is_pdf = F.col("payload_ctype").startswith("application/pdf")
+
+    html_docs = warc_to_documents(
+        records.where(~is_pdf).withColumn(
+            "html",
+            F.decode(F.encode(F.col("html"), "ISO-8859-1"), "UTF-8"),
+        )
+    )
+    html_spans = (
+        extract_documents(
+            html_docs, config=config, num_partitions=num_partitions
+        )
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    pdf_spans = decode_pdf_spans(
+        records.where(is_pdf).select(
+            F.col("warc_url").alias("media_ref"),
+            F.encode(F.col("html"), "ISO-8859-1").alias("payload"),
+        )
+    ).select(
+        F.col("media_ref").alias("doc_id"),
+        "offset",
+        "kind",
+        "text",
+        F.col("span_ref").alias("media_ref"),
+    )
+    return html_spans.unionByName(pdf_spans)
