@@ -541,3 +541,112 @@ def test_crawl_pipeline_end_to_end(spark, tmp_path):
     assert md["https://a.example/article?utm=1"] == (
         "# Head\n\n[a link](../rel)\n\nAlpha text with a link."
     )
+
+
+def _mixed_archive_bytes() -> bytes:
+    """One HTML record (multibyte UTF-8), one binary PDF record
+    (FlateDecode — zlib's checksum makes the payload a byte-integrity
+    probe), one plain-ASCII HTML record, as HTTP-carried WARC
+    responses.  Raw bytes, ready to write to disk."""
+    import zlib
+
+    flate = zlib.compress(
+        b"BT /F1 20 Tf 72 720 Td (Binary \\(ok\\)) Tj ET", 9
+    )
+    pdf = b"".join([
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+        b" endobj\n",
+        b"4 0 obj << /Filter /FlateDecode /Length ",
+        str(len(flate)).encode(), b" >> stream\n",
+        flate,
+        b"\nendstream endobj\n",
+        b"trailer << /Root 1 0 R >>\n%%EOF",
+    ])
+
+    def rec(url: bytes, ctype: bytes, body: bytes) -> bytes:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+                + b"\r\n\r\n" + body)
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    return (
+        rec(b"https://ex.com/utf8", b"text/html; charset=utf-8",
+            "<body><h1>Título</h1><p>café &amp; té"
+            "</p></body>".encode("utf-8"))
+        + rec(b"https://ex.com/doc.pdf", b"application/pdf", pdf)
+        + rec(b"https://ex.com/plain", b"text/html",
+              b"<body><p>plain ascii</p></body>")
+    )
+
+
+def _interleaved_spans_by_doc(spark, path):
+    from zhtml_spark.sources import warc_interleaved_spans
+
+    recs = read_warc(spark, path, charset="ISO-8859-1")
+    spans = warc_interleaved_spans(recs).orderBy("doc_id", "offset")
+    by_doc: dict[str, list[tuple]] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["offset"], r["kind"], r["text"])
+        )
+    return recs, by_doc
+
+
+def test_warc_interleaved_mixed_formats_plain_file(spark, tmp_path):
+    """The byte-faithful latin-1 carrier end-to-end from a plain
+    .warc on disk: a multibyte-UTF-8 HTML record and a binary
+    FlateDecode PDF record in ONE archive each round-trip exactly —
+    the PDF branch would fail its zlib checksum, and the HTML branch
+    would show mojibake, on any single corrupted byte."""
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "mixed.warc").write_bytes(_mixed_archive_bytes())
+
+    recs, by_doc = _interleaved_spans_by_doc(spark, str(p))
+    ctypes = {
+        r["warc_url"]: r["payload_ctype"]
+        for r in recs.select("warc_url", "payload_ctype").collect()
+    }
+    assert ctypes == {
+        "https://ex.com/utf8": "text/html; charset=utf-8",
+        "https://ex.com/doc.pdf": "application/pdf",
+        "https://ex.com/plain": "text/html",
+    }
+    assert by_doc == {
+        "https://ex.com/utf8": [
+            (0, "heading", "Título"),
+            (1, "text", "café & té"),
+        ],
+        "https://ex.com/doc.pdf": [(0, "text", "Binary (ok)")],
+        "https://ex.com/plain": [(0, "text", "plain ascii")],
+    }
+
+
+def test_warc_interleaved_mixed_formats_gzip(spark, tmp_path):
+    """Same archive through the streamed-gunzip codec stage with the
+    latin-1 charset threaded through (the Python decode path, not the
+    JVM one)."""
+    import gzip
+
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "mixed.warc.gz").write_bytes(
+        gzip.compress(_mixed_archive_bytes())
+    )
+
+    _, by_doc = _interleaved_spans_by_doc(spark, str(p))
+    assert by_doc["https://ex.com/doc.pdf"] == [
+        (0, "text", "Binary (ok)")
+    ]
+    assert by_doc["https://ex.com/utf8"][0] == (
+        0, "heading", "Título"
+    )
