@@ -1143,6 +1143,91 @@ def _q_warc_pdf_extract(spark, sf_dir):
     return warc_interleaved_spans(parse_warc_records(archives))
 
 
+def _q_warc_charset_extract(spark, sf_dir):
+    """WHATWG charset sniffing end-to-end (r5): five per-doc charset
+    classes rendered as HTTP-carried WARC records on the latin-1
+    carrier, decoded by ``decode_sniffed_payloads`` (spec-mode
+    windows-1252 default, flagless repertoire only — exactly what a
+    foreign driver session can run), then extracted.  Classes by
+    ``doc_id % 5``: (0) windows-1252 bytes declared via the header's
+    ``charset=iso-8859-1`` — the WHATWG latin1→1252 fold AND the
+    0x80-block translate decode; (1) BOM'd UTF-8, nothing declared —
+    BOM precedence + BOM stripping (an unstripped U+FEFF would change
+    span 0's hash); (2) ``<meta charset=utf-8>`` prescan; (3) nothing
+    declared, high-byte latin-1 body — the spec default path (a blind
+    UTF-8 engine would mojibake or throw); (4) BOM'd UTF-16LE.  The
+    oracle states every span from construction."""
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.sources import (
+        _W1252_DST,
+        _W1252_SRC,
+        decode_sniffed_payloads,
+        parse_warc_records,
+        warc_record,
+        warc_to_documents,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+
+    def page(suffix: str, head: str = "") -> Column:
+        return F.concat(
+            F.lit(f"{head}<body><h1>Doc "), ids, F.lit("</h1><p>"),
+            F.col("text"), F.lit(suffix + "</p></body>"),
+        )
+
+    # carrier renderings (string whose codepoints ARE the wire bytes)
+    w1252 = F.translate(
+        page(" café €99 ™"), _W1252_DST, _W1252_SRC
+    )
+    utf8_bom = F.concat(
+        F.lit("ï»¿"),
+        F.decode(F.encode(page(" naïve ✓"), "UTF-8"), "ISO-8859-1"),
+    )
+    utf8_meta = F.decode(
+        F.encode(
+            page(" – naïve", head='<head><meta charset="utf-8"></head>'),
+            "UTF-8",
+        ),
+        "ISO-8859-1",
+    )
+    plain_default = page(" café 45°")  # latin-1-identity chars
+    utf16 = F.concat(
+        F.lit("ÿþ"),
+        F.decode(F.encode(page(" utf16 é"), "UTF-16LE"), "ISO-8859-1"),
+    )
+
+    def rec(payload: Column, ctype: str = "text/html") -> Column:
+        return warc_record(
+            url, date, payload, http_headers=True, payload_ctype=ctype
+        )
+
+    archives = d.select(
+        F.when(did % 5 == 0, rec(w1252, "text/html; charset=iso-8859-1"))
+        .when(did % 5 == 1, rec(utf8_bom))
+        .when(did % 5 == 2, rec(utf8_meta))
+        .when(did % 5 == 3, rec(plain_default))
+        .otherwise(rec(utf16))
+        .alias("content")
+    )
+    recs = decode_sniffed_payloads(
+        parse_warc_records(archives),
+        default_charset="windows-1252",
+        extended=False,
+    )
+    out = extract_documents(warc_to_documents(recs))
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF text + layout extraction (r5, north_rule: "PDF/layout
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
@@ -1835,17 +1920,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 5 new + 6 changed
+    Green-row ledger (round → window): r5 window = 6 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
-    payload_ctype change) + 27 whose latest green is r3 + 12
-    r4-greens; the 31 tail entries are all r4-green (age ≤ 2 at r6,
+    payload_ctype change) + 27 whose latest green is r3 + 11
+    r4-greens; the 33 tail entries are all r4-green (age ≤ 2 at r6,
     when they rotate back in) — interval_join_guarded,
-    spans_to_markdown, and host_stats demoted to the tail as
-    pdf_extract / warc_pdf_extract / warc_extract entered the
-    window."""
+    spans_to_markdown, host_stats, and line_dedup demoted to the
+    tail as pdf_extract / warc_pdf_extract / warc_charset_extract /
+    warc_extract entered the window."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_charset_extract": _q_warc_charset_extract,
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
@@ -1898,8 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
-        "line_dedup": _q_line_dedup,
         # ---------------- position 51+: r4-green tail ----------------
+        "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
         "host_stats": _q_host_stats,
         "interval_join_guarded": _q_interval_join_guarded,
@@ -2241,6 +2327,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
                    1 AS offset, 'text' AS kind, text, {null_ref}
+            FROM documents
+        """,
+        "warc_charset_extract": f"""
+            -- expected spans stated from construction: per doc_id%5
+            -- charset class, the paragraph is text || the class's
+            -- suffix; any sniffing/precedence/decode/BOM-strip error
+            -- on the Spark side changes a span value and the hash
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   1 AS offset, 'text' AS kind,
+                   text || CASE doc_id % 5
+                       WHEN 0 THEN ' café €99 ™'
+                       WHEN 1 THEN ' naïve ✓'
+                       WHEN 2 THEN ' – naïve'
+                       WHEN 3 THEN ' café 45°'
+                       ELSE ' utf16 é'
+                   END AS text, {null_ref}
             FROM documents
         """,
         "extract_boilerplate": f"""

@@ -72,6 +72,15 @@ def build_session(
             str(DEFAULT_ARROW_BATCH),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # crawl-decoder hardening (sources.decode_sniffed): restore
+        # the full Java charset repertoire (Spark 4 whitelists
+        # encode/decode charsets otherwise — SPARK-46115) and
+        # replacement-char behavior on malformed text (plain decode
+        # throws MALFORMED_CHARACTER_CODING: one broken page must
+        # never kill a 10^12-doc job).  The flagless sniff paths work
+        # without these; they widen coverage to Shift_JIS/GBK/….
+        .config("spark.sql.legacy.javaCharsets", "true")
+        .config("spark.sql.legacy.codingErrorAction", "true")
     )
     # Shuffle spill on this sandbox's network disk is burst-throttled and
     # was the dominant run-to-run variance (2× swings); keep shuffle files

@@ -390,9 +390,14 @@ def warc_interleaved_spans(
     BYTE-FAITHFUL carrier (``read_warc(..., charset='ISO-8859-1')``):
     route each record on its payload ``Content-Type`` —
 
-    * ``text/html`` (and anything else text-shaped) re-decodes
-      latin-1 → exact original bytes → UTF-8 JVM-side and runs the
-      fused HTML extraction path;
+    * ``text/html`` (and anything else text-shaped) re-encodes
+      latin-1 → exact original bytes, then decodes per the WHATWG
+      charset sniff (:func:`decode_sniffed_payloads`: BOM > header
+      charset > meta prescan > UTF-8 — the crawler-pragmatic default
+      for undeclared pages; pass spec-mode windows-1252 via the
+      standalone function) and runs the fused HTML extraction path —
+      invalid UTF-8 degrades to U+FFFD per ``make_valid_utf8``, it
+      can NEVER kill the job;
     * ``application/pdf`` re-encodes latin-1 → exact original bytes
       and runs :func:`zhtml_spark.pdfops.decode_pdf_spans`.
 
@@ -403,20 +408,18 @@ def warc_interleaved_spans(
     stage), and each branch stays embarrassingly parallel: the
     dispatch adds a union, not a shuffle.
 
-    The latin-1↔UTF-8 round trip is exact for the HTML branch
-    because latin-1 decoding is a 1:1 byte↔codepoint map — encoding
-    back yields the original payload bytes, which are then decoded
-    as the UTF-8 they actually are (invalid sequences degrade to
-    replacement chars exactly as a direct UTF-8 read would)."""
+    The latin-1 round trip is exact for the HTML branch because
+    latin-1 decoding is a 1:1 byte↔codepoint map — encoding back
+    yields the original payload bytes, which then decode under the
+    charset the page actually declared."""
     from .pdfops import decode_pdf_spans
     from .pipeline import extract_documents
 
     is_pdf = F.col("payload_ctype").startswith("application/pdf")
 
     html_docs = warc_to_documents(
-        records.where(~is_pdf).withColumn(
-            "html",
-            F.decode(F.encode(F.col("html"), "ISO-8859-1"), "UTF-8"),
+        decode_sniffed_payloads(
+            records.where(~is_pdf), default_charset="utf-8"
         )
     )
     html_spans = (
@@ -445,3 +448,267 @@ def warc_interleaved_spans(
         F.col("span_ref").alias("media_ref"),
     )
     return html_spans.unionByName(pdf_spans)
+
+
+# --------------------------------------------------------------------
+# Charset sniffing (WHATWG encoding sniffing over the latin-1 carrier)
+# --------------------------------------------------------------------
+#
+# Real crawls are not UTF-8: ~2% of pages are windows-125x / Shift_JIS
+# / GBK / …, and a blind UTF-8 decode either mojibakes them or — under
+# Spark 4's strict decode (MALFORMED_CHARACTER_CODING) — kills the
+# whole job on ONE malformed page.  The sniffer implements the HTML
+# Standard's encoding-sniffing precedence (§13.2.3.2, the subset that
+# matters for archived responses): BOM > transport-layer Content-Type
+# ``charset=`` parameter > ``<meta charset>`` prescan of the first
+# 1024 carrier chars > a caller default (spec legacy default:
+# windows-1252).  Labels normalize per the WHATWG Encoding Standard
+# (e.g. ``latin1``/``ascii`` ARE windows-1252; meta-declared UTF-16
+# becomes UTF-8 per HTML §13.2.3.3 — pages saying utf-16 in meta are
+# in practice 8-bit).  Everything is JVM-side expressions over the
+# byte-faithful latin-1 carrier (``read_warc(charset='ISO-8859-1')``).
+#
+# Decoder strategy, chosen for DRIVER-SESSION portability (no session
+# conf required):
+#   * utf-8      → ``make_valid_utf8(cast(bytes AS string))`` —
+#     invalid sequences become U+FFFD instead of a dead job (Spark 4's
+#     plain ``decode`` throws; the legacy replacement behavior needs
+#     ``spark.sql.legacy.codingErrorAction=true``, which build_session
+#     sets but a foreign session may not).
+#   * windows-1252 / latin1 / ascii → a 32-codepoint ``translate`` of
+#     the 0x80–0x9F block (windows-1252 IS latin-1 outside it, and the
+#     carrier already holds latin-1 codepoints) — no decode at all.
+#   * x-user-defined → the WHATWG 0x80–0xFF → U+F780–U+F7FF remap,
+#     also a pure ``translate``.
+#   * utf-16be/le (BOM-detected only) → native ``decode`` with an
+#     even-length guard; a malformed UTF-16 body still throws unless
+#     ``spark.sql.legacy.codingErrorAction=true`` (documented; BOMed
+#     UTF-16 HTML is ~0 in modern crawls).
+#   * Shift_JIS / GBK / … (the "extended" repertoire) → native
+#     ``decode`` with the Java charset name — ONLY available when the
+#     session sets ``spark.sql.legacy.javaCharsets=true`` (Spark 4
+#     whitelists decode charsets otherwise); build_session sets it,
+#     and ``decode_sniffed_payloads`` auto-detects.  Without it those
+#     rows fall back to the windows-1252 translate (readable mojibake,
+#     never a crash), and the emitted ``charset`` column still records
+#     what WAS declared so the miss is measurable.
+
+_W1252_SRC = "".join(chr(b) for b in range(0x80, 0xA0))
+
+
+def _w1252_char(b: int) -> str:
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        # 0x81/0x8D/0x8F/0x90/0x9D: WHATWG maps them to U+0081 etc.
+        # (the latin-1 identity) — leave the carrier char unchanged
+        return chr(b)
+
+
+_W1252_DST = "".join(_w1252_char(b) for b in range(0x80, 0xA0))
+_XUSER_SRC = "".join(chr(b) for b in range(0x80, 0x100))
+_XUSER_DST = "".join(chr(0xF780 + b - 0x80) for b in range(0x80, 0x100))
+
+# WHATWG Encoding Standard label → canonical decoder key.  Canonical
+# keys 'utf-8'/'utf-16be'/'utf-16le'/'windows-1252'/'x-user-defined'
+# decode flaglessly; every other key is a Java charset name used
+# verbatim when the extended repertoire is enabled.
+_CHARSET_LABELS: dict[str, str] = {
+    # utf-8
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "unicode11utf8": "utf-8", "unicode20utf8": "utf-8",
+    "x-unicode20utf8": "utf-8",
+    # meta-declared utf-16 → utf-8 (HTML §13.2.3.3)
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+    "ucs-2": "utf-8", "unicodefffe": "utf-8", "unicodefeff": "utf-8",
+    # windows-1252 and everything WHATWG folds into it
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252", "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252", "iso_8859-1": "windows-1252",
+    "iso88591": "windows-1252", "latin1": "windows-1252",
+    "l1": "windows-1252", "cp819": "windows-1252",
+    "ibm819": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "ansi_x3.4-1968": "windows-1252",
+    "iso-ir-100": "windows-1252", "csisolatin1": "windows-1252",
+    # x-user-defined (byte-transparent custom fonts)
+    "x-user-defined": "x-user-defined",
+    # extended repertoire: WHATWG label → Java charset
+    "shift_jis": "Shift_JIS", "shift-jis": "Shift_JIS",
+    "sjis": "Shift_JIS", "x-sjis": "Shift_JIS",
+    "ms_kanji": "Shift_JIS", "ms932": "Shift_JIS",
+    "windows-31j": "Shift_JIS", "csshiftjis": "Shift_JIS",
+    "euc-jp": "EUC-JP", "x-euc-jp": "EUC-JP", "cseucpkdfmtjapanese": "EUC-JP",
+    "iso-2022-jp": "ISO-2022-JP", "csiso2022jp": "ISO-2022-JP",
+    "gbk": "GBK", "gb2312": "GBK", "gb_2312": "GBK",
+    "gb_2312-80": "GBK", "chinese": "GBK", "csgb2312": "GBK",
+    "csiso58gb231280": "GBK", "x-gbk": "GBK", "iso-ir-58": "GBK",
+    "gb18030": "GB18030",
+    "big5": "Big5", "big5-hkscs": "Big5", "cn-big5": "Big5",
+    "x-x-big5": "Big5", "csbig5": "Big5",
+    "euc-kr": "EUC-KR", "windows-949": "EUC-KR", "ks_c_5601-1987": "EUC-KR",
+    "ks_c_5601-1989": "EUC-KR", "ksc_5601": "EUC-KR", "ksc5601": "EUC-KR",
+    "korean": "EUC-KR", "cseuckr": "EUC-KR", "csksc56011987": "EUC-KR",
+    "iso-ir-149": "EUC-KR",
+    "koi8-r": "KOI8-R", "koi8": "KOI8-R", "koi": "KOI8-R",
+    "cskoi8r": "KOI8-R", "koi8-u": "KOI8-U", "koi8-ru": "KOI8-U",
+    "windows-1250": "windows-1250", "cp1250": "windows-1250",
+    "x-cp1250": "windows-1250",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "x-cp1251": "windows-1251",
+    "windows-1253": "windows-1253", "cp1253": "windows-1253",
+    "windows-1254": "windows-1254", "cp1254": "windows-1254",
+    "iso-8859-9": "windows-1254", "latin5": "windows-1254",
+    "windows-1255": "windows-1255", "cp1255": "windows-1255",
+    "windows-1256": "windows-1256", "cp1256": "windows-1256",
+    "windows-1257": "windows-1257", "cp1257": "windows-1257",
+    "windows-1258": "windows-1258", "cp1258": "windows-1258",
+    "windows-874": "x-windows-874", "dos-874": "x-windows-874",
+    "tis-620": "x-windows-874", "iso-8859-11": "x-windows-874",
+    "iso-8859-2": "ISO-8859-2", "latin2": "ISO-8859-2",
+    "iso8859-2": "ISO-8859-2", "csisolatin2": "ISO-8859-2",
+    "iso-8859-3": "ISO-8859-3", "latin3": "ISO-8859-3",
+    "iso-8859-4": "ISO-8859-4", "latin4": "ISO-8859-4",
+    "iso-8859-5": "ISO-8859-5", "cyrillic": "ISO-8859-5",
+    "iso-8859-6": "ISO-8859-6", "arabic": "ISO-8859-6",
+    "iso-8859-7": "ISO-8859-7", "greek": "ISO-8859-7",
+    "greek8": "ISO-8859-7", "ecma-118": "ISO-8859-7",
+    "iso-8859-8": "ISO-8859-8", "hebrew": "ISO-8859-8",
+    "iso-8859-8-i": "ISO-8859-8", "csiso88598i": "ISO-8859-8",
+    "iso-8859-10": "ISO-8859-10", "latin6": "ISO-8859-10",
+    "iso-8859-13": "ISO-8859-13", "iso-8859-14": "ISO-8859-14",
+    "iso-8859-15": "ISO-8859-15", "latin9": "ISO-8859-15",
+    "l9": "ISO-8859-15", "csisolatin9": "ISO-8859-15",
+    "iso-8859-16": "ISO-8859-16",
+    "macintosh": "MacRoman", "x-mac-roman": "MacRoman",
+    "mac": "MacRoman", "csmacintosh": "MacRoman",
+    "x-mac-cyrillic": "x-MacCyrillic", "x-mac-ukrainian": "x-MacCyrillic",
+    "ibm866": "IBM866", "866": "IBM866", "cp866": "IBM866",
+    "csibm866": "IBM866",
+}
+
+_FLAGLESS_KEYS = frozenset(
+    {"utf-8", "utf-16be", "utf-16le", "windows-1252", "x-user-defined"}
+)
+
+# the latin-1 carrier renderings of the three BOMs
+_BOM_UTF8 = "\u00ef\u00bb\u00bf"
+_BOM_UTF16BE = "\u00fe\u00ff"
+_BOM_UTF16LE = "\u00ff\u00fe"
+
+_CHARSET_PARAM_RE = r"""(?i)charset\s*=\s*["']?\s*([a-z0-9._:\-]+)"""
+# the spec prescan walks real attribute syntax over the first 1 KiB;
+# this regexp form catches both <meta charset=X> and
+# <meta http-equiv=content-type content="...; charset=X"> because the
+# parameter grammar is identical inside the content attribute
+_META_PRESCAN_RE = r"""(?i)<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-z0-9._:\-]+)"""
+
+
+def _label_map() -> Column:
+    pairs: list[Column] = []
+    for label, key in _CHARSET_LABELS.items():
+        pairs.append(F.lit(label))
+        pairs.append(F.lit(key))
+    return F.create_map(*pairs)
+
+
+def sniff_charset(
+    payload_ctype: Column,
+    html: Column,
+    default_charset: str = "windows-1252",
+) -> Column:
+    """Canonical decoder key for one archived response — BOM >
+    transport ``charset=`` > meta prescan (first 1024 carrier chars) >
+    ``default_charset`` — per HTML §13.2.3.2 precedence with WHATWG
+    label normalization.  ``html`` must be the latin-1 carrier string
+    (every byte 1:1).  Unrecognized labels fall through to the next
+    source, exactly like the spec's "unrecognized label → failure →
+    keep sniffing" steps."""
+    default_key = _CHARSET_LABELS.get(
+        default_charset.lower(), "windows-1252"
+    )
+    bom = (
+        F.when(F.substring(html, 1, 3) == _BOM_UTF8, F.lit("utf-8"))
+        .when(F.substring(html, 1, 2) == _BOM_UTF16BE, F.lit("utf-16be"))
+        .when(F.substring(html, 1, 2) == _BOM_UTF16LE, F.lit("utf-16le"))
+    )
+    lookup = _label_map()
+    transport = F.lower(
+        F.trim(F.regexp_extract(payload_ctype, _CHARSET_PARAM_RE, 1))
+    )
+    meta = F.lower(
+        F.trim(
+            F.regexp_extract(
+                F.substring(html, 1, 1024), _META_PRESCAN_RE, 1
+            )
+        )
+    )
+    return F.coalesce(
+        bom,
+        F.element_at(lookup, transport),
+        F.element_at(lookup, meta),
+        F.lit(default_key),
+    )
+
+
+def decode_sniffed(
+    html: Column, charset: Column, extended: bool = False
+) -> Column:
+    """Decode the latin-1 carrier ``html`` per the canonical key from
+    :func:`sniff_charset`.  Flagless keys always decode; extended Java
+    charsets decode only with ``extended=True`` (session must set
+    ``spark.sql.legacy.javaCharsets=true``) and otherwise fall back to
+    the windows-1252 translate — a readable wrong-glyph rendering,
+    never an exception.  Any leading U+FEFF left by a BOM decode is
+    stripped (the BOM is byte-order metadata, not content)."""
+    binv = F.encode(html, "ISO-8859-1")
+    # UTF-16 decoders require an even byte count; a truncated record
+    # drops its dangling half code unit instead of killing the job
+    even = F.substring(
+        html, F.lit(1), F.length(html) - F.pmod(F.length(html), F.lit(2))
+    )
+    bin16 = F.encode(even, "ISO-8859-1")
+    utf8 = F.call_function("make_valid_utf8", binv.cast("string"))
+    out = (
+        F.when(charset == "utf-8", utf8)
+        .when(charset == "utf-16be", F.decode(bin16, "UTF-16BE"))
+        .when(charset == "utf-16le", F.decode(bin16, "UTF-16LE"))
+        .when(
+            charset == "x-user-defined",
+            F.translate(html, _XUSER_SRC, _XUSER_DST),
+        )
+    )
+    if extended:
+        for key in sorted(set(_CHARSET_LABELS.values()) - _FLAGLESS_KEYS):
+            out = out.when(charset == key, F.decode(binv, key))
+    out = out.otherwise(F.translate(html, _W1252_SRC, _W1252_DST))
+    return F.regexp_replace(out, "^\ufeff", "")
+
+
+def decode_sniffed_payloads(
+    records: DataFrame,
+    default_charset: str = "windows-1252",
+    extended: bool | None = None,
+) -> DataFrame:
+    """Charset-aware payload decoding over parsed WARC records (from
+    the ``charset='ISO-8859-1'`` carrier): rewrites ``html`` to the
+    sniffed-and-decoded text and appends the ``charset`` column (the
+    canonical key that was APPLIED — audit what the crawl declared vs
+    what decoded).  ``extended=None`` auto-detects the session's
+    ``spark.sql.legacy.javaCharsets`` flag."""
+    if extended is None:
+        extended = (
+            records.sparkSession.conf.get(
+                "spark.sql.legacy.javaCharsets", "false"
+            ).lower()
+            == "true"
+        )
+    cs = sniff_charset(
+        F.col("payload_ctype"), F.col("html"), default_charset
+    )
+    applied = cs if extended else F.when(
+        cs.isin(*sorted(_FLAGLESS_KEYS)), cs
+    ).otherwise(F.lit("windows-1252"))
+    return records.withColumn("charset", applied).withColumn(
+        "html",
+        decode_sniffed(F.col("html"), F.col("charset"), extended),
+    )
