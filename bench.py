@@ -114,6 +114,25 @@ def main() -> None:
 
     timed("tokenize_replay", replay)
 
+    # 2b. multi-format + charset tier (r5): the interleaved HTML+PDF
+    # WARC path (latin-1 carrier -> Content-Type dispatch -> fused
+    # HTML extraction ∪ pdfops) and the WHATWG charset sniff path,
+    # each over the sf documents table via the registry queries the
+    # driver gates — bench and gate measure the SAME plan
+    import __spark_entry__ as _entry
+
+    _entry_queries = _entry.queries()
+    timed(
+        "warc_interleaved_pdf",
+        lambda: _entry_queries["warc_pdf_extract"](spark, SF_DIR).count(),
+    )
+    timed(
+        "warc_charset_sniff",
+        lambda: _entry_queries["warc_charset_extract"](
+            spark, SF_DIR
+        ).count(),
+    )
+
     # 3-5. dedup family on sf documents
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
