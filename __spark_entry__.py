@@ -1228,6 +1228,94 @@ def _q_warc_charset_extract(spark, sf_dir):
     )
 
 
+def _q_warc_http_codec_extract(spark, sf_dir):
+    """HTTP wire codings end-to-end (r5): five per-doc coding classes
+    rendered as HTTP-carried WARC records on the latin-1 carrier,
+    undone by ``decode_http_payloads`` (inside
+    ``warc_interleaved_spans``), then extracted.  Classes by
+    ``doc_id % 5``: (0) identity control; (1) ``Transfer-Encoding:
+    chunked`` with per-doc text, the split landing mid-markup and a
+    chunk extension on the size line — framing built JVM-side
+    (``hex(octet_length)``), so reassembly must happen before
+    tokenization or hex size lines corrupt every span; (2)
+    ``Content-Encoding: gzip`` of a fixed body; (3) zlib-wrapped
+    ``deflate``; (4) chunked OVER gzip — TE removed first, then CE,
+    per RFC 9112.  The oracle states every span from construction;
+    crawlers that archive raw exchanges (wget --warc, proxy captures)
+    produce exactly these bodies, which Common-Crawl-tuned readers
+    silently mangle."""
+    import zlib as _zlib
+
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+
+    def carrier(b: bytes) -> Column:
+        return F.decode(F.unhex(F.lit(b.hex().upper())), "ISO-8859-1")
+
+    def gz(b: bytes) -> bytes:
+        co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    def chunk2(b: bytes) -> bytes:
+        cut = max(1, len(b) // 2)
+        out = b""
+        for part in (b[:cut], b[cut:]):
+            out += format(len(part), "x").encode() + b"\r\n" + part + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+
+    plain_page = F.concat(
+        F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+        F.col("text"), F.lit(" plain</p></body>"),
+    )
+    chunk_page = F.concat(
+        F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+        F.col("text"), F.lit(" chunked</p></body>"),
+    )
+    part1 = F.substring(chunk_page, 1, 10)  # "<body><h1>" — mid-markup cut
+    part2 = F.substring(chunk_page, 11, 1 << 30)
+    chunked = F.concat(
+        F.lit("a;x=y\r\n"), part1, F.lit("\r\n"),
+        F.lower(F.hex(F.octet_length(part2))), F.lit("\r\n"),
+        part2, F.lit("\r\n0\r\n\r\n"),
+    )
+    gz_body = gz(b"<body><h1>GZ</h1><p>gzip fixed body</p></body>")
+    df_body = _zlib.compress(
+        b"<body><h1>DF</h1><p>deflate fixed body</p></body>", 9
+    )
+    cg_body = chunk2(
+        gz(b"<body><h1>CG</h1><p>chunked gzip body</p></body>")
+    )
+
+    def rec(payload: Column, extra: str = "") -> Column:
+        return warc_record(
+            url, date, payload, http_headers=True, http_extra=extra
+        )
+
+    archives = d.select(
+        F.when(did % 5 == 0, rec(plain_page))
+        .when(did % 5 == 1, rec(chunked, "Transfer-Encoding: chunked\r\n"))
+        .when(did % 5 == 2, rec(carrier(gz_body), "Content-Encoding: gzip\r\n"))
+        .when(did % 5 == 3, rec(carrier(df_body), "Content-Encoding: deflate\r\n"))
+        .otherwise(
+            rec(
+                carrier(cg_body),
+                "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+            )
+        )
+        .alias("content")
+    )
+    return warc_interleaved_spans(parse_warc_records(archives))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF text + layout extraction (r5, north_rule: "PDF/layout
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
@@ -1920,17 +2008,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 6 new + 6 changed
+    Green-row ledger (round → window): r5 window = 7 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
-    payload_ctype change) + 27 whose latest green is r3 + 11
-    r4-greens; the 33 tail entries are all r4-green (age ≤ 2 at r6,
-    when they rotate back in) — interval_join_guarded,
-    spans_to_markdown, host_stats, and line_dedup demoted to the
-    tail as pdf_extract / warc_pdf_extract / warc_charset_extract /
-    warc_extract entered the window."""
+    payload_ctype + http_te/http_ce changes) + 27 whose latest green
+    is r3 + 10 r4-greens; the 34 tail entries are all r4-green
+    (age ≤ 2 at r6, when they rotate back in) —
+    interval_join_guarded, spans_to_markdown, host_stats, line_dedup,
+    and extract_src_offsets demoted to the tail as pdf_extract /
+    warc_pdf_extract / warc_charset_extract / warc_http_codec_extract
+    / warc_extract entered the window."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_http_codec_extract": _q_warc_http_codec_extract,
         "warc_charset_extract": _q_warc_charset_extract,
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
@@ -1979,12 +2069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": _q_bloom_seen,
         "substring_dedup_apply": _q_substring_dedup_apply,
         "extract_svg_media": _q_extract_svg_media,
-        "extract_src_offsets": _q_extract_src_offsets,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
         "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
         # ---------------- position 51+: r4-green tail ----------------
+        "extract_src_offsets": _q_extract_src_offsets,
         "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
         "host_stats": _q_host_stats,
@@ -2347,6 +2437,33 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 2 THEN ' – naïve'
                        WHEN 3 THEN ' café 45°'
                        ELSE ' utf16 é'
+                   END AS text, {null_ref}
+            FROM documents
+        """,
+        "warc_http_codec_extract": f"""
+            -- expected spans stated from construction: per doc_id%5
+            -- wire-coding class — identity / chunked / gzip / deflate
+            -- / chunked-over-gzip; any dechunk or inflate error on
+            -- the Spark side leaves hex size lines or binary noise
+            -- in a span value and fails the hash
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   CASE doc_id % 5
+                       WHEN 2 THEN 'GZ'
+                       WHEN 3 THEN 'DF'
+                       WHEN 4 THEN 'CG'
+                       ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                   END AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   1 AS offset, 'text' AS kind,
+                   CASE doc_id % 5
+                       WHEN 0 THEN text || ' plain'
+                       WHEN 1 THEN text || ' chunked'
+                       WHEN 2 THEN 'gzip fixed body'
+                       WHEN 3 THEN 'deflate fixed body'
+                       ELSE 'chunked gzip body'
                    END AS text, {null_ref}
             FROM documents
         """,

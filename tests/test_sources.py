@@ -650,3 +650,177 @@ def test_warc_interleaved_mixed_formats_gzip(spark, tmp_path):
     assert by_doc["https://ex.com/utf8"][0] == (
         0, "heading", "Título"
     )
+
+
+# --------------------------------------------------------------------
+# HTTP content codings (chunked / gzip / deflate bodies) — r5
+# --------------------------------------------------------------------
+
+
+def test_dechunk_edge_cases():
+    from zhtml_spark.sources import _dechunk
+
+    # extension on the size line, trailers after the terminal chunk
+    assert _dechunk(
+        b"a;x=1\r\n0123456789\r\n5\r\nabcde\r\n0\r\nT: v\r\n\r\n"
+    ) == (b"0123456789abcde", True)
+    # uppercase hex sizes
+    assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == (
+        b"0123456789",
+        True,
+    )
+    # truncated mid-chunk: keep the prefix
+    assert _dechunk(b"10\r\nshort") == (b"short", True)
+    # desync after a valid chunk: keep the reassembled prefix
+    assert _dechunk(b"5\r\nabcde\r\nGARBAGE") == (b"abcde", True)
+    # not chunked at all: original body back, flagged
+    assert _dechunk(b"<html>hi</html>") == (b"<html>hi</html>", False)
+    assert _dechunk(b"") == (b"", True)
+
+
+def test_content_coding_edge_cases():
+    import gzip
+    import zlib
+
+    from zhtml_spark.sources import _decode_content_codings
+
+    body = b"<p>hello</p>"
+    assert _decode_content_codings(gzip.compress(body), "gzip") == (
+        body,
+        True,
+    )
+    # multi-member with a truncated tail member: partial kept
+    two = gzip.compress(body) + gzip.compress(b"tail")[:8]
+    assert _decode_content_codings(two, "x-gzip") == (body, True)
+    # deflate: zlib-wrapped AND the raw form old servers sent
+    assert _decode_content_codings(
+        zlib.compress(body), "deflate"
+    ) == (body, True)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw = co.compress(body) + co.flush()
+    assert _decode_content_codings(raw, "deflate") == (body, True)
+    # chained codings removed in reverse declared order
+    assert _decode_content_codings(
+        gzip.compress(zlib.compress(body)), "deflate, gzip"
+    ) == (body, True)
+    # undecodable: body untouched, flagged
+    assert _decode_content_codings(b"\x0bbr-bytes", "br")[1] is False
+    assert _decode_content_codings(b"plain", "gzip") == (
+        b"plain",
+        False,
+    )
+
+
+def _coded_archive_bytes() -> bytes:
+    """One archive whose bodies exercise every wire coding: identity,
+    chunked, gzip, raw-deflate, chunked-over-gzip, a gzipped PDF, and
+    an undecodable brotli record."""
+    import gzip
+    import zlib
+
+    def rec(url: bytes, ctype: bytes, body: bytes, extra: bytes = b"") -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+            + extra + b"\r\n" + body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    def chunk(data: bytes, size: int = 7) -> bytes:
+        out = b""
+        for pos in range(0, len(data), size):
+            part = data[pos:pos + size]
+            out += format(len(part), "x").encode() + b"\r\n" + part + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    page = b"<body><h1>C</h1><p>coded body</p></body>"
+    inner = b"BT /F1 12 Tf 72 720 Td (Gz pdf ok) Tj ET"
+    flate = zlib.compress(inner, 9)
+    pdf = b"".join([
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Filter /FlateDecode /Length ",
+        str(len(flate)).encode(), b" >> stream\n",
+        flate,
+        b"\nendstream endobj\n",
+        b"trailer << /Root 1 0 R >>\n%%EOF",
+    ])
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw_deflate = co.compress(page) + co.flush()
+    return (
+        rec(b"https://ex.com/plain", b"text/html", page)
+        + rec(b"https://ex.com/chunked", b"text/html", chunk(page),
+              b"Transfer-Encoding: chunked\r\n")
+        + rec(b"https://ex.com/gz", b"text/html", gzip.compress(page),
+              b"Content-Encoding: gzip\r\n")
+        + rec(b"https://ex.com/deflate", b"text/html", raw_deflate,
+              b"Content-Encoding: deflate\r\n")
+        + rec(b"https://ex.com/chunkgz", b"text/html",
+              chunk(gzip.compress(page)),
+              b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n")
+        + rec(b"https://ex.com/doc.pdf", b"application/pdf",
+              gzip.compress(pdf), b"Content-Encoding: gzip\r\n")
+        + rec(b"https://ex.com/br", b"text/html", b"\x0bbr-bytes",
+              b"Content-Encoding: br\r\n")
+    )
+
+
+def test_http_coded_payloads_end_to_end(spark, tmp_path):
+    """Every wire coding through the full disk path: read_warc on the
+    latin-1 carrier → decode_http_payloads (inside
+    warc_interleaved_spans) → extraction.  The four HTML coding
+    variants must produce IDENTICAL spans to the identity record, the
+    gzipped PDF must inflate to real PDF bytes for pdfops, and the
+    undecodable brotli record must flag — not kill — the job."""
+    from zhtml_spark.sources import decode_http_payloads
+
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "coded.warc").write_bytes(_coded_archive_bytes())
+
+    recs, by_doc = _interleaved_spans_by_doc(spark, str(p))
+    want_html = [(0, "heading", "C"), (1, "text", "coded body")]
+    for url in ("plain", "chunked", "gz", "deflate", "chunkgz"):
+        assert by_doc[f"https://ex.com/{url}"] == want_html, url
+    assert by_doc["https://ex.com/doc.pdf"] == [
+        (0, "text", "Gz pdf ok")
+    ]
+
+    codings = {
+        r["warc_url"]: r["coding"]
+        for r in decode_http_payloads(recs).collect()
+    }
+    assert codings == {
+        "https://ex.com/plain": "",
+        "https://ex.com/chunked": "chunked",
+        "https://ex.com/gz": "gzip",
+        "https://ex.com/deflate": "deflate",
+        "https://ex.com/chunkgz": "chunked,gzip",
+        "https://ex.com/doc.pdf": "gzip",
+        "https://ex.com/br": "br:fail",
+    }
+
+
+def test_http_codec_identity_rows_unchanged(spark):
+    """Records declaring no coding route through the JVM-only branch:
+    html byte-identical, coding empty — a Common-Crawl-shaped archive
+    pays nothing for the codec layer."""
+    from zhtml_spark.sources import decode_http_payloads
+
+    archive = _synth_archive(spark, 12)
+    recs = parse_warc_records(archive)
+    out = decode_http_payloads(recs)
+    assert out.where(F.col("coding") != "").count() == 0
+    before = {
+        r["warc_url"]: r["html"] for r in recs.collect()
+    }
+    after = {r["warc_url"]: r["html"] for r in out.collect()}
+    assert before == after

@@ -39,6 +39,7 @@ def warc_record(
     html: Column,
     http_headers: bool = False,
     payload_ctype: str = "text/html",
+    http_extra: str = "",
 ) -> Column:
     """Render one WARC response record (header block + payload) —
     used by tests/queries to synthesize archives deterministically.
@@ -50,12 +51,15 @@ def warc_record(
     is the PAYLOAD's media type (``text/html``, ``application/pdf``,
     …): the HTTP ``Content-Type`` header when ``http_headers``, else
     the record's own ``Content-Type`` — what the multi-format
-    dispatch routes on."""
+    dispatch routes on.  ``http_extra`` appends raw extra HTTP
+    headers (each ``\\r\\n``-terminated), e.g.
+    ``"Transfer-Encoding: chunked\\r\\n"`` — the body passed as
+    ``html`` must then already be in that wire coding."""
     if http_headers:
         payload = F.concat(
             F.lit(
                 f"HTTP/1.1 200 OK\r\nContent-Type: {payload_ctype}\r\n"
-                "Server: synthetic\r\n\r\n"
+                f"{http_extra}Server: synthetic\r\n\r\n"
             ),
             html,
         )
@@ -83,8 +87,12 @@ def parse_warc_records(
     archives: DataFrame, content_col: str = "content"
 ) -> DataFrame:
     """Split WARC archive strings into RESPONSE-record rows
-    ``(warc_url, warc_date, html)`` — all JVM-side (split + explode +
-    regexp_extract), no Python.
+    ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce)``
+    — all JVM-side (split + explode + regexp_extract), no Python.
+    ``http_te`` / ``http_ce`` carry the HTTP ``Transfer-Encoding`` /
+    ``Content-Encoding`` header values (lowercased; ``""`` for
+    non-HTTP records) so :func:`decode_http_payloads` can undo wire
+    codings before anything tokenizes the body.
 
     Real archives interleave request/response/metadata records per
     target URI — only ``WARC-Type: response`` rows survive (without
@@ -157,6 +165,26 @@ def parse_warc_records(
             )
         ),
     ).otherwise(rec_ctype)
+
+    # HTTP content codings (the body's WIRE form): crawlers that store
+    # raw responses (wget --warc, heritrix identity-off) leave bodies
+    # chunked and/or gzip/deflate-compressed — without these two
+    # columns the dispatch downstream cannot know the body needs
+    # decoding before it tokenizes (see decode_http_payloads)
+    def _http_hdr(name: str) -> Column:
+        return F.when(
+            is_http & payload.startswith("HTTP/"),
+            F.lower(
+                F.trim(
+                    F.regexp_extract(
+                        http_hdr_block,
+                        r"(?im)^" + name + r":\s*([^\r\n]*)",
+                        1,
+                    )
+                )
+            ),
+        ).otherwise(F.lit(""))
+
     return (
         recs.select(
             F.lower(
@@ -172,6 +200,8 @@ def parse_warc_records(
             ).alias("warc_date"),
             html.alias("html"),
             payload_ctype.alias("payload_ctype"),
+            _http_hdr("transfer-encoding").alias("http_te"),
+            _http_hdr("content-encoding").alias("http_ce"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")
@@ -314,6 +344,179 @@ def _decoded_archives(raw: DataFrame, charset: str = "UTF-8") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# HTTP content codings (chunked / gzip / deflate response bodies)
+# --------------------------------------------------------------------
+#
+# Common Crawl stores identity bodies, but crawlers that archive the
+# raw wire exchange (wget --warc-file, heritrix with identity
+# negotiation off, proxy captures) keep the body exactly as the server
+# sent it: `Transfer-Encoding: chunked` framing and/or
+# `Content-Encoding: gzip|deflate` compression.  Fed straight to the
+# tokenizer, a chunked body interleaves hex size lines with the
+# markup and a gzipped body is binary noise.  `decode_http_payloads`
+# undoes both — RFC 9112 §7.1 dechunking first (TE is applied last on
+# the wire, so it comes off first), then content codings in reverse
+# declared order.  Decoding is a CODEC stage (same contract as the
+# archive gunzip above — bytes in, bytes out, no logic): rows whose
+# headers declare no coding never leave the JVM, so a Common-Crawl-
+# shaped archive pays zero Python for this layer.
+
+_HTTP_CODINGS = ("chunked", "gzip", "x-gzip", "deflate")
+
+
+def _dechunk(body: bytes) -> tuple[bytes, bool]:
+    """Reassemble an RFC 9112 chunked body.  Tolerates the archive
+    truncations real crawls produce (mid-chunk cuts, missing terminal
+    chunk) by keeping whatever data framed correctly; returns
+    ``ok=False`` (with the ORIGINAL body) only when the first size
+    line is not chunked framing at all — the header lied, and the
+    body is better served untouched."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    first = True
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            if first:
+                return body, False  # no framing anywhere: not chunked
+            break  # truncated inside a size line: keep what we have
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            if first:
+                return body, False  # not actually chunked
+            break  # desync mid-stream: keep the reassembled prefix
+        first = False
+        if size == 0:
+            break  # terminal chunk; trailers are not body
+        start = eol + 2
+        chunk = body[start:start + size]
+        out += chunk
+        if len(chunk) < size:
+            break  # truncated inside chunk data
+        pos = start + size
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        # missing post-chunk CRLF: tolerate; next loop resyncs on the
+        # following size line or stops
+    return bytes(out), True
+
+
+def _lenient_gunzip(body: bytes) -> bytes:
+    """Multi-member gzip decompression that keeps the decompressed
+    prefix of a truncated final member (archives cut records at
+    length caps) instead of raising — raises only when the stream is
+    not gzip at all."""
+    import zlib
+
+    out = bytearray()
+    data = body
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(data)
+        if not d.eof:
+            break  # truncated member: keep the partial output
+        data = d.unused_data
+    return bytes(out)
+
+
+def _decode_content_codings(body: bytes, ce: str) -> tuple[bytes, bool]:
+    """Undo a ``Content-Encoding`` header's codings (comma-separated,
+    applied in declared order → removed in reverse).  ``deflate``
+    tries the RFC-correct zlib wrapper first, then the raw-deflate
+    form old IIS servers actually sent.  An undecodable coding
+    (``br``/``zstd`` without the lib, corrupt data) returns the body
+    as far as it got with ``ok=False`` — a measurable miss, never a
+    dead job."""
+    import zlib
+
+    for coding in reversed([c.strip() for c in ce.split(",") if c.strip()]):
+        if coding in ("gzip", "x-gzip"):
+            try:
+                body = _lenient_gunzip(body)
+            except zlib.error:
+                return body, False
+        elif coding == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -15)
+                except zlib.error:
+                    return body, False
+        elif coding == "identity":
+            continue
+        else:
+            return body, False
+    return body, True
+
+
+def decode_http_payloads(records: DataFrame) -> DataFrame:
+    """Rewrite ``html`` to the DECODED HTTP body for records whose
+    headers declare a transfer/content coding; append a ``coding``
+    audit column (the codings applied, ``""`` for identity rows,
+    ``…:fail`` suffix when a declared coding could not be undone —
+    the same measurable-miss shape as the charset column).
+
+    Requires the BYTE-FAITHFUL carrier
+    (``read_warc(charset='ISO-8859-1')``): compressed bodies do not
+    survive a UTF-8 decode.  Identity rows take the JVM-only branch —
+    the codec ``mapInArrow`` stage sees exactly the rows that need
+    bytes work, so archives with no coded bodies (Common Crawl) pay
+    nothing.  Per-task working set is one record's decoded body, not
+    a segment."""
+    te = F.col("http_te")
+    ce = F.col("http_ce")
+    needs = te.contains("chunked") | (
+        (ce != "") & (ce != "identity")
+    )
+    declared = F.concat_ws(
+        ",",
+        F.when(te.contains("chunked"), F.lit("chunked")),
+        F.when((ce != "") & (ce != "identity"), ce),
+    )
+    plain = records.where(~needs).withColumn("coding", F.lit(""))
+    coded = records.where(needs).withColumn("coding", declared)
+    schema = coded.schema
+
+    def codec(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            cols = {n: batch.column(i) for i, n in enumerate(names)}
+            htmls: list[str] = []
+            codings: list[str] = []
+            for carrier, rec_te, rec_ce, dec in zip(
+                cols["html"].to_pylist(),
+                cols["http_te"].to_pylist(),
+                cols["http_ce"].to_pylist(),
+                cols["coding"].to_pylist(),
+            ):
+                body = carrier.encode("latin-1")
+                ok = True
+                if "chunked" in rec_te:
+                    body, ok = _dechunk(body)
+                body, c_ok = _decode_content_codings(body, rec_ce)
+                ok = ok and c_ok
+                htmls.append(body.decode("latin-1"))
+                codings.append(dec if ok else dec + ":fail")
+            arrays = []
+            for n in names:
+                if n == "html":
+                    arrays.append(pa.array(htmls, pa.string()))
+                elif n == "coding":
+                    arrays.append(pa.array(codings, pa.string()))
+                else:
+                    arrays.append(cols[n])
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return plain.unionByName(coded.mapInArrow(codec, schema))
+
+
 def stream_warc_extract(
     spark: SparkSession,
     input_path: str,
@@ -411,10 +614,17 @@ def warc_interleaved_spans(
     The latin-1 round trip is exact for the HTML branch because
     latin-1 decoding is a 1:1 byte↔codepoint map — encoding back
     yields the original payload bytes, which then decode under the
-    charset the page actually declared."""
+    charset the page actually declared.
+
+    Wire codings come off FIRST (:func:`decode_http_payloads`):
+    chunked framing is reassembled and gzip/deflate bodies inflate
+    before either branch sees them — a gzipped PDF record reaches
+    ``pdfops`` as real PDF bytes, and the charset sniff reads the
+    decoded markup, not compressed noise."""
     from .pdfops import decode_pdf_spans
     from .pipeline import extract_documents
 
+    records = decode_http_payloads(records)
     is_pdf = F.col("payload_ctype").startswith("application/pdf")
 
     html_docs = warc_to_documents(
