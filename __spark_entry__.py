@@ -1049,13 +1049,17 @@ def _q_media_container_meta(spark, sf_dir):
     )
 
 
-def _fixed_two_page_pdf() -> bytes:
-    """The FIXED two-page PDF (page 1 FlateDecode with escape/hex/
-    UTF-16BE strings + per-line font sizes, page 2 ASCIIHexDecode)
-    shared by ``pdf_extract`` (odd docs) and ``warc_pdf_extract``
-    (odd docs) — deterministic bytes built once at plan-build time.
-    Expected spans (construction): heading "Flate (layout) line",
-    text "Esc tab" / "Hex!" / "Hi" / "Page two"."""
+def _fixed_multipage_pdf() -> bytes:
+    """The FIXED three-page PDF (page 1 FlateDecode with escape/hex/
+    UTF-16BE strings + per-line font sizes, page 2 ASCIIHexDecode,
+    page 3 a Type0 font whose show-string bytes are 2-byte glyph
+    codes decoded ONLY via its ToUnicode CMap — bfchar single- and
+    multi-char destinations, an incrementing bfrange, non-ASCII
+    targets) shared by ``pdf_extract`` (odd docs) and
+    ``warc_pdf_extract`` (odd docs) — deterministic bytes built once
+    at plan-build time.  Expected spans (construction): heading
+    "Flate (layout) line", text "Esc tab" / "Hex!" / "Hi" /
+    "Page two" / "Cmap naïve € ABC"."""
     import zlib as _zlib
 
     flate = _zlib.compress(
@@ -1068,12 +1072,35 @@ def _fixed_two_page_pdf() -> bytes:
         b"BT /F1 10 Tf 72 720 Td (Page two) Tj ET".hex().encode()
         + b">"
     )
+    # glyph codes 0001..0006 + range 0010..0012 -> "Cmap naïve € ABC"
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"6 beginbfchar\n"
+        b"<0001> <0043>\n"          # C
+        b"<0002> <006D0061>\n"      # ma
+        b"<0003> <0070>\n"          # p
+        b"<0004> <0020>\n"          # space
+        b"<0005> <006E006100EF00760065>\n"  # naïve
+        b"<0006> <20AC>\n"          # euro
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0012> <0041>\n"   # A B C
+        b"endbfrange\n"
+        b"endcmap\n"
+    )
+    cid_content = (
+        b"BT /F9 10 Tf 72 720 Td "
+        b"<000100020003000400050004000600040010> Tj "
+        b"<00110012> Tj ET"
+    )
     return b"".join(
         [
             b"%PDF-1.4\n",
             b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
-            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R]"
-            b" /Count 2 >> endobj\n",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R 8 0 R]"
+            b" /Count 3 >> endobj\n",
             b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
             b" endobj\n",
             b"4 0 obj << /Filter /FlateDecode /Length ",
@@ -1088,6 +1115,20 @@ def _fixed_two_page_pdf() -> bytes:
             b" >> stream\n",
             hexed,
             b"\nendstream endobj\n",
+            b"8 0 obj << /Type /Page /Parent 2 0 R /Contents 9 0 R"
+            b" /Resources << /Font << /F9 10 0 R >> >> >> endobj\n",
+            b"9 0 obj << /Length ",
+            str(len(cid_content)).encode(),
+            b" >> stream\n",
+            cid_content,
+            b"\nendstream endobj\n",
+            b"10 0 obj << /Type /Font /Subtype /Type0"
+            b" /BaseFont /AAAAAA+FakeCID /ToUnicode 11 0 R >> endobj\n",
+            b"11 0 obj << /Length ",
+            str(len(cmap)).encode(),
+            b" >> stream\n",
+            cmap,
+            b"\nendstream endobj\n",
             b"trailer << /Root 1 0 R >>\n%%EOF",
         ]
     )
@@ -1096,7 +1137,7 @@ def _fixed_two_page_pdf() -> bytes:
 def _q_warc_pdf_extract(spark, sf_dir):
     """Interleaved multi-format WARC extraction (r5): even docs are
     ``text/html`` HTTP response records, odd docs ``application/pdf``
-    records carrying the fixed two-page PDF as latin-1 text — the
+    records carrying the fixed three-page PDF as latin-1 text — the
     byte-faithful carrier ``read_warc(charset='ISO-8859-1')`` uses
     for mixed archives.  ``parse_warc_records`` extracts each
     payload's Content-Type from its HTTP headers and
@@ -1129,7 +1170,7 @@ def _q_warc_pdf_extract(spark, sf_dir):
         url,
         date,
         F.decode(
-            F.unhex(F.lit(_fixed_two_page_pdf().hex().upper())),
+            F.unhex(F.lit(_fixed_multipage_pdf().hex().upper())),
             "ISO-8859-1",
         ),
         http_headers=True,
@@ -1321,7 +1362,8 @@ def _q_pdf_extract(spark, sf_dir):
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
     (catalog → pages → page with an image-XObject resource, content
     stream with exact ``/Length`` from ``octet_length``); odd docs a
-    FIXED two-page file mixing FlateDecode and ASCIIHexDecode content
+    FIXED three-page file mixing FlateDecode, ASCIIHexDecode, and
+    ToUnicode-CMap Type0 content
     streams (bytes computed once at plan-build time with zlib —
     deterministic — and embedded as a hex literal).
     ``pdfops.decode_pdf_spans`` earns every row back through the full
@@ -1370,7 +1412,7 @@ def _q_pdf_extract(spark, sf_dir):
             "trailer << /Root 1 0 R >>\n%%EOF"
         ),
     )
-    fileb = _fixed_two_page_pdf()
+    fileb = _fixed_multipage_pdf()
     payload = F.when(did % 2 == 0, F.encode(filea, "UTF-8")).otherwise(
         F.unhex(F.lit(fileb.hex().upper()))
     )
@@ -3524,8 +3566,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_pdf_extract": f"""
             -- even docs: HTML branch (warc_extract's span shape);
-            -- odd docs: the fixed two-page PDF's spans (see
-            -- _fixed_two_page_pdf) — both stated from construction,
+            -- odd docs: the fixed three-page PDF's spans (see
+            -- _fixed_multipage_pdf) — both stated from construction,
             -- so any byte corruption in the latin-1 carrier round
             -- trip or a misrouted Content-Type fails the hash
             SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
@@ -3556,6 +3598,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 4,
                    'text', 'Page two', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 5,
+                   'text', 'Cmap naïve € ABC', NULL
             FROM documents WHERE doc_id % 2 = 1
         """,
         "pdf_extract": """
@@ -3606,6 +3652,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 4, 'text',
                    'Page two', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 5, 'text',
+                   'Cmap naïve € ABC', NULL
             FROM od
         """,
         "image_meta": """

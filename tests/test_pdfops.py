@@ -362,3 +362,108 @@ def test_decode_pdf_spans_spark_roundtrip(spark):
         ("pdf://0", 1, "text", "b", None),
         ("pdf://0", 2, "text", "c", None),
     ]
+
+
+# ---------------------------------------------------- ToUnicode CMaps
+
+
+def _cid_doc(content: bytes, cmap: bytes) -> bytes:
+    return _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F9 5 0 R >> >> >>",
+        4: _stream_obj(b"", content),
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAA+Fake "
+           b"/ToUnicode 6 0 R >>",
+        6: _stream_obj(b"", cmap),
+    })
+
+
+_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<0001> <0043>\n<0002> <006D0061>\nendbfchar\n"
+    b"2 beginbfrange\n"
+    b"<0010> <0012> <0070>\n"
+    b"<0020> <0021> [<0058> <00590059>]\n"
+    b"endbfrange\nendcmap\n"
+)
+
+
+def test_tounicode_bfchar_and_bfrange():
+    """2-byte glyph codes decode ONLY via the CMap: single- and
+    multi-char bfchar destinations, an incrementing bfrange, and the
+    array-destination bfrange form."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    spans = extract_pdf_spans(_cid_doc(
+        b"BT /F9 10 Tf 72 720 Td <00010002001000110012> Tj ET", _CMAP
+    ))
+    assert spans == [("text", "Cmapqr", None, 0)]
+    spans = extract_pdf_spans(_cid_doc(
+        b"BT /F9 10 Tf 72 720 Td <00200021> Tj ET", _CMAP
+    ))
+    assert spans == [("text", "XYY", None, 0)]
+
+
+def test_tounicode_unmapped_code_is_replacement():
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    spans = extract_pdf_spans(_cid_doc(
+        b"BT /F9 10 Tf 72 720 Td <00010099> Tj ET", _CMAP
+    ))
+    assert spans == [("text", "C�", None, 0)]
+
+
+def test_tounicode_one_byte_codespace():
+    """Simple embedded fonts use 1-byte codes — width comes from the
+    codespacerange."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <00E9>\nendbfchar\n"  # 'A' -> e-acute
+        b"endcmap\n"
+    )
+    spans = extract_pdf_spans(_cid_doc(
+        b"BT /F9 10 Tf 72 720 Td (AA) Tj ET", cmap
+    ))
+    assert spans == [("text", "éé", None, 0)]
+
+
+def test_tounicode_font_switch_restores_plain_decode():
+    """Tf to a font WITHOUT a CMap mid-page must drop back to the
+    plain string decode."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F9 5 0 R /F1 7 0 R >> >> >>",
+        4: _stream_obj(
+            b"",
+            b"BT /F9 10 Tf 72 720 Td <0001> Tj "
+            b"/F1 10 Tf (plain) Tj ET",
+        ),
+        5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        6: _stream_obj(b"", _CMAP),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    })
+    from zhtml_spark.pdfops import extract_pdf_spans as ex
+
+    assert ex(doc) == [("text", "Cplain", None, 0)]
+
+
+def test_tounicode_garbage_cmap_is_ignored():
+    """An undecodable/empty CMap keeps the plain decode — never an
+    exception, never empty output."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    spans = extract_pdf_spans(_cid_doc(
+        b"BT /F9 10 Tf 72 720 Td (ok) Tj ET",
+        b"\x00\xffnot a cmap at all",
+    ))
+    assert spans == [("text", "ok", None, 0)]

@@ -533,6 +533,108 @@ def _decode_pdf_string(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+# ------------------------------------------------------------------
+# ToUnicode CMaps (§9.10.3): the real-world text path for embedded
+# subset fonts, whose show-string bytes are glyph codes with NO
+# relation to any standard encoding — without the CMap they decode
+# as latin-1 garbage.
+# ------------------------------------------------------------------
+
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CSRANGE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+
+
+def _hex_tok(h: bytes) -> bytes:
+    h = re.sub(rb"\s", b"", h)
+    if len(h) % 2:
+        h += b"0"  # §7.3.4.3: odd final digit implies trailing 0
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]] | None:
+    """``(code_bytes, {code: text})`` from a ToUnicode CMap stream.
+    Code width comes from the codespacerange (falling back to the
+    first bfchar/bfrange source length); destinations are UTF-16BE.
+    Returns ``None`` for a CMap with no usable mappings — the caller
+    then keeps the plain string decode."""
+    width = 0
+    for m in _CSRANGE_RE.finditer(data):
+        for hm in _HEX_TOK_RE.finditer(m.group(1)):
+            if hm.group(1) is not None:
+                width = max(width, len(_hex_tok(hm.group(1))))
+    mapping: dict[int, str] = {}
+
+    def dst_text(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace") if b else ""
+
+    for m in _BFCHAR_RE.finditer(data):
+        toks = [
+            _hex_tok(hm.group(1))
+            for hm in _HEX_TOK_RE.finditer(m.group(1))
+            if hm.group(1) is not None
+        ]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            if not width:
+                width = len(src)
+            mapping[int.from_bytes(src, "big")] = dst_text(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        toks: list = []
+        depth = 0
+        arr: list = []
+        for hm in _HEX_TOK_RE.finditer(m.group(1)):
+            if hm.group(2):
+                depth, arr = 1, []
+            elif hm.group(3):
+                depth = 0
+                toks.append(arr)
+            elif depth:
+                arr.append(_hex_tok(hm.group(1)))
+            else:
+                toks.append(_hex_tok(hm.group(1)))
+        i = 0
+        while i + 2 < len(toks):
+            lo_b, hi_b, dst = toks[i], toks[i + 1], toks[i + 2]
+            i += 3
+            if isinstance(lo_b, list) or isinstance(hi_b, list):
+                continue  # malformed triple
+            if not width:
+                width = len(lo_b)
+            lo = int.from_bytes(lo_b, "big")
+            hi = int.from_bytes(hi_b, "big")
+            if hi - lo > 0xFFFF:
+                continue  # runaway range: bound the table
+            if isinstance(dst, list):
+                for off, d in enumerate(dst):
+                    if lo + off <= hi:
+                        mapping[lo + off] = dst_text(d)
+            else:
+                # §9.10.3: only the LAST byte increments within a
+                # bfrange destination
+                base = int.from_bytes(dst, "big") if dst else 0
+                for code in range(lo, hi + 1):
+                    inc = base + (code - lo)
+                    nbytes = max(
+                        2, len(dst), (inc.bit_length() + 7) // 8
+                    )
+                    mapping[code] = dst_text(inc.to_bytes(nbytes, "big"))
+    if not mapping:
+        return None
+    return (width or 1), mapping
+
+
+def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    width, mapping = cmap
+    out: list[str] = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i:i + width], "big")
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
 _DEFAULT_SIZE = 12.0
 _TJ_SPACE = -180.0  # thousandths of an em; below this = word gap
 _LINE_TOL = 0.5  # pt of baseline movement that starts a new line
@@ -544,7 +646,30 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
     xobjects = _resolve(resources.get("XObject"), objs)
     if not isinstance(xobjects, dict):
         xobjects = {}
+    fonts = _resolve(resources.get("Font"), objs)
+    if not isinstance(fonts, dict):
+        fonts = {}
+    cmap_cache: dict = {}
 
+    def font_cmap(name):
+        """ToUnicode CMap for a /Font resource name (cached); None =
+        plain string decode."""
+        if name in cmap_cache:
+            return cmap_cache[name]
+        cmap = None
+        font = _resolve(fonts.get(name), objs)
+        if isinstance(font, dict):
+            tu = font.get("ToUnicode")
+            if isinstance(tu, _Ref):
+                val, raw = objs.get(tu.num, (None, None))
+                if isinstance(val, dict) and raw is not None:
+                    data = _decode_stream(val, raw, objs)
+                    if data is not None:
+                        cmap = _parse_tounicode(data)
+        cmap_cache[name] = cmap
+        return cmap
+
+    cur_cmap: tuple | None = None
     tf_size: float | None = None  # None = never set; 0.0 = hidden
     leading = 0.0
     # text line matrix (a b c d e f); only d (y-scale) and f
@@ -573,7 +698,10 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
         nonlocal cur_y, cur_size, moved
         if not isinstance(raw, (bytes, bytearray)):
             return
-        s = _decode_pdf_string(bytes(raw))
+        if cur_cmap is not None:
+            s = _decode_with_cmap(bytes(raw), cur_cmap)
+        else:
+            s = _decode_pdf_string(bytes(raw))
         if s == "":
             return
         # y-scale magnitude |(c,d)| keeps rotated text visible while
@@ -615,6 +743,8 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
             elif op == "Tf":
                 if stack and isinstance(stack[-1], (int, float)):
                     tf_size = float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    cur_cmap = font_cmap(stack[-2])
             elif op == "Td" and len(stack) >= 2:
                 translate(float(stack[-2]), float(stack[-1]))
             elif op == "TD" and len(stack) >= 2:
