@@ -467,3 +467,51 @@ def test_tounicode_garbage_cmap_is_ignored():
         b"\x00\xffnot a cmap at all",
     ))
     assert spans == [("text", "ok", None, 0)]
+
+
+def test_simple_font_differences_encoding():
+    """TeX-style /Differences remap: byte codes decode through glyph
+    names (AGL subset + uniXXXX), unnamed codes keep the base
+    encoding."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        4: _stream_obj(
+            b"", b"BT /F1 10 Tf 72 720 Td (\x01\x02x \x10\x11) Tj ET"
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /Encoding << "
+           b"/Differences [1 /eacute /germandbls 16 /endash /uni2713]"
+           b" >> >>",
+    })
+    assert extract_pdf_spans(doc) == [("text", "éßx –✓", None, 0)]
+
+
+def test_simple_font_winansi_encoding_name():
+    """/Encoding /WinAnsiEncoding: the 0x80–0x9F block decodes as
+    cp1252 (euro, curly quote) instead of latin-1 control chars."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        4: _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (\x80 \x92) Tj ET"),
+        5: b"<< /Type /Font /Subtype /Type1 "
+           b"/Encoding /WinAnsiEncoding >>",
+    })
+    assert extract_pdf_spans(doc) == [("text", "€ ’", None, 0)]
+
+
+def test_tounicode_wins_over_encoding_table():
+    from zhtml_spark.pdfops import _glyph_to_text
+
+    assert _glyph_to_text("a") == "a"
+    assert _glyph_to_text("Aacute") == "Á"
+    assert _glyph_to_text("uni00E900EA") == "éê"
+    assert _glyph_to_text("u1F600") == "😀"
+    assert _glyph_to_text("g123") is None

@@ -635,6 +635,139 @@ def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     return "".join(out)
 
 
+# ------------------------------------------------------------------
+# Simple-font encodings (§9.6.5): /Encoding names and /Differences
+# arrays.  TeX-produced PDFs in particular remap arbitrary byte codes
+# to glyph NAMES; the compact Adobe-Glyph-List subset below covers
+# the latin repertoire those fonts actually use, plus the uniXXXX /
+# uXXXXXX algorithmic forms.
+# ------------------------------------------------------------------
+
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡",
+    "ellipsis": "…", "perthousand": "‰",
+    "minus": "−", "fraction": "⁄", "florin": "ƒ",
+    "fi": "ﬁ", "fl": "ﬂ", "dotlessi": "ı",
+    "euro": "€", "sterling": "£", "yen": "¥", "cent": "¢",
+    "currency": "¤", "section": "§", "paragraph": "¶",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "degree": "°", "plusminus": "±", "multiply": "×", "divide": "÷",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º", "micro": "µ",
+    "middot": "·", "periodcentered": "·", "brokenbar": "¦",
+    "exclamdown": "¡", "questiondown": "¿", "logicalnot": "¬",
+    "macron": "¯", "acute": "´", "cedilla": "¸", "dieresis": "¨",
+    "circumflex": "ˆ", "caron": "ˇ", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "tilde": "˜", "hungarumlaut": "˝",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ", "oe": "œ",
+    "OE": "Œ", "oslash": "ø", "Oslash": "Ø", "eth": "ð",
+    "Eth": "Ð", "thorn": "þ", "Thorn": "Þ",
+    "Lslash": "Ł", "lslash": "ł",
+    "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ",
+}
+# accented latin: <base><accent> names, both cases
+for _b, _acc, _ch in [
+    ("a", "grave", "à"), ("a", "acute", "á"), ("a", "circumflex", "â"),
+    ("a", "tilde", "ã"), ("a", "dieresis", "ä"), ("a", "ring", "å"),
+    ("c", "cedilla", "ç"), ("e", "grave", "è"), ("e", "acute", "é"),
+    ("e", "circumflex", "ê"), ("e", "dieresis", "ë"),
+    ("i", "grave", "ì"), ("i", "acute", "í"), ("i", "circumflex", "î"),
+    ("i", "dieresis", "ï"), ("n", "tilde", "ñ"), ("o", "grave", "ò"),
+    ("o", "acute", "ó"), ("o", "circumflex", "ô"), ("o", "tilde", "õ"),
+    ("o", "dieresis", "ö"), ("u", "grave", "ù"), ("u", "acute", "ú"),
+    ("u", "circumflex", "û"), ("u", "dieresis", "ü"),
+    ("y", "acute", "ý"), ("y", "dieresis", "ÿ"),
+]:
+    _AGL[_b + _acc] = _ch
+    _up = _ch.upper()
+    if _up != _ch:
+        _AGL[_b.upper() + _acc] = _up
+del _b, _acc, _ch, _up
+
+
+def _glyph_to_text(name: str) -> str | None:
+    if len(name) == 1:
+        return name  # AGL: single-char names map to themselves
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i:i + 4], 16))
+                for i in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except (ValueError, OverflowError):
+            return None
+    return None
+
+
+def _base_encoding_table(name) -> list[str]:
+    codec = {
+        "WinAnsiEncoding": "cp1252",
+        "MacRomanEncoding": "mac-roman",
+    }.get(name, "latin-1")
+    out = []
+    for b in range(256):
+        try:
+            out.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            out.append(chr(b))  # undefined slot: latin-1 identity
+    return out
+
+
+def _font_encoding_table(font: dict, objs) -> list[str] | None:
+    """256-entry decode table from a simple font's ``/Encoding`` —
+    ``None`` when the font declares nothing non-default (keep the
+    plain latin-1 decode)."""
+    enc = _resolve(font.get("Encoding"), objs)
+    if isinstance(enc, str):
+        if enc == "WinAnsiEncoding" or enc == "MacRomanEncoding":
+            return _base_encoding_table(enc)
+        return None
+    if not isinstance(enc, dict):
+        return None
+    table = _base_encoding_table(_resolve(enc.get("BaseEncoding"), objs))
+    diffs = _resolve(enc.get("Differences"), objs)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str) and 0 <= code <= 255:
+                g = _glyph_to_text(item)
+                if g is not None:
+                    table[code] = g
+                code += 1
+    return table
+
+
 _DEFAULT_SIZE = 12.0
 _TJ_SPACE = -180.0  # thousandths of an em; below this = word gap
 _LINE_TOL = 0.5  # pt of baseline movement that starts a new line
@@ -651,12 +784,14 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
         fonts = {}
     cmap_cache: dict = {}
 
-    def font_cmap(name):
-        """ToUnicode CMap for a /Font resource name (cached); None =
-        plain string decode."""
+    def font_decoder(name):
+        """Decoder for a /Font resource name (cached): ``('cmap', …)``
+        from a ToUnicode stream (wins — it is the author's explicit
+        text mapping), ``('table', [256 str])`` from a simple font's
+        /Encoding (+/Differences), ``None`` = plain string decode."""
         if name in cmap_cache:
             return cmap_cache[name]
-        cmap = None
+        dec = None
         font = _resolve(fonts.get(name), objs)
         if isinstance(font, dict):
             tu = font.get("ToUnicode")
@@ -666,8 +801,14 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
                     data = _decode_stream(val, raw, objs)
                     if data is not None:
                         cmap = _parse_tounicode(data)
-        cmap_cache[name] = cmap
-        return cmap
+                        if cmap is not None:
+                            dec = ("cmap", cmap)
+            if dec is None:
+                table = _font_encoding_table(font, objs)
+                if table is not None:
+                    dec = ("table", table)
+        cmap_cache[name] = dec
+        return dec
 
     cur_cmap: tuple | None = None
     tf_size: float | None = None  # None = never set; 0.0 = hidden
@@ -698,8 +839,11 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
         nonlocal cur_y, cur_size, moved
         if not isinstance(raw, (bytes, bytearray)):
             return
-        if cur_cmap is not None:
-            s = _decode_with_cmap(bytes(raw), cur_cmap)
+        if cur_cmap is not None and cur_cmap[0] == "cmap":
+            s = _decode_with_cmap(bytes(raw), cur_cmap[1])
+        elif cur_cmap is not None:
+            table = cur_cmap[1]
+            s = "".join(table[b] for b in bytes(raw))
         else:
             s = _decode_pdf_string(bytes(raw))
         if s == "":
@@ -744,7 +888,7 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
                 if stack and isinstance(stack[-1], (int, float)):
                     tf_size = float(stack[-1])
                 if len(stack) >= 2 and isinstance(stack[-2], str):
-                    cur_cmap = font_cmap(stack[-2])
+                    cur_cmap = font_decoder(stack[-2])
             elif op == "Td" and len(stack) >= 2:
                 translate(float(stack[-2]), float(stack[-1]))
             elif op == "TD" and len(stack) >= 2:
