@@ -1357,6 +1357,79 @@ def _q_warc_http_codec_extract(spark, sf_dir):
     return warc_interleaved_spans(parse_warc_records(archives))
 
 
+def _q_warc_plaintext_extract(spark, sf_dir):
+    """text/plain dispatch end-to-end (r5): three per-doc payload
+    classes rendered as HTTP-carried WARC records on the latin-1
+    carrier through ``warc_interleaved_spans``.  Classes by
+    ``doc_id % 3``: (0) text/plain, UTF-8 body containing a stray
+    ``<`` AND a literal ``<meta charset="windows-1252">`` string —
+    the tokenizer would swallow everything after the ``<`` and the
+    meta prescan would mojibake the UTF-8 ``é`` (Ã©), so the verbatim
+    whole-body span proves BOTH the bypass and the prescan
+    suppression; (1) text/plain with transport
+    ``charset=iso-8859-1`` and a windows-1252 body (€ in the
+    0x80-block) — transport charset still applies to plaintext;
+    (2) text/html control with the same angle-bracket entity-encoded
+    — the dispatch routes it through the tokenizer (a global bypass
+    would leave ``&lt;`` undecoded).  The oracle states every span
+    from construction."""
+    from zhtml_spark.sources import (
+        _W1252_DST,
+        _W1252_SRC,
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+
+    plain_utf8 = F.decode(
+        F.encode(
+            F.concat(
+                F.lit('x < y; <meta charset="windows-1252"> café '),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ),
+        "ISO-8859-1",
+    )
+    plain_w1252 = F.translate(
+        F.concat(F.col("text"), F.lit(" résumé €9")),
+        _W1252_DST,
+        _W1252_SRC,
+    )
+    html_ctl = F.concat(
+        F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+        F.col("text"), F.lit(" x &lt; y</p></body>"),
+    )
+
+    archives = d.select(
+        F.when(
+            did % 3 == 0,
+            warc_record(
+                url, date, plain_utf8, http_headers=True,
+                payload_ctype="text/plain",
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            warc_record(
+                url, date, plain_w1252, http_headers=True,
+                payload_ctype="text/plain; charset=iso-8859-1",
+            ),
+        )
+        .otherwise(
+            warc_record(url, date, html_ctl, http_headers=True)
+        )
+        .alias("content")
+    )
+    return warc_interleaved_spans(parse_warc_records(archives))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF text + layout extraction (r5, north_rule: "PDF/layout
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
@@ -2050,18 +2123,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 7 new + 6 changed
+    Green-row ledger (round → window): r5 window = 8 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
-    is r3 + 10 r4-greens; the 34 tail entries are all r4-green
+    is r3 + 9 r4-greens; the 35 tail entries are all r4-green
     (age ≤ 2 at r6, when they rotate back in) —
     interval_join_guarded, spans_to_markdown, host_stats, line_dedup,
-    and extract_src_offsets demoted to the tail as pdf_extract /
-    warc_pdf_extract / warc_charset_extract / warc_http_codec_extract
-    / warc_extract entered the window."""
+    extract_src_offsets, and sitemap_urls demoted to the tail as
+    pdf_extract / warc_pdf_extract / warc_charset_extract /
+    warc_http_codec_extract / warc_plaintext_extract / warc_extract
+    entered the window."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_plaintext_extract": _q_warc_plaintext_extract,
         "warc_http_codec_extract": _q_warc_http_codec_extract,
         "warc_charset_extract": _q_warc_charset_extract,
         "warc_pdf_extract": _q_warc_pdf_extract,
@@ -2114,8 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
         "dedup_by_canonical": _q_dedup_by_canonical,
-        "sitemap_urls": _q_sitemap_urls,
         # ---------------- position 51+: r4-green tail ----------------
+        "sitemap_urls": _q_sitemap_urls,
         "extract_src_offsets": _q_extract_src_offsets,
         "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
@@ -2481,6 +2556,33 @@ def oracle_sql() -> dict[str, str]:
                        ELSE ' utf16 é'
                    END AS text, {null_ref}
             FROM documents
+        """,
+        "warc_plaintext_extract": f"""
+            -- expected spans stated from construction: per doc_id%3
+            -- payload class — text/plain bodies surface VERBATIM as
+            -- one whole-body span (tokenizer bypassed, meta prescan
+            -- suppressed, transport charset honored); the text/html
+            -- control still tokenizes (entity decoded, heading span)
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'text' AS kind,
+                   'x < y; <meta charset="windows-1252"> café ' || text
+                       AS text, {null_ref}
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'text' AS kind,
+                   text || ' résumé €9' AS text, {null_ref}
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   1 AS offset, 'text' AS kind,
+                   text || ' x < y' AS text, {null_ref}
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "warc_http_codec_extract": f"""
             -- expected spans stated from construction: per doc_id%5

@@ -824,3 +824,71 @@ def test_http_codec_identity_rows_unchanged(spark):
     }
     after = {r["warc_url"]: r["html"] for r in out.collect()}
     assert before == after
+
+# --------------------------------------------------------------------
+# text/plain dispatch (never the HTML tokenizer) — r5
+# --------------------------------------------------------------------
+
+
+def test_warc_plaintext_records_bypass_tokenizer(spark, tmp_path):
+    """text/plain payloads must surface verbatim as ONE text span:
+    a stray '<' in prose stays prose (the tokenizer would open a
+    phantom tag and swallow the rest), and a literal
+    '<meta charset=koi8-r>' STRING inside the body is content — the
+    meta prescan must NOT apply it (koi8-r would garble the text).
+    Transport-level charset= still applies (latin-1 record)."""
+    body_utf8 = (
+        "x < y and y > z\n<meta charset=\"koi8-r\">\ncafé"
+    ).encode("utf-8")
+    body_latin = "résumé".encode("windows-1252")
+
+    def rec(url: bytes, ctype: bytes, body: bytes) -> bytes:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+                + b"\r\n\r\n" + body)
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "plain.warc").write_bytes(
+        rec(b"https://ex.com/notes.txt", b"text/plain", body_utf8)
+        + rec(b"https://ex.com/cv.txt",
+              b"text/plain; charset=windows-1252", body_latin)
+        # control: the SAME markup-bearing body as text/html DOES
+        # tokenize (proves the dispatch, not a global bypass)
+        + rec(b"https://ex.com/page", b"text/html",
+              b"<body><p>x &lt; y</p></body>")
+    )
+
+    _, by_doc = _interleaved_spans_by_doc(spark, str(p))
+    assert by_doc["https://ex.com/notes.txt"] == [(
+        0, "text",
+        "x < y and y > z\n<meta charset=\"koi8-r\">\ncafé",
+    )]
+    assert by_doc["https://ex.com/cv.txt"] == [(0, "text", "résumé")]
+    assert by_doc["https://ex.com/page"] == [(0, "text", "x < y")]
+
+
+def test_plaintext_span_plan_stays_jvm_side(spark):
+    """The plaintext branch is pure column ops — no Python stage may
+    appear in its plan (the fused parse UDF belongs to the HTML
+    branch only)."""
+    from zhtml_spark.sources import (
+        decode_sniffed_payloads, parse_warc_records,
+    )
+
+    archive = _synth_archive(spark, 4)
+    recs = parse_warc_records(archive)
+    plain = decode_sniffed_payloads(
+        recs, default_charset="utf-8", meta_prescan=False
+    )
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -602,7 +602,12 @@ def warc_interleaved_spans(
       invalid UTF-8 degrades to U+FFFD per ``make_valid_utf8``, it
       can NEVER kill the job;
     * ``application/pdf`` re-encodes latin-1 → exact original bytes
-      and runs :func:`zhtml_spark.pdfops.decode_pdf_spans`.
+      and runs :func:`zhtml_spark.pdfops.decode_pdf_spans`;
+    * ``text/plain`` bypasses the tokenizer entirely (a stray ``<``
+      in prose must stay prose) — one whole-body ``text`` span,
+      charset-sniffed WITHOUT the meta prescan (a ``<meta
+      charset=…>`` string inside plain text is content, not a
+      declaration).
 
     One exploded span schema out — ``(doc_id, offset, kind, text,
     media_ref)`` — so interleaved text+PDF crawls produce a single
@@ -626,10 +631,11 @@ def warc_interleaved_spans(
 
     records = decode_http_payloads(records)
     is_pdf = F.col("payload_ctype").startswith("application/pdf")
+    is_plain = F.col("payload_ctype").startswith("text/plain")
 
     html_docs = warc_to_documents(
         decode_sniffed_payloads(
-            records.where(~is_pdf), default_charset="utf-8"
+            records.where(~is_pdf & ~is_plain), default_charset="utf-8"
         )
     )
     html_spans = (
@@ -657,7 +663,24 @@ def warc_interleaved_spans(
         "text",
         F.col("span_ref").alias("media_ref"),
     )
-    return html_spans.unionByName(pdf_spans)
+    # text/plain NEVER goes through the HTML tokenizer: a stray '<'
+    # in prose would open a phantom tag and swallow content.  One
+    # whole-body text span, charset-sniffed WITHOUT the meta prescan
+    # (a '<meta charset=…>' string inside plain text is content, not
+    # a declaration).
+    plain_decoded = decode_sniffed_payloads(
+        records.where(is_plain),
+        default_charset="utf-8",
+        meta_prescan=False,
+    )
+    plain_spans = plain_decoded.select(
+        F.col("warc_url").alias("doc_id"),
+        F.lit(0).alias("offset"),
+        F.lit("text").alias("kind"),
+        F.trim(F.col("html")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    ).where(F.col("text") != "")
+    return html_spans.unionByName(pdf_spans).unionByName(plain_spans)
 
 
 # --------------------------------------------------------------------
@@ -825,6 +848,7 @@ def sniff_charset(
     payload_ctype: Column,
     html: Column,
     default_charset: str = "windows-1252",
+    meta_prescan: bool = True,
 ) -> Column:
     """Canonical decoder key for one archived response — BOM >
     transport ``charset=`` > meta prescan (first 1024 carrier chars) >
@@ -832,7 +856,9 @@ def sniff_charset(
     label normalization.  ``html`` must be the latin-1 carrier string
     (every byte 1:1).  Unrecognized labels fall through to the next
     source, exactly like the spec's "unrecognized label → failure →
-    keep sniffing" steps."""
+    keep sniffing" steps.  ``meta_prescan=False`` for non-HTML text
+    payloads (text/plain): a ``<meta charset=…>`` STRING inside plain
+    text is content, not a declaration."""
     default_key = _CHARSET_LABELS.get(
         default_charset.lower(), "windows-1252"
     )
@@ -845,19 +871,17 @@ def sniff_charset(
     transport = F.lower(
         F.trim(F.regexp_extract(payload_ctype, _CHARSET_PARAM_RE, 1))
     )
-    meta = F.lower(
-        F.trim(
-            F.regexp_extract(
-                F.substring(html, 1, 1024), _META_PRESCAN_RE, 1
+    sources = [bom, F.element_at(lookup, transport)]
+    if meta_prescan:
+        meta = F.lower(
+            F.trim(
+                F.regexp_extract(
+                    F.substring(html, 1, 1024), _META_PRESCAN_RE, 1
+                )
             )
         )
-    )
-    return F.coalesce(
-        bom,
-        F.element_at(lookup, transport),
-        F.element_at(lookup, meta),
-        F.lit(default_key),
-    )
+        sources.append(F.element_at(lookup, meta))
+    return F.coalesce(*sources, F.lit(default_key))
 
 
 def decode_sniffed(
@@ -898,13 +922,15 @@ def decode_sniffed_payloads(
     records: DataFrame,
     default_charset: str = "windows-1252",
     extended: bool | None = None,
+    meta_prescan: bool = True,
 ) -> DataFrame:
     """Charset-aware payload decoding over parsed WARC records (from
     the ``charset='ISO-8859-1'`` carrier): rewrites ``html`` to the
     sniffed-and-decoded text and appends the ``charset`` column (the
     canonical key that was APPLIED — audit what the crawl declared vs
     what decoded).  ``extended=None`` auto-detects the session's
-    ``spark.sql.legacy.javaCharsets`` flag."""
+    ``spark.sql.legacy.javaCharsets`` flag.  ``meta_prescan=False``
+    for non-HTML text payloads."""
     if extended is None:
         extended = (
             records.sparkSession.conf.get(
@@ -913,7 +939,10 @@ def decode_sniffed_payloads(
             == "true"
         )
     cs = sniff_charset(
-        F.col("payload_ctype"), F.col("html"), default_charset
+        F.col("payload_ctype"),
+        F.col("html"),
+        default_charset,
+        meta_prescan=meta_prescan,
     )
     applied = cs if extended else F.when(
         cs.isin(*sorted(_FLAGLESS_KEYS)), cs
