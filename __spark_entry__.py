@@ -1430,6 +1430,92 @@ def _q_warc_plaintext_extract(spark, sf_dir):
     return warc_interleaved_spans(parse_warc_records(archives))
 
 
+def _q_warc_feed_extract(spark, sf_dir):
+    """Syndication-feed dispatch end-to-end (r5): three per-doc
+    payload classes rendered as HTTP-carried WARC records through
+    ``warc_interleaved_spans``.  Classes by ``doc_id % 3``: (0) RSS
+    2.0 with a CDATA-wrapped HTML description and an ``<enclosure>``
+    — the two-level parse (CDATA unwrap, then HTML extraction) plus
+    the media span; (1) Atom with an XML prolog declaring
+    ``encoding="windows-1252"`` and a ``€`` (0x80 byte) in the
+    escaped-HTML summary — the prolog charset source (BOM-less,
+    header charset-less) and the entity-decode-then-parse path, plus
+    a ``type="html"`` title and a ``rel="enclosure"`` link; (2)
+    text/html control — proves the dispatch routes only feed roots.
+    The oracle states every span from construction."""
+    from zhtml_spark.sources import (
+        _W1252_DST,
+        _W1252_SRC,
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'),
+        F.lit("<title>Feed "), ids, F.lit("</title>"),
+        F.lit("<item><title>Item "), ids, F.lit("</title>"),
+        F.lit("<description><![CDATA[<p>"), F.col("text"),
+        F.lit(" rss</p>]]></description>"),
+        F.lit('<enclosure url="https://cdn.example/'), ids,
+        F.lit('.mp3"/></item></channel></rss>'),
+    )
+    atom = F.translate(
+        F.concat(
+            F.lit(
+                '<?xml version="1.0" encoding="windows-1252"?>'
+                '<feed xmlns="http://www.w3.org/2005/Atom">'
+                "<title>Atom "
+            ),
+            ids,
+            F.lit(
+                '</title><entry><title type="html">E &lt;b&gt;'
+            ),
+            ids,
+            F.lit("&lt;/b&gt;</title><summary>&lt;p&gt;"),
+            F.col("text"),
+            F.lit(" €9&lt;/p&gt;</summary>"),
+            F.lit('<link rel="enclosure" href="https://cdn.example/'),
+            ids,
+            F.lit('.ogg"/></entry></feed>'),
+        ),
+        _W1252_DST,
+        _W1252_SRC,
+    )
+    html_ctl = F.concat(
+        F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+        F.col("text"), F.lit(" html</p></body>"),
+    )
+
+    archives = d.select(
+        F.when(
+            did % 3 == 0,
+            warc_record(
+                url, date, rss, http_headers=True,
+                payload_ctype="application/rss+xml",
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            warc_record(
+                url, date, atom, http_headers=True,
+                payload_ctype="application/atom+xml",
+            ),
+        )
+        .otherwise(
+            warc_record(url, date, html_ctl, http_headers=True)
+        )
+        .alias("content")
+    )
+    return warc_interleaved_spans(parse_warc_records(archives))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF text + layout extraction (r5, north_rule: "PDF/layout
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
@@ -2123,19 +2209,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 8 new + 6 changed
+    Green-row ledger (round → window): r5 window = 9 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
-    is r3 + 9 r4-greens; the 35 tail entries are all r4-green
+    is r3 + 8 r4-greens; the 36 tail entries are all r4-green
     (age ≤ 2 at r6, when they rotate back in) —
     interval_join_guarded, spans_to_markdown, host_stats, line_dedup,
-    extract_src_offsets, and sitemap_urls demoted to the tail as
-    pdf_extract / warc_pdf_extract / warc_charset_extract /
-    warc_http_codec_extract / warc_plaintext_extract / warc_extract
+    extract_src_offsets, sitemap_urls, and dedup_by_canonical demoted
+    to the tail as pdf_extract / warc_pdf_extract /
+    warc_charset_extract / warc_http_codec_extract /
+    warc_plaintext_extract / warc_feed_extract / warc_extract
     entered the window."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_feed_extract": _q_warc_feed_extract,
         "warc_plaintext_extract": _q_warc_plaintext_extract,
         "warc_http_codec_extract": _q_warc_http_codec_extract,
         "warc_charset_extract": _q_warc_charset_extract,
@@ -2188,8 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_svg_media": _q_extract_svg_media,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
-        "dedup_by_canonical": _q_dedup_by_canonical,
         # ---------------- position 51+: r4-green tail ----------------
+        "dedup_by_canonical": _q_dedup_by_canonical,
         "sitemap_urls": _q_sitemap_urls,
         "extract_src_offsets": _q_extract_src_offsets,
         "line_dedup": _q_line_dedup,
@@ -2556,6 +2644,42 @@ def oracle_sql() -> dict[str, str]:
                        ELSE ' utf16 é'
                    END AS text, {null_ref}
             FROM documents
+        """,
+        "warc_feed_extract": f"""
+            -- expected spans stated from construction: per doc_id%3
+            -- payload class — RSS (CDATA body two-level parse +
+            -- enclosure media), Atom (XML-prolog windows-1252 €,
+            -- type="html" title, escaped summary, enclosure link),
+            -- text/html control
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'heading' AS kind,
+                   CASE doc_id % 3
+                       WHEN 0 THEN 'Feed ' WHEN 1 THEN 'Atom '
+                       ELSE 'Doc '
+                   END || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   1 AS offset, 'heading' AS kind,
+                   CASE doc_id % 3 WHEN 0 THEN 'Item ' ELSE 'E ' END
+                       || CAST(doc_id AS VARCHAR) AS text, {null_ref}
+            FROM documents WHERE doc_id % 3 < 2
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 3 WHEN 2 THEN 1 ELSE 2 END AS offset,
+                   'text' AS kind,
+                   text || CASE doc_id % 3
+                       WHEN 0 THEN ' rss' WHEN 1 THEN ' €9'
+                       ELSE ' html'
+                   END AS text, {null_ref}
+            FROM documents
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   3 AS offset, 'media' AS kind, '' AS text,
+                   'https://cdn.example/' || CAST(doc_id AS VARCHAR)
+                       || CASE doc_id % 3 WHEN 0 THEN '.mp3'
+                          ELSE '.ogg' END AS media_ref
+            FROM documents WHERE doc_id % 3 < 2
         """,
         "warc_plaintext_extract": f"""
             -- expected spans stated from construction: per doc_id%3

@@ -607,7 +607,12 @@ def warc_interleaved_spans(
       in prose must stay prose) — one whole-body ``text`` span,
       charset-sniffed WITHOUT the meta prescan (a ``<meta
       charset=…>`` string inside plain text is content, not a
-      declaration).
+      declaration);
+    * XML media types whose root element is ``rss``/``feed``/
+      ``rdf:RDF`` run :func:`zhtml_spark.feedops.decode_feed_spans`
+      — XML-prolog ``encoding=`` charset sniffing, then the feed
+      walker hands entry bodies (escaped / CDATA / inline-XHTML
+      HTML) to the same HTML extraction path.
 
     One exploded span schema out — ``(doc_id, offset, kind, text,
     media_ref)`` — so interleaved text+PDF crawls produce a single
@@ -629,13 +634,34 @@ def warc_interleaved_spans(
     from .pdfops import decode_pdf_spans
     from .pipeline import extract_documents
 
+    from .feedops import FEED_ROOT_RE, decode_feed_spans
+
     records = decode_http_payloads(records)
     is_pdf = F.col("payload_ctype").startswith("application/pdf")
     is_plain = F.col("payload_ctype").startswith("text/plain")
+    # syndication feeds: an XML media type AND a feed root element
+    # (rss / feed / rdf:RDF — ASCII, so the latin-1 carrier sniffs
+    # it before decoding).  Non-feed XML (e.g. XHTML served as
+    # application/xml) stays on the HTML branch, which parses it
+    # tag-compatibly.
+    is_xml_ctype = (
+        F.col("payload_ctype").startswith("text/xml")
+        | F.col("payload_ctype").startswith("application/xml")
+        | F.col("payload_ctype").startswith("application/rss+xml")
+        | F.col("payload_ctype").startswith("application/atom+xml")
+        | F.col("payload_ctype").startswith("application/rdf+xml")
+    )
+    is_feed = is_xml_ctype & (
+        F.regexp_extract(
+            F.substring(F.col("html"), 1, 1024), FEED_ROOT_RE, 1
+        )
+        != ""
+    )
 
     html_docs = warc_to_documents(
         decode_sniffed_payloads(
-            records.where(~is_pdf & ~is_plain), default_charset="utf-8"
+            records.where(~is_pdf & ~is_plain & ~is_feed),
+            default_charset="utf-8",
         )
     )
     html_spans = (
@@ -680,7 +706,27 @@ def warc_interleaved_spans(
         F.trim(F.col("html")).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
     ).where(F.col("text") != "")
-    return html_spans.unionByName(pdf_spans).unionByName(plain_spans)
+    # feeds: XML-declaration encoding (not the meta prescan) governs
+    # the decode; the feed walker then runs each entry body through
+    # the SAME HTML extraction path, so escaped/CDATA HTML inside
+    # descriptions yields real text spans, not angle-bracket soup.
+    feed_decoded = decode_sniffed_payloads(
+        records.where(is_feed),
+        default_charset="utf-8",
+        meta_prescan=False,
+        xml_prescan=True,
+    )
+    feed_spans = decode_feed_spans(
+        feed_decoded.select(
+            F.col("warc_url").alias("doc_id"),
+            F.col("html").alias("xml"),
+        )
+    )
+    return (
+        html_spans.unionByName(pdf_spans)
+        .unionByName(plain_spans)
+        .unionByName(feed_spans)
+    )
 
 
 # --------------------------------------------------------------------
@@ -835,6 +881,11 @@ _CHARSET_PARAM_RE = r"""(?i)charset\s*=\s*["']?\s*([a-z0-9._:\-]+)"""
 # parameter grammar is identical inside the content attribute
 _META_PRESCAN_RE = r"""(?i)<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-z0-9._:\-]+)"""
 
+# XML declaration encoding= (feeds / generic XML payloads): the XML
+# analog of the meta prescan — §4.3.3 of the XML spec puts the decl
+# in the first bytes, so a 256-char window is generous
+_XML_PROLOG_RE = r"""(?i)<\?xml[^>]{0,256}?encoding\s*=\s*["']\s*([a-z0-9._:\-]+)"""
+
 
 def _label_map() -> Column:
     pairs: list[Column] = []
@@ -849,6 +900,7 @@ def sniff_charset(
     html: Column,
     default_charset: str = "windows-1252",
     meta_prescan: bool = True,
+    xml_prescan: bool = False,
 ) -> Column:
     """Canonical decoder key for one archived response — BOM >
     transport ``charset=`` > meta prescan (first 1024 carrier chars) >
@@ -858,7 +910,9 @@ def sniff_charset(
     source, exactly like the spec's "unrecognized label → failure →
     keep sniffing" steps.  ``meta_prescan=False`` for non-HTML text
     payloads (text/plain): a ``<meta charset=…>`` STRING inside plain
-    text is content, not a declaration."""
+    text is content, not a declaration.  ``xml_prescan=True`` for XML
+    payloads (feeds): the XML declaration's ``encoding=`` slots into
+    the same precedence position the meta prescan holds for HTML."""
     default_key = _CHARSET_LABELS.get(
         default_charset.lower(), "windows-1252"
     )
@@ -881,6 +935,15 @@ def sniff_charset(
             )
         )
         sources.append(F.element_at(lookup, meta))
+    if xml_prescan:
+        prolog = F.lower(
+            F.trim(
+                F.regexp_extract(
+                    F.substring(html, 1, 1024), _XML_PROLOG_RE, 1
+                )
+            )
+        )
+        sources.append(F.element_at(lookup, prolog))
     return F.coalesce(*sources, F.lit(default_key))
 
 
@@ -923,6 +986,7 @@ def decode_sniffed_payloads(
     default_charset: str = "windows-1252",
     extended: bool | None = None,
     meta_prescan: bool = True,
+    xml_prescan: bool = False,
 ) -> DataFrame:
     """Charset-aware payload decoding over parsed WARC records (from
     the ``charset='ISO-8859-1'`` carrier): rewrites ``html`` to the
@@ -943,6 +1007,7 @@ def decode_sniffed_payloads(
         F.col("html"),
         default_charset,
         meta_prescan=meta_prescan,
+        xml_prescan=xml_prescan,
     )
     applied = cs if extended else F.when(
         cs.isin(*sorted(_FLAGLESS_KEYS)), cs
