@@ -1050,16 +1050,20 @@ def _q_media_container_meta(spark, sf_dir):
 
 
 def _fixed_multipage_pdf() -> bytes:
-    """The FIXED three-page PDF (page 1 FlateDecode with escape/hex/
+    """The FIXED five-page PDF (page 1 FlateDecode with escape/hex/
     UTF-16BE strings + per-line font sizes, page 2 ASCIIHexDecode,
     page 3 a Type0 font whose show-string bytes are 2-byte glyph
     codes decoded ONLY via its ToUnicode CMap — bfchar single- and
     multi-char destinations, an incrementing bfrange, non-ASCII
-    targets) shared by ``pdf_extract`` (odd docs) and
-    ``warc_pdf_extract`` (odd docs) — deterministic bytes built once
-    at plan-build time.  Expected spans (construction): heading
-    "Flate (layout) line", text "Esc tab" / "Hex!" / "Hi" /
-    "Page two" / "Cmap naïve € ABC"."""
+    targets, page 4 the classic ps2pdf armor chain
+    ``[/ASCII85Decode /FlateDecode]``, page 5 ``/RunLengthDecode``
+    with both literal and repeat runs) shared by ``pdf_extract``
+    (odd docs) and ``warc_pdf_extract`` (odd docs) — deterministic
+    bytes built once at plan-build time.  Expected spans
+    (construction): heading "Flate (layout) line", text "Esc tab" /
+    "Hex!" / "Hi" / "Page two" / "Cmap naïve € ABC" /
+    "A85 flate chain" / "Run length"."""
+    import base64 as _base64
     import zlib as _zlib
 
     flate = _zlib.compress(
@@ -1095,12 +1099,31 @@ def _fixed_multipage_pdf() -> bytes:
         b"<000100020003000400050004000600040010> Tj "
         b"<00110012> Tj ET"
     )
+    a85flate = (
+        _base64.a85encode(
+            _zlib.compress(
+                b"BT /F1 10 Tf 72 720 Td (A85 flate chain) Tj ET", 9
+            )
+        )
+        + b"~>"
+    )
+    # RunLength by hand: literal run + 5-space repeat (between
+    # operators, so the decoded text is unaffected) + literal run
+    _rl1 = b"BT /F1 10 Tf 72 720 Td"
+    _rl2 = b"(Run length) Tj ET"
+    rle = (
+        bytes([len(_rl1) - 1]) + _rl1
+        + bytes([257 - 5, 0x20])
+        + bytes([len(_rl2) - 1]) + _rl2
+        + b"\x80"
+    )
     return b"".join(
         [
             b"%PDF-1.4\n",
             b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
-            b"2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R 8 0 R]"
-            b" /Count 3 >> endobj\n",
+            b"2 0 obj << /Type /Pages /Kids"
+            b" [3 0 R 6 0 R 8 0 R 12 0 R 14 0 R]"
+            b" /Count 5 >> endobj\n",
             b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
             b" endobj\n",
             b"4 0 obj << /Filter /FlateDecode /Length ",
@@ -1129,6 +1152,21 @@ def _fixed_multipage_pdf() -> bytes:
             b" >> stream\n",
             cmap,
             b"\nendstream endobj\n",
+            b"12 0 obj << /Type /Page /Parent 2 0 R /Contents 13 0 R"
+            b" >> endobj\n",
+            b"13 0 obj << /Filter [/ASCII85Decode /FlateDecode]"
+            b" /Length ",
+            str(len(a85flate)).encode(),
+            b" >> stream\n",
+            a85flate,
+            b"\nendstream endobj\n",
+            b"14 0 obj << /Type /Page /Parent 2 0 R /Contents 15 0 R"
+            b" >> endobj\n",
+            b"15 0 obj << /Filter /RunLengthDecode /Length ",
+            str(len(rle)).encode(),
+            b" >> stream\n",
+            rle,
+            b"\nendstream endobj\n",
             b"trailer << /Root 1 0 R >>\n%%EOF",
         ]
     )
@@ -1137,7 +1175,7 @@ def _fixed_multipage_pdf() -> bytes:
 def _q_warc_pdf_extract(spark, sf_dir):
     """Interleaved multi-format WARC extraction (r5): even docs are
     ``text/html`` HTTP response records, odd docs ``application/pdf``
-    records carrying the fixed three-page PDF as latin-1 text — the
+    records carrying the fixed five-page PDF as latin-1 text — the
     byte-faithful carrier ``read_warc(charset='ISO-8859-1')`` uses
     for mixed archives.  ``parse_warc_records`` extracts each
     payload's Content-Type from its HTTP headers and
@@ -1521,10 +1559,10 @@ def _q_pdf_extract(spark, sf_dir):
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
     (catalog → pages → page with an image-XObject resource, content
     stream with exact ``/Length`` from ``octet_length``); odd docs a
-    FIXED three-page file mixing FlateDecode, ASCIIHexDecode, and
-    ToUnicode-CMap Type0 content
-    streams (bytes computed once at plan-build time with zlib —
-    deterministic — and embedded as a hex literal).
+    FIXED five-page file mixing FlateDecode, ASCIIHexDecode,
+    ToUnicode-CMap Type0, chained ASCII85+Flate, and RunLength
+    content streams (bytes computed once at plan-build time with
+    zlib — deterministic — and embedded as a hex literal).
     ``pdfops.decode_pdf_spans`` earns every row back through the full
     byte-level round trip: object scan, trailer/page-tree walk,
     filter chains, text operators (Td/TD/T*/TJ kerning spaces,
@@ -3792,7 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_pdf_extract": f"""
             -- even docs: HTML branch (warc_extract's span shape);
-            -- odd docs: the fixed three-page PDF's spans (see
+            -- odd docs: the fixed five-page PDF's spans (see
             -- _fixed_multipage_pdf) — both stated from construction,
             -- so any byte corruption in the latin-1 carrier round
             -- trip or a misrouted Content-Type fails the hash
@@ -3828,6 +3866,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 5,
                    'text', 'Cmap naïve € ABC', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 6,
+                   'text', 'A85 flate chain', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 7,
+                   'text', 'Run length', NULL
             FROM documents WHERE doc_id % 2 = 1
         """,
         "pdf_extract": """
@@ -3882,6 +3928,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 5, 'text',
                    'Cmap naïve € ABC', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 6, 'text',
+                   'A85 flate chain', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 7, 'text',
+                   'Run length', NULL
             FROM od
         """,
         "image_meta": """

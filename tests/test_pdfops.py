@@ -515,3 +515,152 @@ def test_tounicode_wins_over_encoding_table():
     assert _glyph_to_text("uni00E900EA") == "éê"
     assert _glyph_to_text("u1F600") == "😀"
     assert _glyph_to_text("g123") is None
+
+# ------------------------------------------- classic stream filters
+#
+# LZW is round-tripped against an INDEPENDENT encoder written here
+# (9->12-bit variable codes, early change, clear/EOD), RunLength
+# against its trivial encoder, ASCII85 against hand-laid armor — so
+# each expectation comes from construction knowledge, not the
+# decoder under test.
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # early change: decoder widens one code before the table fills
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))  # EOD
+    acc = nbits = 0
+    enc = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            enc.append((acc >> nbits) & 0xFF)
+    if nbits:
+        enc.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(enc)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 1 < len(data) and data[j + 1] == data[j])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def test_lzw_rle_a85_filters():
+    import base64
+
+    mk = lambda s: b"BT /F1 10 Tf 72 720 Td (" + s + b") Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"/Filter /LZWDecode", _lzw_encode(mk(b"lzw text"))),
+        5: b"<< /Type /Page /Contents 6 0 R >>",
+        6: _stream_obj(b"/Filter /RunLengthDecode",
+                       _rle_encode(mk(b"run   length"))),
+        7: b"<< /Type /Page /Contents 8 0 R >>",
+        8: _stream_obj(b"/Filter /ASCII85Decode",
+                       base64.a85encode(mk(b"armored")) + b"~>"),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == [
+        "lzw text", "run   length", "armored"
+    ]
+
+
+def test_lzw_long_run_widens_code_width():
+    # >256 new table entries forces the 9->10->11-bit transitions;
+    # a repetitive body also exercises the code==len(table) branch.
+    body = (b"abcd" * 200 + bytes(range(256)) + b"aaaaaaa") * 2
+    content = b"BT /F1 10 Tf 72 720 Td (wide) Tj ET % " \
+        + body.replace(b"(", b"_").replace(b")", b"_").replace(b"\\", b"_") \
+        + b"\n"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"/Filter /LZWDecode", _lzw_encode(content)),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["wide"]
+
+
+def test_a85_chained_with_flate_and_ws_tolerance():
+    import base64
+
+    content = b"BT /F1 10 Tf 72 720 Td (chained) Tj ET"
+    armored = base64.a85encode(zlib.compress(content))
+    # split with newlines the way real encoders wrap at col 75
+    wrapped = b"\n".join(armored[i:i + 60]
+                         for i in range(0, len(armored), 60))
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"/Filter [/ASCII85Decode /FlateDecode]",
+                       b"<~" + wrapped + b"~>"),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["chained"]
+
+
+def test_a85_z_shorthand_and_garbage_fail_safe():
+    from zhtml_spark.pdfops import _a85_decode, _lzw_decode, _rle_decode
+
+    # 'z' = four zero bytes (stdlib decodes it; our wrapper strips armor)
+    assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _a85_decode(b"<~z~>") == b"\x00\x00\x00\x00"
+    assert _a85_decode(b"v{{{") is None  # out-of-range group
+    assert _lzw_decode(b"\xff\xff\xff\xff") is None  # code past table
+    assert _rle_decode(b"\x05ab") is None  # literal run truncated
+    assert _rle_decode(b"\xfe") is None  # repeat with no byte
+
+
+def test_lzw_early_change_zero_parm_fails_safe():
+    good = b"BT /F1 10 Tf 72 720 Td (ok) Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+            _lzw_encode(good),
+        ),
+        5: b"<< /Type /Page /Contents 6 0 R >>",
+        6: _stream_obj(b"", good),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["ok"]

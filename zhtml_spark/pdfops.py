@@ -335,17 +335,100 @@ def _scan_objects(b: bytes) -> tuple[dict, list]:
     return objs, extents
 
 
+def _lzw_decode(data: bytes) -> bytes | None:
+    """PDF LZWDecode (§7.4.4): 9→12-bit variable codes, code 256 =
+    clear table, 257 = EOD, early-change table growth (PDF's
+    ``EarlyChange`` default 1).  Pre-Flate Acrobat output uses this
+    exclusively."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # early change: widen one code BEFORE the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes | None:
+    """PDF RunLengthDecode (§7.4.5): length byte < 128 → copy n+1
+    literals; 129–255 → repeat next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                return None
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes | None:
+    """PDF ASCII85Decode (§7.4.3): whitespace-tolerant, ``z`` group
+    shorthand, ``~>`` EOD, partial final group."""
+    import base64
+
+    body = data.split(b"~>")[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    body = bytes(c for c in body if c not in _WS)
+    try:
+        return base64.a85decode(body)
+    except ValueError:
+        return None
+
+
 def _decode_stream(d: dict, raw: bytes, objs) -> bytes | None:
     """Apply the filter chain; ``None`` = undecodable (skip)."""
     filt = _resolve(d.get("Filter"), objs)
     parms = _resolve(d.get("DecodeParms"), objs)
     for p in parms if isinstance(parms, list) else [parms]:
         p = _resolve(p, objs)
-        if isinstance(p, dict) and _resolve(p.get("Predictor"), objs) not in (
-            None,
-            1,
-        ):
-            return None  # predictors are image/xref territory
+        if isinstance(p, dict):
+            if _resolve(p.get("Predictor"), objs) not in (None, 1):
+                return None  # predictors are image/xref territory
+            if _resolve(p.get("EarlyChange"), objs) == 0:
+                return None  # LZW late-change variant: fail safe
     if filt is None:
         return raw
     data = raw
@@ -364,6 +447,21 @@ def _decode_stream(d: dict, raw: bytes, objs) -> bytes | None:
                 data = _hex_decode(data.split(b">")[0])
             except ValueError:
                 return None
+        elif f == "ASCII85Decode":
+            out = _a85_decode(data)
+            if out is None:
+                return None
+            data = out
+        elif f == "RunLengthDecode":
+            out = _rle_decode(data)
+            if out is None:
+                return None
+            data = out
+        elif f == "LZWDecode":
+            out = _lzw_decode(data)
+            if out is None:
+                return None
+            data = out
         else:
             return None
     return data
