@@ -1050,19 +1050,21 @@ def _q_media_container_meta(spark, sf_dir):
 
 
 def _fixed_multipage_pdf() -> bytes:
-    """The FIXED five-page PDF (page 1 FlateDecode with escape/hex/
+    """The FIXED six-page PDF (page 1 FlateDecode with escape/hex/
     UTF-16BE strings + per-line font sizes, page 2 ASCIIHexDecode,
     page 3 a Type0 font whose show-string bytes are 2-byte glyph
     codes decoded ONLY via its ToUnicode CMap — bfchar single- and
     multi-char destinations, an incrementing bfrange, non-ASCII
     targets, page 4 the classic ps2pdf armor chain
     ``[/ASCII85Decode /FlateDecode]``, page 5 ``/RunLengthDecode``
-    with both literal and repeat runs) shared by ``pdf_extract``
-    (odd docs) and ``warc_pdf_extract`` (odd docs) — deterministic
-    bytes built once at plan-build time.  Expected spans
-    (construction): heading "Flate (layout) line", text "Esc tab" /
-    "Hex!" / "Hi" / "Page two" / "Cmap naïve € ABC" /
-    "A85 flate chain" / "Run length"."""
+    with both literal and repeat runs, page 6 body text routed
+    through a ``/Subtype /Form`` XObject plus a URI ``/Link``
+    annotation) shared by ``pdf_extract`` (odd docs) and
+    ``warc_pdf_extract`` (odd docs) — deterministic bytes built once
+    at plan-build time.  Expected spans (construction): heading
+    "Flate (layout) line", text "Esc tab" / "Hex!" / "Hi" /
+    "Page two" / "Cmap naïve € ABC" / "A85 flate chain" /
+    "Run length" / "Via form", link → https://fix.test/next."""
     import base64 as _base64
     import zlib as _zlib
 
@@ -1117,13 +1119,15 @@ def _fixed_multipage_pdf() -> bytes:
         + bytes([len(_rl2) - 1]) + _rl2
         + b"\x80"
     )
+    form_invoke = b"q /Fm1 Do Q"
+    form_body = b"BT /F1 10 Tf 72 720 Td (Via form) Tj ET"
     return b"".join(
         [
             b"%PDF-1.4\n",
             b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
             b"2 0 obj << /Type /Pages /Kids"
-            b" [3 0 R 6 0 R 8 0 R 12 0 R 14 0 R]"
-            b" /Count 5 >> endobj\n",
+            b" [3 0 R 6 0 R 8 0 R 12 0 R 14 0 R 16 0 R]"
+            b" /Count 6 >> endobj\n",
             b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
             b" endobj\n",
             b"4 0 obj << /Filter /FlateDecode /Length ",
@@ -1167,6 +1171,23 @@ def _fixed_multipage_pdf() -> bytes:
             b" >> stream\n",
             rle,
             b"\nendstream endobj\n",
+            b"16 0 obj << /Type /Page /Parent 2 0 R /Contents 17 0 R"
+            b" /Resources << /XObject << /Fm1 18 0 R >> >>"
+            b" /Annots [19 0 R] >> endobj\n",
+            b"17 0 obj << /Length ",
+            str(len(form_invoke)).encode(),
+            b" >> stream\n",
+            form_invoke,
+            b"\nendstream endobj\n",
+            b"18 0 obj << /Type /XObject /Subtype /Form /Length ",
+            str(len(form_body)).encode(),
+            b" >> stream\n",
+            form_body,
+            b"\nendstream endobj\n",
+            b"19 0 obj << /Type /Annot /Subtype /Link"
+            b" /Rect [72 700 200 730]"
+            b" /A << /S /URI /URI (https://fix.test/next) >> >>"
+            b" endobj\n",
             b"trailer << /Root 1 0 R >>\n%%EOF",
         ]
     )
@@ -1175,7 +1196,7 @@ def _fixed_multipage_pdf() -> bytes:
 def _q_warc_pdf_extract(spark, sf_dir):
     """Interleaved multi-format WARC extraction (r5): even docs are
     ``text/html`` HTTP response records, odd docs ``application/pdf``
-    records carrying the fixed five-page PDF as latin-1 text — the
+    records carrying the fixed six-page PDF as latin-1 text — the
     byte-faithful carrier ``read_warc(charset='ISO-8859-1')`` uses
     for mixed archives.  ``parse_warc_records`` extracts each
     payload's Content-Type from its HTTP headers and
@@ -1559,7 +1580,7 @@ def _q_pdf_extract(spark, sf_dir):
     parse").  Even docs get a per-doc ASCII PDF synthesized JVM-side
     (catalog → pages → page with an image-XObject resource, content
     stream with exact ``/Length`` from ``octet_length``); odd docs a
-    FIXED five-page file mixing FlateDecode, ASCIIHexDecode,
+    FIXED six-page file mixing FlateDecode, ASCIIHexDecode,
     ToUnicode-CMap Type0, chained ASCII85+Flate, and RunLength
     content streams (bytes computed once at plan-build time with
     zlib — deterministic — and embedded as a hex literal).
@@ -1958,6 +1979,113 @@ def _q_crawl_frontier(spark, sf_dir):
     return robots_gate(urls, rules, "bot0")
 
 
+def _q_warc_frontier_mixed(spark, sf_dir):
+    """Mixed-format crawl frontier (r5): ONE plan from a WARC of
+    interleaved HTML and PDF responses to a robots-gated frontier —
+    the end-to-end story for axis-B interleaved corpora.  Even docs
+    are ``text/html`` records at ``https://h<d>/a/b/page<d>.html``
+    with one rooted and one ``../``-relative href; odd docs are
+    per-doc ASCII PDFs at ``https://h<d>/docs/file<d>.pdf`` whose
+    links are URI ``/Link`` ANNOTATIONS (§12.5.6.5) — one
+    server-rooted, one document-relative — surfaced by
+    ``pdfops._page_link_uris`` as the same ``link`` span shape the
+    HTML tree emits.  Both branches' links absolutize against the
+    WARC-Target-URI and gate for agent bot0 against the per-host
+    robots corpus.  The oracle states every (host, url, allowed) row
+    from construction: a wrong byte in the carrier, a misrouted
+    Content-Type, a broken ``..`` walk, or a wrong RFC 9309 group
+    pick each flips a hash."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+    from zhtml_spark.textops import (
+        absolutize_url,
+        parse_robots,
+        robots_gate,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    m5 = (did % 5).cast("string")
+    date = F.lit("2024-01-01T00:00:00Z")
+    html_url = F.concat(
+        F.lit("https://h"), ids, F.lit("/a/b/page"), ids,
+        F.lit(".html"),
+    )
+    pdf_url = F.concat(
+        F.lit("https://h"), ids, F.lit("/docs/file"), ids,
+        F.lit(".pdf"),
+    )
+    html_body = F.concat(
+        F.lit("<body><p>Doc "), ids,
+        F.lit(' links <a href="/p'), ids, F.lit('/sub">deep</a>'),
+        F.lit(' and <a href="../../tmp'), m5,
+        F.lit('/z">tmp</a> here.</p></body>'),
+    )
+    pdf_content = F.concat(
+        F.lit("BT /F1 10 Tf 72 720 Td (PDF doc "), ids,
+        F.lit(") Tj ET"),
+    )
+    pdf_body = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >>"
+            " endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            " /Annots [5 0 R 6 0 R] >> endobj\n"
+            "4 0 obj << /Length "
+        ),
+        F.octet_length(pdf_content).cast("string"),
+        F.lit(" >> stream\n"),
+        pdf_content,
+        F.lit(
+            "\nendstream endobj\n"
+            "5 0 obj << /Type /Annot /Subtype /Link"
+            " /Rect [0 0 9 9] /A << /S /URI /URI (/p"
+        ),
+        ids,
+        F.lit(
+            "/ok/y) >> >> endobj\n"
+            "6 0 obj << /Type /Annot /Subtype /Link"
+            " /Rect [0 0 9 9] /A << /S /URI /URI (doc"
+        ),
+        m5,
+        F.lit(
+            ".pdf) >> >> endobj\n"
+            "trailer << /Root 1 0 R >>\n%%EOF"
+        ),
+    )
+    html_rec = warc_record(html_url, date, html_body,
+                           http_headers=True)
+    pdf_rec = warc_record(pdf_url, date, pdf_body,
+                          http_headers=True,
+                          payload_ctype="application/pdf")
+    archives = d.select(
+        F.when(did % 2 == 0, html_rec).otherwise(pdf_rec).alias(
+            "content"
+        )
+    )
+    spans = warc_interleaved_spans(
+        parse_warc_records(archives),
+        config=ExtractConfig(emit_links=True),
+    )
+    urls = spans.where(F.col("kind") == "link").select(
+        absolutize_url(F.col("doc_id"), F.col("media_ref")).alias(
+            "url"
+        )
+    ).select(
+        F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),
+        "url",
+    )
+    rules = parse_robots(_robots_corpus(spark, sf_dir))
+    return robots_gate(urls, rules, "bot0")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing (r4): documents into 512-token packs across 8
     deterministic hash buckets — the pretraining batch-construction
@@ -2247,7 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 9 new + 6 changed
+    Green-row ledger (round → window): r5 window = 10 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2258,9 +2386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window."""
+    entered the window; robots_gate (r4-green, age 1 at r5) slid to
+    position 51 when warc_frontier_mixed entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_frontier_mixed": _q_warc_frontier_mixed,
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_plaintext_extract": _q_warc_plaintext_extract,
         "warc_http_codec_extract": _q_warc_http_codec_extract,
@@ -3830,7 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_pdf_extract": f"""
             -- even docs: HTML branch (warc_extract's span shape);
-            -- odd docs: the fixed five-page PDF's spans (see
+            -- odd docs: the fixed six-page PDF's spans (see
             -- _fixed_multipage_pdf) — both stated from construction,
             -- so any byte corruption in the latin-1 carrier round
             -- trip or a misrouted Content-Type fails the hash
@@ -3874,6 +4004,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 7,
                    'text', 'Run length', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 8,
+                   'text', 'Via form', NULL
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 9,
+                   'link', '', 'https://fix.test/next'
             FROM documents WHERE doc_id % 2 = 1
         """,
         "pdf_extract": """
@@ -3937,6 +4075,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 7, 'text',
                    'Run length', NULL
             FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 8, 'text',
+                   'Via form', NULL
+            FROM od
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR), 9, 'link',
+                   '', 'https://fix.test/next'
+            FROM od
         """,
         "image_meta": """
             SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
@@ -3984,6 +4130,41 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "warc_frontier_mixed": """
+            -- every (host, url, allowed) row stated from
+            -- construction of the interleaved WARC (see
+            -- _q_warc_frontier_mixed): even docs contribute their
+            -- HTML hrefs (one rooted, one ../-relative), odd docs
+            -- their PDF /Link annotation URIs (one rooted, one
+            -- document-relative); allowed = bot0 under the robots
+            -- corpus (d%3=0 hosts name bot0 explicitly, every other
+            -- host falls to the * group's /tmp<d%5> + /*.pdf$ bans)
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       doc_id
+                FROM documents
+            )
+            SELECT host, 'https://h' || d || '/p' || d || '/sub' AS url,
+                   doc_id % 3 <> 0 AS allowed
+            FROM h WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/tmp'
+                     || CAST(doc_id % 5 AS VARCHAR) || '/z',
+                   doc_id % 3 = 0
+            FROM h WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT host, 'https://h' || d || '/p' || d || '/ok/y',
+                   TRUE
+            FROM h WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT host,
+                   'https://h' || d || '/docs/doc'
+                     || CAST(doc_id % 5 AS VARCHAR) || '.pdf',
+                   doc_id % 3 = 0
+            FROM h WHERE doc_id % 2 = 1
         """,
         "crawl_frontier": """
             WITH h AS (

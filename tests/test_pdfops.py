@@ -664,3 +664,108 @@ def test_lzw_early_change_zero_parm_fails_safe():
         6: _stream_obj(b"", good),
     })
     assert [s[1] for s in extract_pdf_spans(doc)] == ["ok"]
+
+
+# ------------------------------------- form XObjects + link annots
+
+def test_form_xobject_text_and_cycle_guard():
+    page = (b"BT /F1 10 Tf 72 720 Td (before) Tj ET"
+            b" q /Fx1 Do Q"
+            b" BT /F1 10 Tf 72 600 Td (after) Tj ET")
+    form1 = b"BT /F1 10 Tf 10 10 Td (inside) Tj ET /Fx2 Do"
+    form2 = b"BT /F1 10 Tf 0 0 Td (nested) Tj ET /Fx1 Do"  # cycle
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Resources"
+           b" << /XObject << /Fx1 5 0 R /Fx2 6 0 R >> >> >>",
+        4: _stream_obj(b"", page),
+        5: _stream_obj(b"/Type /XObject /Subtype /Form", form1),
+        6: _stream_obj(b"/Type /XObject /Subtype /Form", form2),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == [
+        "before", "inside", "nested", "after"
+    ]
+
+
+def test_form_inherits_invoker_resources():
+    # the form has NO /Resources: its /F7 font must resolve through
+    # the page's dict (ToUnicode cmap maps 0x01 -> "Z")
+    cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+            b"endcodespacerange\n1 beginbfchar\n<01> <005A>\n"
+            b"endbfchar\nendcmap\n")
+    form = b"BT /F7 10 Tf 5 5 Td <01> Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Resources"
+           b" << /XObject << /Fm 5 0 R >>"
+           b" /Font << /F7 6 0 R >> >> >>",
+        4: _stream_obj(b"", b"/Fm Do"),
+        5: _stream_obj(b"/Type /XObject /Subtype /Form", form),
+        6: b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>",
+        7: _stream_obj(b"", cmap),
+    })
+    assert [s[1] for s in extract_pdf_spans(doc)] == ["Z"]
+
+
+def test_form_with_filter_and_own_resources():
+    # compressed form stream with its OWN font table; a /Fx name that
+    # is an Image in the page dict stays a media span
+    form = b"BT /F1 10 Tf 1 1 Td (deep) Tj ET"
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Resources"
+           b" << /XObject << /Fm 5 0 R /Im 6 0 R >> >> >>",
+        4: _stream_obj(b"", b"/Fm Do /Im Do"),
+        5: _stream_obj(
+            b"/Type /XObject /Subtype /Form /Filter /FlateDecode"
+            b" /Resources << >>",
+            zlib.compress(form),
+        ),
+        6: _stream_obj(
+            b"/Type /XObject /Subtype /Image /Width 30 /Height 20",
+            b"X",
+        ),
+    })
+    assert extract_pdf_spans(doc) == [
+        ("text", "deep", None, 0),
+        ("media", "", "pdf:image:Im:30x20", 1),
+    ]
+
+
+def test_link_annotations_emit_link_spans():
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R"
+           b" /Annots [5 0 R 6 0 R 7 0 R] >>",
+        4: _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (body) Tj ET"),
+        5: b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+           b" /A << /S /URI /URI (https://a.test/p?x=1) >> >>",
+        6: b"<< /Type /Annot /Subtype /Widget >>",  # not a link
+        7: b"<< /Type /Annot /Subtype /Link"
+           b" /A << /S /GoTo /D [3 0 R] >> >>",  # internal: skipped
+    })
+    assert extract_pdf_spans(doc) == [
+        ("text", "body", None, 0),
+        ("link", "", "https://a.test/p?x=1", 1),
+    ]
+
+
+def test_link_annots_indirect_and_malformed():
+    doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Annots 5 0 R >>",
+        4: _stream_obj(b"", b"BT /F1 10 Tf 72 720 Td (t) Tj ET"),
+        5: b"[6 0 R 8 0 R]",
+        6: b"<< /Type /Annot /Subtype /Link /A 7 0 R >>",
+        7: b"<< /S /URI /URI (mailto:x@y.test) >>",
+        8: b"<< /Type /Annot /Subtype /Link /A << /S /URI >> >>",
+    })
+    assert extract_pdf_spans(doc) == [
+        ("text", "t", None, 0),
+        ("link", "", "mailto:x@y.test", 1),
+    ]

@@ -871,9 +871,16 @@ _TJ_SPACE = -180.0  # thousandths of an em; below this = word gap
 _LINE_TOL = 0.5  # pt of baseline movement that starts a new line
 
 
-def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
+def _page_spans(content: bytes, resources: dict, objs, items: list,
+                _form_seen: set | None = None) -> None:
     """Append ``("line", text, size)`` / ``("media", name, w, h)``
-    items for one page, in content order."""
+    items for one page, in content order.  ``Do`` on a ``/Subtype
+    /Form`` XObject recurses into the form's own content stream with
+    its own ``/Resources`` (falling back to the invoker's), guarded
+    against reference cycles — Word/Quartz output routes most body
+    text through forms, so skipping them drops whole pages."""
+    if _form_seen is None:
+        _form_seen = set()
     xobjects = _resolve(resources.get("XObject"), objs)
     if not isinstance(xobjects, dict):
         xobjects = {}
@@ -1020,13 +1027,34 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
                         cur_text.append(" ")
             elif op == "Do" and stack and isinstance(stack[-1], str):
                 name = stack[-1]
-                xo = _resolve(xobjects.get(name), objs)
+                ref = xobjects.get(name)
+                xo = _resolve(ref, objs)
                 if isinstance(xo, dict) and xo.get("Subtype") == "Image":
                     emit_media(
                         name,
                         _resolve(xo.get("Width"), objs),
                         _resolve(xo.get("Height"), objs),
                     )
+                elif (
+                    isinstance(xo, dict)
+                    and xo.get("Subtype") == "Form"
+                    and isinstance(ref, _Ref)
+                    and ref.num not in _form_seen
+                    and len(_form_seen) < 16
+                ):
+                    _, raw_stream = objs.get(ref.num, (None, None))
+                    if raw_stream is not None:
+                        data = _decode_stream(xo, raw_stream, objs)
+                        if data:
+                            sub = _resolve(xo.get("Resources"), objs)
+                            flush()
+                            _page_spans(
+                                data,
+                                sub if isinstance(sub, dict) else resources,
+                                objs,
+                                items,
+                                _form_seen | {ref.num},
+                            )
         except (TypeError, ValueError):
             pass  # malformed operands never kill the page
         stack.clear()
@@ -1037,14 +1065,41 @@ def _page_spans(content: bytes, resources: dict, objs, items: list) -> None:
 # document-level API
 # ------------------------------------------------------------------
 
+def _page_link_uris(page: dict, objs) -> list[str]:
+    """URI-action ``/Link`` annotations (§12.5.6.5) on one page, in
+    /Annots order — the PDF analogue of the HTML path's ``link``
+    spans (no anchor text: mapping the link rect back to glyphs
+    needs full geometry, out of scope)."""
+    uris: list[str] = []
+    annots = _resolve(page.get("Annots"), objs)
+    if not isinstance(annots, list):
+        return uris
+    for a in annots[:512]:  # bound adversarial annot spam
+        annot = _resolve(a, objs)
+        if not isinstance(annot, dict) or annot.get("Subtype") != "Link":
+            continue
+        action = _resolve(annot.get("A"), objs)
+        if not isinstance(action, dict) or action.get("S") != "URI":
+            continue
+        uri = _resolve(action.get("URI"), objs)
+        if isinstance(uri, (bytes, bytearray)):
+            uri = _decode_pdf_string(bytes(uri))
+        if isinstance(uri, str) and uri:
+            uris.append(uri)
+    return uris
+
+
 def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     """Parse one PDF → ordered ``(kind, text, media_ref, offset)``
     spans — the exact span shape the HTML extraction path emits, so
     interleaved corpora get one downstream schema.
 
-    ``kind`` ∈ {heading, text, media}: lines at ≥ 1.5× the document's
-    median font size are headings; image XObjects / inline images are
-    media spans with ``media_ref = pdf:image:<name>:<w>x<h>``.
+    ``kind`` ∈ {heading, text, media, link}: lines at ≥ 1.5× the
+    document's median font size are headings; image XObjects / inline
+    images are media spans with ``media_ref = pdf:image:<name>:<w>x<h>``;
+    URI link annotations are ``("link", "", uri)`` spans after each
+    page's content — the same shape the HTML tree emits for ``<a>``,
+    so crawl-frontier composition works over mixed corpora.
     """
     if b"%PDF-" not in b[:1024]:  # §7.5.2 allows leading junk
         return []
@@ -1055,6 +1110,8 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
         content = _page_content(page, objs)
         if content:
             _page_spans(content, res, objs, items)
+        for uri in _page_link_uris(page, objs):
+            items.append(("link", uri))
     sizes = sorted(it[2] for it in items if it[0] == "line")
     if sizes:
         mid = len(sizes) // 2
@@ -1070,6 +1127,8 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
         if it[0] == "line":
             kind = "heading" if med > 0 and it[2] >= 1.5 * med else "text"
             spans.append((kind, it[1], None, len(spans)))
+        elif it[0] == "link":
+            spans.append(("link", "", it[1], len(spans)))
         else:
             _, name, w, h = it
             spans.append(
