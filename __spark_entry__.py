@@ -198,6 +198,80 @@ def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates schema.org structured-data harvesting (r5): every
+    ``<script type="application/ld+json">`` — head AND body, the
+    attribute in mixed case with a charset parameter on the body one
+    — surfaces as a ('jsonld', raw_json, None) span via the fused
+    extraction path, then parses JVM-side with ``get_json_object``
+    (nested ``author.name``, the ``@``-prefixed type key, an integer
+    cast).  Decoys that must NOT surface: a plain JS script and a
+    template-wrapped ld+json block.  The raw JSON rides through
+    script RAWTEXT, so ``&`` in the headline stays literal — an
+    entity-decoding bug would corrupt it.  The oracle states every
+    parsed field from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    did = F.col("doc_id")
+    d = did.cast("string")
+    ld_type = (
+        F.when(did % 3 == 0, F.lit("Article"))
+        .when(did % 3 == 1, F.lit("NewsArticle"))
+        .otherwise(F.lit("BlogPosting"))
+    )
+    day = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    head_json = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"'),
+        ld_type,
+        F.lit('","headline":"Doc '), d,
+        F.lit(' news & updates","datePublished":"2024-03-'), day,
+        F.lit('","author":{"@type":"Person","name":"Writer '),
+        (did % 7).cast("string"),
+        F.lit('"}}'),
+    )
+    body_json = F.concat(
+        F.lit('{"@type":"WebPage","position":'),
+        (did % 5).cast("string"),
+        F.lit("}"),
+    )
+    html = F.concat(
+        F.lit('<head><script type="application/ld+json">\n'),
+        head_json,
+        F.lit(
+            "\n</script><script>var x = 1 < 2;</script></head>"
+            "<body><p>Doc "
+        ),
+        d,
+        F.lit(
+            ' body text.</p><script TYPE="Application/LD+JSON;'
+            ' charset=utf-8">'
+        ),
+        body_json,
+        F.lit(
+            '</script><template><script type="application/ld+json">'
+            '{"ghost":1}</script></template></body>'
+        ),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_jsonld=True),
+    )
+    ld = ex.where(F.col("kind") == "jsonld")
+    return ld.select(
+        "doc_id",
+        "offset",
+        F.get_json_object("text", "$['@type']").alias("ld_type"),
+        F.get_json_object("text", "$.headline").alias("headline"),
+        F.get_json_object("text", "$.datePublished").alias(
+            "date_published"
+        ),
+        F.get_json_object("text", "$.author.name").alias("author"),
+        F.get_json_object("text", "$.position").cast("int").alias(
+            "pos"
+        ),
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates link-graph harvesting (r3): <a href> anchors surface as
     ('link', anchor_text, href) spans — including nav anchors whose
@@ -2375,7 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 10 new + 6 changed
+    Green-row ledger (round → window): r5 window = 11 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2386,10 +2460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; robots_gate (r4-green, age 1 at r5) slid to
-    position 51 when warc_frontier_mixed entered — back in at r6."""
+    entered the window; robots_parse + robots_gate (both r4-green,
+    age 1 at r5) slid to positions 51-52 when jsonld_meta and
+    warc_frontier_mixed entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "jsonld_meta": _q_jsonld_meta,
         "warc_frontier_mixed": _q_warc_frontier_mixed,
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_plaintext_extract": _q_warc_plaintext_extract,
@@ -4130,6 +4206,31 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "jsonld_meta": """
+            -- every parsed field stated from construction of the
+            -- synthesized ld+json blocks (see _q_jsonld_meta); the
+            -- Spark side earns each value through script-RAWTEXT
+            -- span emission + get_json_object
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS offset,
+                   CASE doc_id % 3
+                       WHEN 0 THEN 'Article'
+                       WHEN 1 THEN 'NewsArticle'
+                       ELSE 'BlogPosting'
+                   END AS ld_type,
+                   'Doc ' || CAST(doc_id AS VARCHAR)
+                     || ' news & updates' AS headline,
+                   '2024-03-' || lpad(
+                       CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'
+                   ) AS date_published,
+                   'Writer ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+                   CAST(NULL AS INTEGER) AS pos
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 'WebPage',
+                   NULL, NULL, NULL,
+                   CAST(doc_id % 5 AS INTEGER)
+            FROM documents
         """,
         "warc_frontier_mixed": """
             -- every (host, url, allowed) row stated from

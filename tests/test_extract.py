@@ -502,3 +502,75 @@ def test_fused_stage_rejects_source_offsets():
         make_extract_udf(ExtractConfig(with_source_offsets=True))
     with pytest.raises(ValueError, match="src column"):
         make_extract_arrow_udf(ExtractConfig(with_source_offsets=True))
+
+
+# ---------------------------------------- schema.org JSON-LD (r5)
+
+def test_jsonld_head_and_body_document_order():
+    html = (
+        '<head><title>T</title>'
+        '<script type="application/ld+json">{"@type":"Article"}</script>'
+        '<script type="text/javascript">var x=1;</script></head>'
+        '<body><p>Body.</p>'
+        '<script TYPE="Application/LD+JSON; charset=utf-8">'
+        '{"@type":"WebPage"}</script></body>'
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_jsonld=True))
+    assert spans == [
+        ("jsonld", '{"@type":"Article"}', None),
+        ("jsonld", '{"@type":"WebPage"}', None),
+        ("text", "Body.", None),
+    ]
+    # span-parity: flag off emits no jsonld spans
+    off, _ = extract_html(html)
+    assert [s[0] for s in off] == ["text"]
+
+
+def test_jsonld_rawtext_keeps_entities_and_skips_template():
+    html = (
+        '<body><script type="application/ld+json">'
+        '{"headline":"A &amp; B <em>"}</script>'
+        '<template><script type="application/ld+json">{"ghost":1}'
+        "</script></template>"
+        '<script type="application/ld+json">   </script>'
+        "<p>t</p></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_jsonld=True))
+    # script is RAWTEXT: &amp; and <em> stay literal; template and
+    # whitespace-only blocks never surface
+    assert spans == [
+        ("jsonld", '{"headline":"A &amp; B <em>"}', None),
+        ("text", "t", None),
+    ]
+
+
+def test_jsonld_headless_body_and_meta_ordering():
+    html = (
+        '<head><title>T</title><script type="application/ld+json">'
+        '{"a":1}</script></head>'
+    )
+    spans, _ = extract_html(
+        html, ExtractConfig(emit_jsonld=True, emit_head_meta=True)
+    )
+    # body-less early return still carries meta THEN jsonld
+    assert spans == [
+        ("meta", "T", "title"),
+        ("jsonld", '{"a":1}', None),
+    ]
+
+
+def test_jsonld_fragment_root():
+    from zhtml_spark.extract import extract_spans
+    from zhtml_spark.tree import parse_fragment
+
+    tree, frag, _ = parse_fragment(
+        '<script type="application/ld+json">{"f":2}</script><p>x</p>',
+        "div",
+    )
+    spans = extract_spans(
+        tree, ExtractConfig(emit_jsonld=True), root=frag
+    )
+    assert spans == [
+        ("jsonld", '{"f":2}', None),
+        ("text", "x", None),
+    ]

@@ -130,6 +130,17 @@ class ExtractConfig:
     # href=…> and <base href=…> — DIRECT children of <head> only
     # (template/noscript-wrapped metadata deliberately excluded).
     emit_head_meta: bool = False
+    # schema.org structured data (r5): every <script
+    # type="application/ld+json"> ANYWHERE in the document (head AND
+    # body — publishers put them in both) emits a ('jsonld', raw_json,
+    # None) span, document order, after head-meta and before content.
+    # The MIME essence matches case-insensitively with parameters
+    # stripped; text is end-trimmed only (internal whitespace is JSON
+    # content); template subtrees are excluded (never rendered, same
+    # policy as head-meta).  Downstream parsing stays JVM-side
+    # (get_json_object / from_json).  Off by default (span-parity
+    # contract).
+    emit_jsonld: bool = False
 
 
 _WS_NORM = None  # lazy regex
@@ -162,6 +173,8 @@ def extract_spans(
     head_meta_srcs: list[int] = []
     if root is not None:
         body = root
+        if cfg.emit_jsonld:
+            head_meta, head_meta_srcs = _jsonld_spans(tree, root)
     else:
         # locate body: html is a child of doc 0, body a child of html
         body = -1
@@ -183,6 +196,10 @@ def extract_spans(
                 ):
                     head_meta, head_meta_srcs = _head_meta_spans(tree, c)
                     break
+        if cfg.emit_jsonld:
+            ld, ld_srcs = _jsonld_spans(tree, 0)
+            head_meta = head_meta + ld
+            head_meta_srcs = head_meta_srcs + ld_srcs
         if body == -1:
             # body-less documents (frameset pages) still carry head
             # metadata — title/canonical harvest must not depend on a
@@ -577,6 +594,41 @@ def _head_meta_spans(
             if href:
                 out.append(("meta", href, "base"))
                 srcs.append(tree.src[c])
+    return out, srcs
+
+
+def _jsonld_spans(
+    tree: DocTree, start: int
+) -> tuple[list[tuple[str, str, str | None]], list[int]]:
+    """('jsonld', raw_json, None) spans for every ``<script
+    type="application/ld+json">`` under ``start``, document order,
+    plus parallel source anchors.  Template subtrees are pruned
+    (never rendered — the head-meta policy); the type attribute
+    matches on its MIME essence (parameters stripped, any case)."""
+    out: list[tuple[str, str, str | None]] = []
+    srcs: list[int] = []
+    walk = [start]
+    while walk:
+        nid = walk.pop()
+        if tree.ntype[nid] == N_ELEMENT and tree.ns[nid] is None:
+            name = tree.name[nid]
+            if name == "template":
+                continue
+            if name == "script":
+                t = ((tree.attrs[nid] or {}).get("type") or "")
+                if t.split(";", 1)[0].strip().lower() == \
+                        "application/ld+json":
+                    txt = "".join(
+                        tree.node_text(c)
+                        for c in tree.children(nid)
+                        if tree.ntype[c] == N_TEXT
+                    ).strip()
+                    if txt:
+                        out.append(("jsonld", txt, None))
+                        srcs.append(tree.src[nid])
+                continue  # script children are raw text only
+        for c in _reversed_children(tree, nid):
+            walk.append(c)
     return out, srcs
 
 
