@@ -272,6 +272,64 @@ def _q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates HTML Microdata harvesting (r5, WHATWG §5): a Product
+    item with the spec's property-value table in play (subtree text,
+    img ``src``, meta ``content``, time ``datetime``), a NESTED Offer
+    item (dotted path), a multi-name ``itemprop`` (one span per
+    name), plus decoys that must NOT surface: an orphan itemprop
+    outside any scope and a template-wrapped item.  The oracle states
+    every (offset, value, path) row from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    did = F.col("doc_id")
+    d = did.cast("string")
+    day = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    price = F.concat(((did % 90) + 10).cast("string"), F.lit(".99"))
+    html = F.concat(
+        F.lit(
+            '<body><div itemscope'
+            ' itemtype="https://schema.org/Product">'
+            '<span itemprop="name">Product '
+        ),
+        d,
+        F.lit('</span><img itemprop="image" src="/img/'), d,
+        F.lit('.png"><meta itemprop="sku" content="SKU-'),
+        (did % 100).cast("string"),
+        F.lit(
+            '"><div itemprop="offers" itemscope'
+            ' itemtype="https://schema.org/Offer">'
+            '<span itemprop="price">'
+        ),
+        price,
+        F.lit(
+            '</span><time itemprop="validThrough" datetime="2024-12-'
+        ),
+        day,
+        F.lit(
+            '">year end</time></div><span itemprop="category tag">cat'
+        ),
+        (did % 7).cast("string"),
+        F.lit(
+            '</span></div><p itemprop="orphan">no scope</p>'
+            '<template><span itemprop="ghost">g</span></template>'
+            "<p>Doc "
+        ),
+        d,
+        F.lit(" body.</p></body>"),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_microdata=True),
+    )
+    return ex.where(F.col("kind") == "microdata").select(
+        "doc_id",
+        "offset",
+        F.col("text").alias("value"),
+        F.col("media_ref").alias("path"),
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates link-graph harvesting (r3): <a href> anchors surface as
     ('link', anchor_text, href) spans — including nav anchors whose
@@ -2449,7 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 11 new + 6 changed
+    Green-row ledger (round → window): r5 window = 12 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2460,11 +2518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; robots_parse + robots_gate (both r4-green,
-    age 1 at r5) slid to positions 51-52 when jsonld_meta and
-    warc_frontier_mixed entered — back in at r6."""
+    entered the window; extract_svg_media + robots_parse +
+    robots_gate (all r4-green, age 1 at r5) slid to positions 51-53
+    when microdata_meta, jsonld_meta, and warc_frontier_mixed
+    entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "microdata_meta": _q_microdata_meta,
         "jsonld_meta": _q_jsonld_meta,
         "warc_frontier_mixed": _q_warc_frontier_mixed,
         "warc_feed_extract": _q_warc_feed_extract,
@@ -4206,6 +4266,54 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "microdata_meta": """
+            -- every (offset, value, path) row stated from
+            -- construction of the synthesized Product/Offer items
+            -- (see _q_microdata_meta); offsets are the span
+            -- positions in emission order (microdata spans precede
+            -- the body content span)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS offset,
+                   'https://schema.org/Product' AS value,
+                   '0:@type' AS path
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1,
+                   'Product ' || CAST(doc_id AS VARCHAR), '0:name'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 2,
+                   '/img/' || CAST(doc_id AS VARCHAR) || '.png',
+                   '0:image'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 3,
+                   'SKU-' || CAST(doc_id % 100 AS VARCHAR), '0:sku'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 4,
+                   'https://schema.org/Offer', '0:offers.@type'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 5,
+                   CAST(doc_id % 90 + 10 AS VARCHAR) || '.99',
+                   '0:offers.price'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 6,
+                   '2024-12-' || lpad(
+                       CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'
+                   ),
+                   '0:offers.validThrough'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 7,
+                   'cat' || CAST(doc_id % 7 AS VARCHAR), '0:category'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 8,
+                   'cat' || CAST(doc_id % 7 AS VARCHAR), '0:tag'
+            FROM documents
         """,
         "jsonld_meta": """
             -- every parsed field stated from construction of the

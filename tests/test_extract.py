@@ -574,3 +574,82 @@ def test_jsonld_fragment_root():
         ("jsonld", '{"f":2}', None),
         ("text", "x", None),
     ]
+
+
+# ------------------------------------------- HTML Microdata (r5)
+
+def test_microdata_item_props_and_value_table():
+    html = (
+        '<body><div itemscope itemtype="https://s/Person https://s/Thing">'
+        '<span itemprop="name">Jane Doe</span>'
+        '<img itemprop="image" src="/jane.png">'
+        '<a itemprop="url" href="https://jane.example/">home</a>'
+        '<meta itemprop="height" content="170">'
+        '<time itemprop="birthDate" datetime="1980-01-02">Jan 2</time>'
+        '<data itemprop="uid" value="42">forty-two</data>'
+        "</div></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s for s in spans if s[0] == "microdata"]
+    assert md == [
+        ("microdata", "https://s/Person", "0:@type"),  # first type wins
+        ("microdata", "Jane Doe", "0:name"),
+        ("microdata", "/jane.png", "0:image"),
+        ("microdata", "https://jane.example/", "0:url"),
+        ("microdata", "170", "0:height"),
+        ("microdata", "1980-01-02", "0:birthDate"),
+        ("microdata", "42", "0:uid"),
+    ]
+    # span-parity: flag off emits none
+    off, _ = extract_html(html)
+    assert not [s for s in off if s[0] == "microdata"]
+
+
+def test_microdata_nesting_orphans_and_template():
+    html = (
+        '<body><div itemscope itemtype="https://s/Article">'
+        '<h1 itemprop="headline">Title <span itemprop="alt">Alt</span></h1>'
+        '<div itemprop="author" itemscope itemtype="https://s/Person">'
+        '<span itemprop="name">Ann</span></div>'
+        '<span itemprop="tag keywords">k1</span>'
+        "</div>"
+        '<p itemprop="orphan">no scope</p>'
+        '<template><div itemscope><span itemprop="g">x</span></div>'
+        "</template>"
+        '<section itemscope><span itemprop="untyped">u</span></section>'
+        "</body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s for s in spans if s[0] == "microdata"]
+    assert md == [
+        ("microdata", "https://s/Article", "0:@type"),
+        # prop-in-prop: outer text INCLUDES the inner (spec), both emit
+        ("microdata", "Title Alt", "0:headline"),
+        ("microdata", "Alt", "0:alt"),
+        ("microdata", "https://s/Person", "0:author.@type"),
+        ("microdata", "Ann", "0:author.name"),
+        ("microdata", "k1", "0:tag"),
+        ("microdata", "k1", "0:keywords"),
+        # item 1: untyped itemscope still roots an item (no @type row)
+        ("microdata", "u", "1:untyped"),
+    ]
+
+
+def test_microdata_sibling_items_do_not_nest():
+    # itemscope WITHOUT itemprop inside another item = NEW top-level
+    # item per spec, even though DOM-nested
+    html = (
+        '<body><div itemscope itemtype="https://s/A">'
+        '<span itemprop="x">1</span>'
+        '<div itemscope itemtype="https://s/B">'
+        '<span itemprop="y">2</span></div>'
+        "</div></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s for s in spans if s[0] == "microdata"]
+    assert md == [
+        ("microdata", "https://s/A", "0:@type"),
+        ("microdata", "1", "0:x"),
+        ("microdata", "https://s/B", "1:@type"),
+        ("microdata", "2", "1:y"),
+    ]

@@ -141,6 +141,17 @@ class ExtractConfig:
     # (get_json_object / from_json).  Off by default (span-parity
     # contract).
     emit_jsonld: bool = False
+    # HTML Microdata (r5, WHATWG §5): itemscope/itemprop items emit
+    # ('microdata', value, path) spans, document order — path =
+    # "<item_idx>:<dotted.prop.path>" with the item's itemtype at
+    # "<idx>:@type", so nested items flatten losslessly into the span
+    # schema.  Value per the spec's property-value table: content
+    # (meta), src (img/audio/video/...), href (a/area/link), data
+    # (object), value (data), datetime-else-text (time), normalized
+    # subtree text otherwise.  itemref is not supported (rare,
+    # requires cross-tree id joins — documented).  Off by default
+    # (span-parity contract).
+    emit_microdata: bool = False
 
 
 _WS_NORM = None  # lazy regex
@@ -175,6 +186,10 @@ def extract_spans(
         body = root
         if cfg.emit_jsonld:
             head_meta, head_meta_srcs = _jsonld_spans(tree, root)
+        if cfg.emit_microdata:
+            md, md_srcs = _microdata_spans(tree, root)
+            head_meta = head_meta + md
+            head_meta_srcs = head_meta_srcs + md_srcs
     else:
         # locate body: html is a child of doc 0, body a child of html
         body = -1
@@ -200,6 +215,10 @@ def extract_spans(
             ld, ld_srcs = _jsonld_spans(tree, 0)
             head_meta = head_meta + ld
             head_meta_srcs = head_meta_srcs + ld_srcs
+        if cfg.emit_microdata:
+            md, md_srcs = _microdata_spans(tree, 0)
+            head_meta = head_meta + md
+            head_meta_srcs = head_meta_srcs + md_srcs
         if body == -1:
             # body-less documents (frameset pages) still carry head
             # metadata — title/canonical harvest must not depend on a
@@ -629,6 +648,133 @@ def _jsonld_spans(
                 continue  # script children are raw text only
         for c in _reversed_children(tree, nid):
             walk.append(c)
+    return out, srcs
+
+
+_MD_SRC_TAGS = frozenset(
+    ["audio", "embed", "iframe", "img", "source", "track", "video"]
+)
+_MD_HREF_TAGS = frozenset(["a", "area", "link"])
+
+
+def _microdata_subtree_text(tree: DocTree, nid: int) -> str:
+    """Normalized text content of a property element's subtree —
+    script/style/template excluded (the DOM textContent would include
+    script source; no consumer wants that as a property value)."""
+    parts: list[str] = []
+    walk = [nid]
+    while walk:
+        n = walk.pop()
+        if tree.ntype[n] == N_TEXT:
+            parts.append(tree.node_text(n))
+            continue
+        if tree.ntype[n] != N_ELEMENT:
+            continue
+        if n != nid and tree.ns[n] is None and tree.name[n] in (
+            "script", "style", "template"
+        ):
+            continue
+        for c in _reversed_children(tree, n):
+            walk.append(c)
+    return _normalize("".join(parts))
+
+
+def _microdata_spans(
+    tree: DocTree, start: int
+) -> tuple[list[tuple[str, str, str | None]], list[int]]:
+    """('microdata', value, path) spans for every WHATWG §5 item
+    under ``start``, document order, plus parallel source anchors.
+
+    Scope rules: ``itemscope`` WITHOUT ``itemprop`` starts a new
+    top-level item wherever it sits (DOM nesting does not imply item
+    nesting — only ``itemprop itemscope`` does); ``itemprop`` outside
+    any scope is an orphan and ignored; a space-separated ``itemprop``
+    emits one span per name.  Template subtrees are pruned."""
+    out: list[tuple[str, str, str | None]] = []
+    srcs: list[int] = []
+    n_items = 0
+    # DFS with explicit exit records popping the scope-path stack;
+    # each scope entry is the full path prefix string ("3" top-level,
+    # "3:author" nested, "3:author.affiliation" deeper)
+    scopes: list[str] = []
+    walk: list[tuple[int, bool]] = [(start, False)]
+
+    def path_for(prop: str) -> str:
+        top = scopes[-1]
+        return top + (":" if ":" not in top else ".") + prop
+
+    while walk:
+        nid, is_exit = walk.pop()
+        if is_exit:
+            scopes.pop()
+            continue
+        if tree.ntype[nid] != N_ELEMENT or tree.ns[nid] is not None:
+            # non-elements (document root, fragments) and foreign
+            # elements are transparent containers: microdata is an
+            # HTML-namespace feature, but HTML can resume underneath
+            # (svg foreignObject)
+            if tree.ntype[nid] != N_TEXT:
+                for c in _reversed_children(tree, nid):
+                    walk.append((c, False))
+            continue
+        name = tree.name[nid]
+        if name == "template":
+            continue
+        attrs = tree.attrs[nid] or {}
+        has_scope = "itemscope" in attrs
+        props = (attrs.get("itemprop") or "").split()
+        opened = False
+        if has_scope and (not props or not scopes):
+            # new top-level item (itemprop without an open scope is
+            # an orphan: its itemscope still roots a fresh item)
+            prefix = str(n_items)
+            n_items += 1
+            scopes.append(prefix)
+            opened = True
+            itype = (attrs.get("itemtype") or "").split()
+            if itype:
+                out.append(("microdata", itype[0], prefix + ":@type"))
+                srcs.append(tree.src[nid])
+        elif has_scope and props and scopes:
+            # nested item: one scope under the FIRST prop name (the
+            # multi-name nested case is ambiguous; first name wins,
+            # matching reading order)
+            prefix = path_for(props[0])
+            scopes.append(prefix)
+            opened = True
+            itype = (attrs.get("itemtype") or "").split()
+            if itype:
+                out.append(("microdata", itype[0], prefix + ".@type"))
+                srcs.append(tree.src[nid])
+        elif props and scopes:
+            # leaf property: value per the spec's table
+            if name == "meta":
+                val = attrs.get("content") or ""
+            elif name in _MD_SRC_TAGS:
+                val = attrs.get("src") or ""
+            elif name in _MD_HREF_TAGS:
+                val = attrs.get("href") or ""
+            elif name == "object":
+                val = attrs.get("data") or ""
+            elif name == "data":
+                val = attrs.get("value") or ""
+            elif name == "time":
+                val = attrs.get("datetime") or _microdata_subtree_text(
+                    tree, nid
+                )
+            else:
+                val = _microdata_subtree_text(tree, nid)
+            if val:
+                for p in props:
+                    out.append(("microdata", val, path_for(p)))
+                    srcs.append(tree.src[nid])
+            # NO subtree prune: per spec, itemprop elements inside a
+            # property element still belong to the same item (their
+            # text also stays part of this value — both true at once)
+        if opened:
+            walk.append((nid, True))
+        for c in _reversed_children(tree, nid):
+            walk.append((c, False))
     return out, srcs
 
 
