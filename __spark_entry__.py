@@ -2111,6 +2111,60 @@ def _q_crawl_frontier(spark, sf_dir):
     return robots_gate(urls, rules, "bot0")
 
 
+def _q_warc_redirect_extract(spark, sf_dir):
+    """HTTP redirect edges from WARC archives (r5): doc_id%3 rotates
+    (0) a 301 with a relative ``Location`` and an HTML stub body that
+    must NEVER tokenize, (1) a 302 with an absolute cross-host
+    ``Location`` whose path is mixed-case — a lowercasing bug in the
+    header extract flips the hash, (2) a normal 200 HTML page.
+    ``parse_warc_records`` surfaces ``http_status``/``http_location``
+    and ``warc_interleaved_spans`` routes 3xx-with-Location records
+    to ONE ('redirect', status, location) span.  The oracle states
+    every span from construction; a tokenized "Moved" stub would add
+    rows and fail the count."""
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+    rec301 = warc_record(
+        url, date,
+        F.lit("<html><body><h1>Moved Permanently</h1></body></html>"),
+        http_headers=True,
+        status="301 Moved Permanently",
+        http_extra="Location: /moved/here\r\n",
+    )
+    loc302 = F.concat(
+        F.lit("Location: https://Mirror.Example/CaSe/"), ids,
+        F.lit("\r\n"),
+    )
+    rec302 = warc_record(
+        url, date, F.lit(""),
+        http_headers=True, status="302 Found", http_extra=loc302,
+    )
+    html_rec = warc_record(
+        url, date,
+        F.concat(
+            F.lit("<body><h1>Doc "), ids, F.lit("</h1><p>"),
+            F.col("text"), F.lit("</p></body>"),
+        ),
+        http_headers=True,
+    )
+    archives = d.select(
+        F.when(did % 3 == 0, rec301)
+        .when(did % 3 == 1, rec302)
+        .otherwise(html_rec)
+        .alias("content")
+    )
+    return warc_interleaved_spans(parse_warc_records(archives))
+
+
 def _q_warc_frontier_mixed(spark, sf_dir):
     """Mixed-format crawl frontier (r5): ONE plan from a WARC of
     interleaved HTML and PDF responses to a robots-gated frontier —
@@ -2507,7 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 12 new + 6 changed
+    Green-row ledger (round → window): r5 window = 13 new + 6 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2518,12 +2572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; extract_svg_media + robots_parse +
-    robots_gate (all r4-green, age 1 at r5) slid to positions 51-53
-    when microdata_meta, jsonld_meta, and warc_frontier_mixed
-    entered — back in at r6."""
+    entered the window; substring_dedup_apply + extract_svg_media +
+    robots_parse + robots_gate (all r4-green, age 1 at r5) slid to
+    positions 51-54 as warc_redirect_extract, microdata_meta,
+    jsonld_meta, and warc_frontier_mixed entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_redirect_extract": _q_warc_redirect_extract,
         "microdata_meta": _q_microdata_meta,
         "jsonld_meta": _q_jsonld_meta,
         "warc_frontier_mixed": _q_warc_frontier_mixed,
@@ -4265,6 +4320,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'med://' || CAST(doc_id AS VARCHAR),
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "warc_redirect_extract": f"""
+            -- spans stated from construction (see
+            -- _q_warc_redirect_extract): 3xx records become ONE
+            -- redirect span (status in text, case-preserved Location
+            -- in media_ref) and their stub bodies NEVER tokenize —
+            -- an extra "Moved Permanently" heading row would fail
+            -- the row count before the hash
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS offset, 'redirect' AS kind, '301' AS text,
+                   '/moved/here' AS media_ref
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 0,
+                   'redirect', '302',
+                   'https://Mirror.Example/CaSe/'
+                     || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 0,
+                   'heading', 'Doc ' || CAST(doc_id AS VARCHAR), NULL
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR), 1,
+                   'text', text, NULL
             FROM documents WHERE doc_id % 3 = 2
         """,
         "microdata_meta": """

@@ -892,3 +892,68 @@ def test_plaintext_span_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_warc_redirect_records_become_edges(spark, tmp_path):
+    """3xx-with-Location records surface as ONE ('redirect', status,
+    location) span with the stub body NEVER tokenized; a 3xx without
+    Location degrades to the content branches; Location casing is
+    preserved (URL paths are case-sensitive).  The empty-body 302 is
+    the regression case for the header-block trim: a redirect's
+    normal wire shape is headers + CRLFCRLF + nothing, and the
+    record-level payload trim eats the terminating blank line — the
+    Location header must still parse."""
+
+    def rec(url: bytes, status: bytes, extra: bytes,
+            body: bytes) -> bytes:
+        http = (b"HTTP/1.1 " + status
+                + b"\r\nContent-Type: text/html\r\n" + extra
+                + b"\r\n" + body)
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "r.warc").write_bytes(
+        rec(b"https://a.test/old", b"301 Moved Permanently",
+            b"Location: https://a.test/NeW/Path\r\n",
+            b"<html><body><h1>Moved Permanently</h1></body></html>")
+        + rec(b"https://b.test/tmp", b"302 Found",
+              b"Location: /b/TaRgEt\r\n", b"")  # empty body
+        + rec(b"https://c.test/see", b"303 See Other",
+              b"Location: /c\r\n", b"stub")
+        + rec(b"https://d.test/keep", b"307 Temporary Redirect",
+              b"Location: /d\r\n", b"")
+        + rec(b"https://e.test/perm", b"308 Permanent Redirect",
+              b"Location: /e\r\n", b"")
+        + rec(b"https://f.test/noloc", b"302 Found", b"",
+              b"<body><p>no target given</p></body>")
+        + rec(b"https://g.test/ok", b"200 OK", b"",
+              b"<body><p>real page</p></body>")
+    )
+    from zhtml_spark.sources import warc_interleaved_spans
+
+    recs = read_warc(spark, str(p), charset="ISO-8859-1")
+    rows = warc_interleaved_spans(recs).orderBy("doc_id").collect()
+    got = {
+        r["doc_id"]: (r["kind"], r["text"], r["media_ref"])
+        for r in rows
+    }
+    assert got["https://a.test/old"] == (
+        "redirect", "301", "https://a.test/NeW/Path"
+    )
+    assert got["https://b.test/tmp"] == ("redirect", "302", "/b/TaRgEt")
+    assert got["https://c.test/see"] == ("redirect", "303", "/c")
+    assert got["https://d.test/keep"] == ("redirect", "307", "/d")
+    assert got["https://e.test/perm"] == ("redirect", "308", "/e")
+    # 3xx without Location: content branch (nothing to point at)
+    assert got["https://f.test/noloc"] == ("text", "no target given", None)
+    assert got["https://g.test/ok"] == ("text", "real page", None)
+    # exactly one span per doc — no tokenized redirect stubs
+    assert len(rows) == 7

@@ -39,7 +39,8 @@ def warc_record(
     html: Column,
     http_headers: bool = False,
     payload_ctype: str = "text/html",
-    http_extra: str = "",
+    http_extra: str | Column = "",
+    status: str = "200 OK",
 ) -> Column:
     """Render one WARC response record (header block + payload) —
     used by tests/queries to synthesize archives deterministically.
@@ -54,13 +55,21 @@ def warc_record(
     dispatch routes on.  ``http_extra`` appends raw extra HTTP
     headers (each ``\\r\\n``-terminated), e.g.
     ``"Transfer-Encoding: chunked\\r\\n"`` — the body passed as
-    ``html`` must then already be in that wire coding."""
+    ``html`` must then already be in that wire coding; pass a Column
+    for per-row headers (e.g. a per-doc ``Location:``)."""
     if http_headers:
+        extra = (
+            http_extra
+            if isinstance(http_extra, Column)
+            else F.lit(http_extra)
+        )
         payload = F.concat(
             F.lit(
-                f"HTTP/1.1 200 OK\r\nContent-Type: {payload_ctype}\r\n"
-                f"{http_extra}Server: synthetic\r\n\r\n"
+                f"HTTP/1.1 {status}\r\n"
+                f"Content-Type: {payload_ctype}\r\n"
             ),
+            extra,
+            F.lit("Server: synthetic\r\n\r\n"),
             html,
         )
         ctype = "application/http; msgtype=response"
@@ -87,12 +96,17 @@ def parse_warc_records(
     archives: DataFrame, content_col: str = "content"
 ) -> DataFrame:
     """Split WARC archive strings into RESPONSE-record rows
-    ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce)``
-    — all JVM-side (split + explode + regexp_extract), no Python.
+    ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce,
+    http_status, http_location)`` — all JVM-side (split + explode +
+    regexp_extract), no Python.
     ``http_te`` / ``http_ce`` carry the HTTP ``Transfer-Encoding`` /
     ``Content-Encoding`` header values (lowercased; ``""`` for
     non-HTTP records) so :func:`decode_http_payloads` can undo wire
-    codings before anything tokenizes the body.
+    codings before anything tokenizes the body.  ``http_status`` is
+    the 3-digit response code as a string (``""`` non-HTTP) and
+    ``http_location`` the case-preserved ``Location`` header — the
+    crawl-graph redirect edge :func:`warc_interleaved_spans` surfaces
+    as ``redirect`` spans.
 
     Real archives interleave request/response/metadata records per
     target URI — only ``WARC-Type: response`` rows survive (without
@@ -154,8 +168,21 @@ def parse_warc_records(
     # the PAYLOAD's media type (what multi-format dispatch routes
     # on): the HTTP response's Content-Type header when the record
     # is HTTP-carried, else the record's own Content-Type
-    http_hdr_block = F.regexp_extract(
+    # header block = everything before the payload's blank line.  An
+    # HTTP payload with NO blank line is ALL headers — either an
+    # empty body (a redirect's normal shape: the record-level
+    # payload trim consumed the terminating CRLFCRLF) or a truncated
+    # response; both ways "headers are never HTML" (ADVICE r2 #1),
+    # and the Location/Content-Type headers must still parse
+    _hdr_extracted = F.regexp_extract(
         payload, r"(?s)^(HTTP/.*?)\r\n\r\n", 1
+    )
+    http_hdr_block = F.when(
+        _hdr_extracted != "", _hdr_extracted
+    ).otherwise(
+        F.when(payload.startswith("HTTP/"), payload).otherwise(
+            F.lit("")
+        )
     )
     payload_ctype = F.when(
         is_http & payload.startswith("HTTP/"),
@@ -202,6 +229,25 @@ def parse_warc_records(
             payload_ctype.alias("payload_ctype"),
             _http_hdr("transfer-encoding").alias("http_te"),
             _http_hdr("content-encoding").alias("http_ce"),
+            # response status + redirect target (crawl-graph edges):
+            # status from the status line; Location CASE-PRESERVED
+            # (URL paths are case-sensitive — _http_hdr lowercases)
+            F.when(
+                is_http & payload.startswith("HTTP/"),
+                F.regexp_extract(
+                    payload, r"^HTTP/[^ \r\n]+ +(\d{3})", 1
+                ),
+            ).otherwise(F.lit("")).alias("http_status"),
+            F.when(
+                is_http & payload.startswith("HTTP/"),
+                F.trim(
+                    F.regexp_extract(
+                        http_hdr_block,
+                        r"(?im)^location:[ \t]*([^\r\n]*)",
+                        1,
+                    )
+                ),
+            ).otherwise(F.lit("")).alias("http_location"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")
@@ -612,7 +658,11 @@ def warc_interleaved_spans(
       ``rdf:RDF`` run :func:`zhtml_spark.feedops.decode_feed_spans`
       — XML-prolog ``encoding=`` charset sniffing, then the feed
       walker hands entry bodies (escaped / CDATA / inline-XHTML
-      HTML) to the same HTML extraction path.
+      HTML) to the same HTML extraction path;
+    * HTTP **3xx responses carrying a Location header** become ONE
+      ``('redirect', status, location)`` span — a crawl-graph edge —
+      and their stub bodies never reach any tokenizer (a "301 Moved
+      Permanently" boilerplate page is not a document).
 
     One exploded span schema out — ``(doc_id, offset, kind, text,
     media_ref)`` — so interleaved text+PDF crawls produce a single
@@ -637,6 +687,22 @@ def warc_interleaved_spans(
     from .feedops import FEED_ROOT_RE, decode_feed_spans
 
     records = decode_http_payloads(records)
+    # 3xx-with-Location records are crawl-graph EDGES, not documents:
+    # emit one ('redirect', status, location) span and keep the stub
+    # body ("<h1>Moved</h1>" boilerplate) out of every content branch
+    # — tokenizing it would mint phantom documents.  A 3xx WITHOUT a
+    # Location degrades to the content branches (nothing to point at).
+    is_redirect = F.col("http_status").isin(
+        "301", "302", "303", "307", "308"
+    ) & (F.col("http_location") != "")
+    redirect_spans = records.where(is_redirect).select(
+        F.col("warc_url").alias("doc_id"),
+        F.lit(0).alias("offset"),
+        F.lit("redirect").alias("kind"),
+        F.col("http_status").alias("text"),
+        F.col("http_location").alias("media_ref"),
+    )
+    records = records.where(~is_redirect)
     is_pdf = F.col("payload_ctype").startswith("application/pdf")
     is_plain = F.col("payload_ctype").startswith("text/plain")
     # syndication feeds: an XML media type AND a feed root element
@@ -726,6 +792,7 @@ def warc_interleaved_spans(
         html_spans.unionByName(pdf_spans)
         .unionByName(plain_spans)
         .unionByName(feed_spans)
+        .unionByName(redirect_spans)
     )
 
 
