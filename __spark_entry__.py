@@ -161,10 +161,14 @@ def _q_extract_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gates head-metadata harvesting (r3): <title>, meta description/
-    robots/og:image, and link rel=canonical surface as ('meta', value,
-    key) spans ahead of the body content; non-allowlisted keys
-    (viewport) and template-wrapped metadata stay out."""
+    """Gates head-metadata harvesting (r3; extended r5): <title>,
+    meta description/robots/og:image, link rel=canonical, feed
+    auto-discovery (rel=alternate + rss type → key ``feed``), and
+    language alternates (rel=alternate hreflang=FR → key
+    ``alternate:fr``, lowercased) surface as ('meta', value, key)
+    spans ahead of the body content; non-allowlisted keys (viewport),
+    a bare ``rel="alternate stylesheet"`` (neither feed nor
+    language), and template-wrapped metadata stay out."""
     from zhtml_spark.extract import ExtractConfig
 
     d = F.col("doc_id").cast("string")
@@ -186,7 +190,18 @@ def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example/c/"), d,
         F.lit(
-            '"><template><meta name="description" content="ghost">'
+            '"><link rel="alternate" type="application/rss+xml"'
+            ' href="/feed'
+        ),
+        d,
+        F.lit(
+            '.xml"><link rel="alternate" hreflang="FR"'
+            ' href="https://fr.example/p'
+        ),
+        d,
+        F.lit(
+            '"><link rel="alternate stylesheet" href="/alt.css">'
+            '<template><meta name="description" content="ghost">'
             "</template></head><body><p>"
         ),
         F.col("text"),
@@ -2561,7 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 13 new + 6 changed
+    Green-row ledger (round → window): r5 window = 13 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2572,10 +2587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; substring_dedup_apply + extract_svg_media +
-    robots_parse + robots_gate (all r4-green, age 1 at r5) slid to
-    positions 51-54 as warc_redirect_extract, microdata_meta,
-    jsonld_meta, and warc_frontier_mixed entered — back in at r6."""
+    entered the window; bloom_seen + substring_dedup_apply +
+    extract_svg_media + robots_parse + robots_gate (all r4-green,
+    age 1 at r5) slid to positions 51-55 as warc_redirect_extract,
+    microdata_meta, jsonld_meta, warc_frontier_mixed, and the
+    re-windowed extract_meta (feed/hreflang emission changed its
+    implementation) entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
         "warc_redirect_extract": _q_warc_redirect_extract,
@@ -2598,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_components": _q_dedup_components,
         "image_meta": _q_image_meta,
+        "extract_meta": _q_extract_meta,
         # -- block B: latest green row is r1–r3 (oldest debt first) ---
         "extract_heading_para": _q_extract_heading_para,
         "extract_entities": _q_extract_entities,
@@ -2652,7 +2670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "events_rollup": _q_events_rollup,
         "extract_table": _q_extract_table,
-        "extract_meta": _q_extract_meta,
         "extract_links": _q_extract_links,
         "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_template": _q_extract_template,
@@ -2928,7 +2945,18 @@ def oracle_sql() -> dict[str, str]:
                    'canonical' AS media_ref
             FROM documents
             UNION ALL
-            SELECT {doc_id}, 5 AS offset, 'text' AS kind, text, {null_ref}
+            SELECT {doc_id}, 5 AS offset, 'meta' AS kind,
+                   '/feed' || CAST(doc_id AS VARCHAR) || '.xml' AS text,
+                   'feed' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 6 AS offset, 'meta' AS kind,
+                   'https://fr.example/p' || CAST(doc_id AS VARCHAR)
+                     AS text,
+                   'alternate:fr' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 7 AS offset, 'text' AS kind, text, {null_ref}
             FROM documents
         """,
         "extract_links": f"""

@@ -653,3 +653,27 @@ def test_microdata_sibling_items_do_not_nest():
         ("microdata", "https://s/B", "1:@type"),
         ("microdata", "2", "1:y"),
     ]
+
+
+def test_head_meta_feed_discovery_and_hreflang():
+    html = (
+        '<head><title>T</title>'
+        '<link rel="alternate" type="application/rss+xml"'
+        ' href="/feed.xml">'
+        '<link rel="alternate" type="application/atom+xml; charset=utf-8"'
+        ' href="/atom.xml">'
+        '<link rel="ALTERNATE" hreflang="FR" href="https://fr.x/p">'
+        '<link rel="alternate" hreflang="de-AT" href="https://de.x/p">'
+        '<link rel="alternate stylesheet" href="/alt.css">'
+        '<link rel="alternate" href="/no-signal">'
+        "</head><body><p>b</p></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_head_meta=True))
+    assert spans == [
+        ("meta", "T", "title"),
+        ("meta", "/feed.xml", "feed"),
+        ("meta", "/atom.xml", "feed"),
+        ("meta", "https://fr.x/p", "alternate:fr"),
+        ("meta", "https://de.x/p", "alternate:de-at"),
+        ("text", "b", None),
+    ]

@@ -573,9 +573,12 @@ def _head_meta_spans(
     """('meta', value, key) spans from the DIRECT children of <head>
     plus their parallel source anchors: title text,
     meta[name|property]+content for the allowlisted keys,
-    link[rel~=canonical] href, base href.  Metadata nested under
-    template/noscript is deliberately not scanned (never rendered /
-    scripting-off fallback)."""
+    link[rel~=canonical] href, base href, feed auto-discovery links
+    (``rel=alternate`` + rss/atom type → key ``feed``), and language
+    alternates (``rel=alternate hreflang=…`` → key
+    ``alternate:<lang>``).  Metadata nested under template/noscript
+    is deliberately not scanned (never rendered / scripting-off
+    fallback)."""
     out: list[tuple[str, str, str | None]] = []
     srcs: list[int] = []
     for c in tree.children(head):
@@ -603,11 +606,33 @@ def _head_meta_spans(
                 out.append(("meta", _normalize(content), key))
                 srcs.append(tree.src[c])
         elif name == "link":
-            rel = (attrs.get("rel") or "").lower()
+            rels = (attrs.get("rel") or "").lower().split()
             href = attrs.get("href") or ""
-            if href and "canonical" in rel.split():
+            if href and "canonical" in rels:
                 out.append(("meta", href, "canonical"))
                 srcs.append(tree.src[c])
+            elif href and "alternate" in rels:
+                # feed auto-discovery (rel=alternate + rss/atom type)
+                # beats hreflang when both appear — a feed link with
+                # an hreflang is still a feed
+                typ = (
+                    (attrs.get("type") or "")
+                    .split(";", 1)[0]
+                    .strip()
+                    .lower()
+                )
+                hl = (attrs.get("hreflang") or "").strip().lower()
+                if typ in (
+                    "application/rss+xml",
+                    "application/atom+xml",
+                ):
+                    out.append(("meta", href, "feed"))
+                    srcs.append(tree.src[c])
+                elif hl:
+                    out.append(("meta", href, "alternate:" + hl))
+                    srcs.append(tree.src[c])
+                # bare rel=alternate (e.g. "alternate stylesheet")
+                # stays out — neither a feed nor a language variant
         elif name == "base":
             href = attrs.get("href") or ""
             if href:
