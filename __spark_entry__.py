@@ -2180,6 +2180,73 @@ def _q_warc_redirect_extract(spark, sf_dir):
     return warc_interleaved_spans(parse_warc_records(archives))
 
 
+def _q_warc_noindex_gate(spark, sf_dir):
+    """Indexability from both robots channels (r5): doc_id%4 rotates
+    (0) a clean page whose near-miss signals must NOT fire (header
+    ``nofollow`` only, meta ``index,follow``), (1) an
+    ``X-Robots-Tag: noindex`` header, (2) ``<meta name=robots
+    content="noindex, nofollow">`` in the page head, (3) BOTH
+    (header ``none`` + meta noindex — the header wins the reason
+    label).  ``parse_warc_records`` surfaces ``http_xrobots``, the
+    head-meta extraction surfaces the robots meta span, and
+    ``textops.noindex_gate`` joins the two; the oracle states every
+    (indexable, reason) row from construction.  A substring match
+    (``nonewidget`` → none) or a lost header would flip rows."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_record,
+        warc_to_documents,
+    )
+    from zhtml_spark.textops import noindex_gate
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-01-01T00:00:00Z")
+    xrobots = (
+        F.when(did % 4 == 0,
+               F.lit("X-Robots-Tag: nofollow, nonewidget\r\n"))
+        .when(did % 4 == 1, F.lit("X-Robots-Tag: noindex\r\n"))
+        .when(did % 4 == 3, F.lit("X-Robots-Tag: none\r\n"))
+        .otherwise(F.lit(""))
+    )
+    robots_meta = (
+        F.when(did % 4 == 0, F.lit("index,follow"))
+        .when(did % 4 == 2, F.lit("noindex, nofollow"))
+        .when(did % 4 == 3, F.lit("noindex"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<head><meta name="robots" content="'),
+        robots_meta,
+        F.lit('"></head><body><p>Doc '), ids,
+        F.lit(" body.</p></body>"),
+    )
+    archives = d.select(
+        warc_record(
+            url, date, html, http_headers=True, http_extra=xrobots
+        ).alias("content")
+    )
+    records = parse_warc_records(archives)
+    spans = (
+        extract_documents(
+            warc_to_documents(records),
+            config=ExtractConfig(emit_head_meta=True),
+        )
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    return noindex_gate(records, spans)
+
+
 def _q_warc_frontier_mixed(spark, sf_dir):
     """Mixed-format crawl frontier (r5): ONE plan from a WARC of
     interleaved HTML and PDF responses to a robots-gated frontier —
@@ -2576,7 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 13 new + 7 changed
+    Green-row ledger (round → window): r5 window = 14 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2587,14 +2654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; bloom_seen + substring_dedup_apply +
-    extract_svg_media + robots_parse + robots_gate (all r4-green,
-    age 1 at r5) slid to positions 51-55 as warc_redirect_extract,
-    microdata_meta, jsonld_meta, warc_frontier_mixed, and the
-    re-windowed extract_meta (feed/hreflang emission changed its
-    implementation) entered — back in at r6."""
+    entered the window; extract_density + bloom_seen +
+    substring_dedup_apply + extract_svg_media + robots_parse +
+    robots_gate (all r4-green, age 1 at r5) slid to positions 51-56
+    as warc_noindex_gate, warc_redirect_extract, microdata_meta,
+    jsonld_meta, warc_frontier_mixed, and the re-windowed
+    extract_meta (feed/hreflang emission changed its implementation)
+    entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_noindex_gate": _q_warc_noindex_gate,
         "warc_redirect_extract": _q_warc_redirect_extract,
         "microdata_meta": _q_microdata_meta,
         "jsonld_meta": _q_jsonld_meta,
@@ -4349,6 +4418,21 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "warc_noindex_gate": """
+            -- (indexable, reason) stated from construction of the
+            -- per-doc robots signals (see _q_warc_noindex_gate):
+            -- near-miss tokens (nofollow, nonewidget, index) must
+            -- not fire; header wins the reason label when both do
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   doc_id % 4 = 0 AS indexable,
+                   CASE doc_id % 4
+                       WHEN 1 THEN 'header'
+                       WHEN 2 THEN 'meta'
+                       WHEN 3 THEN 'header'
+                       ELSE ''
+                   END AS reason
+            FROM documents
         """,
         "warc_redirect_extract": f"""
             -- spans stated from construction (see

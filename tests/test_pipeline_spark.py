@@ -1582,3 +1582,46 @@ def test_embed_hashing_semantics_and_plan(spark):
     plan = embed_hashing(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_noindex_gate_channels_and_near_misses(spark):
+    """Both robots channels exclude; near-miss tokens must not:
+    'nonewidget'/'nofollow' are not 'none'/'noindex', agent-scoped
+    header directives ('googlebot: noindex') conservatively exclude,
+    and a doc with several robots metas excludes if ANY says no."""
+    from zhtml_spark.textops import noindex_gate
+
+    records = spark.createDataFrame(
+        [
+            ("d0", "nofollow, nonewidget"),   # near-misses only
+            ("d1", "noindex"),
+            ("d2", ""),                        # meta says no
+            ("d3", "none"),                    # both channels
+            ("d4", "googlebot: noindex"),      # agent-scoped
+            ("d5", None),                      # null header tolerated
+        ],
+        "warc_url string, http_xrobots string",
+    )
+    spans = spark.createDataFrame(
+        [
+            ("d0", "meta", "index,follow", "robots"),
+            ("d2", "meta", "all", "robots"),
+            ("d2", "meta", "NOINDEX", "robots"),  # any-of-many + case
+            ("d3", "meta", "noindex", "robots"),
+            ("d5", "meta", "noindex", "description"),  # wrong key
+            ("d5", "text", "noindex appears in prose", None),
+        ],
+        "doc_id string, kind string, text string, media_ref string",
+    )
+    out = {
+        r["doc_id"]: (r["indexable"], r["reason"])
+        for r in noindex_gate(records, spans).collect()
+    }
+    assert out == {
+        "d0": (True, ""),
+        "d1": (False, "header"),
+        "d2": (False, "meta"),
+        "d3": (False, "header"),
+        "d4": (False, "header"),
+        "d5": (True, ""),
+    }

@@ -97,8 +97,8 @@ def parse_warc_records(
 ) -> DataFrame:
     """Split WARC archive strings into RESPONSE-record rows
     ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce,
-    http_status, http_location)`` — all JVM-side (split + explode +
-    regexp_extract), no Python.
+    http_status, http_location, http_xrobots)`` — all JVM-side
+    (split + explode + regexp_extract), no Python.
     ``http_te`` / ``http_ce`` carry the HTTP ``Transfer-Encoding`` /
     ``Content-Encoding`` header values (lowercased; ``""`` for
     non-HTTP records) so :func:`decode_http_payloads` can undo wire
@@ -106,7 +106,9 @@ def parse_warc_records(
     the 3-digit response code as a string (``""`` non-HTTP) and
     ``http_location`` the case-preserved ``Location`` header — the
     crawl-graph redirect edge :func:`warc_interleaved_spans` surfaces
-    as ``redirect`` spans.
+    as ``redirect`` spans; ``http_xrobots`` the lowercased
+    ``X-Robots-Tag`` header for
+    :func:`zhtml_spark.textops.noindex_gate`.
 
     Real archives interleave request/response/metadata records per
     target URI — only ``WARC-Type: response`` rows survive (without
@@ -248,6 +250,9 @@ def parse_warc_records(
                     )
                 ),
             ).otherwise(F.lit("")).alias("http_location"),
+            # robots response header (RFC 9309bis indexability):
+            # lowercased — directives are case-insensitive
+            _http_hdr("x-robots-tag").alias("http_xrobots"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")

@@ -1097,6 +1097,69 @@ def robots_gate(
     )
 
 
+# a robots directive list contains noindex/none as its own
+# comma/space-delimited token; "nonewidget" or "noindexing" must not
+# match (values are already lowercased by the header extract / the
+# explicit lower() on meta content)
+_NOINDEX_RE = r"(^|[\s,])(noindex|none)($|[\s,:])"
+
+
+def noindex_gate(
+    records: DataFrame,
+    spans: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document indexability from BOTH robots channels — the
+    ``X-Robots-Tag`` response header (``records.http_xrobots``, as
+    :func:`zhtml_spark.sources.parse_warc_records` emits, keyed by
+    ``warc_url``) and ``<meta name=robots>`` content (``spans`` rows
+    with ``kind='meta'``, ``media_ref='robots'`` — the
+    ``emit_head_meta`` extraction output).  A ``noindex`` or ``none``
+    token in EITHER excludes the document; output is one row per
+    record: ``(doc_id, indexable, reason)`` with ``reason`` ∈
+    ``header`` / ``meta`` / ``''`` (header wins the label when both
+    fire).  Documents whose pages declare no robots meta stay
+    indexable (left join).
+
+    Documented approximation: agent-scoped header directives
+    (``X-Robots-Tag: googlebot: noindex``) are treated as global —
+    the conservative reading for a training-data pipeline (when any
+    agent is told noindex, err toward exclusion).
+
+    Plan: one hash-agg over the (tiny) robots-meta span subset + one
+    left join on the doc key; both co-partition on ``doc_id``, no
+    other shuffle — linear at any corpus size."""
+    hdr = records.select(
+        F.col("warc_url").alias(doc_col),
+        F.lower(F.coalesce(F.col("http_xrobots"), F.lit("")))
+        .rlike(_NOINDEX_RE)
+        .alias("_hdr_no"),
+    )
+    meta = (
+        spans.where(
+            (F.col("kind") == "meta")
+            & (F.col("media_ref") == "robots")
+        )
+        .groupBy(doc_col)
+        .agg(
+            F.max(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))).rlike(
+                    _NOINDEX_RE
+                )
+            ).alias("_meta_no")
+        )
+    )
+    meta_no = F.coalesce(F.col("_meta_no"), F.lit(False))
+    return hdr.join(meta, doc_col, "left").select(
+        doc_col,
+        (~F.col("_hdr_no") & ~meta_no).alias("indexable"),
+        F.when(F.col("_hdr_no"), F.lit("header"))
+        .when(meta_no, F.lit("meta"))
+        .otherwise(F.lit(""))
+        .alias("reason"),
+    )
+
+
 def embedding_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.95,
