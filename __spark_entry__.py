@@ -345,6 +345,66 @@ def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rdfa_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates RDFa Lite harvesting (r5): a vocab-scoped Event item
+    with the Lite value-resolution order in play (content attr beats
+    element text, resource beats href, plain href, subtree text), a
+    NESTED Place item whose inner vocab differs from the outer, and
+    decoys that must NOT surface: a document-subject property
+    outside any typeof and a template-wrapped item.  The oracle
+    states every (offset, value, path) row from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    did = F.col("doc_id")
+    d = did.cast("string")
+    day = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    html = F.concat(
+        F.lit(
+            '<body vocab="https://schema.org/">'
+            '<div typeof="Event"><span property="name">Event '
+        ),
+        d,
+        F.lit(
+            '</span><time property="startDate" content="2025-06-'
+        ),
+        day,
+        F.lit(
+            '">June</time><a property="url" href="/events/'
+        ),
+        d,
+        F.lit(
+            '">tickets</a><div property="location"'
+            ' vocab="https://example.org/geo#" typeof="Place">'
+            '<span property="name">Hall '
+        ),
+        (did % 9).cast("string"),
+        F.lit(
+            '</span></div><link property="organizer"'
+            ' resource="https://org.example/o'
+        ),
+        (did % 5).cast("string"),
+        F.lit(
+            '"></div>'
+            '<span property="og:noise">doc subject</span>'
+            '<template><div typeof="Ghost">'
+            '<span property="g">x</span></div></template>'
+            "<p>Doc "
+        ),
+        d,
+        F.lit(" body.</p></body>"),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_rdfa=True),
+    )
+    return ex.where(F.col("kind") == "rdfa").select(
+        "doc_id",
+        "offset",
+        F.col("text").alias("value"),
+        F.col("media_ref").alias("path"),
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates link-graph harvesting (r3): <a href> anchors surface as
     ('link', anchor_text, href) spans — including nav anchors whose
@@ -2643,7 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 14 new + 7 changed
+    Green-row ledger (round → window): r5 window = 15 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2654,15 +2714,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; extract_density + bloom_seen +
-    substring_dedup_apply + extract_svg_media + robots_parse +
-    robots_gate (all r4-green, age 1 at r5) slid to positions 51-56
-    as warc_noindex_gate, warc_redirect_extract, microdata_meta,
-    jsonld_meta, warc_frontier_mixed, and the re-windowed
-    extract_meta (feed/hreflang emission changed its implementation)
-    entered — back in at r6."""
+    entered the window; crawl_frontier + extract_density +
+    bloom_seen + substring_dedup_apply + extract_svg_media +
+    robots_parse + robots_gate (all r4-green, age 1 at r5) slid to
+    positions 51-57 as rdfa_meta, warc_noindex_gate,
+    warc_redirect_extract, microdata_meta, jsonld_meta,
+    warc_frontier_mixed, and the re-windowed extract_meta
+    (feed/hreflang emission changed its implementation) entered —
+    back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "rdfa_meta": _q_rdfa_meta,
         "warc_noindex_gate": _q_warc_noindex_gate,
         "warc_redirect_extract": _q_warc_redirect_extract,
         "microdata_meta": _q_microdata_meta,
@@ -4418,6 +4480,51 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "rdfa_meta": """
+            -- every (offset, value, path) row stated from
+            -- construction of the synthesized Event/Place items
+            -- (see _q_rdfa_meta)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS offset,
+                   'Event' AS value, '0:@type' AS path
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1,
+                   'https://schema.org/', '0:@vocab'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 2,
+                   'Event ' || CAST(doc_id AS VARCHAR), '0:name'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 3,
+                   '2025-06-' || lpad(
+                       CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'
+                   ),
+                   '0:startDate'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 4,
+                   '/events/' || CAST(doc_id AS VARCHAR), '0:url'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 5,
+                   'Place', '0:location.@type'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 6,
+                   'https://example.org/geo#', '0:location.@vocab'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 7,
+                   'Hall ' || CAST(doc_id % 9 AS VARCHAR),
+                   '0:location.name'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 8,
+                   'https://org.example/o' || CAST(doc_id % 5 AS VARCHAR),
+                   '0:organizer'
+            FROM documents
         """,
         "warc_noindex_gate": """
             -- (indexable, reason) stated from construction of the

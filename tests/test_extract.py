@@ -677,3 +677,59 @@ def test_head_meta_feed_discovery_and_hreflang():
         ("meta", "https://de.x/p", "alternate:de-at"),
         ("text", "b", None),
     ]
+
+
+# ---------------------------------------------- RDFa Lite (r5)
+
+def test_rdfa_items_vocab_and_value_resolution():
+    html = (
+        '<body vocab="https://schema.org/"><div typeof="Person">'
+        '<span property="name">Alice</span>'
+        '<a property="url" href="https://a.x/">me</a>'
+        '<meta property="height" content="165">'
+        '<link property="knows" resource="https://b.x/#me">'
+        '<img property="image" src="/a.png">'
+        '<div property="address" typeof="PostalAddress">'
+        '<span property="addressLocality">Berlin</span></div>'
+        "</div></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_rdfa=True))
+    rd = [s for s in spans if s[0] == "rdfa"]
+    assert rd == [
+        ("rdfa", "Person", "0:@type"),
+        ("rdfa", "https://schema.org/", "0:@vocab"),
+        ("rdfa", "Alice", "0:name"),
+        ("rdfa", "https://a.x/", "0:url"),
+        ("rdfa", "165", "0:height"),
+        ("rdfa", "https://b.x/#me", "0:knows"),
+        ("rdfa", "/a.png", "0:image"),
+        ("rdfa", "PostalAddress", "0:address.@type"),
+        ("rdfa", "https://schema.org/", "0:address.@vocab"),
+        ("rdfa", "Berlin", "0:address.addressLocality"),
+    ]
+    assert not [s for s in extract_html(html)[0] if s[0] == "rdfa"]
+
+
+def test_rdfa_vocab_scoping_and_orphans():
+    html = (
+        '<body vocab="https://schema.org/">'
+        '<article vocab="http://purl.org/dc/terms/" typeof="Article">'
+        '<h1 property="title">T <em property="alternative">A</em></h1>'
+        "</article>"
+        '<div typeof="Thing"><span property="name">back</span></div>'
+        '<span property="og:site_name">doc-subject: not walked</span>'
+        '<template><div typeof="G"><span property="g">x</span></div>'
+        "</template></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_rdfa=True))
+    rd = [s for s in spans if s[0] == "rdfa"]
+    assert rd == [
+        ("rdfa", "Article", "0:@type"),
+        # the article's OWN vocab overrides the body's, and pops back
+        ("rdfa", "http://purl.org/dc/terms/", "0:@vocab"),
+        ("rdfa", "T A", "0:title"),
+        ("rdfa", "A", "0:alternative"),
+        ("rdfa", "Thing", "1:@type"),
+        ("rdfa", "https://schema.org/", "1:@vocab"),
+        ("rdfa", "back", "1:name"),
+    ]

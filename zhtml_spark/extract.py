@@ -141,6 +141,18 @@ class ExtractConfig:
     # (get_json_object / from_json).  Off by default (span-parity
     # contract).
     emit_jsonld: bool = False
+    # RDFa Lite 1.1 (r5): vocab/typeof/property items emit ('rdfa',
+    # value, path) spans with the same "idx:dotted.path" scheme as
+    # microdata — typeof roots an item (its @type at "<idx>:@type",
+    # the nearest ancestor vocab at "<idx>:@vocab"), property+typeof
+    # nests, property alone is a leaf.  Value resolution per Lite:
+    # content attr > resource attr > href > src > normalized subtree
+    # text.  Approximations (documented): CURIEs/terms are kept
+    # as-written (no prefix/IRI expansion), and document-subject
+    # properties OUTSIDE any typeof (og:* meta tags) are not walked —
+    # emit_head_meta already harvests those.  Off by default
+    # (span-parity contract).
+    emit_rdfa: bool = False
     # HTML Microdata (r5, WHATWG §5): itemscope/itemprop items emit
     # ('microdata', value, path) spans, document order — path =
     # "<item_idx>:<dotted.prop.path>" with the item's itemtype at
@@ -190,6 +202,10 @@ def extract_spans(
             md, md_srcs = _microdata_spans(tree, root)
             head_meta = head_meta + md
             head_meta_srcs = head_meta_srcs + md_srcs
+        if cfg.emit_rdfa:
+            rd, rd_srcs = _rdfa_spans(tree, root)
+            head_meta = head_meta + rd
+            head_meta_srcs = head_meta_srcs + rd_srcs
     else:
         # locate body: html is a child of doc 0, body a child of html
         body = -1
@@ -219,6 +235,10 @@ def extract_spans(
             md, md_srcs = _microdata_spans(tree, 0)
             head_meta = head_meta + md
             head_meta_srcs = head_meta_srcs + md_srcs
+        if cfg.emit_rdfa:
+            rd, rd_srcs = _rdfa_spans(tree, 0)
+            head_meta = head_meta + rd
+            head_meta_srcs = head_meta_srcs + rd_srcs
         if body == -1:
             # body-less documents (frameset pages) still carry head
             # metadata — title/canonical harvest must not depend on a
@@ -800,6 +820,98 @@ def _microdata_spans(
             walk.append((nid, True))
         for c in _reversed_children(tree, nid):
             walk.append((c, False))
+    return out, srcs
+
+
+def _rdfa_spans(
+    tree: DocTree, start: int
+) -> tuple[list[tuple[str, str, str | None]], list[int]]:
+    """('rdfa', value, path) spans for every RDFa Lite item under
+    ``start``, document order, plus parallel source anchors.  Scope
+    rules mirror :func:`_microdata_spans`: ``typeof`` WITHOUT
+    ``property`` roots a new top-level item wherever it sits,
+    ``property typeof`` nests, ``property`` alone is a leaf of the
+    open scope (outside any scope it addresses the document subject
+    — deliberately not walked here, see ExtractConfig.emit_rdfa).
+    ``vocab`` inherits down and is emitted per item at
+    ``<prefix>:@vocab``; template subtrees are pruned."""
+    out: list[tuple[str, str, str | None]] = []
+    srcs: list[int] = []
+    n_items = 0
+    scopes: list[str] = []
+    vocabs: list[str] = [""]
+    walk: list[tuple[int, int]] = [(start, 0)]  # (nid, op)
+    OP_ENTER, OP_EXIT_SCOPE, OP_EXIT_VOCAB = 0, 1, 2
+
+    def path_for(prop: str) -> str:
+        top = scopes[-1]
+        return top + (":" if ":" not in top else ".") + prop
+
+    def emit_item_head(prefix: str, attrs: dict, src: int) -> None:
+        tof = (attrs.get("typeof") or "").split()
+        sep = ":" if ":" not in prefix else "."
+        if tof:
+            out.append(("rdfa", tof[0], prefix + sep + "@type"))
+            srcs.append(src)
+        if vocabs[-1]:
+            out.append(("rdfa", vocabs[-1], prefix + sep + "@vocab"))
+            srcs.append(src)
+
+    while walk:
+        nid, op = walk.pop()
+        if op == OP_EXIT_SCOPE:
+            scopes.pop()
+            continue
+        if op == OP_EXIT_VOCAB:
+            vocabs.pop()
+            continue
+        if tree.ntype[nid] != N_ELEMENT or tree.ns[nid] is not None:
+            if tree.ntype[nid] != N_TEXT:
+                for c in _reversed_children(tree, nid):
+                    walk.append((c, OP_ENTER))
+            continue
+        name = tree.name[nid]
+        if name == "template":
+            continue
+        attrs = tree.attrs[nid] or {}
+        if "vocab" in attrs:
+            vocabs.append((attrs.get("vocab") or "").strip())
+            walk.append((nid, OP_EXIT_VOCAB))
+        has_type = "typeof" in attrs
+        props = (attrs.get("property") or "").split()
+        opened = False
+        if has_type and (not props or not scopes):
+            prefix = str(n_items)
+            n_items += 1
+            emit_item_head(prefix, attrs, tree.src[nid])
+            scopes.append(prefix)
+            opened = True
+        elif has_type and props and scopes:
+            prefix = path_for(props[0])
+            emit_item_head(prefix, attrs, tree.src[nid])
+            scopes.append(prefix)
+            opened = True
+        elif props and scopes:
+            # leaf: RDFa Lite value resolution
+            if attrs.get("content"):
+                val = attrs["content"]
+            elif attrs.get("resource"):
+                val = attrs["resource"]
+            elif attrs.get("href"):
+                val = attrs["href"]
+            elif attrs.get("src"):
+                val = attrs["src"]
+            else:
+                val = _microdata_subtree_text(tree, nid)
+            if val:
+                for p in props:
+                    out.append(("rdfa", val, path_for(p)))
+                    srcs.append(tree.src[nid])
+            # no prune: nested properties still belong to the item
+        if opened:
+            walk.append((nid, OP_EXIT_SCOPE))
+        for c in _reversed_children(tree, nid):
+            walk.append((c, OP_ENTER))
     return out, srcs
 
 
