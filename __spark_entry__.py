@@ -163,12 +163,13 @@ def _q_extract_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates head-metadata harvesting (r3; extended r5): <title>,
     meta description/robots/og:image, link rel=canonical, feed
-    auto-discovery (rel=alternate + rss type → key ``feed``), and
+    auto-discovery (rel=alternate + rss type → key ``feed``),
     language alternates (rel=alternate hreflang=FR → key
-    ``alternate:fr``, lowercased) surface as ('meta', value, key)
-    spans ahead of the body content; non-allowlisted keys (viewport),
-    a bare ``rel="alternate stylesheet"`` (neither feed nor
-    language), and template-wrapped metadata stay out."""
+    ``alternate:fr``, lowercased), pagination (rel=next), authorship
+    (meta author + article:published_time) surface as ('meta',
+    value, key) spans ahead of the body content; non-allowlisted
+    keys (viewport), a bare ``rel="alternate stylesheet"`` (neither
+    feed nor language), and template-wrapped metadata stay out."""
     from zhtml_spark.extract import ExtractConfig
 
     d = F.col("doc_id").cast("string")
@@ -201,6 +202,20 @@ def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         F.lit(
             '"><link rel="alternate stylesheet" href="/alt.css">'
+            '<link rel="next" href="/list?page='
+        ),
+        (F.col("doc_id") % 50 + 2).cast("int").cast("string"),
+        F.lit('"><meta name="author" content="Writer '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(
+            '"><meta property="article:published_time"'
+            ' content="2024-05-'
+        ),
+        F.lpad(
+            ((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"
+        ),
+        F.lit(
+            'T00:00:00Z">'
             '<template><meta name="description" content="ghost">'
             "</template></head><body><p>"
         ),
@@ -3087,7 +3102,26 @@ def oracle_sql() -> dict[str, str]:
                    'alternate:fr' AS media_ref
             FROM documents
             UNION ALL
-            SELECT {doc_id}, 7 AS offset, 'text' AS kind, text, {null_ref}
+            SELECT {doc_id}, 7 AS offset, 'meta' AS kind,
+                   '/list?page=' || CAST(doc_id % 50 + 2 AS VARCHAR)
+                     AS text,
+                   'next' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 8 AS offset, 'meta' AS kind,
+                   'Writer ' || CAST(doc_id % 7 AS VARCHAR) AS text,
+                   'author' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 9 AS offset, 'meta' AS kind,
+                   '2024-05-' || lpad(
+                       CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'
+                   ) || 'T00:00:00Z' AS text,
+                   'article:published_time' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT {doc_id}, 10 AS offset, 'text' AS kind, text,
+                   {null_ref}
             FROM documents
         """,
         "extract_links": f"""

@@ -733,3 +733,25 @@ def test_rdfa_vocab_scoping_and_orphans():
         ("rdfa", "https://schema.org/", "1:@vocab"),
         ("rdfa", "back", "1:name"),
     ]
+
+
+def test_head_meta_pagination_author_and_article_keys():
+    html = (
+        '<head><link rel="next" href="/p?page=3">'
+        '<link rel="PREV" href="/p?page=1">'
+        '<link rel="previous" href="/q?page=0">'
+        '<meta name="author" content="A. Writer">'
+        '<meta property="article:published_time"'
+        ' content="2024-05-02T00:00:00Z">'
+        '<meta property="article:noise" content="x">'
+        "</head><body><p>b</p></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_head_meta=True))
+    assert spans == [
+        ("meta", "/p?page=3", "next"),
+        ("meta", "/p?page=1", "prev"),
+        ("meta", "/q?page=0", "prev"),
+        ("meta", "A. Writer", "author"),
+        ("meta", "2024-05-02T00:00:00Z", "article:published_time"),
+        ("text", "b", None),
+    ]

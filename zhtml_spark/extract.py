@@ -583,8 +583,19 @@ def _density_filter(
 
 
 # <meta name=…> keys worth harvesting at crawl scale (og:* accepted
-# via the property attribute as well)
-_META_NAME_KEYS = frozenset(["description", "robots", "keywords"])
+# via the property attribute as well; article:* is the Facebook
+# authorship vocabulary carried in the property attribute too)
+_META_NAME_KEYS = frozenset(
+    [
+        "description",
+        "robots",
+        "keywords",
+        "author",
+        "article:published_time",
+        "article:modified_time",
+        "article:author",
+    ]
+)
 
 
 def _head_meta_spans(
@@ -630,6 +641,15 @@ def _head_meta_spans(
             href = attrs.get("href") or ""
             if href and "canonical" in rels:
                 out.append(("meta", href, "canonical"))
+                srcs.append(tree.src[c])
+            elif href and ("next" in rels or "prev" in rels):
+                # pagination sequence edges (rel=prev is the legacy
+                # spelling; "previous" the WHATWG one)
+                key = "next" if "next" in rels else "prev"
+                out.append(("meta", href, key))
+                srcs.append(tree.src[c])
+            elif href and "previous" in rels:
+                out.append(("meta", href, "prev"))
                 srcs.append(tree.src[c])
             elif href and "alternate" in rels:
                 # feed auto-discovery (rel=alternate + rss/atom type)
