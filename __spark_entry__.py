@@ -2255,6 +2255,65 @@ def _q_warc_redirect_extract(spark, sf_dir):
     return warc_interleaved_spans(parse_warc_records(archives))
 
 
+def _q_warc_revisit_dedup(spark, sf_dir):
+    """WARC revisit records as archive-native dedup signals (r5):
+    odd docs are ``WARC-Type: revisit`` records (identical-payload-
+    digest profile, zero-length block) pointing at the previous even
+    doc's capture; even docs are normal responses.
+    ``parse_warc_revisits`` surfaces the revisit table WITHOUT
+    hashing any payload, and the query left-semi-checks each
+    ``refers_to_uri`` against the response table from the SAME
+    archive — a revisit chain's canonical is present only when its
+    target is an even doc that exists.  The oracle states every row
+    from construction (doc 2N+1 refers to doc 2N, which always
+    exists, so canonical_present is TRUE throughout — a parse slip
+    on either table flips it)."""
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        parse_warc_revisits,
+        warc_record,
+        warc_revisit_record,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("warc://doc/"), ids)
+    date = F.lit("2024-02-02T00:00:00Z")
+    resp = warc_record(
+        url, date,
+        F.concat(F.lit("<body><p>Doc "), ids,
+                 F.lit(" content.</p></body>")),
+        http_headers=True,
+    )
+    prev = (did - 1).cast("string")
+    revisit = warc_revisit_record(
+        url, date,
+        F.concat(F.lit("warc://doc/"), prev),
+        F.lit("2024-01-01T00:00:00Z"),
+        F.concat(F.lit("sha1:DIGEST"), prev),
+    )
+    archives = d.select(
+        F.when(did % 2 == 0, resp).otherwise(revisit).alias("content")
+    )
+    revisits = parse_warc_revisits(archives)
+    responses = parse_warc_records(archives).select(
+        F.col("warc_url").alias("refers_to_uri")
+    )
+    return revisits.join(
+        responses.withColumn("canonical_present", F.lit(True)),
+        "refers_to_uri",
+        "left",
+    ).select(
+        F.col("warc_url").alias("doc_id"),
+        F.col("refers_to_uri").alias("canonical"),
+        F.col("payload_digest").alias("digest"),
+        F.coalesce(F.col("canonical_present"), F.lit(False)).alias(
+            "canonical_present"
+        ),
+    )
+
+
 def _q_warc_noindex_gate(spark, sf_dir):
     """Indexability from both robots channels (r5): doc_id%4 rotates
     (0) a clean page whose near-miss signals must NOT fire (header
@@ -2718,7 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 15 new + 7 changed
+    Green-row ledger (round → window): r5 window = 16 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2729,16 +2788,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tail as pdf_extract / warc_pdf_extract /
     warc_charset_extract / warc_http_codec_extract /
     warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; crawl_frontier + extract_density +
-    bloom_seen + substring_dedup_apply + extract_svg_media +
-    robots_parse + robots_gate (all r4-green, age 1 at r5) slid to
-    positions 51-57 as rdfa_meta, warc_noindex_gate,
-    warc_redirect_extract, microdata_meta, jsonld_meta,
-    warc_frontier_mixed, and the re-windowed extract_meta
-    (feed/hreflang emission changed its implementation) entered —
-    back in at r6."""
+    entered the window; anchor_stats + crawl_frontier +
+    extract_density + bloom_seen + substring_dedup_apply +
+    extract_svg_media + robots_parse + robots_gate (all r4-green,
+    age 1 at r5) slid to positions 51-58 as warc_revisit_dedup,
+    rdfa_meta, warc_noindex_gate, warc_redirect_extract,
+    microdata_meta, jsonld_meta, warc_frontier_mixed, and the
+    re-windowed extract_meta (feed/hreflang emission changed its
+    implementation) entered — back in at r6."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_revisit_dedup": _q_warc_revisit_dedup,
         "rdfa_meta": _q_rdfa_meta,
         "warc_noindex_gate": _q_warc_noindex_gate,
         "warc_redirect_extract": _q_warc_redirect_extract,
@@ -4514,6 +4574,17 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "warc_revisit_dedup": """
+            -- stated from construction (see _q_warc_revisit_dedup):
+            -- odd docs revisit even doc d-1, which always exists
+            SELECT 'warc://doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   'warc://doc/' || CAST(doc_id - 1 AS VARCHAR)
+                     AS canonical,
+                   'sha1:DIGEST' || CAST(doc_id - 1 AS VARCHAR)
+                     AS digest,
+                   TRUE AS canonical_present
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "rdfa_meta": """
             -- every (offset, value, path) row stated from

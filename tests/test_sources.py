@@ -957,3 +957,44 @@ def test_warc_redirect_records_become_edges(spark, tmp_path):
     assert got["https://g.test/ok"] == ("text", "real page", None)
     # exactly one span per doc — no tokenized redirect stubs
     assert len(rows) == 7
+
+
+def test_warc_revisit_records_parse_and_responses_ignore_them(spark):
+    """Revisit records surface via parse_warc_revisits with their
+    refers-to/digest fields; parse_warc_records must keep dropping
+    them (zero-length block, no document), and request records stay
+    invisible to both."""
+    from zhtml_spark.sources import parse_warc_revisits
+
+    archive = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://x.test/a\r\n"
+        "WARC-Date: 2024-02-02T00:00:00Z\r\n"
+        "Content-Type: text/html\r\nContent-Length: 24\r\n\r\n"
+        "<body><p>one</p></body>\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: revisit\r\n"
+        "WARC-Target-URI: https://x.test/a?later\r\n"
+        "WARC-Date: 2024-03-03T00:00:00Z\r\n"
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        "identical-payload-digest\r\n"
+        "WARC-Refers-To-Target-URI: https://x.test/a\r\n"
+        "WARC-Refers-To-Date: 2024-02-02T00:00:00Z\r\n"
+        "WARC-Payload-Digest: sha1:AAAABBBB\r\n"
+        "Content-Length: 0\r\n\r\n\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: request\r\n"
+        "WARC-Target-URI: https://x.test/a\r\n"
+        "WARC-Date: 2024-02-02T00:00:00Z\r\n"
+        "Content-Length: 20\r\n\r\n"
+        "GET /a HTTP/1.1\r\n\r\n\r\n\r\n"
+    )
+    df = spark.createDataFrame([(archive,)], "content string")
+    rev = parse_warc_revisits(df).collect()
+    assert len(rev) == 1
+    r = rev[0]
+    assert r["warc_url"] == "https://x.test/a?later"
+    assert r["refers_to_uri"] == "https://x.test/a"
+    assert r["refers_to_date"] == "2024-02-02T00:00:00Z"
+    assert r["payload_digest"] == "sha1:AAAABBBB"
+    assert r["profile"].endswith("identical-payload-digest")
+    resp = parse_warc_records(df).collect()
+    assert [x["warc_url"] for x in resp] == ["https://x.test/a"]

@@ -92,6 +92,98 @@ def warc_record(
     )
 
 
+def warc_revisit_record(
+    url: Column,
+    date: Column,
+    refers_to_uri: Column,
+    refers_to_date: Column,
+    digest: Column,
+) -> Column:
+    """Render one ``WARC-Type: revisit`` record
+    (identical-payload-digest profile, empty block — WARC 1.1
+    §6.7.2) for tests/queries."""
+    return F.concat(
+        F.lit(f"{WARC_VERSION}\r\n"),
+        F.lit("WARC-Type: revisit\r\n"),
+        F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
+        F.lit(
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest\r\n"
+        ),
+        F.lit("WARC-Refers-To-Target-URI: "), refers_to_uri,
+        F.lit("\r\n"),
+        F.lit("WARC-Refers-To-Date: "), refers_to_date, F.lit("\r\n"),
+        F.lit("WARC-Payload-Digest: "), digest, F.lit("\r\n"),
+        F.lit("Content-Length: 0\r\n\r\n\r\n\r\n"),
+    )
+
+
+def _split_warc_rows(
+    archives: DataFrame, content_col: str
+) -> DataFrame:
+    """Archive strings → one ``rec`` row per WARC record (header
+    block + payload, version line stripped) — the shared front end of
+    :func:`parse_warc_records` and :func:`parse_warc_revisits`."""
+    # strip the leading version line so one split expression handles
+    # the first record and all subsequent boundaries identically
+    body = F.regexp_replace(
+        F.col(content_col), r"\A" + r"WARC/1\.0\r\n", ""
+    )
+    return archives.select(
+        F.explode(
+            F.split(body, r"\r\n\r\nWARC/1\.0\r\n")
+        ).alias("rec")
+    ).where(F.col("rec") != "")
+
+
+def _warc_field(hdr_col: Column, name: str) -> Column:
+    """Case-insensitive WARC named-field extract from a header
+    block."""
+    return F.regexp_extract(
+        hdr_col, r"(?im)^" + name + r":\s*([^\r\n]*)", 1
+    )
+
+
+def parse_warc_revisits(
+    archives: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """``WARC-Type: revisit`` rows (WARC 1.1 §6.7.2 — a crawler's
+    own statement that a fetch produced content it already stored):
+    ``(warc_url, warc_date, refers_to_uri, refers_to_date,
+    payload_digest, profile)``, all JVM-side.  The
+    identical-payload-digest profile carries the canonical capture in
+    ``WARC-Refers-To-Target-URI``/``-Date`` and the content identity
+    in ``WARC-Payload-Digest`` (``sha1:<base32>``) — joining these
+    against the response table dedups a longitudinal archive WITHOUT
+    hashing any payload: the crawler already did the work.
+    :func:`parse_warc_records` deliberately drops revisits (they
+    carry no body); this is the companion surface that keeps their
+    dedup signal."""
+    recs = _split_warc_rows(archives, content_col)
+    hdr = F.regexp_extract("rec", r"(?s)^(.*?)(?:\r\n\r\n|$)", 1)
+    return (
+        recs.select(
+            F.lower(_warc_field(hdr, "warc-type")).alias("warc_type"),
+            _warc_field(hdr, "warc-target-uri").alias("warc_url"),
+            _warc_field(hdr, "warc-date").alias("warc_date"),
+            _warc_field(hdr, "warc-refers-to-target-uri").alias(
+                "refers_to_uri"
+            ),
+            _warc_field(hdr, "warc-refers-to-date").alias(
+                "refers_to_date"
+            ),
+            _warc_field(hdr, "warc-payload-digest").alias(
+                "payload_digest"
+            ),
+            _warc_field(hdr, "warc-profile").alias("profile"),
+        )
+        .where(F.col("warc_type") == "revisit")
+        .where(F.col("warc_url") != "")
+        .drop("warc_type")
+    )
+
+
 def parse_warc_records(
     archives: DataFrame, content_col: str = "content"
 ) -> DataFrame:
@@ -133,16 +225,7 @@ def parse_warc_records(
     never lose content to the sniff).  A truncated HTTP payload with
     no blank line yields an empty body (headers are never HTML) —
     ADVICE r2 #1."""
-    # strip the leading version line so one split expression handles
-    # the first record and all subsequent boundaries identically
-    body = F.regexp_replace(
-        F.col(content_col), r"\A" + r"WARC/1\.0\r\n", ""
-    )
-    recs = archives.select(
-        F.explode(
-            F.split(body, r"\r\n\r\nWARC/1\.0\r\n")
-        ).alias("rec")
-    ).where(F.col("rec") != "")
+    recs = _split_warc_rows(archives, content_col)
     payload = F.regexp_extract(
         "rec", r"(?s)\r\n\r\n(.*?)(?:\r\n\r\n)?$", 1
     )
