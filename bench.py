@@ -133,6 +133,26 @@ def main() -> None:
         ).count(),
     )
 
+    # 2c. structured-data tier (late r5): the JSON-LD walker + the
+    # scope-stack Microdata/RDFa walkers run INSIDE the fused parse
+    # stage when their flags are on — this row tracks that marginal
+    # cost over the same extraction corpus (flags-off cost is the
+    # extract_pipeline row; the walkers are plan-off by default)
+    def structured():
+        from zhtml_spark.extract import ExtractConfig
+
+        cfg = ExtractConfig(
+            emit_head_meta=True,
+            emit_jsonld=True,
+            emit_microdata=True,
+            emit_rdfa=True,
+        )
+        extract_documents(
+            docs, config=cfg, num_partitions=2 * CPUS
+        ).agg(F.sum("n_spans")).collect()
+
+    timed("extract_structured", structured)
+
     # 3-5. dedup family on sf documents
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
