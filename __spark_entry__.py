@@ -360,6 +360,46 @@ def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_srcset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates responsive-image harvesting (r5): per-doc img with src +
+    a two-candidate srcset (trailing comma tolerated), a
+    picture>source srcset, and a src-less img whose bare srcset still
+    surfaces; composed with ``absolutize_media_refs``-style URL
+    resolution via ``textops.absolutize_url`` against the page URL,
+    so the oracle cross-checks BOTH the srcset split and the
+    resolver."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import absolutize_url
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<body><p>Doc '), d,
+        F.lit(' media.</p><img src="/img/h'), d,
+        F.lit('.jpg" alt="Hero '), d,
+        F.lit('" srcset="/img/h'), d,
+        F.lit('-2x.jpg 2x, h'), d,
+        F.lit('-640.jpg 640w,">'
+              '<picture><source srcset="art'),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('.webp 1200w" type="image/webp"><img src="art'),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('.jpg" alt="Art"></picture></body>'),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(srcset_media=True),
+    )
+    base = F.concat(
+        F.lit("https://h"), F.col("doc_id"), F.lit("/a/page.html")
+    )
+    return ex.where(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        F.col("text").alias("descriptor"),
+        absolutize_url(base, F.col("media_ref")).alias("url"),
+    )
+
+
 def _q_rdfa_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates RDFa Lite harvesting (r5): a vocab-scoped Event item
     with the Lite value-resolution order in play (content attr beats
@@ -2777,7 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 16 new + 7 changed
+    Green-row ledger (round → window): r5 window = 17 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2791,11 +2831,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entered the window; anchor_stats + crawl_frontier +
     extract_density + bloom_seen + substring_dedup_apply +
     extract_svg_media + robots_parse + robots_gate (all r4-green,
-    age 1 at r5) slid to positions 51-58 as warc_revisit_dedup,
-    rdfa_meta, warc_noindex_gate, warc_redirect_extract,
-    microdata_meta, jsonld_meta, warc_frontier_mixed, and the
+    age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
+    warc_noindex_gate, warc_redirect_extract, microdata_meta,
+    jsonld_meta, warc_frontier_mixed, extract_srcset, and the
     re-windowed extract_meta (feed/hreflang emission changed its
-    implementation) entered — back in at r6."""
+    implementation) entered; the window being exactly full, ONE
+    r3-green (events_windowed, position 51) defers to the FRONT of
+    the r6 window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
         "warc_revisit_dedup": _q_warc_revisit_dedup,
@@ -2849,6 +2891,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
+        # -- block A (cont.): never driver-checked, placed at the
+        # window tail; the window is exactly full, so ONE r3-green
+        # (events_windowed) defers to the FRONT of the r6 window —
+        # its r3 green row is age 2 there, refreshed before aging out
+        "extract_srcset": _q_extract_srcset,
+        # -- deferred to r6 (see above) --------------------------------
         "events_windowed": _q_events_windowed,
         # -- block B (cont.): latest green row is r4, single green ----
         "anchor_stats": _q_anchor_stats,
@@ -4574,6 +4622,34 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "extract_srcset": """
+            -- every (offset, descriptor, url) row stated from
+            -- construction of the synthesized responsive images
+            -- (see _q_extract_srcset); offsets start at 1 (offset 0
+            -- is the text block, filtered)
+            WITH h AS (
+                SELECT CAST(doc_id AS VARCHAR) AS d,
+                       CAST(doc_id % 6 AS VARCHAR) AS m6,
+                       'https://h' || CAST(doc_id AS VARCHAR) AS origin
+                FROM documents
+            )
+            SELECT d AS doc_id, 1 AS offset,
+                   'Hero ' || d AS descriptor,
+                   origin || '/img/h' || d || '.jpg' AS url
+            FROM h
+            UNION ALL
+            SELECT d, 2, '2x', origin || '/img/h' || d || '-2x.jpg'
+            FROM h
+            UNION ALL
+            SELECT d, 3, '640w', origin || '/a/h' || d || '-640.jpg'
+            FROM h
+            UNION ALL
+            SELECT d, 4, '1200w', origin || '/a/art' || m6 || '.webp'
+            FROM h
+            UNION ALL
+            SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
+            FROM h
         """,
         "warc_revisit_dedup": """
             -- stated from construction (see _q_warc_revisit_dedup):

@@ -755,3 +755,29 @@ def test_head_meta_pagination_author_and_article_keys():
         ("meta", "2024-05-02T00:00:00Z", "article:published_time"),
         ("text", "b", None),
     ]
+
+
+def test_srcset_candidates_emit_media_spans():
+    html = (
+        "<body><p>t</p>"
+        '<img src="hero.jpg" alt="Hero"'
+        ' srcset="hero-2x.jpg 2x, hero-640.jpg 640w,">'
+        '<picture><source srcset="a.webp 1200w" type="image/webp">'
+        '<img src="a.jpg" alt="A"></picture>'
+        '<img srcset="bare.png"></body>'
+    )
+    spans, _ = extract_html(html, ExtractConfig(srcset_media=True))
+    assert [s for s in spans if s[0] == "media"] == [
+        ("media", "Hero", "hero.jpg"),
+        ("media", "2x", "hero-2x.jpg"),
+        ("media", "640w", "hero-640.jpg"),
+        ("media", "1200w", "a.webp"),
+        ("media", "A", "a.jpg"),
+        ("media", "", "bare.png"),
+    ]
+    # span-parity: flag off keeps only the src spans
+    off, _ = extract_html(html)
+    assert [s for s in off if s[0] == "media"] == [
+        ("media", "Hero", "hero.jpg"),
+        ("media", "A", "a.jpg"),
+    ]

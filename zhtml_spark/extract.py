@@ -62,6 +62,26 @@ MEDIA_EXTENSIONS = (
 )
 
 
+def _parse_srcset(s: str) -> list[tuple[str, str]]:
+    """WHATWG srcset candidate list → [(url, descriptor)], order
+    preserved.  Simplified split: candidates on commas, URL = first
+    whitespace-run-delimited token, descriptor = the rest.
+    Documented approximation: a data: URI containing an unescaped
+    comma splits wrongly (the spec's full algorithm special-cases
+    it); real-world srcset URLs are plain paths."""
+    out: list[tuple[str, str]] = []
+    for part in s.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(None, 1)
+        url = bits[0]
+        desc = bits[1].strip() if len(bits) > 1 else ""
+        if url:
+            out.append((url, desc))
+    return out
+
+
 def is_media_href(href: str) -> bool:
     base = href.split("?", 1)[0].split("#", 1)[0].lower()
     return base.endswith(MEDIA_EXTENSIONS)
@@ -153,6 +173,14 @@ class ExtractConfig:
     # emit_head_meta already harvests those.  Off by default
     # (span-parity contract).
     emit_rdfa: bool = False
+    # responsive images (r5): img/source srcset attributes carry the
+    # candidate list ("url 2x, url 640w, …"); with this on, each
+    # candidate ADDITIONALLY emits a ('media', descriptor, url) span
+    # after the element's src span, in srcset order — a media
+    # pipeline wants every resolution, and the descriptor ("2x",
+    # "640w", "" for the bare default) rides in the text slot.
+    # Off by default (span-parity contract).
+    srcset_media: bool = False
     # HTML Microdata (r5, WHATWG §5): itemscope/itemprop items emit
     # ('microdata', value, path) spans, document order — path =
     # "<item_idx>:<dotted.prop.path>" with the item's itemtype at
@@ -419,6 +447,12 @@ def extract_spans(
                     alt = (tree.attrs[nid] or {}).get("alt") or ""
                     spans.append(("media", _normalize(alt), src))
                     span_srcs.append(tree.src[nid])
+                if cfg.srcset_media:
+                    ss = (tree.attrs[nid] or {}).get("srcset") or ""
+                    for u, desc in _parse_srcset(ss):
+                        flush()
+                        spans.append(("media", desc, u))
+                        span_srcs.append(tree.src[nid])
                 if name == "iframe":
                     # iframe body is RAWTEXT (raw markup source) —
                     # never content; prune after emitting the media span
