@@ -400,6 +400,41 @@ def _q_extract_srcset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_lazy_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates lazy-loaded media harvesting (r5): per doc, a lazysizes
+    img (1px data: placeholder src + data-src), a WP-plugin img
+    (data-lazy-src only), a data-srcset pair, and an EAGER img whose
+    data-src decoy must NOT override its real src.  The oracle states
+    every (offset, alt_or_descriptor, ref) row from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<body><p>Doc '), d,
+        F.lit(' lazy.</p>'
+              '<img src="data:image/gif;base64,R0lGOD"'
+              ' data-src="/lazy/'),
+        d,
+        F.lit('.jpg" alt="Lazy '), d,
+        F.lit('"><img data-lazy-src="/wp/'),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('.png"><img data-srcset="/rs/'), d,
+        F.lit('.jpg 1x, /rs/'), d,
+        F.lit('-2x.jpg 2x"><img src="/eager/'), d,
+        F.lit('.webp" data-src="/decoy.jpg" alt="Eager"></body>'),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(lazy_media=True, srcset_media=True),
+    )
+    return ex.where(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        F.col("text").alias("label"),
+        F.col("media_ref").alias("ref"),
+    )
+
+
 def _q_rdfa_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates RDFa Lite harvesting (r5): a vocab-scoped Event item
     with the Lite value-resolution order in play (content attr beats
@@ -2817,7 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 17 new + 7 changed
+    Green-row ledger (round → window): r5 window = 18 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2833,11 +2868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extract_svg_media + robots_parse + robots_gate (all r4-green,
     age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
     warc_noindex_gate, warc_redirect_extract, microdata_meta,
-    jsonld_meta, warc_frontier_mixed, extract_srcset, and the
-    re-windowed extract_meta (feed/hreflang emission changed its
-    implementation) entered; the window being exactly full, ONE
-    r3-green (events_windowed, position 51) defers to the FRONT of
-    the r6 window — refreshed at age 2, never aging out."""
+    jsonld_meta, warc_frontier_mixed, extract_srcset,
+    extract_lazy_media, and the re-windowed extract_meta
+    (feed/hreflang emission changed its implementation) entered; the
+    window being exactly full, TWO r3-greens (order_window_rank and
+    events_windowed, positions 51-52) defer to the FRONT of the r6
+    window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
         "warc_revisit_dedup": _q_warc_revisit_dedup,
@@ -2890,13 +2926,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
-        "order_window_rank": _q_order_window_rank,
         # -- block A (cont.): never driver-checked, placed at the
-        # window tail; the window is exactly full, so ONE r3-green
-        # (events_windowed) defers to the FRONT of the r6 window —
-        # its r3 green row is age 2 there, refreshed before aging out
+        # window tail; the window is exactly full, so TWO r3-greens
+        # (order_window_rank, events_windowed) defer to the FRONT of
+        # the r6 window — their r3 green rows are age 2 there,
+        # refreshed before aging out
+        "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
         # -- block B (cont.): latest green row is r4, single green ----
         "anchor_stats": _q_anchor_stats,
@@ -4622,6 +4660,30 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "extract_lazy_media": """
+            -- every (offset, label, ref) row stated from
+            -- construction of the synthesized lazy-loader images
+            -- (see _q_extract_lazy_media); offsets start at 1
+            -- (offset 0 is the text block, filtered); the eager
+            -- img's ref must be its REAL src, never the decoy
+            WITH h AS (
+                SELECT CAST(doc_id AS VARCHAR) AS d,
+                       CAST(doc_id % 11 AS VARCHAR) AS m11
+                FROM documents
+            )
+            SELECT d AS doc_id, 1 AS offset,
+                   'Lazy ' || d AS label,
+                   '/lazy/' || d || '.jpg' AS ref
+            FROM h
+            UNION ALL
+            SELECT d, 2, '', '/wp/' || m11 || '.png' FROM h
+            UNION ALL
+            SELECT d, 3, '1x', '/rs/' || d || '.jpg' FROM h
+            UNION ALL
+            SELECT d, 4, '2x', '/rs/' || d || '-2x.jpg' FROM h
+            UNION ALL
+            SELECT d, 5, 'Eager', '/eager/' || d || '.webp' FROM h
         """,
         "extract_srcset": """
             -- every (offset, descriptor, url) row stated from

@@ -781,3 +781,32 @@ def test_srcset_candidates_emit_media_spans():
         ("media", "Hero", "hero.jpg"),
         ("media", "A", "a.jpg"),
     ]
+
+
+def test_lazy_media_fallbacks_and_precedence():
+    html = (
+        "<body>"
+        '<img data-src="/real.jpg" alt="Lazy"'
+        ' src="data:image/gif;base64,R0lGOD">'
+        '<img data-original="/orig.png">'
+        '<img data-lazy-src="/wp.jpg" data-src="">'
+        '<img src="/eager.jpg" data-src="/decoy.jpg" alt="E">'
+        '<img srcset="" data-srcset="/a.jpg 1x, /b.jpg 2x">'
+        "</body>"
+    )
+    on, _ = extract_html(
+        html, ExtractConfig(lazy_media=True, srcset_media=True)
+    )
+    assert [s for s in on if s[0] == "media"] == [
+        ("media", "Lazy", "/real.jpg"),   # data: placeholder replaced
+        ("media", "", "/orig.png"),
+        ("media", "", "/wp.jpg"),          # empty data-src skipped
+        ("media", "E", "/eager.jpg"),      # real src beats data-src
+        ("media", "1x", "/a.jpg"),
+        ("media", "2x", "/b.jpg"),
+    ]
+    # span-parity: flags off keep the placeholder and eager src only
+    off, _ = extract_html(html)
+    assert [s[2] for s in off if s[0] == "media"] == [
+        "data:image/gif;base64,R0lGOD", "/eager.jpg",
+    ]

@@ -62,6 +62,11 @@ MEDIA_EXTENSIONS = (
 )
 
 
+# lazy-loader attribute conventions, most common first (lazysizes,
+# jQuery-lazyload, WP plugins)
+_LAZY_SRC_ATTRS = ("data-src", "data-original", "data-lazy-src")
+
+
 def _parse_srcset(s: str) -> list[tuple[str, str]]:
     """WHATWG srcset candidate list → [(url, descriptor)], order
     preserved.  Simplified split: candidates on commas, URL = first
@@ -173,6 +178,16 @@ class ExtractConfig:
     # emit_head_meta already harvests those.  Off by default
     # (span-parity contract).
     emit_rdfa: bool = False
+    # lazy-loaded media (r5): JS lazy-loaders park the real asset in
+    # data-src / data-original / data-lazy-src (and data-srcset) and
+    # leave src empty or a 1px data: placeholder.  With this on, a
+    # media element whose src is MISSING or a data: URI takes its ref
+    # from the first populated lazy attribute instead (the alt text
+    # still rides along), and data-srcset participates in the
+    # srcset_media harvest.  A real http(s) src always wins — the
+    # lazy attrs are fallbacks, not overrides.  Off by default
+    # (span-parity contract).
+    lazy_media: bool = False
     # responsive images (r5): img/source srcset attributes carry the
     # candidate list ("url 2x, url 640w, …"); with this on, each
     # candidate ADDITIONALLY emits a ('media', descriptor, url) span
@@ -441,14 +456,25 @@ def extract_spans(
                 continue
 
             if name in MEDIA_SRC_TAGS:
-                src = (tree.attrs[nid] or {}).get("src") or ""
+                attrs_m = tree.attrs[nid] or {}
+                src = attrs_m.get("src") or ""
+                if cfg.lazy_media and (
+                    not src or src.startswith("data:")
+                ):
+                    for lazy_key in _LAZY_SRC_ATTRS:
+                        lazy = attrs_m.get(lazy_key) or ""
+                        if lazy:
+                            src = lazy
+                            break
                 if src:
                     flush()
-                    alt = (tree.attrs[nid] or {}).get("alt") or ""
+                    alt = attrs_m.get("alt") or ""
                     spans.append(("media", _normalize(alt), src))
                     span_srcs.append(tree.src[nid])
                 if cfg.srcset_media:
-                    ss = (tree.attrs[nid] or {}).get("srcset") or ""
+                    ss = attrs_m.get("srcset") or ""
+                    if cfg.lazy_media and not ss:
+                        ss = attrs_m.get("data-srcset") or ""
                     for u, desc in _parse_srcset(ss):
                         flush()
                         spans.append(("media", desc, u))
