@@ -2456,6 +2456,56 @@ def _q_warc_noindex_gate(spark, sf_dir):
     return noindex_gate(records, spans)
 
 
+def _q_frontier_with_base(spark, sf_dir):
+    """``<base href>``-aware link resolution (r5): doc_id%3 rotates
+    (0) a root-relative base ``/deep/dir/`` plus a SECOND decoy base
+    ``/WRONG/`` that must lose (HTML §4.2.3: first base wins), (1) an
+    absolute cross-host base, (2) no base at all (page-URL
+    fallback).  Two links per doc — one bare-relative, one ``../``
+    walk — resolve through ``textops.resolve_links_with_base``; the
+    oracle states every resolved URL from construction, so a wrong
+    base pick, a decoy win, or a broken two-step resolution flips
+    the hash."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import resolve_links_with_base
+
+    did = F.col("doc_id")
+    d = did.cast("string")
+    base_tag = (
+        F.when(
+            did % 3 == 0,
+            F.lit('<base href="/deep/dir/"><base href="/WRONG/">'),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<base href="https://cdn'),
+                (did % 4).cast("string"),
+                F.lit('.example/x/"><base href="/WRONG/">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<head>"), base_tag,
+        F.lit('</head><body><p>Doc '), d,
+        F.lit(' here: <a href="page'), d,
+        F.lit('.html">rel</a> and <a href="../up'), d,
+        F.lit('">up</a> words.</p></body>'),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_head_meta=True, emit_links=True),
+    )
+    pages = _docs(spark, sf_dir).select(
+        did.cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), d, F.lit("/a/b/page.html")
+        ).alias("page_url"),
+    )
+    return resolve_links_with_base(ex, pages)
+
+
 def _q_warc_frontier_mixed(spark, sf_dir):
     """Mixed-format crawl frontier (r5): ONE plan from a WARC of
     interleaved HTML and PDF responses to a robots-gated frontier —
@@ -2852,7 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 18 new + 7 changed
+    Green-row ledger (round → window): r5 window = 19 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2869,11 +2919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
     warc_noindex_gate, warc_redirect_extract, microdata_meta,
     jsonld_meta, warc_frontier_mixed, extract_srcset,
-    extract_lazy_media, and the re-windowed extract_meta
-    (feed/hreflang emission changed its implementation) entered; the
-    window being exactly full, TWO r3-greens (order_window_rank and
-    events_windowed, positions 51-52) defer to the FRONT of the r6
-    window — refreshed at age 2, never aging out."""
+    extract_lazy_media, frontier_with_base, and the re-windowed
+    extract_meta (feed/hreflang emission changed its implementation)
+    entered; the window being exactly full, THREE r3-greens
+    (events_by_type, order_window_rank, events_windowed, positions
+    51-53) defer to the FRONT of the r6 window — refreshed at age 2,
+    never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
         "warc_revisit_dedup": _q_warc_revisit_dedup,
@@ -2925,15 +2976,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_dims": _q_resize_dims,
         "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
-        "events_by_type": _q_events_by_type,
         # -- block A (cont.): never driver-checked, placed at the
-        # window tail; the window is exactly full, so TWO r3-greens
-        # (order_window_rank, events_windowed) defer to the FRONT of
-        # the r6 window — their r3 green rows are age 2 there,
-        # refreshed before aging out
+        # window tail; the window is exactly full, so THREE r3-greens
+        # (events_by_type, order_window_rank, events_windowed) defer
+        # to the FRONT of the r6 window — their r3 green rows are
+        # age 2 there, refreshed before aging out
+        "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
         # -- block B (cont.): latest green row is r4, single green ----
@@ -4660,6 +4712,37 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "frontier_with_base": """
+            -- every resolved URL stated from construction (see
+            -- _q_frontier_with_base): doc_id%3 picks the base class,
+            -- the /WRONG/ decoy must never win, the ../ walk climbs
+            -- from the EFFECTIVE base's directory
+            WITH h AS (
+                SELECT CAST(doc_id AS VARCHAR) AS d,
+                       doc_id,
+                       'https://h' || CAST(doc_id AS VARCHAR) AS origin,
+                       'https://cdn' || CAST(doc_id % 4 AS VARCHAR)
+                         || '.example' AS cdn
+                FROM documents
+            )
+            SELECT d AS doc_id,
+                   'page' || d || '.html' AS href,
+                   CASE doc_id % 3
+                       WHEN 0 THEN origin || '/deep/dir/page' || d
+                           || '.html'
+                       WHEN 1 THEN cdn || '/x/page' || d || '.html'
+                       ELSE origin || '/a/b/page' || d || '.html'
+                   END AS url
+            FROM h
+            UNION ALL
+            SELECT d, '../up' || d,
+                   CASE doc_id % 3
+                       WHEN 0 THEN origin || '/deep/up' || d
+                       WHEN 1 THEN cdn || '/up' || d
+                       ELSE origin || '/a/up' || d
+                   END
+            FROM h
         """,
         "extract_lazy_media": """
             -- every (offset, label, ref) row stated from

@@ -1625,3 +1625,38 @@ def test_noindex_gate_channels_and_near_misses(spark):
         "d4": (False, "header"),
         "d5": (True, ""),
     }
+
+
+def test_resolve_links_with_base(spark):
+    """HTML §4.2.3: FIRST base wins; a relative base resolves against
+    the page URL first; docs with no base fall back to the page
+    URL."""
+    from zhtml_spark.textops import resolve_links_with_base
+
+    spans = spark.createDataFrame(
+        [
+            ("d0", 0, "meta", "/deep/", "base"),
+            ("d0", 1, "meta", "/WRONG/", "base"),   # second: loses
+            ("d0", 2, "link", "go", "x.html"),
+            ("d1", 0, "link", "go", "y.html"),       # no base
+            ("d2", 0, "meta", "sub/", "base"),       # relative base
+            ("d2", 1, "link", "go", "z.html"),
+        ],
+        "doc_id string, offset int, kind string, text string,"
+        " media_ref string",
+    )
+    pages = spark.createDataFrame(
+        [("d0", "https://a.x/p/q.html"),
+         ("d1", "https://b.x/p/q.html"),
+         ("d2", "https://c.x/p/q.html")],
+        "doc_id string, page_url string",
+    )
+    out = {
+        (r["doc_id"], r["href"]): r["url"]
+        for r in resolve_links_with_base(spans, pages).collect()
+    }
+    assert out == {
+        ("d0", "x.html"): "https://a.x/deep/x.html",
+        ("d1", "y.html"): "https://b.x/p/y.html",
+        ("d2", "z.html"): "https://c.x/p/sub/z.html",
+    }

@@ -1104,6 +1104,50 @@ def robots_gate(
 _NOINDEX_RE = r"(^|[\s,])(noindex|none)($|[\s,:])"
 
 
+def resolve_links_with_base(
+    spans: DataFrame,
+    page_urls: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve link spans honoring ``<base href>`` (HTML §4.2.3: the
+    FIRST base element sets the document base; later ones are
+    ignored).  ``spans`` is the exploded span table carrying both the
+    ``('meta', value, 'base')`` rows (``emit_head_meta``) and the
+    ``('link', anchor, href)`` rows (``emit_links``); ``page_urls``
+    maps ``doc_col`` → ``page_url`` (the fetch URL — a WARC target
+    URI).  The base href may itself be relative, so it first resolves
+    against the page URL, then each link resolves against the
+    effective base.  Docs with no base span fall back to the page
+    URL.  Output: ``(doc_id, href, url)`` per link span.
+
+    Plan: one min_by hash-agg over the (tiny) base-span subset + two
+    co-partitioned joins on the doc key — linear at any corpus
+    size."""
+    base = (
+        spans.where(
+            (F.col("kind") == "meta") & (F.col("media_ref") == "base")
+        )
+        .groupBy(doc_col)
+        .agg(F.min_by("text", "offset").alias("_base_href"))
+    )
+    links = spans.where(F.col("kind") == "link").select(
+        doc_col, F.col("media_ref").alias("href")
+    )
+    joined = (
+        links.join(page_urls, doc_col, "left")
+        .join(base, doc_col, "left")
+    )
+    effective = F.when(
+        F.col("_base_href").isNotNull(),
+        absolutize_url(F.col("page_url"), F.col("_base_href")),
+    ).otherwise(F.col("page_url"))
+    return joined.select(
+        doc_col,
+        "href",
+        absolutize_url(effective, F.col("href")).alias("url"),
+    )
+
+
 def noindex_gate(
     records: DataFrame,
     spans: DataFrame,
