@@ -769,3 +769,34 @@ def test_link_annots_indirect_and_malformed():
         ("text", "t", None, 0),
         ("link", "", "mailto:x@y.test", 1),
     ]
+
+
+def test_encrypted_pdf_refuses_outright():
+    """§7.6: an /Encrypt trailer entry means every stream and string
+    is ciphertext — even a ciphertext that happens to pattern-match
+    text operators must emit ZERO spans, never mojibake.  An
+    /Encrypt STRING inside a stream body (a PDF tutorial about
+    encryption) must NOT lock an unencrypted document."""
+    good = b"BT /F1 10 Tf 72 720 Td (open) Tj ET"
+    enc_doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"", good),  # plaintext, but doc says encrypted
+        5: b"<< /Filter /Standard /V 2 /R 3 /O (x) /U (y) /P -44 >>",
+    })
+    enc_doc = enc_doc.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R >>",
+    )
+    assert extract_pdf_spans(enc_doc) == []
+    # decoy: "/Encrypt 9 0 R" as CONTENT inside a stream body
+    body = (b"BT /F1 10 Tf 72 720 Td "
+            b"(see) Tj ET % /Encrypt 9 0 R in a comment\n")
+    open_doc = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"", body),
+    })
+    assert [s[1] for s in extract_pdf_spans(open_doc)] == ["see"]

@@ -89,6 +89,9 @@ _NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+# an /Encrypt trailer entry (direct dict or indirect ref) means every
+# stream and string is ciphertext — nothing downstream can be trusted
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 _NONHEX_RE = re.compile(rb"[^0-9A-Fa-f]")
 
@@ -1104,6 +1107,13 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     if b"%PDF-" not in b[:1024]:  # §7.5.2 allows leading junk
         return []
     objs, extents = _scan_objects(b)
+    # encrypted documents (§7.6): every stream/string is ciphertext —
+    # decode-by-luck could emit mojibake spans, so refuse outright.
+    # The /Encrypt must sit OUTSIDE stream bodies (a PDF tutorial's
+    # example trailer inside a content stream must not lock the doc).
+    for m in _ENCRYPT_RE.finditer(b):
+        if not _in_extents(m.start(), extents):
+            return []
     _expand_object_streams(objs)
     items: list = []
     for page, res in _page_order(b, objs, extents):
