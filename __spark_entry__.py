@@ -400,6 +400,38 @@ def _q_extract_srcset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_style_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates inline-style media harvesting (r5): a hero div with an
+    unquoted background-image url, a section with a quoted URL( ) in
+    mixed case plus a data: gradient that must NOT surface, and a
+    style-less control.  The oracle states every (offset, ref) row
+    from construction."""
+    from zhtml_spark.extract import ExtractConfig
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<body><div style="background-image:url(/hero/'), d,
+        F.lit('.jpg);padding:4px"><p>Doc '), d,
+        F.lit(' overlay.</p></div>'
+              "<section style=\"background: URL( 'tile"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit(".png' ) repeat, url(data:image/gif;base64,R0)\">"
+              "<p>Body "),
+        d,
+        F.lit(' text.</p></section><div style="color:red">'
+              "<p>plain</p></div></body>"),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(style_media=True),
+    )
+    return ex.where(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        F.col("media_ref").alias("ref"),
+    )
+
+
 def _q_extract_lazy_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates lazy-loaded media harvesting (r5): per doc, a lazysizes
     img (1px data: placeholder src + data-src), a WP-plugin img
@@ -2902,7 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 19 new + 7 changed
+    Green-row ledger (round → window): r5 window = 20 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2919,12 +2951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
     warc_noindex_gate, warc_redirect_extract, microdata_meta,
     jsonld_meta, warc_frontier_mixed, extract_srcset,
-    extract_lazy_media, frontier_with_base, and the re-windowed
-    extract_meta (feed/hreflang emission changed its implementation)
-    entered; the window being exactly full, THREE r3-greens
-    (events_by_type, order_window_rank, events_windowed, positions
-    51-53) defer to the FRONT of the r6 window — refreshed at age 2,
-    never aging out."""
+    extract_lazy_media, extract_style_media, frontier_with_base, and
+    the re-windowed extract_meta (feed/hreflang emission changed its
+    implementation) entered; the window being exactly full, FOUR
+    r3-greens (quality_filter, events_by_type, order_window_rank,
+    events_windowed, positions 51-54) defer to the FRONT of the r6
+    window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
         "warc_revisit_dedup": _q_warc_revisit_dedup,
@@ -2975,16 +3007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "resize_dims": _q_resize_dims,
         "media_features": _q_media_features,
-        "quality_filter": _q_quality_filter,
         # -- block A (cont.): never driver-checked, placed at the
-        # window tail; the window is exactly full, so THREE r3-greens
-        # (events_by_type, order_window_rank, events_windowed) defer
-        # to the FRONT of the r6 window — their r3 green rows are
-        # age 2 there, refreshed before aging out
+        # window tail; the window is exactly full, so FOUR r3-greens
+        # (quality_filter, events_by_type, order_window_rank,
+        # events_windowed) defer to the FRONT of the r6 window —
+        # their r3 green rows are age 2 there, refreshed before
+        # aging out
+        "extract_style_media": _q_extract_style_media,
         "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
@@ -4712,6 +4746,20 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "extract_style_media": """
+            -- every (offset, ref) row stated from construction of
+            -- the synthesized inline styles (see
+            -- _q_extract_style_media); the data: gradient and the
+            -- style-less div contribute nothing
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS offset,
+                   '/hero/' || CAST(doc_id AS VARCHAR) || '.jpg'
+                     AS ref
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 2,
+                   'tile' || CAST(doc_id % 8 AS VARCHAR) || '.png'
+            FROM documents
         """,
         "frontier_with_base": """
             -- every resolved URL stated from construction (see

@@ -810,3 +810,26 @@ def test_lazy_media_fallbacks_and_precedence():
     assert [s[2] for s in off if s[0] == "media"] == [
         "data:image/gif;base64,R0lGOD", "/eager.jpg",
     ]
+
+
+def test_style_media_background_urls():
+    html = (
+        "<body>"
+        '<div style="background-image:url(/hero.jpg);color:red">'
+        "<p>over</p></div>"
+        "<section style=\"background: URL( 'a.png' ) no-repeat, "
+        "url(&quot;b.webp&quot;), "
+        'url(data:image/gif;base64,R0lGOD)"><p>txt</p></section>'
+        '<div style="color:blue"><p>plain</p></div>'
+        "</body>"
+    )
+    on, _ = extract_html(html, ExtractConfig(style_media=True))
+    assert on == [
+        ("media", "", "/hero.jpg"),
+        ("text", "over", None),
+        ("media", "", "a.png"),   # case-insensitive URL(, quotes
+        ("media", "", "b.webp"),  # &quot; entity-decoded by parser
+        ("text", "txt", None),    # data: gradient placeholder skipped
+        ("text", "plain", None),
+    ]
+    assert not [s for s in extract_html(html)[0] if s[0] == "media"]

@@ -66,6 +66,26 @@ MEDIA_EXTENSIONS = (
 # jQuery-lazyload, WP plugins)
 _LAZY_SRC_ATTRS = ("data-src", "data-original", "data-lazy-src")
 
+_CSS_URL_RE = None  # lazy regex (style_media only)
+
+
+def _css_urls(style: str) -> list[str]:
+    """url(...) tokens from an inline style value, quotes stripped,
+    data: URIs excluded."""
+    global _CSS_URL_RE
+    if _CSS_URL_RE is None:
+        import re
+
+        _CSS_URL_RE = re.compile(
+            r"url\(\s*(['\"]?)([^'\")]+)\1\s*\)", re.IGNORECASE
+        )
+    return [
+        m.group(2).strip()
+        for m in _CSS_URL_RE.finditer(style)
+        if m.group(2).strip()
+        and not m.group(2).strip().lower().startswith("data:")
+    ]
+
 
 def _parse_srcset(s: str) -> list[tuple[str, str]]:
     """WHATWG srcset candidate list → [(url, descriptor)], order
@@ -178,6 +198,15 @@ class ExtractConfig:
     # emit_head_meta already harvests those.  Off by default
     # (span-parity contract).
     emit_rdfa: bool = False
+    # inline-style media (r5): hero images routinely arrive as
+    # style="background-image:url(…)" on a div — with this on, every
+    # url(...) token in an element's style attribute emits a
+    # ('media', '', url) span at the element's position (data: URIs
+    # skipped: gradients/placeholders, not fetchable assets).  CSS
+    # escape sequences inside the url are kept as-written
+    # (documented approximation).  Off by default (span-parity
+    # contract).
+    style_media: bool = False
     # lazy-loaded media (r5): JS lazy-loaders park the real asset in
     # data-src / data-original / data-lazy-src (and data-srcset) and
     # leave src empty or a 1px data: placeholder.  With this on, a
@@ -454,6 +483,14 @@ def extract_spans(
                 # media refs inside suppressed foreign content: skip
                 stack.append((nid, True))
                 continue
+
+            if cfg.style_media:
+                st = (tree.attrs[nid] or {}).get("style") or ""
+                if "url(" in st or "URL(" in st:
+                    for u in _css_urls(st):
+                        flush()
+                        spans.append(("media", "", u))
+                        span_srcs.append(tree.src[nid])
 
             if name in MEDIA_SRC_TAGS:
                 attrs_m = tree.attrs[nid] or {}
