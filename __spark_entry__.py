@@ -166,10 +166,13 @@ def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-discovery (rel=alternate + rss type → key ``feed``),
     language alternates (rel=alternate hreflang=FR → key
     ``alternate:fr``, lowercased), pagination (rel=next), authorship
-    (meta author + article:published_time) surface as ('meta',
-    value, key) spans ahead of the body content; non-allowlisted
-    keys (viewport), a bare ``rel="alternate stylesheet"`` (neither
-    feed nor language), and template-wrapped metadata stay out."""
+    (meta author + article:published_time), and meta-refresh
+    redirects (http-equiv=refresh with a url= part → key
+    ``refresh``; the %4!=0 docs carry a bare-reload "30" that must
+    NOT surface) appear as ('meta', value, key) spans ahead of the
+    body content; non-allowlisted keys (viewport), a bare
+    ``rel="alternate stylesheet"`` (neither feed nor language), and
+    template-wrapped metadata stay out."""
     from zhtml_spark.extract import ExtractConfig
 
     d = F.col("doc_id").cast("string")
@@ -214,8 +217,20 @@ def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(
             ((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"
         ),
+        F.lit('T00:00:00Z">'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    '<meta http-equiv="Refresh" content="0; url=/moved/'
+                ),
+                d,
+                F.lit('">'),
+            ),
+        ).otherwise(
+            F.lit('<meta http-equiv="refresh" content="30">')
+        ),
         F.lit(
-            'T00:00:00Z">'
             '<template><meta name="description" content="ghost">'
             "</template></head><body><p>"
         ),
@@ -3352,8 +3367,15 @@ def oracle_sql() -> dict[str, str]:
                    'article:published_time' AS media_ref
             FROM documents
             UNION ALL
-            SELECT {doc_id}, 10 AS offset, 'text' AS kind, text,
-                   {null_ref}
+            SELECT {doc_id}, 10 AS offset, 'meta' AS kind,
+                   '/moved/' || CAST(doc_id AS VARCHAR) AS text,
+                   'refresh' AS media_ref
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT {doc_id},
+                   CASE WHEN doc_id % 4 = 0 THEN 11 ELSE 10 END
+                     AS offset,
+                   'text' AS kind, text, {null_ref}
             FROM documents
         """,
         "extract_links": f"""

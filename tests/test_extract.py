@@ -833,3 +833,24 @@ def test_style_media_background_urls():
         ("text", "plain", None),
     ]
     assert not [s for s in extract_html(html)[0] if s[0] == "media"]
+
+
+def test_meta_refresh_redirect_channel():
+    html = (
+        '<head><meta http-equiv="REFRESH"'
+        ' content="0; url=https://moved.x/p">'
+        '<meta http-equiv="refresh" content="30">'  # reload: no span
+        "</head><body><p>b</p></body>"
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_head_meta=True))
+    assert spans == [
+        ("meta", "https://moved.x/p", "refresh"),
+        ("text", "b", None),
+    ]
+    from zhtml_spark.extract import _parse_meta_refresh
+
+    assert _parse_meta_refresh("5; url='x.html'") == "x.html"
+    assert _parse_meta_refresh('0;URL="/a b"') == "/a b"
+    assert _parse_meta_refresh("0, url=/comma") == "/comma"
+    assert _parse_meta_refresh("30") == ""
+    assert _parse_meta_refresh("garbage") == ""

@@ -66,6 +66,25 @@ MEDIA_EXTENSIONS = (
 # jQuery-lazyload, WP plugins)
 _LAZY_SRC_ATTRS = ("data-src", "data-original", "data-lazy-src")
 
+_META_REFRESH_RE = None  # lazy regex (head-meta only)
+
+
+def _parse_meta_refresh(content: str) -> str:
+    """The URL from a meta-refresh content value ("5; url=/next",
+    "0;URL='x.html'", …) — "" when there is no url= part (a plain
+    reload is not a redirect)."""
+    global _META_REFRESH_RE
+    if _META_REFRESH_RE is None:
+        import re
+
+        _META_REFRESH_RE = re.compile(
+            r"^\s*[\d.]*\s*[;,]\s*url\s*=\s*(['\"]?)(.*?)\1\s*$",
+            re.IGNORECASE,
+        )
+    m = _META_REFRESH_RE.match(content)
+    return m.group(2).strip() if m else ""
+
+
 _CSS_URL_RE = None  # lazy regex (style_media only)
 
 
@@ -733,6 +752,19 @@ def _head_meta_spans(
             ):
                 out.append(("meta", _normalize(content), key))
                 srcs.append(tree.src[c])
+            elif (
+                content
+                and (attrs.get("http-equiv") or "").strip().lower()
+                == "refresh"
+            ):
+                # the third redirect channel (after HTTP 3xx and
+                # rel=canonical): "N; url=TARGET" per WHATWG
+                # §7.4.6.2 — quotes optional, key case-insensitive,
+                # a bare "N" (reload, no target) stays out
+                url = _parse_meta_refresh(content)
+                if url:
+                    out.append(("meta", url, "refresh"))
+                    srcs.append(tree.src[c])
         elif name == "link":
             rels = (attrs.get("rel") or "").lower().split()
             href = attrs.get("href") or ""
