@@ -415,6 +415,85 @@ def _q_extract_srcset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_article_meta_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified article metadata (r5): doc_id%4 rotates the channel
+    coverage — (0) JSON-LD + an og:title DECOY that must lose, (1)
+    Microdata only, (2) RDFa headline/date + meta author (mixed
+    channels per field), (3) meta tags only —
+    ``textops.unified_article_meta`` coalesces them with
+    jsonld > microdata/rdfa > meta precedence.  The oracle states
+    every (headline, published, author) from construction; a wrong
+    precedence pick or a channel leak flips values."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.textops import unified_article_meta
+
+    did = F.col("doc_id")
+    d = did.cast("string")
+    day = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    w = (did % 7).cast("string")
+    c0 = F.concat(
+        F.lit('<head><meta property="og:title" content="Decoy '), d,
+        F.lit('"><script type="application/ld+json">'
+              '{"headline":"LD '),
+        d,
+        F.lit(' story","datePublished":"2024-01-'), day,
+        F.lit('","author":{"name":"LD Writer '), w,
+        F.lit('"}}</script></head><body><p>Doc '), d,
+        F.lit(" body.</p></body>"),
+    )
+    c1 = F.concat(
+        F.lit('<body><div itemscope'
+              ' itemtype="https://schema.org/Article">'
+              '<h1 itemprop="headline">MD '),
+        d,
+        F.lit(' piece</h1><time itemprop="datePublished"'
+              ' datetime="2024-02-'),
+        day,
+        F.lit('">feb</time><div itemprop="author" itemscope>'
+              '<span itemprop="name">MD Writer '),
+        w,
+        F.lit("</span></div></div></body>"),
+    )
+    c2 = F.concat(
+        F.lit('<head><meta name="author" content="Meta Writer '), w,
+        F.lit('"></head><body vocab="https://schema.org/">'
+              '<article typeof="Article">'
+              '<h1 property="headline">RD '),
+        d,
+        F.lit(' piece</h1><time property="datePublished"'
+              ' content="2024-03-'),
+        day,
+        F.lit('">mar</time></article></body>'),
+    )
+    c3 = F.concat(
+        F.lit('<head><meta property="og:title" content="OG '), d,
+        F.lit('"><meta property="article:published_time"'
+              ' content="2024-04-'),
+        day,
+        F.lit('T00:00:00Z"><meta name="author"'
+              ' content="Meta Writer '),
+        w,
+        F.lit('"></head><body><p>Doc '), d,
+        F.lit(" body.</p></body>"),
+    )
+    html = (
+        F.when(did % 4 == 0, c0)
+        .when(did % 4 == 1, c1)
+        .when(did % 4 == 2, c2)
+        .otherwise(c3)
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(
+            emit_head_meta=True,
+            emit_jsonld=True,
+            emit_microdata=True,
+            emit_rdfa=True,
+        ),
+    )
+    return unified_article_meta(ex)
+
+
 def _q_extract_style_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates inline-style media harvesting (r5): a hero div with an
     unquoted background-image url, a section with a quoted URL( ) in
@@ -2949,7 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 20 new + 7 changed
+    Green-row ledger (round → window): r5 window = 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -2966,11 +3045,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
     warc_noindex_gate, warc_redirect_extract, microdata_meta,
     jsonld_meta, warc_frontier_mixed, extract_srcset,
-    extract_lazy_media, extract_style_media, frontier_with_base, and
-    the re-windowed extract_meta (feed/hreflang emission changed its
-    implementation) entered; the window being exactly full, FOUR
-    r3-greens (quality_filter, events_by_type, order_window_rank,
-    events_windowed, positions 51-54) defer to the FRONT of the r6
+    extract_lazy_media, extract_style_media, article_meta_unified,
+    frontier_with_base, and the re-windowed extract_meta
+    (feed/hreflang emission changed its implementation) entered; the
+    window being exactly full, FIVE r3-greens (media_features,
+    quality_filter, events_by_type, order_window_rank,
+    events_windowed, positions 51-55) defer to the FRONT of the r6
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
@@ -3021,18 +3101,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "token_count": _q_token_count,
         "resize_dims": _q_resize_dims,
-        "media_features": _q_media_features,
         # -- block A (cont.): never driver-checked, placed at the
-        # window tail; the window is exactly full, so FOUR r3-greens
-        # (quality_filter, events_by_type, order_window_rank,
-        # events_windowed) defer to the FRONT of the r6 window —
-        # their r3 green rows are age 2 there, refreshed before
-        # aging out
+        # window tail; the window is exactly full, so FIVE r3-greens
+        # (media_features, quality_filter, events_by_type,
+        # order_window_rank, events_windowed) defer to the FRONT of
+        # the r6 window — their r3 green rows are age 2 there,
+        # refreshed before aging out
+        "article_meta_unified": _q_article_meta_unified,
         "extract_style_media": _q_extract_style_media,
         "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
@@ -4768,6 +4849,36 @@ def oracle_sql() -> dict[str, str]:
                    'webm', 640, 480, CAST(12345 AS BIGINT),
                    NULL, NULL, 'sniff'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "article_meta_unified": """
+            -- (headline, published, author) per doc stated from
+            -- construction (see _q_article_meta_unified); the class-0
+            -- og:title decoy must LOSE to JSON-LD
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'LD ' || CAST(doc_id AS VARCHAR)
+                           || ' story'
+                       WHEN 1 THEN 'MD ' || CAST(doc_id AS VARCHAR)
+                           || ' piece'
+                       WHEN 2 THEN 'RD ' || CAST(doc_id AS VARCHAR)
+                           || ' piece'
+                       ELSE 'OG ' || CAST(doc_id AS VARCHAR)
+                   END AS headline,
+                   CASE doc_id % 4
+                       WHEN 0 THEN '2024-01-'
+                       WHEN 1 THEN '2024-02-'
+                       WHEN 2 THEN '2024-03-'
+                       ELSE '2024-04-'
+                   END || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     || CASE WHEN doc_id % 4 = 3
+                             THEN 'T00:00:00Z' ELSE '' END
+                     AS published,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'LD Writer '
+                       WHEN 1 THEN 'MD Writer '
+                       ELSE 'Meta Writer '
+                   END || CAST(doc_id % 7 AS VARCHAR) AS author
+            FROM documents
         """,
         "extract_style_media": """
             -- every (offset, ref) row stated from construction of

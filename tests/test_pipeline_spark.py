@@ -1660,3 +1660,43 @@ def test_resolve_links_with_base(spark):
         ("d1", "y.html"): "https://b.x/p/y.html",
         ("d2", "z.html"): "https://c.x/p/sub/z.html",
     }
+
+
+def test_unified_article_meta_precedence_chain(spark):
+    """A doc carrying ALL channels resolves each field from the
+    highest-ranked channel that has it; a doc with no metadata gets
+    nulls but still one row."""
+    from zhtml_spark.textops import unified_article_meta
+
+    spans = spark.createDataFrame(
+        [
+            # d0: every channel present — jsonld wins everything
+            ("d0", 0, "jsonld",
+             '{"headline":"J","datePublished":"2020-01-01",'
+             '"author":{"name":"JA"}}', None),
+            ("d0", 1, "microdata", "M", "0:headline"),
+            ("d0", 2, "rdfa", "R", "0:headline"),
+            ("d0", 3, "meta", "O", "og:title"),
+            # d1: jsonld lacks author -> microdata author fills it;
+            # headline only in meta
+            ("d1", 0, "jsonld", '{"datePublished":"2021-02-02"}',
+             None),
+            ("d1", 1, "microdata", "MA", "0:author.name"),
+            ("d1", 2, "meta", "OT", "og:title"),
+            # nested-item headline must NOT count as the doc headline
+            ("d1", 3, "microdata", "nested", "0:review.headline"),
+            # d2: nothing but body text
+            ("d2", 0, "text", "plain body", None),
+        ],
+        "doc_id string, offset int, kind string, text string,"
+        " media_ref string",
+    )
+    out = {
+        r["doc_id"]: (r["headline"], r["published"], r["author"])
+        for r in unified_article_meta(spans).collect()
+    }
+    assert out == {
+        "d0": ("J", "2020-01-01", "JA"),
+        "d1": ("OT", "2021-02-02", "MA"),
+        "d2": (None, None, None),
+    }

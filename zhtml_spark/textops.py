@@ -1104,6 +1104,85 @@ def robots_gate(
 _NOINDEX_RE = r"(^|[\s,])(noindex|none)($|[\s,:])"
 
 
+def unified_article_meta(spans: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """ONE (headline, published, author) row per document, coalesced
+    across every metadata channel the extractor emits — precedence
+    JSON-LD > Microdata > RDFa > meta tags (richest and most
+    deliberate first, the practical order structured-data consumers
+    use).  Input: the exploded span table with ``emit_head_meta`` +
+    ``emit_jsonld`` + ``emit_microdata`` + ``emit_rdfa`` on.
+    Channel field mapping:
+
+    * jsonld: ``$.headline`` / ``$.datePublished`` /
+      ``$.author.name`` via ``get_json_object`` (JVM) over ``jsonld``
+      spans — the FIRST span (lowest offset) with a headline wins
+      within the channel;
+    * microdata/rdfa: item paths ``<idx>:headline``,
+      ``<idx>:datePublished``, ``<idx>:author.name`` — top-level
+      items only (anchored on the ``<idx>:`` prefix);
+    * meta: ``og:title`` / ``article:published_time`` / ``author``.
+
+    Plan: four filtered projections of ONE span table (Spark reuses
+    the scan), each min_by-aggregated per doc, then three
+    co-partitioned left joins on the doc key — linear, no Python."""
+    sp = spans
+
+    def chan(pred, value_col, rank):
+        return sp.where(pred).select(
+            doc_col,
+            F.col("offset").alias("_off"),
+            value_col.alias("_v"),
+            F.lit(rank).alias("_rank"),
+        ).where(F.col("_v").isNotNull() & (F.col("_v") != ""))
+
+    def field(sources):
+        u = sources[0]
+        for s in sources[1:]:
+            u = u.unionByName(s)
+        # channel rank first, then document order inside the channel
+        return u.groupBy(doc_col).agg(
+            F.min_by("_v", F.struct("_rank", "_off")).alias("_best")
+        )
+
+    is_jsonld = F.col("kind") == "jsonld"
+    is_md = F.col("kind").isin("microdata", "rdfa")
+    top_prop = lambda prop: F.col("media_ref").rlike(
+        r"^\d+:" + prop + r"$"
+    )
+    is_meta = F.col("kind") == "meta"
+
+    headline = field([
+        chan(is_jsonld, F.get_json_object("text", "$.headline"), 0),
+        chan(is_md & top_prop("headline"), F.col("text"), 1),
+        chan(is_meta & (F.col("media_ref") == "og:title"),
+             F.col("text"), 2),
+        chan(is_meta & (F.col("media_ref") == "title"),
+             F.col("text"), 3),
+    ]).withColumnRenamed("_best", "headline")
+    published = field([
+        chan(is_jsonld,
+             F.get_json_object("text", "$.datePublished"), 0),
+        chan(is_md & top_prop("datePublished"), F.col("text"), 1),
+        chan(is_meta
+             & (F.col("media_ref") == "article:published_time"),
+             F.col("text"), 2),
+    ]).withColumnRenamed("_best", "published")
+    author = field([
+        chan(is_jsonld,
+             F.get_json_object("text", "$.author.name"), 0),
+        chan(is_md & top_prop(r"author\.name"), F.col("text"), 1),
+        chan(is_meta & (F.col("media_ref") == "author"),
+             F.col("text"), 2),
+    ]).withColumnRenamed("_best", "author")
+
+    docs = sp.select(doc_col).distinct()
+    return (
+        docs.join(headline, doc_col, "left")
+        .join(published, doc_col, "left")
+        .join(author, doc_col, "left")
+    )
+
+
 def resolve_links_with_base(
     spans: DataFrame,
     page_urls: DataFrame,
