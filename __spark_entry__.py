@@ -2582,6 +2582,115 @@ def _q_warc_noindex_gate(spark, sf_dir):
     return noindex_gate(records, spans)
 
 
+def _q_warc_canonical_header(spark, sf_dir):
+    """HTTP ``Link: rel=canonical`` header channel (r5): doc_id%3
+    rotates (0) the canonical declared ONLY in the Link header (with
+    a decoy ``rel=preload`` entry ahead of it in the same header),
+    (1) ONLY in the HTML ``<link rel=canonical>`` (no Link header),
+    (2) BOTH channels DISAGREEING — the header names the true
+    canonical, the HTML one a per-doc decoy, and the header must win
+    (Google's documented precedence).  Each group of three doc_ids
+    shares one canonical target, so ``parse_warc_records`` →
+    ``link_header_canonical`` + the REAL head-meta extraction →
+    precedence coalesce → ``dedup_by_canonical`` collapses every
+    group to its smallest doc_id.  The oracle states the surviving
+    (doc_id, norm_url) rows from construction: a lost header, a
+    decoy-entry match, or inverted precedence all change the groups."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_record,
+        warc_to_documents,
+    )
+    from zhtml_spark.textops import (
+        dedup_by_canonical,
+        link_header_canonical,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    base = (F.floor(did / 3) * 3).cast("bigint")
+    bs = base.cast("string")
+    url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example/art"), ids,
+    )
+    canon = F.concat(
+        F.lit("https://site"), (base % 7).cast("string"),
+        F.lit(".example/canon"), bs,
+    )
+    decoy = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example/WRONG"), ids,
+    )
+    html_link = (
+        F.when(
+            did % 3 == 1,
+            F.concat(F.lit('<link rel="canonical" href="'), canon,
+                     F.lit('">')),
+        )
+        .when(
+            did % 3 == 2,
+            F.concat(F.lit('<link rel="canonical" href="'), decoy,
+                     F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<head><title>t</title>"), html_link,
+        F.lit("</head><body><p>Doc "), ids, F.lit("</p></body>"),
+    )
+    link_hdr = F.when(
+        did % 3 != 1,
+        F.concat(
+            F.lit("Link: </static/app.css>; rel=preload, <"),
+            canon, F.lit('>; rel="canonical"\r\n'),
+        ),
+    ).otherwise(F.lit(""))
+    archives = d.select(
+        warc_record(
+            url, F.lit("2024-01-01T00:00:00Z"), html,
+            http_headers=True, http_extra=link_hdr,
+        ).alias("content")
+    )
+    records = parse_warc_records(archives)
+    html_canon = (
+        extract_documents(
+            warc_to_documents(records),
+            config=ExtractConfig(emit_head_meta=True),
+        )
+        .select(
+            F.col("doc_id").alias("warc_url"),
+            F.explode("spans").alias("s"),
+        )
+        .where(
+            (F.col("s.kind") == "meta")
+            & (F.col("s.media_ref") == "canonical")
+        )
+        .select("warc_url", F.col("s.text").alias("html_canon"))
+    )
+    eff = (
+        records.select(
+            "warc_url",
+            link_header_canonical(F.col("http_link")).alias("hdr_canon"),
+        )
+        .join(html_canon, "warc_url", "left")
+        .select(
+            F.regexp_extract("warc_url", r"art(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            F.col("warc_url").alias("url"),
+            F.coalesce(
+                F.nullif(F.col("hdr_canon"), F.lit("")),
+                F.col("html_canon"),
+                F.lit(""),
+            ).alias("canonical"),
+        )
+    )
+    return dedup_by_canonical(eff)
+
+
 def _q_frontier_with_base(spark, sf_dir):
     """``<base href>``-aware link resolution (r5): doc_id%3 rotates
     (0) a root-relative base ``/deep/dir/`` plus a SECOND decoy base
@@ -3054,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_canonical_header": _q_warc_canonical_header,
         "warc_revisit_dedup": _q_warc_revisit_dedup,
         "rdfa_meta": _q_rdfa_meta,
         "warc_noindex_gate": _q_warc_noindex_gate,
@@ -4976,6 +5086,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "warc_canonical_header": """
+            -- stated from construction (see _q_warc_canonical_header):
+            -- every group of three doc_ids shares one canonical target
+            -- (header channel for %3 in {0,2}, HTML channel for %3==1;
+            -- the %3==2 HTML decoy loses to the header), so each group
+            -- collapses to its smallest member; the canonical URL is
+            -- already in url_normalize's fixed point (lowercase, no
+            -- query, no fragment)
+            SELECT DISTINCT (doc_id // 3) * 3 AS doc_id,
+                   'https://site'
+                     || CAST(((doc_id // 3) * 3) % 7 AS VARCHAR)
+                     || '.example/canon'
+                     || CAST((doc_id // 3) * 3 AS VARCHAR) AS norm_url
+            FROM documents
         """,
         "warc_revisit_dedup": """
             -- stated from construction (see _q_warc_revisit_dedup):

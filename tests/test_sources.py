@@ -266,6 +266,46 @@ def test_warc_record_http_headers_roundtrip(spark):
     assert [r["html"] for r in recs] == [f"<p>pg {i}</p>" for i in range(4)]
 
 
+def test_warc_link_header_canonical(spark):
+    """RFC 8288 Link header surfaces case-preserved and the canonical
+    entry parses out of a multi-entry header; quoted token lists
+    count, near-miss rel values don't, non-HTTP records carry ''."""
+    from zhtml_spark.textops import link_header_canonical
+
+    cases = [
+        (0, 'Link: <https://Ex.com/CaNon0>; rel="canonical"\r\n',
+         "https://Ex.com/CaNon0"),
+        (1, "Link: </s.css>; rel=preload, <https://ex.com/c1>; "
+            'rel="alternate canonical"\r\n', "https://ex.com/c1"),
+        (2, "Link: <https://ex.com/x>; rel=canonicalish\r\n", ""),
+        (3, "", ""),
+    ]
+    docs = spark.createDataFrame(
+        [(f"https://ex.com/p{i}", hdr) for i, hdr, _ in cases],
+        "url string, hdr string",
+    )
+    archive = docs.select(
+        warc_record(
+            F.col("url"), F.lit("2024-01-01T00:00:00Z"),
+            F.lit("<p>x</p>"), http_headers=True,
+            http_extra=F.col("hdr"),
+        ).alias("rec")
+    ).agg(F.concat_ws("", F.collect_list("rec")).alias("content"))
+    rows = (
+        parse_warc_records(archive)
+        .select(
+            "warc_url",
+            "http_link",
+            link_header_canonical(F.col("http_link")).alias("canon"),
+        )
+        .orderBy("warc_url")
+        .collect()
+    )
+    assert [r["canon"] for r in rows] == [want for _, _, want in cases]
+    # case preserved on the raw header value
+    assert "CaNon0" in rows[0]["http_link"]
+
+
 def test_warc_http_strip_is_jvm_side(spark):
     archive = _synth_archive(spark, 2)
     plan = (

@@ -189,7 +189,7 @@ def parse_warc_records(
 ) -> DataFrame:
     """Split WARC archive strings into RESPONSE-record rows
     ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce,
-    http_status, http_location, http_xrobots)`` — all JVM-side
+    http_status, http_location, http_xrobots, http_link)`` — all JVM-side
     (split + explode + regexp_extract), no Python.
     ``http_te`` / ``http_ce`` carry the HTTP ``Transfer-Encoding`` /
     ``Content-Encoding`` header values (lowercased; ``""`` for
@@ -336,6 +336,22 @@ def parse_warc_records(
             # robots response header (RFC 9309bis indexability):
             # lowercased — directives are case-insensitive
             _http_hdr("x-robots-tag").alias("http_xrobots"),
+            # RFC 8288 Link header, CASE-PRESERVED (link targets are
+            # URLs; _http_hdr lowercases) — carries rel=canonical /
+            # rel=alternate edges that never appear in the HTML
+            # (Google honors the header form with priority over the
+            # in-document <link rel=canonical>); parsed downstream by
+            # textops.link_header_canonical
+            F.when(
+                is_http & payload.startswith("HTTP/"),
+                F.trim(
+                    F.regexp_extract(
+                        http_hdr_block,
+                        r"(?im)^link:[ \t]*([^\r\n]*)",
+                        1,
+                    )
+                ),
+            ).otherwise(F.lit("")).alias("http_link"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")

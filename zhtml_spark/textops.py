@@ -2028,6 +2028,43 @@ def dedup_by_canonical(
     )
 
 
+def link_header_canonical(link_header: Column) -> Column:
+    """Canonical URL from an RFC 8288 HTTP ``Link`` header value
+    (``sources.parse_warc_records.http_link``), or ``""`` when none.
+
+    The header is a comma-separated list of ``<uri>; param=value``
+    entries; the canonical entry is the one whose parameters include
+    ``rel=canonical`` (``rel`` values are case-insensitive and may be
+    a quoted space-separated token list — ``rel="canonical
+    alternate"`` still counts, ``rel=noncanonical`` must not).  Two
+    anchored alternatives (quoted token-list, bare token) instead of
+    one mega-pattern keep the regex RE2-compatible so the DuckDB
+    oracle runs the identical patterns.  Documented approximation
+    shared with every pragmatic crawler: a literal comma inside a
+    quoted param value would split an entry early — vanishingly rare
+    in canonical links, and the failure mode is a missed (not wrong)
+    canonical.
+
+    HTTP-header canonicals take PRECEDENCE over the in-document
+    ``<link rel=canonical>`` (Google's documented order) — compose
+    via ``coalesce(nullif(link_header_canonical(h), ''), html_canon)``
+    before :func:`dedup_by_canonical`."""
+    quoted = F.regexp_extract(
+        link_header,
+        r'(?i)<([^>]+)>[^,]*;[^,]*rel\s*=\s*"(?:[^"]*\s)?canonical(?:\s[^"]*)?"',
+        1,
+    )
+    bare = F.regexp_extract(
+        link_header,
+        # token must END at a delimiter or end-of-header (no RE2
+        # lookahead: a trailing [;,\s] alternative with $ instead),
+        # so rel=canonicalish never matches
+        r"(?i)<([^>]+)>[^,]*;[^,]*rel\s*=\s*canonical\s*([;,]|$)",
+        1,
+    )
+    return F.when(quoted != "", quoted).otherwise(bare)
+
+
 def sitemap_urls(
     sitemaps: DataFrame,
     id_col: str = "host",
