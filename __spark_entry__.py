@@ -2691,6 +2691,40 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_warc_cdx_index(spark, sf_dir):
+    """CDX capture index (r5): even docs carry a maximally-messy
+    capture URI (uppercase scheme/host, userinfo, explicit :443,
+    ``www.`` label, mixed-case path, unsorted query, fragment), odd
+    docs a minimal origin-only URI (empty path must key as ``/``);
+    every fifth doc is a PLAIN (non-HTTP-carried) record whose status
+    must surface as ``-``.  ``sources.cdx_index`` canonicalizes to
+    SURT urlkeys, collapses WARC-Date to ts14, and digests the
+    payload; the oracle states every column from construction, so a
+    missed canonicalization step (unstripped port, unsorted params,
+    forgotten www label, case leak) changes the urlkey hash."""
+    from zhtml_spark.sources import cdx_index, parse_warc_records, warc_record
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    k = (did % 7).cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://user@WWW.Site"), k, F.lit(".Example:443/Path"),
+        ids, F.lit("/Page?b=2&a=1#frag"),
+    )
+    minimal = F.concat(F.lit("http://site"), k, F.lit(".example"))
+    url = F.when(did % 2 == 0, messy).otherwise(minimal)
+    body = F.concat(F.lit("<p>doc "), ids, F.lit("</p>"))
+    date = F.lit("2024-01-15T12:34:56Z")
+    rec_http = warc_record(url, date, body, http_headers=True)
+    rec_plain = warc_record(url, date, body)
+    archives = d.select(
+        F.when(did % 5 == 0, rec_plain).otherwise(rec_http)
+        .alias("content")
+    )
+    return cdx_index(parse_warc_records(archives))
+
+
 def _q_frontier_with_base(spark, sf_dir):
     """``<base href>``-aware link resolution (r5): doc_id%3 rotates
     (0) a root-relative base ``/deep/dir/`` plus a SECOND decoy base
@@ -3163,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_cdx_index": _q_warc_cdx_index,
         "warc_canonical_header": _q_warc_canonical_header,
         "warc_revisit_dedup": _q_warc_revisit_dedup,
         "rdfa_meta": _q_rdfa_meta,
@@ -5085,6 +5120,37 @@ def oracle_sql() -> dict[str, str]:
             FROM h
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
+            FROM h
+        """,
+        "warc_cdx_index": """
+            -- stated from construction (see _q_warc_cdx_index):
+            -- even docs' messy URI canonicalizes to the SURT key
+            -- (userinfo/port/www stripped, host reversed, path+query
+            -- lowercased, params sorted, fragment gone); odd docs'
+            -- origin-only URI keys as ')/'; every fifth doc is a
+            -- plain record -> status '-'
+            WITH h AS (
+                SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
+                       CAST(doc_id % 7 AS VARCHAR) AS k
+                FROM documents
+            )
+            SELECT CASE WHEN doc_id % 2 = 0
+                        THEN 'example,site' || k || ')/path' || d
+                             || '/page?a=1&b=2'
+                        ELSE 'example,site' || k || ')/' END AS urlkey,
+                   '20240115123456' AS ts14,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'HTTPS://user@WWW.Site' || k
+                             || '.Example:443/Path' || d
+                             || '/Page?b=2&a=1#frag'
+                        ELSE 'http://site' || k || '.example'
+                   END AS url,
+                   'text/html' AS mime,
+                   CASE WHEN doc_id % 5 = 0 THEN '-' ELSE '200'
+                   END AS status,
+                   md5('<p>doc ' || d || '</p>') AS digest,
+                   CAST(length('<p>doc ' || d || '</p>') AS INTEGER)
+                     AS length
             FROM h
         """,
         "warc_canonical_header": """

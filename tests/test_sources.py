@@ -306,6 +306,39 @@ def test_warc_link_header_canonical(spark):
     assert "CaNon0" in rows[0]["http_link"]
 
 
+def test_cdx_index_canonicalization(spark):
+    """SURT urlkeys: host reversal, www/userinfo/default-port strip,
+    query sorting, fragment strip, empty-path → '/'; the whole plan
+    stays JVM-side."""
+    from zhtml_spark.sources import cdx_index
+
+    cases = [
+        ("HTTP://User@WWW2.a.B.com:80/X/Y?z=1&a=2#f",
+         "com,b,a)/x/y?a=2&z=1"),
+        ("https://plain.example", "example,plain)/"),
+        ("https://keep.example:8443/p", "example,keep:8443)/p"),
+    ]
+    docs = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    )
+    archive = docs.select(
+        warc_record(
+            F.col("url"), F.lit("2024-01-15T12:34:56Z"),
+            F.lit("<p>b</p>"), http_headers=True,
+        ).alias("rec")
+    ).agg(F.concat_ws("", F.collect_list("rec")).alias("content"))
+    idx = cdx_index(parse_warc_records(archive))
+    got = {r["url"]: r for r in idx.collect()}
+    for u, want_key in cases:
+        assert got[u]["urlkey"] == want_key, (u, got[u]["urlkey"])
+    assert all(r["ts14"] == "20240115123456" for r in got.values())
+    assert all(r["status"] == "200" for r in got.values())
+    assert all(r["mime"] == "text/html" for r in got.values())
+    assert all(r["length"] == 8 for r in got.values())
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_warc_http_strip_is_jvm_side(spark):
     archive = _synth_archive(spark, 2)
     plan = (

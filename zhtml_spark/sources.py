@@ -734,6 +734,79 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     )
 
 
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style capture index over parsed WARC response records —
+    the archive-native lookup table every replay/dedup system builds
+    per crawl (one row per capture, sorted-mergeable across crawls).
+
+    Columns follow the CDXJ field set:
+
+    - ``urlkey`` — SURT-canonicalized URL (pywb ``canonicalize``
+      semantics): fragment stripped, host lowercased with userinfo /
+      default ports (``:80``/``:443``) / a leading ``www\\d*.`` label
+      removed, host components REVERSED comma-joined, then
+      ``)`` + lowercased path (empty → ``/``) with query parameters
+      sorted — so all casings/param orders of one page share a key
+      and a range scan walks one host's captures contiguously;
+    - ``ts14`` — the WARC-Date collapsed to the CDX 14-digit
+      timestamp (``20240101000000``);
+    - ``url`` — the capture URI case-preserved;
+    - ``mime`` — the payload Content-Type essence (parameters
+      stripped), ``-`` when absent;
+    - ``status`` — HTTP status, ``-`` for non-HTTP records;
+    - ``digest`` — payload digest.  md5 hex rather than classic
+      CDX sha1-base32 (no base32 builtin on either engine; the
+      engine-pinned md5 convention keeps the column
+      oracle-checkable — CLAUDE.md shared-hashing rule);
+    - ``length`` — payload octet length.
+
+    Pure JVM (regexp + array ops), one narrow projection, no
+    shuffle: at fleet scale the index is written
+    partition-parallel and merged by the sink's sort, exactly how
+    CDX files are produced by real crawlers."""
+    u = F.regexp_replace(F.col("warc_url"), "#.*", "")
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r"^.*@", ""), r":(80|443)$", ""
+    )
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    # a surviving NON-default port belongs after the reversed host
+    # ("example,keep:8443)"), not glued to the last label — split it
+    # off before reversing
+    port = F.regexp_extract(host, r"(:\d+)$", 1)
+    bare_host = F.regexp_replace(host, r":\d+$", "")
+    revhost = F.concat(
+        F.array_join(F.reverse(F.split(bare_host, r"\.")), ","), port
+    )
+    rest = F.lower(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    )
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    urlkey = F.when(
+        query == "", F.concat(revhost, F.lit(")"), path)
+    ).otherwise(
+        F.concat(revhost, F.lit(")"), path, F.lit("?"), sorted_q)
+    )
+    mime = F.trim(F.regexp_extract("payload_ctype", r"^[^;]*", 0))
+    return records.select(
+        urlkey.alias("urlkey"),
+        F.substring(
+            F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14
+        ).alias("ts14"),
+        F.col("warc_url").alias("url"),
+        F.when(mime == "", F.lit("-")).otherwise(mime).alias("mime"),
+        F.when(F.col("http_status") == "", F.lit("-"))
+        .otherwise(F.col("http_status")).alias("status"),
+        F.md5("html").alias("digest"),
+        F.octet_length("html").alias("length"),
+    )
+
+
 def warc_interleaved_spans(
     records: DataFrame,
     config=None,
