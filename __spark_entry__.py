@@ -2691,6 +2691,50 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_sitemap_entries(spark, sf_dir):
+    """Full sitemap entries (r5): urlset docs carry one
+    fully-annotated entry (lastmod+changefreq+priority), one bare
+    entry (all optional fields must be NULL — a flat parallel-list
+    extract would misalign here), and one with a GARBAGE priority
+    (``high`` → NULL via try_cast, never a kill); sitemapindex docs
+    (doc%10==0) carry one annotated and one bare ``<sitemap>`` block
+    flagged is_index.  The oracle states every row and NULL from
+    construction."""
+    from zhtml_spark.textops import sitemap_entries
+
+    d = F.col("doc_id").cast("string")
+    s7 = (F.col("doc_id") % 7).cast("string")
+    origin = F.concat(F.lit("https://site"), s7, F.lit(".example"))
+    xml = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'),
+            origin, F.lit("/sub"), d,
+            F.lit(".xml</loc><lastmod>2024-01-15</lastmod></sitemap>"
+                  "<sitemap><loc> "),
+            origin, F.lit("/more"), d,
+            F.lit(".xml </loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>'),
+            origin, F.lit("/art"), d,
+            F.lit("?a=1&amp;b=2</loc><lastmod>2024-01-15</lastmod>"
+                  "<changefreq>daily</changefreq>"
+                  "<priority>0.8</priority></url><url><loc> "),
+            origin, F.lit("/p"), d,
+            F.lit(" </loc></url><url><loc>"),
+            origin, F.lit("/junk"), d,
+            F.lit("</loc><priority>high</priority></url></urlset>"),
+        ),
+    )
+    return sitemap_entries(
+        _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), d).alias("host"), xml.alias("text")
+        )
+    )
+
+
 def _q_warc_cdx_index(spark, sf_dir):
     """CDX capture index (r5): even docs carry a maximally-messy
     capture URI (uppercase scheme/host, userinfo, explicit :443,
@@ -3197,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "sitemap_entries": _q_sitemap_entries,
         "warc_cdx_index": _q_warc_cdx_index,
         "warc_canonical_header": _q_warc_canonical_header,
         "warc_revisit_dedup": _q_warc_revisit_dedup,
@@ -5121,6 +5166,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "sitemap_entries": """
+            -- stated from construction (see _q_sitemap_entries):
+            -- index docs (doc_id%10=0) yield one annotated + one bare
+            -- <sitemap> block; urlset docs yield one fully-annotated,
+            -- one bare, and one garbage-priority <url> block
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id AS VARCHAR) AS d,
+                       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example' AS origin,
+                       doc_id
+                FROM documents
+            )
+            SELECT host, TRUE AS is_index,
+                   origin || '/sub' || d || '.xml' AS url,
+                   '2024-01-15' AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM h WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT host, TRUE, origin || '/more' || d || '.xml',
+                   NULL, NULL, NULL
+            FROM h WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT host, FALSE,
+                   origin || '/art' || d || '?a=1&b=2',
+                   '2024-01-15', 'daily', CAST(0.8 AS DOUBLE)
+            FROM h WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT host, FALSE, origin || '/p' || d,
+                   NULL, NULL, NULL
+            FROM h WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT host, FALSE, origin || '/junk' || d,
+                   NULL, NULL, NULL
+            FROM h WHERE doc_id % 10 <> 0
         """,
         "warc_cdx_index": """
             -- stated from construction (see _q_warc_cdx_index):

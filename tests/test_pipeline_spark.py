@@ -1118,6 +1118,37 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_sitemap_entries_block_scoped_fields(spark):
+    """Optional fields bind to THEIR block's loc (a bare entry between
+    annotated ones must not inherit a neighbor's lastmod); garbage
+    priority → NULL; multiline blocks parse ((?s) scope)."""
+    from zhtml_spark.textops import sitemap_entries
+
+    docs = spark.createDataFrame(
+        [
+            ("a",
+             "<urlset>\n<url>\n  <loc>https://x/p1</loc>\n"
+             "  <lastmod>2024-02-01</lastmod>\n"
+             "  <changefreq>weekly</changefreq>\n"
+             "  <priority>0.5</priority>\n</url>\n"
+             "<url><loc>https://x/p2</loc></url>\n"
+             "<url><loc>https://x/p3</loc>"
+             "<priority>soon</priority></url>\n</urlset>"),
+        ],
+        "host string, text string",
+    )
+    rows = {
+        r["url"]: (r["lastmod"], r["changefreq"], r["priority"],
+                   r["is_index"])
+        for r in sitemap_entries(docs).collect()
+    }
+    assert rows == {
+        "https://x/p1": ("2024-02-01", "weekly", 0.5, False),
+        "https://x/p2": (None, None, None, False),
+        "https://x/p3": (None, None, None, False),
+    }
+
+
 def test_sitemap_urls_escapes_and_index(spark):
     from zhtml_spark.textops import sitemap_urls
 

@@ -2093,6 +2093,56 @@ def sitemap_urls(
     )
 
 
+def sitemap_entries(
+    sitemaps: DataFrame,
+    id_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full sitemap entries — ``<loc>`` plus the scheduling metadata
+    real recrawl planners consume: ``lastmod`` (drives conditional
+    refetch), ``changefreq``, ``priority``.  One
+    ``regexp_extract_all`` over whole ``<url>``/``<sitemap>`` blocks
+    + explode, then per-block field extracts — the per-block scope is
+    what keeps a lastmod from attaching to its NEIGHBOR's loc, which
+    a flat per-document extract of parallel field lists silently gets
+    wrong when optional fields are present on only some entries.
+    Missing optional fields are NULL (``nullif``), ``priority`` is a
+    DOUBLE via ``try_cast`` (garbage → NULL, never a job kill).
+    Projection + explode, no shuffle; ``is_index`` marks sitemapindex
+    blocks (their locs are sitemap URLs to fetch, not page URLs)."""
+    blocks = F.expr(
+        f"regexp_extract_all({text_col}, "
+        "'(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+    )
+
+    def field(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(
+                F.col("block"),
+                rf"(?s)<{name}>\s*(.*?)\s*</{name}>",
+                1,
+            ),
+            F.lit(""),
+        )
+
+    return (
+        sitemaps.select(
+            id_col,
+            F.col(text_col).contains("<sitemapindex").alias("is_index"),
+            F.explode(blocks).alias("block"),
+        )
+        .select(
+            id_col,
+            "is_index",
+            F.regexp_replace(field("loc"), "&amp;", "&").alias("url"),
+            field("lastmod").alias("lastmod"),
+            field("changefreq").alias("changefreq"),
+            field("priority").try_cast("double").alias("priority"),
+        )
+        .where(F.col("url").isNotNull())
+    )
+
+
 # ------------------------------------------------------ text analysis
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality features: token/char counts, avg word length, stopword
