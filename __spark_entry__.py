@@ -2691,6 +2691,56 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_fetch_schedule(spark, sf_dir):
+    """Politeness scheduling (r5): 50 hosts × ~10 URLs; host m%3
+    rotates (0) a specific-agent group with Crawl-delay 2.5 plus a
+    wildcard decoy delay 7 that must LOSE (specific group wins), (1)
+    wildcard-only delay 4, (2) a specific group WITHOUT a delay plus
+    a wildcard delay 9 that must be SUPPRESSED (RFC 9309 group
+    selection: specific presence hides *) so the default 1.0
+    applies.  parse_robots → crawl_delay("MyBot", case-folded) →
+    fetch_schedule assigns the k-th URL of each host fetch offset
+    (k-1)*delay; the oracle restates the whole schedule with SQL
+    window functions over the constructed frontier."""
+    from zhtml_spark.textops import (
+        crawl_delay,
+        fetch_schedule,
+        parse_robots,
+    )
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 50
+    ms = m.cast("string")
+    frontier = d.select(
+        F.concat(F.lit("h"), ms).alias("host"),
+        F.concat(
+            F.lit("https://h"), ms, F.lit(".example/art"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    hosts = d.select(m.alias("m")).distinct()
+    hm = F.col("m")
+    text = (
+        F.when(
+            hm % 3 == 0,
+            F.lit("User-agent: mybot\nCrawl-delay: 2.5\n"
+                  "Disallow: /private\n\n"
+                  "User-agent: *\nCrawl-delay: 7\n"),
+        )
+        .when(hm % 3 == 1, F.lit("User-agent: *\nCrawl-delay: 4\n"))
+        .otherwise(
+            F.lit("User-agent: mybot\nDisallow: /tmp\n\n"
+                  "User-agent: *\nCrawl-delay: 9\n")
+        )
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), hm.cast("string")).alias("host"),
+        text.alias("text"),
+    )
+    delays = crawl_delay(parse_robots(robots), "MyBot")
+    return fetch_schedule(frontier, delays)
+
+
 def _q_sitemap_entries(spark, sf_dir):
     """Full sitemap entries (r5): urlset docs carry one
     fully-annotated entry (lastmod+changefreq+priority), one bare
@@ -3241,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "fetch_schedule": _q_fetch_schedule,
         "sitemap_entries": _q_sitemap_entries,
         "warc_cdx_index": _q_warc_cdx_index,
         "warc_canonical_header": _q_warc_canonical_header,
@@ -5166,6 +5217,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "fetch_schedule": """
+            -- stated from construction (see _q_fetch_schedule): host
+            -- m%3=0 -> specific delay 2.5 (wildcard 7 loses), m%3=1
+            -- -> wildcard 4, m%3=2 -> specific group present without
+            -- a delay suppresses the wildcard 9 -> default 1.0
+            WITH f AS (
+                SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+                       'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.example/art' || CAST(doc_id AS VARCHAR)
+                         AS url,
+                       doc_id % 50 AS m
+                FROM documents
+            ), r AS (
+                SELECT host, url,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host ORDER BY url
+                       ) AS rn,
+                       CASE WHEN m % 3 = 0 THEN 2.5
+                            WHEN m % 3 = 1 THEN 4.0
+                            ELSE 1.0 END AS delay
+                FROM f
+            )
+            SELECT host, url,
+                   CAST((rn - 1) * delay AS DOUBLE) AS fetch_at_s
+            FROM r
         """,
         "sitemap_entries": """
             -- stated from construction (see _q_sitemap_entries):

@@ -1118,6 +1118,32 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_crawl_delay_group_selection(spark):
+    """Specific group wins; specific presence WITHOUT a delay
+    suppresses the wildcard's; self-disagreeing files take the MAX
+    (slower = politer); garbage values are ignored."""
+    from zhtml_spark.textops import crawl_delay, parse_robots
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "User-agent: bot\nCrawl-delay: 2\n\n"
+                  "User-agent: *\nCrawl-delay: 9\n"),
+            ("b", "User-agent: bot\nDisallow: /x\n\n"
+                  "User-agent: *\nCrawl-delay: 9\n"),
+            ("c", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 5\n"),
+            ("d", "User-agent: *\nCrawl-delay: soon\n"),
+            ("e", "User-agent: *\nDisallow: /y\n"),
+        ],
+        "host string, text string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delay(parse_robots(docs), "Bot").collect()
+    }
+    assert got == {"a": 2.0, "b": None, "c": 5.0, "d": None,
+                   "e": None}
+
+
 def test_sitemap_entries_block_scoped_fields(spark):
     """Optional fields bind to THEIR block's loc (a bare entry between
     annotated ones must not inherit a neighbor's lastmod); garbage

@@ -1104,6 +1104,79 @@ def robots_gate(
 _NOINDEX_RE = r"(^|[\s,])(noindex|none)($|[\s,:])"
 
 
+def crawl_delay(
+    rules: DataFrame,
+    agent: str,
+    id_col: str = "host",
+) -> DataFrame:
+    """Effective ``Crawl-delay`` per host for ``agent`` from
+    :func:`parse_robots` output — the de-facto politeness directive
+    (not in RFC 9309 but honored by Bing/Yandex and emitted by a
+    large fraction of real robots.txt files).
+
+    Group selection mirrors :func:`robots_gate`: if the host has ANY
+    group for ``agent`` (even one without a crawl-delay — presence
+    rows carry this), that group is selected and the ``*`` group is
+    suppressed entirely, so a specific group without a delay yields
+    NULL (caller's default applies), never the wildcard's value.
+    Multiple delays in scope take the MAX (politeness: when a file
+    disagrees with itself, crawl slower); non-numeric values are
+    NULL via ``try_cast`` and ignored.  One hash-agg on the host
+    key, map-side combinable."""
+    al = agent.lower()
+    mine = rules.where(F.col("agent").isin(al, "*"))
+    is_delay = F.col("directive") == "crawl-delay"
+    num = F.col("value").try_cast("double")
+    per_host = mine.groupBy(id_col).agg(
+        F.max((F.col("agent") == al).cast("int")).alias("has_specific"),
+        F.max(
+            F.when((F.col("agent") == al) & is_delay, num)
+        ).alias("spec_delay"),
+        F.max(
+            F.when((F.col("agent") == "*") & is_delay, num)
+        ).alias("star_delay"),
+    )
+    return per_host.select(
+        id_col,
+        F.when(F.col("has_specific") == 1, F.col("spec_delay"))
+        .otherwise(F.col("star_delay"))
+        .alias("crawl_delay"),
+    )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    id_col: str = "host",
+    url_col: str = "url",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness-scheduled fetch offsets: per host, URLs are ordered
+    deterministically (lexicographic) and the k-th fetch is scheduled
+    at ``(k-1) * delay`` seconds, where ``delay`` is the host's
+    :func:`crawl_delay` (``default_delay`` when the host declares
+    none).  This is the planning half of a polite frontier — the
+    per-host serialization real fetchers enforce with token buckets,
+    made explicit so capacity planning (``max(fetch_at_s)`` per host
+    = how long that host's slice takes) is a query, not a simulation.
+
+    Plan: one left join on the host key + one per-host window.
+    Scale shape: parallelism = number of hosts (the politeness
+    constraint itself is per-host sequential, so this is the true
+    dependency structure, not an artifact); no global sort, no
+    driver state.  A pathological single-host frontier is bounded by
+    that host's slice — exactly the wall-clock its politeness delay
+    implies anyway."""
+    w = Window.partitionBy(id_col).orderBy(url_col)
+    joined = frontier.join(delays, id_col, "left")
+    d = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return joined.select(
+        id_col,
+        url_col,
+        ((F.row_number().over(w) - 1) * d).alias("fetch_at_s"),
+    )
+
+
 def unified_article_meta(spans: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """ONE (headline, published, author) row per document, coalesced
     across every metadata channel the extractor emits — precedence
