@@ -2691,6 +2691,18 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_bpe_pair_stats(spark, sf_dir):
+    """BPE first-merge pair counts (r5) straight over the documents
+    table — the oracle recomputes the whole vocabulary-weighted pair
+    aggregation in SQL (string_split_regex + list_transform), so the
+    word segmentation, the length gates, the per-word pair expansion
+    (overlaps included: 'aaa' → two 'aa'), and the frequency
+    weighting must all agree exactly."""
+    from zhtml_spark.textops import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir).select("text"))
+
+
 def _q_fetch_schedule(spark, sf_dir):
     """Politeness scheduling (r5): 50 hosts × ~10 URLs; host m%3
     rotates (0) a specific-agent group with Crawl-delay 2.5 plus a
@@ -3291,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "bpe_pair_stats": _q_bpe_pair_stats,
         "fetch_schedule": _q_fetch_schedule,
         "sitemap_entries": _q_sitemap_entries,
         "warc_cdx_index": _q_warc_cdx_index,
@@ -5217,6 +5230,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "bpe_pair_stats": """
+            -- independent recomputation: vocabulary-weighted adjacent
+            -- char-pair counts (overlapping pairs included), words
+            -- outside [2,64] chars dropped, HUGEINT sum cast back
+            WITH w AS (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                FROM documents
+            ), wc AS (
+                SELECT word, COUNT(*) AS n
+                FROM w WHERE word <> '' GROUP BY word
+            ), p AS (
+                SELECT unnest(list_transform(
+                           range(1, length(word)),
+                           i -> substring(word, i, 2)
+                       )) AS pair,
+                       n
+                FROM wc
+                WHERE length(word) BETWEEN 2 AND 64
+            )
+            SELECT pair, CAST(SUM(n) AS BIGINT) AS n
+            FROM p GROUP BY pair
         """,
         "fetch_schedule": """
             -- stated from construction (see _q_fetch_schedule): host

@@ -1118,6 +1118,22 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_bpe_pair_stats_overlaps_and_gates(spark):
+    """Overlapping pairs count ('aaa' → two 'aa'), frequency weights
+    multiply, 1-char words contribute nothing, over-long words are
+    gated, pairs are codepoint-based (non-ASCII safe)."""
+    from zhtml_spark.textops import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [("aaa ab ab x " + "q" * 80,), ("ab héé",)],
+        "text string",
+    )
+    got = {
+        r["pair"]: r["n"] for r in bpe_pair_stats(docs).collect()
+    }
+    assert got == {"aa": 2, "ab": 3, "hé": 1, "éé": 1}
+
+
 def test_crawl_delay_group_selection(spark):
     """Specific group wins; specific presence WITHOUT a delay
     suppresses the wildcard's; self-disagreeing files take the MAX

@@ -2372,6 +2372,50 @@ def pack_sequences(
     )
 
 
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Adjacent-character pair counts over the corpus vocabulary —
+    the statistic the first BPE merge iteration (Sennrich et al.,
+    ACL'16) is chosen from, and the standard corpus-profile view for
+    tokenizer training (which merges WOULD fire first, how skewed is
+    the pair mass).
+
+    The plan counts over DISTINCT words weighted by word frequency —
+    exactly BPE's own corpus representation and the scale lever: the
+    pair explode runs over the VOCABULARY (sublinear in corpus size,
+    Heaps' law), not over every token occurrence; the only
+    corpus-sized stage is the word-count hash-agg, which is map-side
+    combinable.  Words longer than ``max_word_len`` are dropped
+    (unbroken minified-JS/base64 runs are noise to a tokenizer and
+    would make the per-word pair loop quadratic via substring's
+    O(position) re-scan — the CLAUDE.md gram-plan rule; real BPE
+    corpora pre-split such runs anyway).  Pure JVM; no Python."""
+    words = F.explode(
+        F.split(F.col(text_col), r"\s+")
+    ).alias("word")
+    wc = (
+        docs.select(words)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = wc.where(
+        (F.length("word") >= 2) & (F.length("word") <= max_word_len)
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word)-1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return pairs.groupBy("pair").agg(F.sum("n").alias("n"))
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whole-document fingerprint (md5 of normalized text) + 48-bit
     integer form for bucketing."""
