@@ -3277,7 +3277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 window = 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 26 new
+    (the 21 below + late-session bpe_pair_stats, fetch_schedule,
+    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
+    changed + 17 r3-green refreshes; TEN r3-greens defer to r6 (see
+    the inline block-A comments).  Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3350,23 +3354,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "frame_sample": _q_frame_sample,
-        "token_count": _q_token_count,
-        "resize_dims": _q_resize_dims,
-        # -- block A (cont.): never driver-checked, placed at the
-        # window tail; the window is exactly full, so FIVE r3-greens
-        # (media_features, quality_filter, events_by_type,
-        # order_window_rank, events_windowed) defer to the FRONT of
-        # the r6 window — their r3 green rows are age 2 there,
-        # refreshed before aging out
+        # -- block A (cont.): never driver-checked — the five
+        # late-session additions (bpe_pair_stats..warc_canonical_
+        # header, top of file) pushed the window past 50, so FIVE
+        # MORE r3-greens (lang_id, doc_fingerprint, frame_sample,
+        # token_count, resize_dims) defer to the r6 window alongside
+        # the five already deferred (media_features, quality_filter,
+        # events_by_type, order_window_rank, events_windowed); their
+        # r3 green rows are age 3 at r6 — the documented cost of
+        # keeping every never-checked query inside the window, the
+        # strictly-worse alternative being a new query shipping
+        # driver-unevidenced (the r3 lesson)
         "article_meta_unified": _q_article_meta_unified,
         "extract_style_media": _q_extract_style_media,
         "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "frame_sample": _q_frame_sample,
+        "token_count": _q_token_count,
+        "resize_dims": _q_resize_dims,
         "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
         "events_by_type": _q_events_by_type,
