@@ -323,8 +323,13 @@ def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     img ``src``, meta ``content``, time ``datetime``), a NESTED Offer
     item (dotted path), a multi-name ``itemprop`` (one span per
     name), plus decoys that must NOT surface: an orphan itemprop
-    outside any scope and a template-wrapped item.  The oracle states
-    every (offset, value, path) row from construction."""
+    outside any scope and a template-wrapped item.  r5 late: the
+    Product also carries ``itemref="extras"`` to an out-of-subtree
+    div — its meta contributes a property and its prop+itemscope
+    span is CLAIMED as a nested item (the provisional top-level
+    recovery must retract, or the phantom item's rows shift every
+    offset).  The oracle states every (offset, value, path) row from
+    construction."""
     from zhtml_spark.extract import ExtractConfig
 
     did = F.col("doc_id")
@@ -333,7 +338,7 @@ def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.concat(((did % 90) + 10).cast("string"), F.lit(".99"))
     html = F.concat(
         F.lit(
-            '<body><div itemscope'
+            '<body><div itemscope itemref="extras"'
             ' itemtype="https://schema.org/Product">'
             '<span itemprop="name">Product '
         ),
@@ -358,8 +363,13 @@ def _q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(
             '</span></div><p itemprop="orphan">no scope</p>'
             '<template><span itemprop="ghost">g</span></template>'
-            "<p>Doc "
+            '<div id="extras">'
+            '<meta itemprop="warranty" content="P2Y">'
+            '<span itemprop="support" itemscope><b itemprop="phone">'
+            "555-0"
         ),
+        (did % 10).cast("string"),
+        F.lit("</b></span></div><p>Doc "),
         d,
         F.lit(" body.</p></body>"),
     )
@@ -5514,6 +5524,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 8,
                    'cat' || CAST(doc_id % 7 AS VARCHAR), '0:tag'
+            FROM documents
+            UNION ALL
+            -- itemref contributions append after in-subtree props;
+            -- the claimed prop+itemscope span retracts its phantom
+            -- top-level recovery, so offsets stay contiguous
+            SELECT CAST(doc_id AS VARCHAR), 9, 'P2Y', '0:warranty'
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 10,
+                   '555-0' || CAST(doc_id % 10 AS VARCHAR),
+                   '0:support.phone'
             FROM documents
         """,
         "jsonld_meta": """

@@ -635,6 +635,74 @@ def test_microdata_nesting_orphans_and_template():
     ]
 
 
+def test_microdata_itemref_properties_and_claim():
+    """§5.2.3: itemref'd elements contribute properties (their OWN
+    itemprop included); a referenced prop+itemscope element becomes a
+    NESTED item of the referrer and its provisional top-level
+    recovery retracts; bare itemscope met during the crawl is skipped
+    (someone else's top-level item); unknown ids are ignored."""
+    html = (
+        '<body>'
+        '<div itemscope itemtype="https://s/Product"'
+        ' itemref="extra nosuch">'
+        '<span itemprop="name">Widget</span></div>'
+        '<div id="extra"><meta itemprop="sku" content="S1">'
+        '<span itemprop="maker" itemscope>'
+        '<b itemprop="brand">Acme</b></span>'
+        '<div itemscope itemtype="https://s/Other">'
+        '<span itemprop="x">skipme</span></div>'
+        '</div>'
+        '</body>'
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s[:3] for s in spans if s[0] == "microdata"]
+    assert md == [
+        ("microdata", "https://s/Product", "0:@type"),
+        ("microdata", "Widget", "0:name"),
+        # the Other div stays its own top-level item (number 2: the
+        # retracted provisional claim of span.maker keeps a gap at 1)
+        ("microdata", "https://s/Other", "2:@type"),
+        ("microdata", "skipme", "2:x"),
+        # itemref contributions append after in-subtree properties
+        ("microdata", "S1", "0:sku"),
+        ("microdata", "Acme", "0:maker.brand"),
+    ]
+
+
+def test_microdata_itemref_own_prop_and_unreferenced_orphan():
+    html = (
+        '<body>'
+        '<div itemscope itemref="lead" itemtype="https://s/A"></div>'
+        '<p id="lead" itemprop="note">own prop counts</p>'
+        '<span itemprop="solo" itemscope itemtype="https://s/T">'
+        '<b itemprop="z">v</b></span>'
+        '</body>'
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s[:3] for s in spans if s[0] == "microdata"]
+    assert md == [
+        ("microdata", "https://s/A", "0:@type"),
+        # never-referenced orphan prop+itemscope keeps the lenient
+        # top-level recovery
+        ("microdata", "https://s/T", "1:@type"),
+        ("microdata", "v", "1:z"),
+        ("microdata", "own prop counts", "0:note"),
+    ]
+
+
+def test_microdata_itemref_loop_terminates():
+    html = (
+        '<body><div itemscope itemref="a" itemtype="https://s/L">'
+        '</div><div id="a"><span itemprop="p" itemscope itemref="a">'
+        '<i itemprop="q">x</i></span></div></body>'
+    )
+    spans, _ = extract_html(html, ExtractConfig(emit_microdata=True))
+    md = [s[:3] for s in spans if s[0] == "microdata"]
+    # bounded output (depth cap), never a hang; the direct form stays
+    assert ("microdata", "x", "0:p.q") in md
+    assert len(md) < 40
+
+
 def test_microdata_sibling_items_do_not_nest():
     # itemscope WITHOUT itemprop inside another item = NEW top-level
     # item per spec, even though DOM-nested

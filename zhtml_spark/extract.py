@@ -251,9 +251,9 @@ class ExtractConfig:
     # schema.  Value per the spec's property-value table: content
     # (meta), src (img/audio/video/...), href (a/area/link), data
     # (object), value (data), datetime-else-text (time), normalized
-    # subtree text otherwise.  itemref is not supported (rare,
-    # requires cross-tree id joins — documented).  Off by default
-    # (span-parity contract).
+    # subtree text otherwise.  itemref (§5.2.3) resolves through a
+    # first-wins id map with a 64-visit loop cap (see
+    # _microdata_spans).  Off by default (span-parity contract).
     emit_microdata: bool = False
 
 
@@ -883,19 +883,70 @@ def _microdata_spans(
     top-level item wherever it sits (DOM nesting does not imply item
     nesting — only ``itemprop itemscope`` does); ``itemprop`` outside
     any scope is an orphan and ignored; a space-separated ``itemprop``
-    emits one span per name.  Template subtrees are pruned."""
+    emits one span per name.  Template subtrees are pruned.
+
+    ``itemref`` (§5.2.3) is supported via a post-pass: scopes record
+    their itemref ids during the main walk (which also builds the
+    first-wins id map, getElementById semantics), then each
+    referenced element is property-crawled with the referring item's
+    path prefix — the element's OWN itemprop counts, nested
+    prop+itemscope elements become nested items (their itemrefs
+    chain), and a bare ``itemscope`` met during the crawl is skipped
+    whole (it is someone else's top-level item, already emitted by
+    the main walk).  Documented deviations: itemref contributions
+    append after the item's in-subtree properties instead of global
+    tree-order interleaving (values/paths are spec-exact; the span
+    schema carries no per-item property order), and crawling is
+    capped (256 ref visits per document, nesting depth 16) — an
+    itemref LOOP is a microdata error per spec, and the caps fail
+    safe instead of spinning."""
     out: list[tuple[str, str, str | None]] = []
     srcs: list[int] = []
+    # owner = the top-level item number each row belongs to; lets the
+    # post-pass retract a PROVISIONAL orphan item (itemprop+itemscope
+    # met outside any scope — kept as a lenient top-level recovery
+    # for sloppy real-world markup) once an itemref claims the same
+    # element as a nested item: the claimed form is the spec one, the
+    # provisional rows drop wholesale (its number stays skipped)
+    owners: list[str] = []
     n_items = 0
     # DFS with explicit exit records popping the scope-path stack;
     # each scope entry is the full path prefix string ("3" top-level,
     # "3:author" nested, "3:author.affiliation" deeper)
     scopes: list[str] = []
     walk: list[tuple[int, bool]] = [(start, False)]
+    id_map: dict[str, int] = {}
+    pending_refs: list[tuple[str, str]] = []
+    orphan_top: dict[int, str] = {}
+    consumed: set[int] = set()
+
+    def emit(val: str, path: str, nid: int, owner: str) -> None:
+        out.append(("microdata", val, path))
+        srcs.append(tree.src[nid])
+        owners.append(owner)
+
+    def _join(top: str, prop: str) -> str:
+        return top + (":" if ":" not in top else ".") + prop
 
     def path_for(prop: str) -> str:
-        top = scopes[-1]
-        return top + (":" if ":" not in top else ".") + prop
+        return _join(scopes[-1], prop)
+
+    def leaf_value(name: str, attrs: dict, nid: int) -> str:
+        if name == "meta":
+            return attrs.get("content") or ""
+        if name in _MD_SRC_TAGS:
+            return attrs.get("src") or ""
+        if name in _MD_HREF_TAGS:
+            return attrs.get("href") or ""
+        if name == "object":
+            return attrs.get("data") or ""
+        if name == "data":
+            return attrs.get("value") or ""
+        if name == "time":
+            return attrs.get("datetime") or _microdata_subtree_text(
+                tree, nid
+            )
+        return _microdata_subtree_text(tree, nid)
 
     while walk:
         nid, is_exit = walk.pop()
@@ -915,20 +966,27 @@ def _microdata_spans(
         if name == "template":
             continue
         attrs = tree.attrs[nid] or {}
+        eid = attrs.get("id")
+        if eid and eid not in id_map:
+            id_map[eid] = nid
         has_scope = "itemscope" in attrs
         props = (attrs.get("itemprop") or "").split()
         opened = False
         if has_scope and (not props or not scopes):
             # new top-level item (itemprop without an open scope is
-            # an orphan: its itemscope still roots a fresh item)
+            # an orphan: its itemscope still roots a fresh item —
+            # PROVISIONALLY, retracted if an itemref later claims it)
             prefix = str(n_items)
             n_items += 1
+            if props:
+                orphan_top[nid] = prefix
             scopes.append(prefix)
             opened = True
             itype = (attrs.get("itemtype") or "").split()
             if itype:
-                out.append(("microdata", itype[0], prefix + ":@type"))
-                srcs.append(tree.src[nid])
+                emit(itype[0], prefix + ":@type", nid, prefix)
+            for r in (attrs.get("itemref") or "").split():
+                pending_refs.append((prefix, r))
         elif has_scope and props and scopes:
             # nested item: one scope under the FIRST prop name (the
             # multi-name nested case is ambiguous; first name wins,
@@ -938,30 +996,17 @@ def _microdata_spans(
             opened = True
             itype = (attrs.get("itemtype") or "").split()
             if itype:
-                out.append(("microdata", itype[0], prefix + ".@type"))
-                srcs.append(tree.src[nid])
+                emit(itype[0], prefix + ".@type", nid,
+                     prefix.split(":")[0])
+            for r in (attrs.get("itemref") or "").split():
+                pending_refs.append((prefix, r))
         elif props and scopes:
             # leaf property: value per the spec's table
-            if name == "meta":
-                val = attrs.get("content") or ""
-            elif name in _MD_SRC_TAGS:
-                val = attrs.get("src") or ""
-            elif name in _MD_HREF_TAGS:
-                val = attrs.get("href") or ""
-            elif name == "object":
-                val = attrs.get("data") or ""
-            elif name == "data":
-                val = attrs.get("value") or ""
-            elif name == "time":
-                val = attrs.get("datetime") or _microdata_subtree_text(
-                    tree, nid
-                )
-            else:
-                val = _microdata_subtree_text(tree, nid)
+            val = leaf_value(name, attrs, nid)
             if val:
                 for p in props:
-                    out.append(("microdata", val, path_for(p)))
-                    srcs.append(tree.src[nid])
+                    emit(val, path_for(p), nid,
+                         scopes[-1].split(":")[0])
             # NO subtree prune: per spec, itemprop elements inside a
             # property element still belong to the same item (their
             # text also stays part of this value — both true at once)
@@ -969,6 +1014,82 @@ def _microdata_spans(
             walk.append((nid, True))
         for c in _reversed_children(tree, nid):
             walk.append((c, False))
+
+    # ---- itemref post-pass: property-crawl each referenced element
+    # with the referring item's prefix (§5.2.3)
+    seen_refs: set[tuple[str, str]] = set()
+    # budget 256 covers legit wide fan-out (the spec's own example —
+    # a table whose row items reference shared cells — needs one ref
+    # per row); the depth cap kills ref LOOPS (a microdata error per
+    # spec) after a few junk levels instead of burning the budget
+    budget = 256
+    qi = 0
+    while qi < len(pending_refs) and budget > 0:
+        item_prefix, rid = pending_refs[qi]
+        qi += 1
+        if (item_prefix, rid) in seen_refs:
+            continue
+        seen_refs.add((item_prefix, rid))
+        if item_prefix.count(".") > 16:
+            continue
+        ref_nid = id_map.get(rid)
+        if ref_nid is None:
+            continue
+        budget -= 1
+        cscopes = [item_prefix]
+        cwalk: list[tuple[int, bool]] = [(ref_nid, False)]
+        while cwalk:
+            nid, is_exit = cwalk.pop()
+            if is_exit:
+                cscopes.pop()
+                continue
+            if tree.ntype[nid] != N_ELEMENT or tree.ns[nid] is not None:
+                if tree.ntype[nid] != N_TEXT:
+                    for c in _reversed_children(tree, nid):
+                        cwalk.append((c, False))
+                continue
+            name = tree.name[nid]
+            if name == "template":
+                continue
+            attrs = tree.attrs[nid] or {}
+            has_scope = "itemscope" in attrs
+            props = (attrs.get("itemprop") or "").split()
+            opened = False
+            if has_scope and not props:
+                # someone else's TOP-LEVEL item (already emitted by
+                # the main walk): not our property content — skip the
+                # whole subtree, exactly the spec's "if current has
+                # an itemscope attribute, do not crawl its children"
+                continue
+            if has_scope and props:
+                # the itemref claim: this element is a NESTED item of
+                # the referrer — retract any provisional top-level
+                # recovery of the same node
+                consumed.add(nid)
+                prefix = _join(cscopes[-1], props[0])
+                cscopes.append(prefix)
+                opened = True
+                itype = (attrs.get("itemtype") or "").split()
+                if itype:
+                    emit(itype[0], prefix + ".@type", nid,
+                         prefix.split(":")[0])
+                for r in (attrs.get("itemref") or "").split():
+                    pending_refs.append((prefix, r))
+            elif props:
+                val = leaf_value(name, attrs, nid)
+                if val:
+                    for p in props:
+                        emit(val, _join(cscopes[-1], p), nid,
+                             cscopes[-1].split(":")[0])
+            if opened:
+                cwalk.append((nid, True))
+            for c in _reversed_children(tree, nid):
+                cwalk.append((c, False))
+    drop = {orphan_top[n] for n in consumed if n in orphan_top}
+    if drop:
+        keep = [i for i, o in enumerate(owners) if o not in drop]
+        out = [out[i] for i in keep]
+        srcs = [srcs[i] for i in keep]
     return out, srcs
 
 
