@@ -2701,6 +2701,25 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_host_quota_sample(spark, sf_dir):
+    """Per-domain quota capping (r5): 5 hosts × ~100 docs, quota 30 —
+    genuinely binding on every host, so the survivor set IS the
+    deterministic hash order (smallest salted md5-48 per host) and
+    any rank/tie-break/salt drift flips the hash.  The oracle
+    recomputes the identical window."""
+    from zhtml_spark.textops import host_quota_sample
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return host_quota_sample(urls, max_per_host=30)
+
+
 def _q_bpe_pair_stats(spark, sf_dir):
     """BPE first-merge pair counts (r5) straight over the documents
     table — the oracle recomputes the whole vocabulary-weighted pair
@@ -3287,11 +3306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 26 new
-    (the 21 below + late-session bpe_pair_stats, fetch_schedule,
-    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
-    changed + 17 r3-green refreshes; TEN r3-greens defer to r6 (see
-    the inline block-A comments).  Earlier r5 state: 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 27 new
+    (the 21 below + late-session host_quota_sample, bpe_pair_stats,
+    fetch_schedule, sitemap_entries, warc_cdx_index,
+    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
+    late-r5: itemref) + 16 r3-green refreshes; ELEVEN r3-greens defer
+    to r6 (see the inline block-A comments).  Earlier r5 state: 21
+    new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3317,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "host_quota_sample": _q_host_quota_sample,
         "bpe_pair_stats": _q_bpe_pair_stats,
         "fetch_schedule": _q_fetch_schedule,
         "sitemap_entries": _q_sitemap_entries,
@@ -3363,7 +3385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
-        "text_quality": _q_text_quality,
         # -- block A (cont.): never driver-checked — the five
         # late-session additions (bpe_pair_stats..warc_canonical_
         # header, top of file) pushed the window past 50, so FIVE
@@ -3381,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "frame_sample": _q_frame_sample,
@@ -5249,6 +5271,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "host_quota_sample": """
+            -- identical deterministic window: smallest salted md5-48
+            -- per host, tie-broken by doc_id, quota 30
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.example/p' || CAST(doc_id AS VARCHAR)
+                         AS url,
+                       'site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.example' AS host,
+                       ('0x' || substr(md5(
+                           'quota|' || CAST(doc_id AS VARCHAR)
+                       ), 1, 12))::BIGINT AS rk
+                FROM documents
+            ), r AS (
+                SELECT doc_id, url,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host ORDER BY rk, doc_id
+                       ) AS rn
+                FROM u
+            )
+            SELECT doc_id, url FROM r WHERE rn <= 30
         """,
         "bpe_pair_stats": """
             -- independent recomputation: vocabulary-weighted adjacent

@@ -1118,6 +1118,28 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_host_quota_sample_caps_and_determinism(spark):
+    """Quota binds per host independently; under-quota hosts keep
+    everything; two runs pick identical survivors (hash, no RNG)."""
+    from zhtml_spark.textops import host_quota_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 2}.example/p{i}") for i in range(20)]
+        + [(100, "https://tiny.example/only")],
+        "doc_id long, url string",
+    )
+    out1 = sorted(
+        r["doc_id"]
+        for r in host_quota_sample(docs, max_per_host=3).collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in host_quota_sample(docs, max_per_host=3).collect()
+    )
+    assert out1 == out2 and len(out1) == 7  # 3 + 3 + 1
+    assert 100 in out1
+
+
 def test_bpe_pair_stats_overlaps_and_gates(spark):
     """Overlapping pairs count ('aaa' → two 'aa'), frequency weights
     multiply, 1-char words contribute nothing, over-long words are

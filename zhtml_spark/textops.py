@@ -2545,6 +2545,36 @@ def hash_sample(
     return docs.where(bucket < rate)
 
 
+def host_quota_sample(
+    docs: DataFrame,
+    max_per_host: int = 1000,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota capping — the domain-balancing pass every
+    web-scale training corpus applies (C4/Gopher/RefinedWeb all cap
+    per-host mass) so a single mega-host (a wiki mirror, a forum
+    archive) cannot dominate the token budget.
+
+    Keeps at most ``max_per_host`` docs per host, chosen by smallest
+    salted md5-48 of the doc key — a deterministic uniform sample
+    (same philosophy as :func:`hash_sample`: no RNG, reruns and the
+    DuckDB oracle pick the IDENTICAL survivors), tie-broken by the
+    key itself so duplicate hashes stay deterministic.  One shuffle
+    (the per-host window); host skew is exactly the problem being
+    solved, and the window's work per host is bounded by that host's
+    rows — at 100-TB scale pre-aggregate nothing, the quota IS the
+    reduction."""
+    h = url_host(F.col(url_col))
+    rk = md5_hash48(F.col(key_col).cast("string"), salt="quota|")
+    w = Window.partitionBy(h).orderBy(rk, F.col(key_col))
+    return (
+        docs.withColumn("_qrank", F.row_number().over(w))
+        .where(F.col("_qrank") <= max_per_host)
+        .drop("_qrank")
+    )
+
+
 def substring_dup_spans(
     docs: DataFrame,
     k: int = 25,
