@@ -2701,6 +2701,55 @@ def _q_warc_canonical_header(spark, sf_dir):
     return dedup_by_canonical(eff)
 
 
+def _q_recrawl_candidates(spark, sf_dir):
+    """Recrawl planning composition (r5): REAL sitemap entries joined
+    against a REAL capture index built from WARC records — per doc,
+    ``/new`` was never captured (reason 'new'), ``/mod``'s lastmod
+    postdates its capture ('modified'), ``/same`` was captured after
+    its lastmod (excluded), ``/nolm`` has no lastmod (excluded).
+    The oracle states the two surviving rows per doc; a broken
+    ts14/lastmod comparison or join key surfaces immediately."""
+    from zhtml_spark.sources import (
+        cdx_index,
+        parse_warc_records,
+        warc_record,
+    )
+    from zhtml_spark.textops import recrawl_candidates, sitemap_entries
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    s7 = (F.col("doc_id") % 7).cast("string")
+    origin = F.concat(F.lit("https://site"), s7, F.lit(".example"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), origin, F.lit("/new"), ds,
+        F.lit("</loc><lastmod>2024-02-01</lastmod></url><url><loc>"),
+        origin, F.lit("/mod"), ds,
+        F.lit("</loc><lastmod>2024-02-01</lastmod></url><url><loc>"),
+        origin, F.lit("/same"), ds,
+        F.lit("</loc><lastmod>2024-01-01</lastmod></url><url><loc>"),
+        origin, F.lit("/nolm"), ds,
+        F.lit("</loc></url></urlset>"),
+    )
+    entries = sitemap_entries(
+        d.select(F.concat(F.lit("h"), ds).alias("host"),
+                 xml.alias("text"))
+    )
+    date = F.lit("2024-01-15T12:34:56Z")
+    body = F.lit("<p>x</p>")
+    archives = d.select(
+        F.concat(
+            warc_record(F.concat(origin, F.lit("/mod"), ds), date,
+                        body, http_headers=True),
+            warc_record(F.concat(origin, F.lit("/same"), ds), date,
+                        body, http_headers=True),
+            warc_record(F.concat(origin, F.lit("/nolm"), ds), date,
+                        body, http_headers=True),
+        ).alias("content")
+    )
+    caps = cdx_index(parse_warc_records(archives))
+    return recrawl_candidates(entries, caps)
+
+
 def _q_host_quota_sample(spark, sf_dir):
     """Per-domain quota capping (r5): 5 hosts × ~100 docs, quota 30 —
     genuinely binding on every host, so the survivor set IS the
@@ -3306,13 +3355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 27 new
-    (the 21 below + late-session host_quota_sample, bpe_pair_stats,
-    fetch_schedule, sitemap_entries, warc_cdx_index,
-    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
-    late-r5: itemref) + 16 r3-green refreshes; ELEVEN r3-greens defer
-    to r6 (see the inline block-A comments).  Earlier r5 state: 21
-    new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 28 new
+    (the 21 below + late-session recrawl_candidates,
+    host_quota_sample, bpe_pair_stats, fetch_schedule,
+    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
+    changed (microdata_meta changed AGAIN late-r5: itemref) + 15
+    r3-green refreshes; TWELVE r3-greens defer to r6 (see the inline
+    block-A comments).  Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3338,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "recrawl_candidates": _q_recrawl_candidates,
         "host_quota_sample": _q_host_quota_sample,
         "bpe_pair_stats": _q_bpe_pair_stats,
         "fetch_schedule": _q_fetch_schedule,
@@ -3384,7 +3434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
-        "nearest_centroid": _q_nearest_centroid,
         # -- block A (cont.): never driver-checked — the five
         # late-session additions (bpe_pair_stats..warc_canonical_
         # header, top of file) pushed the window past 50, so FIVE
@@ -3402,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5271,6 +5321,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d, 5, 'Art', origin || '/a/art' || m6 || '.jpg'
             FROM h
+        """,
+        "recrawl_candidates": """
+            -- stated from construction (see _q_recrawl_candidates):
+            -- /new was never captured, /mod's lastmod (2024-02-01)
+            -- postdates the 2024-01-15 capture; /same and /nolm stay
+            WITH h AS (
+                SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example' AS origin,
+                       CAST(doc_id AS VARCHAR) AS d
+                FROM documents
+            )
+            SELECT origin || '/new' || d AS url, 'new' AS reason
+            FROM h
+            UNION ALL
+            SELECT origin || '/mod' || d, 'modified' FROM h
         """,
         "host_quota_sample": """
             -- identical deterministic window: smallest salted md5-48

@@ -1118,6 +1118,31 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_recrawl_candidates_edges(spark):
+    """Same-day midnight lastmod does NOT beat an intraday capture;
+    full-datetime lastmod compares at second granularity; multiple
+    captures use the LATEST."""
+    from zhtml_spark.textops import recrawl_candidates
+
+    entries = spark.createDataFrame(
+        [
+            ("u1", "2024-01-15"),            # same day as capture
+            ("u2", "2024-01-15T13:00:00Z"),  # after the 12:34 capture
+            ("u3", None),                     # captured, no lastmod
+            ("u4", "2020-01-01"),             # never captured
+        ],
+        "url string, lastmod string",
+    )
+    caps = spark.createDataFrame(
+        [("u1", "20240115123456"), ("u2", "20240115123456"),
+         ("u2", "20240110000000"), ("u3", "20240115123456")],
+        "url string, ts14 string",
+    )
+    got = {r["url"]: r["reason"]
+           for r in recrawl_candidates(entries, caps).collect()}
+    assert got == {"u2": "modified", "u4": "new"}
+
+
 def test_host_quota_sample_caps_and_determinism(spark):
     """Quota binds per host independently; under-quota hosts keep
     everything; two runs pick identical survivors (hash, no RNG)."""

@@ -2545,6 +2545,45 @@ def hash_sample(
     return docs.where(bucket < rate)
 
 
+def recrawl_candidates(
+    entries: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Recrawl planning: join sitemap entries
+    (:func:`sitemap_entries`) against the crawl's capture index
+    (:func:`zhtml_spark.sources.cdx_index`) and surface every URL
+    that needs fetching — never captured (``reason='new'``) or
+    sitemap ``lastmod`` strictly after the LAST capture
+    (``reason='modified'``).  This is the conditional-refetch
+    decision crawlers otherwise burn HTTP requests to discover.
+
+    Timestamps compare lexicographically: ``lastmod`` (W3C datetime,
+    date-first) collapses to digits and zero-pads to the capture's
+    ts14 — both are big-endian digit strings, so string ``>`` is
+    chronological ``>`` with no date parsing on either engine.
+    Cost: one max-agg over captures (map-side combinable) + one left
+    join on the URL key; index entries per URL, not per capture,
+    reach the join."""
+    last_cap = captures.groupBy(url_col).agg(
+        F.max("ts14").alias("last_ts14")
+    )
+    lastmod14 = F.rpad(
+        F.regexp_replace(F.col("lastmod"), r"[^0-9]", ""), 14, "0"
+    )
+    joined = entries.join(last_cap, url_col, "left")
+    reason = F.when(F.col("last_ts14").isNull(), F.lit("new")).when(
+        F.col("lastmod").isNotNull()
+        & (lastmod14 > F.col("last_ts14")),
+        F.lit("modified"),
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(url_col, "reason")
+    )
+
+
 def host_quota_sample(
     docs: DataFrame,
     max_per_host: int = 1000,
