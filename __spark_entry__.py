@@ -1273,6 +1273,26 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_spans_to_text(spark, sf_dir):
+    """Gates the WET-form plain-text renderer (r5): the
+    spans_to_markdown page shape (heading/text/list/media) rendered
+    as visible text only — the media span must DROP (alt text is an
+    attribute, not rendered text) while heading/paragraph/list pass
+    verbatim, newline-joined in offset order."""
+    from zhtml_spark.textops import spans_to_text
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><h1>Doc "), d, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>item "), F.col("lang"),
+        F.lit('</li></ul><img src="i'), d,
+        F.lit('.png" alt="fig"></body>'),
+    )
+    ex = _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+    return spans_to_text(ex)
+
+
 def _q_host_stats(spark, sf_dir):
     """Gates the per-host crawl report: messy-case hosts + unsorted
     queries + fragment-bearing recrawls (every 4th doc) must collapse
@@ -3355,13 +3375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 28 new
-    (the 21 below + late-session recrawl_candidates,
+    Green-row ledger (round → window): r5 FINAL window = 29 new
+    (the 21 below + late-session spans_to_text, recrawl_candidates,
     host_quota_sample, bpe_pair_stats, fetch_schedule,
     sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
-    changed (microdata_meta changed AGAIN late-r5: itemref) + 15
-    r3-green refreshes; TWELVE r3-greens defer to r6 (see the inline
-    block-A comments).  Earlier r5 state: 21 new + 7 changed
+    changed (microdata_meta changed AGAIN late-r5: itemref) + 14
+    r3-green refreshes; THIRTEEN r3-greens defer to r6 (see the
+    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3387,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "spans_to_text": _q_spans_to_text,
         "recrawl_candidates": _q_recrawl_candidates,
         "host_quota_sample": _q_host_quota_sample,
         "bpe_pair_stats": _q_bpe_pair_stats,
@@ -3433,7 +3454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_candidates": _q_minhash_candidates,
         "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
-        "cosine_topk": _q_cosine_topk,
         # -- block A (cont.): never driver-checked — the five
         # late-session additions (bpe_pair_stats..warc_canonical_
         # header, top of file) pushed the window past 50, so FIVE
@@ -3451,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -4873,6 +4894,16 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "spans_to_text": """
+            -- WET form of the spans_to_markdown page: heading,
+            -- paragraph, and list text newline-joined; the media
+            -- span's alt text must NOT appear
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR)
+                     || chr(10) || text
+                     || chr(10) || 'item ' || lang AS text
+            FROM documents
         """,
         "spans_to_markdown": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

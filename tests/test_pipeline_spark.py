@@ -1118,6 +1118,30 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_spans_to_text_visible_kinds_and_empty_doc(spark):
+    """Link anchor text renders (it is visible text); meta/media/
+    structured-data drop; an all-dropped doc still yields a row with
+    empty text (the line_dedup/markdown empty-doc guarantee)."""
+    from zhtml_spark.textops import spans_to_text
+
+    spans = spark.createDataFrame(
+        [
+            ("a", 0, "heading", "H", None),
+            ("a", 1, "text", "body", None),
+            ("a", 2, "link", "click me", "/x"),
+            ("a", 3, "media", "alt", "/i.png"),
+            ("a", 4, "meta", "desc", "description"),
+            ("a", 5, "microdata", "v", "0:p"),
+            ("b", 0, "meta", "only meta", "robots"),
+        ],
+        "doc_id string, offset int, kind string, text string,"
+        " media_ref string",
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in spans_to_text(spans).collect()}
+    assert got == {"a": "H\nbody\nclick me", "b": ""}
+
+
 def test_recrawl_candidates_edges(spark):
     """Same-day midnight lastmod does NOT beat an intraday capture;
     full-datetime lastmod compares at second granularity; multiple

@@ -2005,6 +2005,43 @@ def spans_to_markdown(
     )
 
 
+def spans_to_text(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Render an extracted span table to one PLAIN-TEXT document per
+    doc — the WET form (Common Crawl's extracted-text records), the
+    input shape most text-pipeline tooling expects.  Visible-text
+    kinds pass through verbatim in offset order joined by newlines
+    (text, heading, list, code, table, and link ANCHOR text — all
+    rendered text); everything non-visible drops (meta, media — alt
+    text is an attribute, not rendered text — and the structured-data
+    / redirect span kinds).  Same plan shape and empty-doc guarantee
+    as :func:`spans_to_markdown`: one projection + one groupBy-doc
+    rebuild, dropped rows shuffle as NULL stubs."""
+    txt = F.when(
+        F.col("kind").isin(
+            "text", "heading", "list", "code", "table", "link"
+        ),
+        F.col("text"),
+    ).otherwise(F.lit(None).cast("string"))
+    rendered = spans.select(id_col, "offset", txt.alias("t"))
+    return rendered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "t"))
+                    ),
+                    lambda s: s["t"].isNotNull(),
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     min_count: int = 2,
