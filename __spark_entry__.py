@@ -1273,6 +1273,62 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain closure (r5): per doc a REAL two-hop redirect
+    chain (301 u→v, 302 v→w, 200 at w) plus, every fifth doc, a
+    two-node CYCLE — built as WARC records, surfaced as redirect
+    spans by warc_interleaved_spans, then resolved with max_hops=3.
+    The oracle states every (src, final, hops, resolved) row: chain
+    members collapse onto w with their true hop counts, cycle members
+    surface resolved=false at the hop cap."""
+    from zhtml_spark.sources import (
+        parse_warc_records,
+        warc_interleaved_spans,
+        warc_record,
+    )
+    from zhtml_spark.textops import resolve_redirects
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    k = (did % 7).cast("string")
+    origin = F.concat(F.lit("https://site"), k, F.lit(".example"))
+
+    def page(name):
+        return F.concat(origin, F.lit("/" + name), ids)
+
+    date = F.lit("2024-01-01T00:00:00Z")
+
+    def redir(src, dst, status):
+        return warc_record(
+            src, date, F.lit(""), http_headers=True, status=status,
+            http_extra=F.concat(F.lit("Location: "), dst,
+                                F.lit("\r\n")),
+        )
+
+    chain = F.concat(
+        redir(page("u"), page("v"), "301 Moved Permanently"),
+        redir(page("v"), page("w"), "302 Found"),
+        warc_record(page("w"), date,
+                    F.concat(F.lit("<p>Doc "), ids, F.lit("</p>")),
+                    http_headers=True),
+    )
+    cycle = F.concat(
+        redir(page("x"), page("y"), "301 Moved Permanently"),
+        redir(page("y"), page("x"), "301 Moved Permanently"),
+    )
+    archives = d.select(
+        F.when(did % 5 == 0, F.concat(chain, cycle))
+        .otherwise(chain).alias("content")
+    )
+    spans = warc_interleaved_spans(parse_warc_records(archives))
+    edges = spans.where(F.col("kind") == "redirect").select(
+        F.col("doc_id").alias("src"),
+        F.col("media_ref").alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=3)
+
+
 def _q_spans_to_text(spark, sf_dir):
     """Gates the WET-form plain-text renderer (r5): the
     spans_to_markdown page shape (heading/text/list/media) rendered
@@ -3375,13 +3431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 29 new
-    (the 21 below + late-session spans_to_text, recrawl_candidates,
-    host_quota_sample, bpe_pair_stats, fetch_schedule,
-    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
-    changed (microdata_meta changed AGAIN late-r5: itemref) + 14
-    r3-green refreshes; THIRTEEN r3-greens defer to r6 (see the
-    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 30 new
+    (the 21 below + late-session resolve_redirects, spans_to_text,
+    recrawl_candidates, host_quota_sample, bpe_pair_stats,
+    fetch_schedule, sitemap_entries, warc_cdx_index,
+    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
+    late-r5: itemref) + 13 r3-green refreshes; FOURTEEN r3-greens
+    defer to r6 (see the inline block-A comments).  Earlier r5
+    state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3407,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "resolve_redirects": _q_resolve_redirects,
         "spans_to_text": _q_spans_to_text,
         "recrawl_candidates": _q_recrawl_candidates,
         "host_quota_sample": _q_host_quota_sample,
@@ -3453,7 +3511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
         "dedup_survivors": _q_dedup_survivors,
-        "simhash48": _q_simhash,
         # -- block A (cont.): never driver-checked — the five
         # late-session additions (bpe_pair_stats..warc_canonical_
         # header, top of file) pushed the window past 50, so FIVE
@@ -3471,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
@@ -4894,6 +4952,29 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "resolve_redirects": """
+            -- stated from construction (see _q_resolve_redirects):
+            -- u->v->w chains collapse onto w (hops 2 and 1); the
+            -- every-5th-doc x<->y cycle pins at the hop cap (3)
+            -- unresolved
+            WITH h AS (
+                SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example' AS o,
+                       CAST(doc_id AS VARCHAR) AS d, doc_id
+                FROM documents
+            )
+            SELECT o || '/u' || d AS src, o || '/w' || d AS final,
+                   2 AS hops, TRUE AS resolved
+            FROM h
+            UNION ALL
+            SELECT o || '/v' || d, o || '/w' || d, 1, TRUE FROM h
+            UNION ALL
+            SELECT o || '/x' || d, o || '/y' || d, 3, FALSE
+            FROM h WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT o || '/y' || d, o || '/x' || d, 3, FALSE
+            FROM h WHERE doc_id % 5 = 0
         """,
         "spans_to_text": """
             -- WET form of the spans_to_markdown page: heading,

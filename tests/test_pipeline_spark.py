@@ -1118,6 +1118,28 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_resolve_redirects_chains_cycles_and_conflicts(spark):
+    """Chains collapse with true hop counts; a self-loop pins at the
+    cap unresolved; a src with conflicting targets deterministically
+    takes the lexicographic min."""
+    from zhtml_spark.textops import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),          # chain a->b->c
+         ("s", "s"),                       # self-loop
+         ("k", "z"), ("k", "m")],          # conflict: min -> m
+        "src string, dst string",
+    )
+    got = {r["src"]: (r["final"], r["hops"], r["resolved"])
+           for r in resolve_redirects(edges, max_hops=4).collect()}
+    assert got == {
+        "a": ("c", 2, True),
+        "b": ("c", 1, True),
+        "s": ("s", 4, False),
+        "k": ("m", 1, True),
+    }
+
+
 def test_spans_to_text_visible_kinds_and_empty_doc(spark):
     """Link anchor text renders (it is visible text); meta/media/
     structured-data drop; an all-dropped doc still yields a row with

@@ -2582,6 +2582,61 @@ def hash_sample(
     return docs.where(bucket < rate)
 
 
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Follow redirect chains to their final target — (src, final,
+    hops, resolved) per redirecting URL.  The crawl-graph closure
+    every dedup/canonicalization tier wants: a→b→c collapses a AND b
+    onto c without refetching anything.
+
+    ``max_hops`` is a FIXED join count, not a convergence loop: real
+    redirect chains are short (browsers give up around 20; the
+    default 8 covers practice), so the plan is ``max_hops`` bounded
+    self-joins — no driver-side iteration, no lineage growth, O(1)
+    shuffles at any corpus size.  ``resolved`` is False when the
+    final URL still redirects (a cycle or an over-long chain — both
+    crawl-config errors worth surfacing, never worth spinning on).
+    A URL with several recorded targets (conflicting captures) takes
+    the lexicographically smallest — deterministic on both engines."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .groupBy("_s")
+        .agg(F.min("_d").alias("_d"))
+    )
+    cur = e.select(
+        F.col("_s").alias("src"),
+        F.col("_d").alias("final"),
+        F.lit(1).alias("hops"),
+    )
+    for _ in range(max_hops - 1):
+        nxt = e.select(
+            F.col("_s").alias("final"), F.col("_d").alias("_nd")
+        )
+        cur = cur.join(nxt, "final", "left").select(
+            "src",
+            F.coalesce("_nd", "final").alias("final"),
+            (
+                F.col("hops")
+                + F.when(F.col("_nd").isNotNull(), 1).otherwise(0)
+            ).alias("hops"),
+        )
+    still = e.select(F.col("_s").alias("final")).withColumn(
+        "_more", F.lit(True)
+    )
+    return cur.join(still, "final", "left").select(
+        "src",
+        "final",
+        "hops",
+        F.col("_more").isNull().alias("resolved"),
+    )
+
+
 def recrawl_candidates(
     entries: DataFrame,
     captures: DataFrame,
