@@ -1273,6 +1273,50 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_warc_length_audit(spark, sf_dir):
+    """Content-Length audit (r5): per doc three records — intact
+    (delta 0), a payload CONTAINING the literal record boundary
+    (the string-splitter's one documented failure: the record chops
+    early, the tail is lost, and delta must read exactly
+    -(14 + len(tail)) — the boundary's 14 octets plus the lost
+    bytes), and a payload whose OWN trailing CRLFCRLF meets the
+    end-trim (the benign -4 edge).  The phantom tail fragment
+    carries no WARC-Type and must NOT mint a row.  The oracle states
+    every delta from construction — the corruption the splitter
+    cannot avoid is now measured, not silent."""
+    from zhtml_spark.sources import parse_warc_records, warc_record
+
+    d = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    origin = F.concat(F.lit("https://site"), k, F.lit(".example"))
+    date = F.lit("2024-01-01T00:00:00Z")
+    ok = warc_record(
+        F.concat(origin, F.lit("/ok"), ids), date,
+        F.concat(F.lit("<p>before "), ids, F.lit("</p>")),
+    )
+    cut = warc_record(
+        F.concat(origin, F.lit("/cut"), ids), date,
+        F.concat(
+            F.lit("<p>before "), ids,
+            F.lit("</p>\r\n\r\nWARC/1.0\r\ntail"), ids,
+        ),
+    )
+    pad = warc_record(
+        F.concat(origin, F.lit("/pad"), ids), date,
+        F.concat(F.lit("<p>pad "), ids, F.lit("</p>\r\n\r\n")),
+    )
+    archives = d.select(
+        # pad sits INTERIOR (the -4 trim edge needs the inter-record
+        # split to have consumed the writer's own separator); cut is
+        # last, proving the phantom tail also dies at end-of-archive
+        F.concat(ok, pad, cut).alias("content")
+    )
+    return parse_warc_records(archives).select(
+        "warc_url", "length_delta"
+    )
+
+
 def _q_resolve_redirects(spark, sf_dir):
     """Redirect-chain closure (r5): per doc a REAL two-hop redirect
     chain (301 u→v, 302 v→w, 200 at w) plus, every fifth doc, a
@@ -3431,14 +3475,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 30 new
-    (the 21 below + late-session resolve_redirects, spans_to_text,
-    recrawl_candidates, host_quota_sample, bpe_pair_stats,
-    fetch_schedule, sitemap_entries, warc_cdx_index,
-    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
-    late-r5: itemref) + 13 r3-green refreshes; FOURTEEN r3-greens
-    defer to r6 (see the inline block-A comments).  Earlier r5
-    state: 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 31 new
+    (the 21 below + late-session warc_length_audit,
+    resolve_redirects, spans_to_text, recrawl_candidates,
+    host_quota_sample, bpe_pair_stats, fetch_schedule,
+    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
+    changed (microdata_meta changed AGAIN late-r5: itemref; ALL
+    warc_* re-evidenced for the payload \\z end-anchor fix) + 12
+    r3-green refreshes; FIFTEEN r3-greens defer to r6 (see the
+    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3464,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "warc_length_audit": _q_warc_length_audit,
         "resolve_redirects": _q_resolve_redirects,
         "spans_to_text": _q_spans_to_text,
         "recrawl_candidates": _q_recrawl_candidates,
@@ -3510,7 +3556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
-        "dedup_survivors": _q_dedup_survivors,
         # -- block A (cont.): never driver-checked — the five
         # late-session additions (bpe_pair_stats..warc_canonical_
         # header, top of file) pushed the window past 50, so FIVE
@@ -3528,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
@@ -4952,6 +4998,28 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "warc_length_audit": """
+            -- stated from construction (see _q_warc_length_audit):
+            -- /ok intact (0); /cut loses the boundary's 14 octets
+            -- plus 'tail'||d (4+len(d) octets); /pad's own trailing
+            -- CRLFCRLF meets the end-trim (-4); the phantom tail
+            -- fragment mints no row
+            WITH h AS (
+                SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example' AS o,
+                       CAST(doc_id AS VARCHAR) AS d
+                FROM documents
+            )
+            SELECT o || '/ok' || d AS warc_url,
+                   CAST(0 AS BIGINT) AS length_delta
+            FROM h
+            UNION ALL
+            SELECT o || '/cut' || d,
+                   CAST(-(18 + length(d)) AS BIGINT)
+            FROM h
+            UNION ALL
+            SELECT o || '/pad' || d, CAST(-4 AS BIGINT) FROM h
         """,
         "resolve_redirects": """
             -- stated from construction (see _q_resolve_redirects):

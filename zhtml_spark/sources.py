@@ -189,7 +189,8 @@ def parse_warc_records(
 ) -> DataFrame:
     """Split WARC archive strings into RESPONSE-record rows
     ``(warc_url, warc_date, html, payload_ctype, http_te, http_ce,
-    http_status, http_location, http_xrobots, http_link)`` — all JVM-side
+    http_status, http_location, http_xrobots, http_link,
+    length_delta)`` — all JVM-side
     (split + explode + regexp_extract), no Python.
     ``http_te`` / ``http_ce`` carry the HTTP ``Transfer-Encoding`` /
     ``Content-Encoding`` header values (lowercased; ``""`` for
@@ -211,7 +212,11 @@ def parse_warc_records(
     could trivially contain); a payload containing that exact 4-line
     boundary sequence remains the documented approximation of this
     string-level splitter — the production InputFormat honors
-    Content-Length instead and is byte-exact.
+    Content-Length instead and is byte-exact.  The approximation now
+    fails LOUD: ``length_delta`` compares each record's actual split
+    payload against its declared Content-Length, so a chopped record
+    is detectable (negative delta) and quarantinable downstream
+    instead of silently shipping truncated text.
 
     Common Crawl response records carry a FULL HTTP response (status
     line + headers + CRLFCRLF + body, ``Content-Type:
@@ -226,8 +231,14 @@ def parse_warc_records(
     no blank line yields an empty body (headers are never HTML) —
     ADVICE r2 #1."""
     recs = _split_warc_rows(archives, content_col)
+    # \z (true end-of-input), NOT $: Java's $ also matches BEFORE a
+    # final line terminator, and combined with the non-greedy capture
+    # it silently dropped the last CRLF of any payload ending in a
+    # newline (invisible to HTML extraction — trailing whitespace —
+    # but a 2-byte lie to the length audit and to byte-exact
+    # consumers like the PDF branch)
     payload = F.regexp_extract(
-        "rec", r"(?s)\r\n\r\n(.*?)(?:\r\n\r\n)?$", 1
+        "rec", r"(?s)\r\n\r\n(.*?)(?:\r\n\r\n)?\z", 1
     )
     # the record's OWN Content-Type (WARC header block = everything
     # before the first blank line) gates the HTTP strip
@@ -352,6 +363,20 @@ def parse_warc_records(
                     )
                 ),
             ).otherwise(F.lit("")).alias("http_link"),
+            # length audit: actual split-payload octets minus the
+            # record's declared Content-Length.  0 = intact; a
+            # NEGATIVE value means the string-level splitter chopped
+            # this record early (a payload containing the literal
+            # record boundary — the documented approximation) and
+            # the tail was lost: the corruption now fails LOUD and
+            # quarantinable instead of silently shipping truncated
+            # documents.  (-4 can also appear when a payload's OWN
+            # trailing CRLFCRLF met the end-trim — benign, rare.)
+            (
+                F.octet_length(payload)
+                - _warc_field(warc_hdr, "content-length")
+                .try_cast("long")
+            ).alias("length_delta"),
         )
         .where(F.col("warc_type") == "response")
         .where(F.col("warc_url") != "")
