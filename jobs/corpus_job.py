@@ -37,7 +37,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(spark, n_docs: int, cores: int, substring: bool) -> dict:
+def run(
+    spark,
+    n_docs: int,
+    cores: int,
+    substring: bool,
+    host_quota: int | None = None,
+) -> dict:
     from pyspark.sql import functions as F
 
     from zhtml_spark.corpus import adversarial_web_corpus
@@ -198,6 +204,21 @@ def run(spark, n_docs: int, cores: int, substring: bool) -> dict:
     after_url = timed("dedup_url", _url_tier)
     stages["dedup_url"]["rows"] = after_url.count()
 
+    # ---- 5b. per-domain quota (optional): cap host mass BEFORE the
+    # expensive near-dup tier — on power-law crawls the capped rows
+    # are exactly the ones that blow up banded candidate volume
+    if host_quota:
+        from zhtml_spark.textops import host_quota_sample
+
+        after_url = timed(
+            "host_quota",
+            lambda: host_quota_sample(
+                after_url, max_per_host=host_quota,
+                url_col="doc_id", key_col="doc_id",
+            ).localCheckpoint(),
+        )
+        stages["host_quota"]["rows"] = after_url.count()
+
     survivors = timed(
         "dedup_exact_banded",
         lambda: dedup_survivors(
@@ -274,6 +295,10 @@ def main() -> None:
         default=None,
         help="substring-apply tier (default: on below 100k docs)",
     )
+    ap.add_argument(
+        "--host-quota", type=int, default=None,
+        help="max docs kept per host (default: tier off)",
+    )
     args = ap.parse_args()
     substring = (
         args.substring
@@ -287,7 +312,10 @@ def main() -> None:
 
     spark = build_session(app="corpus-job", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    out = run(spark, args.docs, args.cores, substring)
+    out = run(
+        spark, args.docs, args.cores, substring,
+        host_quota=args.host_quota,
+    )
     print(json.dumps(out))
     spark.stop()
 

@@ -10,7 +10,8 @@ from __future__ import annotations
 def test_corpus_job_stages_compose(spark):
     from jobs.corpus_job import run
 
-    out = run(spark, n_docs=800, cores=4, substring=True)
+    out = run(spark, n_docs=800, cores=4, substring=True,
+              host_quota=50)
     st = out["stages"]
     assert st["warc_parse"]["rows"] == 800
     assert st["extract"]["docs"] == 800
@@ -21,10 +22,13 @@ def test_corpus_job_stages_compose(spark):
     # tiers only ever shrink the corpus
     n_q = st["quality_filter"]["rows"]
     n_u = st["dedup_url"]["rows"]
+    n_h = st["host_quota"]["rows"]
     n_s = st["dedup_exact_banded"]["rows"]
-    assert 0 < n_s <= n_u <= n_q <= 800
+    assert 0 < n_s <= n_h <= n_u <= n_q <= 800
+    # the power-law host skew makes the quota tier BIND (not a no-op)
+    assert n_h < n_u
     # chains guarantee the banded tier actually removes docs
-    assert n_s < n_u
+    assert n_s < n_h
     # substring tier ran and cut the chain-shared runs
     assert st["substring_apply"]["cut_chars"] > 0
     # line dedup kept every surviving doc, packs cover all of them
