@@ -3556,17 +3556,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
-        # -- block A (cont.): never driver-checked — the five
-        # late-session additions (bpe_pair_stats..warc_canonical_
-        # header, top of file) pushed the window past 50, so FIVE
+        # -- block A (cont.): never driver-checked — the TEN
+        # late-session additions (warc_length_audit..warc_canonical_
+        # header, top of file) pushed the window past 50, so TEN
         # MORE r3-greens (lang_id, doc_fingerprint, frame_sample,
-        # token_count, resize_dims) defer to the r6 window alongside
-        # the five already deferred (media_features, quality_filter,
-        # events_by_type, order_window_rank, events_windowed); their
-        # r3 green rows are age 3 at r6 — the documented cost of
-        # keeping every never-checked query inside the window, the
-        # strictly-worse alternative being a new query shipping
-        # driver-unevidenced (the r3 lesson)
+        # token_count, resize_dims, text_quality, nearest_centroid,
+        # cosine_topk, simhash48, dedup_survivors) defer to the r6
+        # window alongside the five already deferred
+        # (media_features, quality_filter, events_by_type,
+        # order_window_rank, events_windowed); their r3 green rows
+        # are age 3 at r6 — the documented cost of keeping every
+        # never-checked query inside the window, the strictly-worse
+        # alternative being a new query shipping driver-unevidenced
+        # (the r3 lesson)
         "article_meta_unified": _q_article_meta_unified,
         "extract_style_media": _q_extract_style_media,
         "frontier_with_base": _q_frontier_with_base,
