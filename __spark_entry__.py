@@ -1273,6 +1273,71 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_hreflang_clusters(spark, sf_dir):
+    """Language-variant clustering (r5): docs in groups of three
+    (de/en/fr variants of one page) each declare ALL THREE hreflang
+    alternates plus an ``x-default`` pointing at the en variant (a
+    duplicate member that must not inflate the distinct count)
+    through the REAL head-meta extraction; every variant clusters
+    under the lexicographically-smallest (.de) URL with n_members=3.
+    The oracle states every row from construction."""
+    from zhtml_spark.extract import ExtractConfig
+    from zhtml_spark.pipeline import extract_documents
+    from zhtml_spark.textops import hreflang_clusters
+
+    did = F.col("doc_id")
+    base = (F.floor(did / 3) * 3).cast("bigint")
+    stem = F.concat(
+        F.lit("https://site"), (base % 7).cast("string"),
+        F.lit(".example/p"), base.cast("string"),
+    )
+    my_lang = (
+        F.when(did % 3 == 0, F.lit("de"))
+        .when(did % 3 == 1, F.lit("en"))
+        .otherwise(F.lit("fr"))
+    )
+    url = F.concat(stem, F.lit("."), my_lang)
+
+    def alt(lang):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="' + lang
+                  + '" href="'),
+            stem, F.lit("." + lang), F.lit('">'),
+        )
+
+    html = F.concat(
+        F.lit("<head><title>t</title>"),
+        alt("de"), alt("en"), alt("fr"),
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default"'
+                  ' href="'),
+            stem, F.lit('.en">'),
+        ),
+        F.lit("</head><body><p>x</p></body>"),
+    )
+    inter = _docs(spark, sf_dir).select(
+        url.alias("doc_id"),
+        F.array(
+            _span_struct(F.lit("html"), html, _null_str(), F.lit(0))
+        ).alias("spans"),
+    )
+    ex = (
+        extract_documents(
+            inter, config=ExtractConfig(emit_head_meta=True)
+        )
+        .select("doc_id", F.explode("spans").alias("s"))
+    )
+    alts = ex.where(
+        (F.col("s.kind") == "meta")
+        & F.col("s.media_ref").startswith("alternate:")
+    ).select(
+        F.col("doc_id").alias("url"),
+        F.col("s.text").alias("alt"),
+    )
+    pages = inter.select(F.col("doc_id").alias("url"))
+    return hreflang_clusters(pages, alts)
+
+
 def _q_warc_length_audit(spark, sf_dir):
     """Content-Length audit (r5): per doc three records — intact
     (delta 0), a payload CONTAINING the literal record boundary
@@ -3475,15 +3540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 31 new
-    (the 21 below + late-session warc_length_audit,
-    resolve_redirects, spans_to_text, recrawl_candidates,
-    host_quota_sample, bpe_pair_stats, fetch_schedule,
-    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
-    changed (microdata_meta changed AGAIN late-r5: itemref; ALL
-    warc_* re-evidenced for the payload \\z end-anchor fix) + 12
-    r3-green refreshes; FIFTEEN r3-greens defer to r6 (see the
-    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 32 new
+    (the 21 below + late-session hreflang_clusters,
+    warc_length_audit, resolve_redirects, spans_to_text,
+    recrawl_candidates, host_quota_sample, bpe_pair_stats,
+    fetch_schedule, sitemap_entries, warc_cdx_index,
+    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
+    late-r5: itemref; ALL warc_* re-evidenced for the payload \\z
+    end-anchor fix) + 11 r3-green refreshes; SIXTEEN r3-greens defer
+    to r6 (see the inline block-A comments).  Earlier r5 state: 21
+    new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3509,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "hreflang_clusters": _q_hreflang_clusters,
         "warc_length_audit": _q_warc_length_audit,
         "resolve_redirects": _q_resolve_redirects,
         "spans_to_text": _q_spans_to_text,
@@ -3555,7 +3622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
-        "minhash_dup_candidates": _q_minhash_candidates,
         # -- block A (cont.): never driver-checked — the TEN
         # late-session additions (warc_length_audit..warc_canonical_
         # header, top of file) pushed the window past 50, so TEN
@@ -3575,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "minhash_dup_candidates": _q_minhash_candidates,
         "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -5000,6 +5067,27 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "hreflang_clusters": """
+            -- stated from construction (see _q_hreflang_clusters):
+            -- each group-of-3's variants cluster under the .de URL;
+            -- the x-default duplicate of .en must not inflate the
+            -- distinct member count
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site'
+                         || CAST(((doc_id // 3) * 3) % 7 AS VARCHAR)
+                         || '.example/p'
+                         || CAST((doc_id // 3) * 3 AS VARCHAR)
+                         AS stem
+                FROM documents
+            )
+            SELECT stem || '.' || CASE doc_id % 3
+                       WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                       ELSE 'fr' END AS url,
+                   stem || '.de' AS cluster_id,
+                   CAST(3 AS BIGINT) AS n_members
+            FROM u
         """,
         "warc_length_audit": """
             -- stated from construction (see _q_warc_length_audit):

@@ -1118,6 +1118,29 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_hreflang_clusters_membership(spark):
+    """Variants cluster under the smallest member URL; a duplicate
+    x-default-style alternate does not inflate the distinct count; a
+    page with no alternates is its own singleton cluster."""
+    from zhtml_spark.textops import hreflang_clusters
+
+    pages = spark.createDataFrame(
+        [("u.de",), ("u.en",), ("solo",)], "url string"
+    )
+    alts = spark.createDataFrame(
+        [("u.de", "u.en"), ("u.en", "u.de"),
+         ("u.en", "u.de")],  # duplicate declaration
+        "url string, alt string",
+    )
+    got = {r["url"]: (r["cluster_id"], r["n_members"])
+           for r in hreflang_clusters(pages, alts).collect()}
+    assert got == {
+        "u.de": ("u.de", 2),
+        "u.en": ("u.de", 2),
+        "solo": ("solo", 1),
+    }
+
+
 def test_resolve_redirects_chains_cycles_and_conflicts(spark):
     """Chains collapse with true hop counts; a self-loop pins at the
     cap unresolved; a src with conflicting targets deterministically

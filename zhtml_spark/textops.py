@@ -2138,6 +2138,39 @@ def dedup_by_canonical(
     )
 
 
+def hreflang_clusters(
+    pages: DataFrame,
+    alternates: DataFrame,
+    url_col: str = "url",
+    alt_col: str = "alt",
+) -> DataFrame:
+    """Group pages that declare each other as language alternates
+    (``rel=alternate hreflang`` — harvested by ``emit_head_meta`` as
+    ``alternate:<lang>`` spans) into language clusters: per page, the
+    cluster id is the smallest URL among {self} ∪ declared
+    alternates, with the distinct member count.  Training pipelines
+    use the cluster as the LOGICAL document for language-balanced
+    sampling or keep-one-per-cluster dedup — the variants are
+    translations, not duplicates, and plain content dedup never
+    catches them.
+
+    One hop by spec design: hreflang annotations are required to be
+    reciprocal, so a well-formed site's cluster is fully named on
+    every member page; asymmetric (broken) annotations would need a
+    connected-components pass — feed these edges to
+    :func:`dedup_components` if that recovery matters.  Plan: one
+    union + one hash-agg on the page URL, combinable."""
+    members = alternates.select(
+        url_col, F.col(alt_col).alias("_m")
+    ).unionByName(
+        pages.select(url_col, F.col(url_col).alias("_m"))
+    )
+    return members.groupBy(url_col).agg(
+        F.min("_m").alias("cluster_id"),
+        F.count_distinct("_m").alias("n_members"),
+    )
+
+
 def link_header_canonical(link_header: Column) -> Column:
     """Canonical URL from an RFC 8288 HTTP ``Link`` header value
     (``sources.parse_warc_records.http_link``), or ``""`` when none.
