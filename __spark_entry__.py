@@ -5635,7 +5635,11 @@ def oracle_sql() -> dict[str, str]:
             -- char-pair counts (overlapping pairs included), words
             -- outside [2,64] chars dropped, HUGEINT sum cast back
             WITH w AS (
-                SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                -- explicit class, NOT \\s: Java \\s includes U+000B,
+                -- RE2's does not (cross-engine gotcha)
+                SELECT unnest(string_split_regex(
+                           text, '[ \\t\\n\\r\\f]+'
+                       )) AS word
                 FROM documents
             ), wc AS (
                 SELECT word, COUNT(*) AS n

@@ -1164,16 +1164,17 @@ def test_resolve_redirects_chains_cycles_and_conflicts(spark):
 
 
 def test_spans_to_text_visible_kinds_and_empty_doc(spark):
-    """Link anchor text renders (it is visible text); meta/media/
-    structured-data drop; an all-dropped doc still yields a row with
-    empty text (the line_dedup/markdown empty-doc guarantee)."""
+    """Link spans DROP (their anchor text already flows into the
+    enclosing text span — rendering both would duplicate anchors);
+    meta/media/structured-data drop; an all-dropped doc still yields
+    a row with empty text (the empty-doc guarantee)."""
     from zhtml_spark.textops import spans_to_text
 
     spans = spark.createDataFrame(
         [
             ("a", 0, "heading", "H", None),
-            ("a", 1, "text", "body", None),
-            ("a", 2, "link", "click me", "/x"),
+            ("a", 1, "text", "see docs here", None),
+            ("a", 2, "link", "docs", "/x"),  # dup of the text flow
             ("a", 3, "media", "alt", "/i.png"),
             ("a", 4, "meta", "desc", "description"),
             ("a", 5, "microdata", "v", "0:p"),
@@ -1184,7 +1185,7 @@ def test_spans_to_text_visible_kinds_and_empty_doc(spark):
     )
     got = {r["doc_id"]: r["text"]
            for r in spans_to_text(spans).collect()}
-    assert got == {"a": "H\nbody\nclick me", "b": ""}
+    assert got == {"a": "H\nsee docs here", "b": ""}
 
 
 def test_recrawl_candidates_edges(spark):

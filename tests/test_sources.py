@@ -279,6 +279,12 @@ def test_warc_link_header_canonical(spark):
             'rel="alternate canonical"\r\n', "https://ex.com/c1"),
         (2, "Link: <https://ex.com/x>; rel=canonicalish\r\n", ""),
         (3, "", ""),
+        # rel=canonical in a SECOND Link header (RFC 8288 repeated
+        # headers == one comma-joined header; CDNs send preload and
+        # canonical separately)
+        (4, "Link: </app.css>; rel=preload\r\n"
+            'Link: <https://ex.com/c4>; rel="canonical"\r\n',
+         "https://ex.com/c4"),
     ]
     docs = spark.createDataFrame(
         [(f"https://ex.com/p{i}", hdr) for i, hdr, _ in cases],
@@ -317,6 +323,10 @@ def test_cdx_index_canonicalization(spark):
          "com,b,a)/x/y?a=2&z=1"),
         ("https://plain.example", "example,plain)/"),
         ("https://keep.example:8443/p", "example,keep:8443)/p"),
+        # only the scheme's OWN default port strips: http://h:443 is
+        # a real distinct origin and must not collide
+        ("http://cross.example:443/p", "example,cross:443)/p"),
+        ("https://cross.example:80/p", "example,cross:80)/p"),
     ]
     docs = spark.createDataFrame(
         [(u,) for u, _ in cases], "url string"

@@ -308,6 +308,10 @@ def parse_warc_records(
             ),
         ).otherwise(F.lit(""))
 
+    # the header block as a NAMED column: regexp_extract_all inside
+    # F.expr (the multi-Link harvest) can only reference columns by
+    # name, not splice a Python Column expression
+    recs = recs.withColumn("_hdr_blk", http_hdr_block)
     return (
         recs.select(
             F.lower(
@@ -352,18 +356,24 @@ def parse_warc_records(
             # rel=alternate edges that never appear in the HTML
             # (Google honors the header form with priority over the
             # in-document <link rel=canonical>); parsed downstream by
-            # textops.link_header_canonical
+            # textops.link_header_canonical.  ALL Link headers are
+            # captured and comma-joined — RFC 8288 makes repeated
+            # headers equivalent to one comma-separated header, and
+            # CDNs routinely send rel=preload and rel=canonical as
+            # SEPARATE headers (code-review r5: first-only lost the
+            # canonical)
             F.when(
                 is_http & payload.startswith("HTTP/"),
-                F.trim(
-                    F.regexp_extract(
-                        http_hdr_block,
-                        r"(?im)^link:[ \t]*([^\r\n]*)",
-                        1,
-                    )
+                F.array_join(
+                    F.expr(
+                        "transform(regexp_extract_all(_hdr_blk,"
+                        " '(?im)^link:[ \\t]*([^\\r\\n]*)', 1),"
+                        " x -> trim(x))"
+                    ),
+                    ", ",
                 ),
             ).otherwise(F.lit("")).alias("http_link"),
-            # length audit: actual split-payload octets minus the
+            # length audit: actual split-payload size minus the
             # record's declared Content-Length.  0 = intact; a
             # NEGATIVE value means the string-level splitter chopped
             # this record early (a payload containing the literal
@@ -372,8 +382,16 @@ def parse_warc_records(
             # quarantinable instead of silently shipping truncated
             # documents.  (-4 can also appear when a payload's OWN
             # trailing CRLFCRLF met the end-trim — benign, rare.)
+            # CHARACTER count, not octet_length: on the byte-faithful
+            # ISO-8859-1 carrier (binary payloads — where the audit
+            # matters most) chars map 1:1 to wire octets, while
+            # octet_length would count the UTF-8 RE-ENCODING (high
+            # bytes = 2) and bias the delta POSITIVE — masking real
+            # truncation (code-review r5).  On a UTF-8 carrier,
+            # non-ASCII text undercounts (multi-octet wire chars) —
+            # a FALSE-ALARM direction, the safe one for an audit.
             (
-                F.octet_length(payload)
+                F.length(payload)
                 - _warc_field(warc_hdr, "content-length")
                 .try_cast("long")
             ).alias("length_delta"),
@@ -790,12 +808,21 @@ def cdx_index(records: DataFrame) -> DataFrame:
     partition-parallel and merged by the sink's sort, exactly how
     CDX files are produced by real crawlers."""
     u = F.regexp_replace(F.col("warc_url"), "#.*", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
     auth = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     )
-    host = F.regexp_replace(
-        F.regexp_replace(auth, r"^.*@", ""), r":(80|443)$", ""
-    )
+    # strip only the SCHEME'S OWN default port (pywb semantics):
+    # http://host:443 is a real distinct origin from http://host and
+    # must NOT collide with it in the index (code-review r5)
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     # a surviving NON-default port belongs after the reversed host
     # ("example,keep:8443)"), not glued to the last label — split it

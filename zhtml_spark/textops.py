@@ -2013,15 +2013,18 @@ def spans_to_text(
     doc — the WET form (Common Crawl's extracted-text records), the
     input shape most text-pipeline tooling expects.  Visible-text
     kinds pass through verbatim in offset order joined by newlines
-    (text, heading, list, code, table, and link ANCHOR text — all
-    rendered text); everything non-visible drops (meta, media — alt
-    text is an attribute, not rendered text — and the structured-data
-    / redirect span kinds).  Same plan shape and empty-doc guarantee
-    as :func:`spans_to_markdown`: one projection + one groupBy-doc
-    rebuild, dropped rows shuffle as NULL stubs."""
+    (text, heading, list, code, table); everything else drops —
+    meta, media (alt text is an attribute, not rendered text), the
+    structured-data / redirect kinds, and crucially ``link``: anchor
+    text ALREADY flows into its enclosing text span (the link span
+    is metadata on top — extract.py's emit_links contract), so
+    rendering link spans too would duplicate every anchor token in
+    the WET output (code-review r5).  Same plan shape and empty-doc
+    guarantee as :func:`spans_to_markdown`: one projection + one
+    groupBy-doc rebuild, dropped rows shuffle as NULL stubs."""
     txt = F.when(
         F.col("kind").isin(
-            "text", "heading", "list", "code", "table", "link"
+            "text", "heading", "list", "code", "table"
         ),
         F.col("text"),
     ).otherwise(F.lit(None).cast("string"))
@@ -2462,9 +2465,15 @@ def bpe_pair_stats(
     (unbroken minified-JS/base64 runs are noise to a tokenizer and
     would make the per-word pair loop quadratic via substring's
     O(position) re-scan — the CLAUDE.md gram-plan rule; real BPE
-    corpora pre-split such runs anyway).  Pure JVM; no Python."""
+    corpora pre-split such runs anyway).  Pure JVM; no Python.
+
+    The split class is spelled out as explicit characters rather
+    than ``\\s`` because Java's ``\\s`` includes U+000B while RE2's
+    does not — a vertical tab in any document would silently diverge
+    the Spark plan from the DuckDB oracle (the CLAUDE.md
+    cross-engine regex-class gotcha; code-review r5)."""
     words = F.explode(
-        F.split(F.col(text_col), r"\s+")
+        F.split(F.col(text_col), "[ \t\n\r\f]+")
     ).alias("word")
     wc = (
         docs.select(words)
@@ -2684,9 +2693,17 @@ def recrawl_candidates(
     decision crawlers otherwise burn HTTP requests to discover.
 
     Timestamps compare lexicographically: ``lastmod`` (W3C datetime,
-    date-first) collapses to digits and zero-pads to the capture's
-    ts14 — both are big-endian digit strings, so string ``>`` is
-    chronological ``>`` with no date parsing on either engine.
+    date-first) collapses to digits and zero-pads/truncates to the
+    capture's ts14 — both are big-endian digit strings, so string
+    ``>`` is chronological ``>`` with no date parsing on either
+    engine.  Documented approximation: an offset-bearing lastmod
+    (``+02:00``) compares as LOCAL time against the UTC ts14 — the
+    offset digits truncate away, bounding the error by the offset
+    (≤14 h).  For recrawl planning that worst-cases as one refetch a
+    few hours early or late on offset-annotated sitemaps (the
+    overwhelmingly common forms are date-only and ``Z``); pipelines
+    needing second-exact offset handling should parse lastmod with
+    ``to_timestamp`` upstream and pass ts14 strings directly.
     Cost: one max-agg over captures (map-side combinable) + one left
     join on the URL key; index entries per URL, not per capture,
     reach the join."""
