@@ -1273,6 +1273,82 @@ def _q_spans_to_markdown(spark, sf_dir):
     return spans_to_markdown(ex)
 
 
+def _q_wet_render(spark, sf_dir):
+    """WET conversion-record rendering (r5): the spans_to_text page
+    shape extracted through the REAL path, rendered as a byte-exact
+    WET record (version line, conversion type, text/plain,
+    octet-accurate Content-Length, CRLF framing).  The oracle states
+    the ENTIRE record string from construction — one wrong header,
+    separator, or length octet flips the hash."""
+    from zhtml_spark.sources import wet_record
+    from zhtml_spark.textops import spans_to_text
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<body><h1>Doc "), d, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>item "), F.col("lang"),
+        F.lit('</li></ul><img src="i'), d,
+        F.lit('.png" alt="fig"></body>'),
+    )
+    ex = _extract_exploded(_wrap_as_interleaved(_docs(spark, sf_dir), html))
+    txt = spans_to_text(ex)
+    return txt.select(
+        "doc_id",
+        wet_record(
+            F.concat(F.lit("wet://doc/"), F.col("doc_id")),
+            F.lit("2024-01-01T00:00:00Z"),
+            F.col("text"),
+        ).alias("record"),
+    )
+
+
+def _q_frontier_prioritized(spark, sf_dir):
+    """Indegree-prioritized polite scheduling (r5): 20 hosts × ~25
+    URLs; each URL has doc_id%4 incoming links (0 → absent from the
+    REAL anchor_text_stats aggregation → NULL priority, which must
+    sort LAST — the engines default opposite ways on DESC), so each
+    host's fetch order is priority-desc then URL.  The oracle
+    restates the whole schedule with DESC NULLS LAST window SQL."""
+    from zhtml_spark.textops import anchor_text_stats, fetch_schedule
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    m = (did % 20).cast("string")
+    url = F.concat(
+        F.lit("https://h"), m, F.lit(".example/art"),
+        did.cast("string"),
+    )
+    k = did % 4
+    links = d.select(
+        url.alias("resolved"),
+        F.explode(
+            F.when(k > 0, F.sequence(F.lit(1), k.cast("int")))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    ).select(
+        "resolved",
+        F.lit("go").alias("anchor_text"),
+        F.concat(F.lit("src"), F.col("j").cast("string"))
+        .alias("doc_id"),
+    )
+    stats = anchor_text_stats(links)
+    frontier = (
+        d.select(
+            F.concat(F.lit("h"), m).alias("host"), url.alias("url")
+        )
+        .join(
+            stats.select(F.col("resolved").alias("url"), "n_sources"),
+            "url",
+            "left",
+        )
+    )
+    delays = frontier.select("host").distinct().select(
+        "host", F.lit(None).cast("double").alias("crawl_delay")
+    )
+    return fetch_schedule(frontier, delays, order_col="n_sources")
+
+
 def _q_hreflang_clusters(spark, sf_dir):
     """Language-variant clustering (r5): docs in groups of three
     (de/en/fr variants of one page) each declare ALL THREE hreflang
@@ -3540,14 +3616,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 32 new
-    (the 21 below + late-session hreflang_clusters,
-    warc_length_audit, resolve_redirects, spans_to_text,
-    recrawl_candidates, host_quota_sample, bpe_pair_stats,
-    fetch_schedule, sitemap_entries, warc_cdx_index,
+    Green-row ledger (round → window): r5 FINAL window = 34 new
+    (the 21 below + late-session wet_render, frontier_prioritized,
+    hreflang_clusters, warc_length_audit, resolve_redirects,
+    spans_to_text, recrawl_candidates, host_quota_sample,
+    bpe_pair_stats, fetch_schedule, sitemap_entries, warc_cdx_index,
     warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
     late-r5: itemref; ALL warc_* re-evidenced for the payload \\z
-    end-anchor fix) + 11 r3-green refreshes; SIXTEEN r3-greens defer
+    end-anchor fix) + 9 r3-green refreshes; EIGHTEEN r3-greens defer
     to r6 (see the inline block-A comments).  Earlier r5 state: 21
     new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
@@ -3575,6 +3651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "wet_render": _q_wet_render,
+        "frontier_prioritized": _q_frontier_prioritized,
         "hreflang_clusters": _q_hreflang_clusters,
         "warc_length_audit": _q_warc_length_audit,
         "resolve_redirects": _q_resolve_redirects,
@@ -3620,8 +3698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_passthrough": _q_interleaved_passthrough,
         "media_resolution": _q_media_resolution,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_signatures,
         # -- block A (cont.): never driver-checked — the TEN
         # late-session additions (warc_length_audit..warc_canonical_
         # header, top of file) pushed the window past 50, so TEN
@@ -3641,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
         "dedup_survivors": _q_dedup_survivors,
         "simhash48": _q_simhash,
@@ -5067,6 +5145,58 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "wet_render": """
+            -- the ENTIRE WET record stated from construction: the
+            -- extracted text is 'Doc d\\nTEXT\\nitem LANG' (media
+            -- dropped), framed per WARC §6.8 with octet-accurate
+            -- Content-Length
+            WITH t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       'Doc ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || text
+                         || chr(10) || 'item ' || lang AS wtext
+                FROM documents
+            )
+            SELECT doc_id,
+                   'WARC/1.0' || chr(13) || chr(10)
+                     || 'WARC-Type: conversion' || chr(13) || chr(10)
+                     || 'WARC-Target-URI: wet://doc/' || doc_id
+                     || chr(13) || chr(10)
+                     || 'WARC-Date: 2024-01-01T00:00:00Z'
+                     || chr(13) || chr(10)
+                     || 'Content-Type: text/plain'
+                     || chr(13) || chr(10)
+                     || 'Content-Length: '
+                     || CAST(strlen(wtext) AS VARCHAR)
+                     || chr(13) || chr(10) || chr(13) || chr(10)
+                     || wtext || chr(13) || chr(10) || chr(13)
+                     || chr(10) AS record
+            FROM t
+        """,
+        "frontier_prioritized": """
+            -- restated schedule: per host, priority DESC NULLS LAST
+            -- (doc_id%4, with 0 -> never linked -> NULL) then URL;
+            -- all hosts use the default 1.0 s delay
+            WITH f AS (
+                SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                       'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                         || '.example/art' || CAST(doc_id AS VARCHAR)
+                         AS url,
+                       CASE WHEN doc_id % 4 = 0 THEN NULL
+                            ELSE doc_id % 4 END AS pr
+                FROM documents
+            ), r AS (
+                SELECT host, url,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY pr DESC NULLS LAST, url
+                       ) AS rn
+                FROM f
+            )
+            SELECT host, url,
+                   CAST((rn - 1) * 1.0 AS DOUBLE) AS fetch_at_s
+            FROM r
         """,
         "hreflang_clusters": """
             -- stated from construction (see _q_hreflang_clusters):

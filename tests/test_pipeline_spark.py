@@ -1118,6 +1118,41 @@ def test_robots_gate_precedence(spark):
     }
 
 
+def test_fetch_schedule_priority_order_nulls_last(spark):
+    """order_col schedules highest priority first with NULLs (never
+    linked) last, URL tie-break; offsets stay (k-1)*delay."""
+    from zhtml_spark.textops import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [("h", "u/a", None), ("h", "u/b", 3), ("h", "u/c", 3),
+         ("h", "u/d", 1)],
+        "host string, url string, pr int",
+    )
+    delays = spark.createDataFrame(
+        [("h", 2.0)], "host string, crawl_delay double"
+    )
+    got = {r["url"]: r["fetch_at_s"]
+           for r in fetch_schedule(frontier, delays,
+                                   order_col="pr").collect()}
+    assert got == {"u/b": 0.0, "u/c": 2.0, "u/d": 4.0, "u/a": 6.0}
+
+
+def test_wet_record_framing(spark):
+    """WET conversion record framing: headers, CRLF separators, and
+    an OCTET-accurate Content-Length for non-ASCII text."""
+    from zhtml_spark.sources import wet_record
+
+    row = spark.createDataFrame(
+        [("u1", "héllo")], "url string, text string"
+    ).select(
+        wet_record(F.col("url"), F.lit("2024-01-01T00:00:00Z"),
+                   F.col("text")).alias("rec")
+    ).collect()[0]
+    rec = row["rec"]
+    assert rec.startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert "Content-Length: 6\r\n\r\nhéllo\r\n\r\n" in rec  # é = 2 octets
+
+
 def test_hreflang_clusters_membership(spark):
     """Variants cluster under the smallest member URL; a duplicate
     x-default-style alternate does not inflate the distinct count; a

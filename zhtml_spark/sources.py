@@ -92,6 +92,31 @@ def warc_record(
     )
 
 
+def wet_record(url: Column, date: Column, text: Column) -> Column:
+    """Render one WET conversion record (``WARC-Type: conversion``,
+    ``Content-Type: text/plain``) — the archive-native OUTPUT form
+    for extracted text (Common Crawl ships exactly this shape;
+    WARC-ISO 28500 §6.8 conversion records).  Pair with
+    :func:`zhtml_spark.textops.spans_to_text` to write a WET
+    sidecar next to extracted spans: the engine then both READS the
+    crawl archive format and WRITES its derived-text companion.
+    Content-Length is octet-accurate (the ADVICE r2 wire rule); pure
+    JVM concat, embarrassingly parallel, concat per partition and
+    write with ``text``/``binaryFile`` sinks."""
+    return F.concat(
+        F.lit(f"{WARC_VERSION}\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )
+
+
 def warc_revisit_record(
     url: Column,
     date: Column,

@@ -1150,15 +1150,24 @@ def fetch_schedule(
     id_col: str = "host",
     url_col: str = "url",
     default_delay: float = 1.0,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Politeness-scheduled fetch offsets: per host, URLs are ordered
-    deterministically (lexicographic) and the k-th fetch is scheduled
-    at ``(k-1) * delay`` seconds, where ``delay`` is the host's
+    deterministically and the k-th fetch is scheduled at
+    ``(k-1) * delay`` seconds, where ``delay`` is the host's
     :func:`crawl_delay` (``default_delay`` when the host declares
     none).  This is the planning half of a polite frontier — the
     per-host serialization real fetchers enforce with token buckets,
     made explicit so capacity planning (``max(fetch_at_s)`` per host
     = how long that host's slice takes) is a query, not a simulation.
+
+    Default order is lexicographic by URL.  ``order_col`` names a
+    PRIORITY column on the frontier (e.g. ``n_sources`` from
+    :func:`anchor_text_stats` — crawl the most-referenced pages
+    first, the classic indegree frontier policy): highest priority
+    fetches first, NULLS LAST explicitly (Spark and DuckDB default
+    opposite ways on DESC — the r4 anchor-stats lesson), URL as the
+    final tie-break so the schedule stays deterministic.
 
     Plan: one left join on the host key + one per-host window.
     Scale shape: parallelism = number of hosts (the politeness
@@ -1167,7 +1176,11 @@ def fetch_schedule(
     driver state.  A pathological single-host frontier is bounded by
     that host's slice — exactly the wall-clock its politeness delay
     implies anyway."""
-    w = Window.partitionBy(id_col).orderBy(url_col)
+    if order_col is not None:
+        order = [F.col(order_col).desc_nulls_last(), F.col(url_col)]
+    else:
+        order = [F.col(url_col)]
+    w = Window.partitionBy(id_col).orderBy(*order)
     joined = frontier.join(delays, id_col, "left")
     d = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
     return joined.select(
