@@ -159,6 +159,64 @@ def test_stream_warc_extract_incremental(spark, tmp_path):
     assert spans.count() == 8
 
 
+def test_stream_crawl_frontier_incremental(spark, tmp_path):
+    """Streaming frontier discovery: links extracted + absolutized +
+    robots-gated per micro-batch; each archive contributes once
+    across drains; disallowed paths come back allowed=False."""
+    from zhtml_spark.sources import stream_crawl_frontier, warc_record
+    from zhtml_spark.textops import parse_robots
+
+    inp = tmp_path / "warcs"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def archive(n, tag):
+        docs = spark.range(n).select(
+            F.concat(
+                F.lit(f"https://ex.com/{tag}/page"), F.col("id")
+            ).alias("url"),
+            F.lit("2024-01-01T00:00:00Z").alias("date"),
+            F.concat(
+                F.lit('<body><p><a href="/keep/'), F.col("id"),
+                F.lit('">ok</a> and <a href="/private/'), F.col("id"),
+                F.lit('">no</a></p></body>'),
+            ).alias("html"),
+        )
+        return docs.select(
+            warc_record(
+                F.col("url"), F.col("date"), F.col("html")
+            ).alias("rec")
+        ).agg(
+            F.concat_ws("", F.collect_list("rec")).alias("content")
+        ).collect()[0]["content"]
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("ex.com", "User-agent: *\nDisallow: /private/\n")],
+            "host string, text string",
+        )
+    )
+    (inp / "a.warc").write_bytes(archive(3, "a").encode())
+    stream_crawl_frontier(spark, str(inp), out, ckpt, rules, "bot")
+    f1 = spark.read.parquet(f"{out}/frontier")
+    assert f1.count() == 6  # 3 pages x 2 links
+    assert f1.where("allowed").count() == 3
+    assert (
+        f1.where("allowed = false")
+        .where(F.col("url").contains("/private/")).count() == 3
+    )
+    # resolved against each page's own URL
+    assert (
+        f1.where(F.col("url") == "https://ex.com/keep/1").count() == 1
+    )
+
+    (inp / "b.warc").write_bytes(archive(2, "b").encode())
+    stream_crawl_frontier(spark, str(inp), out, ckpt, rules, "bot")
+    f2 = spark.read.parquet(f"{out}/frontier")
+    assert f2.count() == 10  # + 2 pages x 2 links, a.warc not redone
+
+
 def test_warc_gzip_archives(spark, tmp_path):
     """Common Crawl wire format: .warc.gz, one gzip member per record
     (multi-member concatenation)."""
