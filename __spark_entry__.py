@@ -2337,6 +2337,61 @@ def _q_pdf_extract(spark, sf_dir):
     )
 
 
+def _q_pdf_outline(spark, sf_dir):
+    """PDF document outline (r5, §12.3.3): per-doc PDF whose catalog
+    carries an /Outlines tree — a top-level chapter with one child
+    plus a SECOND top-level item whose /Title is a hex UTF-16BE
+    string with a BOM ('Résumé' — wrong decoding shows immediately) —
+    emitted as ('meta', title, 'outline:<depth>') spans after the
+    page content.  The oracle states all four spans per doc from
+    construction: a wrong walk order, depth, or string decode flips
+    the hash."""
+    from zhtml_spark.pdfops import decode_pdf_spans
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    content = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td (Body "), ids, F.lit(") Tj ET")
+    )
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 4 0 R"
+            " >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >>"
+            " endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Contents 8 0 R >>"
+            " endobj\n"
+            "4 0 obj << /Type /Outlines /First 5 0 R /Last 6 0 R >>"
+            " endobj\n"
+            "5 0 obj << /Title (Chapter "
+        ),
+        ids,
+        F.lit(
+            ") /Next 6 0 R /First 7 0 R /Last 7 0 R >> endobj\n"
+            "6 0 obj << /Title <FEFF005200E900730075006D00E9> >>"
+            " endobj\n"
+            "7 0 obj << /Title (Intro "
+        ),
+        ids,
+        F.lit(") /Parent 5 0 R >> endobj\n8 0 obj << /Length "),
+        F.octet_length(content).cast("string"),
+        F.lit(" >> stream\n"),
+        content,
+        F.lit(
+            "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+        ),
+    )
+    pdfs = d.select(
+        F.concat(F.lit("pdf://"), ids).alias("media_ref"),
+        F.encode(pdf, "UTF-8").alias("payload"),
+    )
+    return decode_pdf_spans(pdfs).select(
+        "media_ref", "offset", "kind", "text", "span_ref"
+    )
+
+
 def _q_frame_sample(spark, sf_dir):
     from zhtml_spark.multimodal import frame_sample_refs
 
@@ -3616,16 +3671,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 34 new
-    (the 21 below + late-session wet_render, frontier_prioritized,
-    hreflang_clusters, warc_length_audit, resolve_redirects,
-    spans_to_text, recrawl_candidates, host_quota_sample,
-    bpe_pair_stats, fetch_schedule, sitemap_entries, warc_cdx_index,
-    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
-    late-r5: itemref; ALL warc_* re-evidenced for the payload \\z
-    end-anchor fix) + 9 r3-green refreshes; EIGHTEEN r3-greens defer
-    to r6 (see the inline block-A comments).  Earlier r5 state: 21
-    new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 35 new
+    (the 21 below + late-session pdf_outline, wet_render,
+    frontier_prioritized, hreflang_clusters, warc_length_audit,
+    resolve_redirects, spans_to_text, recrawl_candidates,
+    host_quota_sample, bpe_pair_stats, fetch_schedule,
+    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
+    changed (microdata_meta changed AGAIN late-r5: itemref; ALL
+    warc_* re-evidenced for the payload \\z end-anchor fix) + 8
+    r3-green refreshes; NINETEEN r3-greens defer to r6 (see the
+    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3651,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
         "frontier_prioritized": _q_frontier_prioritized,
         "hreflang_clusters": _q_hreflang_clusters,
@@ -3697,7 +3753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
         "media_resolution": _q_media_resolution,
-        "dedup_exact": _q_dedup_exact,
         # -- block A (cont.): never driver-checked — the TEN
         # late-session additions (warc_length_audit..warc_canonical_
         # header, top of file) pushed the window past 50, so TEN
@@ -3717,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
@@ -5145,6 +5201,26 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "pdf_outline": """
+            -- stated from construction (see _q_pdf_outline): one
+            -- body text line, then the outline walked depth-first
+            -- (chapter, its child, the UTF-16BE sibling)
+            WITH h AS (
+                SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS m,
+                       CAST(doc_id AS VARCHAR) AS d
+                FROM documents
+            )
+            SELECT m AS media_ref, 0 AS offset, 'text' AS kind,
+                   'Body ' || d AS text,
+                   CAST(NULL AS VARCHAR) AS span_ref
+            FROM h
+            UNION ALL
+            SELECT m, 1, 'meta', 'Chapter ' || d, 'outline:1' FROM h
+            UNION ALL
+            SELECT m, 2, 'meta', 'Intro ' || d, 'outline:2' FROM h
+            UNION ALL
+            SELECT m, 3, 'meta', 'Résumé', 'outline:1' FROM h
         """,
         "wet_render": """
             -- the ENTIRE WET record stated from construction: the

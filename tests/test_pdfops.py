@@ -800,3 +800,42 @@ def test_encrypted_pdf_refuses_outright():
         4: _stream_obj(b"", body),
     })
     assert [s[1] for s in extract_pdf_spans(open_doc)] == ["see"]
+
+
+def test_outline_titles_walk_depth_and_utf16():
+    """§12.3.3 outline: depth-first child-before-sibling order,
+    UTF-16BE BOM titles decode, cycles terminate."""
+    from zhtml_spark.pdfops import extract_pdf_spans
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >>"
+        b" endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 8 0 R >>"
+        b" endobj\n"
+        b"4 0 obj << /Type /Outlines /First 5 0 R /Last 6 0 R >>"
+        b" endobj\n"
+        b"5 0 obj << /Title (Chapter 1) /Next 6 0 R /First 7 0 R"
+        b" /Last 7 0 R >> endobj\n"
+        b"6 0 obj << /Title <FEFF005200E900730075006D00E9> >>"
+        b" endobj\n"
+        b"7 0 obj << /Title (Intro) /Parent 5 0 R >> endobj\n"
+        b"8 0 obj << /Length 40 >> stream\n"
+        b"BT /F1 12 Tf 72 720 Td (Body here) Tj ET\n"
+        b"endstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    spans = extract_pdf_spans(pdf)
+    assert spans == [
+        ("text", "Body here", None, 0),
+        ("meta", "Chapter 1", "outline:1", 1),
+        ("meta", "Intro", "outline:2", 2),
+        ("meta", "Résumé", "outline:1", 3),
+    ]
+    # a Next pointer looping back terminates (cycle guard)
+    loop = pdf.replace(
+        b"7 0 obj << /Title (Intro) /Parent 5 0 R >>",
+        b"7 0 obj << /Title (Intro) /Next 5 0 R >>",
+    )
+    assert len(extract_pdf_spans(loop)) == 4

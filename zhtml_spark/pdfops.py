@@ -1092,6 +1092,51 @@ def _page_link_uris(page: dict, objs) -> list[str]:
     return uris
 
 
+def _outline_titles(b: bytes, objs, extents: list) -> list:
+    """Document outline / bookmarks (§12.3.3): trailer ``/Root`` →
+    catalog ``/Outlines`` → depth-first over ``/First`` child chains
+    and ``/Next`` sibling chains.  Returns ``[(title, depth)]`` in
+    reading order, cycle-guarded (each outline object visits once)
+    and bounded — a malformed self-referencing chain terminates
+    instead of spinning.  Titles decode through the shared PDF
+    string decoder (literal/hex, UTF-16BE BOM)."""
+    roots = [
+        int(m.group(1))
+        for m in _ROOT_RE.finditer(b)
+        if not _in_extents(m.start(), extents)
+    ]
+    if not roots:
+        return []
+    cat = _resolve(objs.get(roots[-1], (None, None))[0], objs)
+    if not isinstance(cat, dict):
+        return []
+    root = _resolve(cat.get("Outlines"), objs)
+    if not isinstance(root, dict):
+        return []
+    titles: list = []
+    seen: set = set()
+    first = root.get("First")
+    stack = [(first, 1)] if isinstance(first, _Ref) else []
+    while stack and len(titles) < 10_000:
+        ref, depth = stack.pop()
+        if not isinstance(ref, _Ref) or ref.num in seen:
+            continue
+        seen.add(ref.num)
+        node = objs.get(ref.num, (None, None))[0]
+        if not isinstance(node, dict):
+            continue
+        raw = _resolve(node.get("Title"), objs)
+        if isinstance(raw, bytes):
+            t = _decode_pdf_string(raw)
+            if t:
+                titles.append((t, depth))
+        # Next pushes FIRST so the child chain pops (and emits)
+        # before the sibling — document order
+        stack.append((node.get("Next"), depth))
+        stack.append((node.get("First"), depth + 1))
+    return titles
+
+
 def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     """Parse one PDF → ordered ``(kind, text, media_ref, offset)``
     spans — the exact span shape the HTML extraction path emits, so
@@ -1144,6 +1189,10 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
             spans.append(
                 ("media", "", f"pdf:image:{name}:{w}x{h}", len(spans))
             )
+    # document outline (§12.3.3) as navigation metadata AFTER the
+    # content — same channel shape as HTML head-meta spans
+    for title, depth in _outline_titles(b, objs, extents):
+        spans.append(("meta", title, f"outline:{depth}", len(spans)))
     return spans
 
 
