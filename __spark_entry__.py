@@ -2343,9 +2343,11 @@ def _q_pdf_outline(spark, sf_dir):
     plus a SECOND top-level item whose /Title is a hex UTF-16BE
     string with a BOM ('Résumé' — wrong decoding shows immediately) —
     emitted as ('meta', title, 'outline:<depth>') spans after the
-    page content.  The oracle states all four spans per doc from
-    construction: a wrong walk order, depth, or string decode flips
-    the hash."""
+    page content, followed by the trailer /Info document-information
+    dictionary (§14.3.3: title/author/creation date in allowlist
+    order).  The oracle states all seven spans per doc from
+    construction: a wrong walk order, depth, key order, or string
+    decode flips the hash."""
     from zhtml_spark.pdfops import decode_pdf_spans
 
     d = _docs(spark, sf_dir)
@@ -2380,7 +2382,14 @@ def _q_pdf_outline(spark, sf_dir):
         F.lit(" >> stream\n"),
         content,
         F.lit(
-            "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+            "\nendstream endobj\n"
+            "9 0 obj << /Title (Report "
+        ),
+        ids,
+        F.lit(
+            ") /Author (Ann Writer) /CreationDate"
+            " (D:20240115123456Z) >> endobj\n"
+            "trailer << /Root 1 0 R /Info 9 0 R >>\n%%EOF"
         ),
     )
     pdfs = d.select(
@@ -5221,6 +5230,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT m, 2, 'meta', 'Intro ' || d, 'outline:2' FROM h
             UNION ALL
             SELECT m, 3, 'meta', 'Résumé', 'outline:1' FROM h
+            UNION ALL
+            SELECT m, 4, 'meta', 'Report ' || d, 'info:title' FROM h
+            UNION ALL
+            SELECT m, 5, 'meta', 'Ann Writer', 'info:author' FROM h
+            UNION ALL
+            SELECT m, 6, 'meta', 'D:20240115123456Z', 'info:created'
+            FROM h
         """,
         "wet_render": """
             -- the ENTIRE WET record stated from construction: the

@@ -839,3 +839,14 @@ def test_outline_titles_walk_depth_and_utf16():
         b"7 0 obj << /Title (Intro) /Next 5 0 R >>",
     )
     assert len(extract_pdf_spans(loop)) == 4
+    # trailer /Info metadata follows the outline, allowlist order
+    info = pdf.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"9 0 obj << /Title (Doc T) /Author (A) /Producer (ghost)"
+        b" >> endobj\ntrailer << /Root 1 0 R /Info 9 0 R >>",
+    )
+    tail = extract_pdf_spans(info)[-2:]
+    assert tail == [
+        ("meta", "Doc T", "info:title", 4),
+        ("meta", "A", "info:author", 5),
+    ]  # /Producer is not allowlisted

@@ -89,6 +89,7 @@ _NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 # an /Encrypt trailer entry (direct dict or indirect ref) means every
 # stream and string is ciphertext — nothing downstream can be trusted
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
@@ -1137,6 +1138,46 @@ def _outline_titles(b: bytes, objs, extents: list) -> list:
     return titles
 
 
+# the /Info keys worth surfacing, in emission order — the PDF
+# counterparts of the HTML head-meta allowlist (title/author/subject/
+# keywords map onto the same downstream consumers;
+# CreationDate/ModDate are the lastmod analogue for recrawl planning)
+_INFO_KEYS = (
+    ("Title", "info:title"),
+    ("Author", "info:author"),
+    ("Subject", "info:subject"),
+    ("Keywords", "info:keywords"),
+    ("CreationDate", "info:created"),
+    ("ModDate", "info:modified"),
+)
+
+
+def _info_metadata(b: bytes, objs, extents: list) -> list:
+    """Trailer ``/Info`` document-information dictionary (§14.3.3) →
+    ``[(value, key)]`` rows for the allowlisted keys, decoded through
+    the shared PDF string decoder.  Same in-extents guard as the
+    ``/Root`` scan — an /Info mention inside a content stream must
+    not select a bogus dictionary."""
+    infos = [
+        int(m.group(1))
+        for m in _INFO_RE.finditer(b)
+        if not _in_extents(m.start(), extents)
+    ]
+    if not infos:
+        return []
+    d = _resolve(objs.get(infos[-1], (None, None))[0], objs)
+    if not isinstance(d, dict):
+        return []
+    rows: list = []
+    for key, label in _INFO_KEYS:
+        raw = _resolve(d.get(key), objs)
+        if isinstance(raw, bytes):
+            t = _decode_pdf_string(raw)
+            if t:
+                rows.append((t, label))
+    return rows
+
+
 def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     """Parse one PDF → ordered ``(kind, text, media_ref, offset)``
     spans — the exact span shape the HTML extraction path emits, so
@@ -1193,6 +1234,10 @@ def extract_pdf_spans(b: bytes) -> list[tuple[str, str, str | None, int]]:
     # content — same channel shape as HTML head-meta spans
     for title, depth in _outline_titles(b, objs, extents):
         spans.append(("meta", title, f"outline:{depth}", len(spans)))
+    # /Info document metadata (§14.3.3) last — title/author/dates in
+    # the head-meta channel, composable with unified_article_meta
+    for value, label in _info_metadata(b, objs, extents):
+        spans.append(("meta", value, label, len(spans)))
     return spans
 
 
