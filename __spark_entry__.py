@@ -2337,6 +2337,34 @@ def _q_pdf_extract(spark, sf_dir):
     )
 
 
+def _q_html_lang_meta(spark, sf_dir):
+    """Root-element language harvest (r5): doc%3 rotates a
+    mixed-case BCP-47 ``<html lang="EN-us">`` (must lowercase), a
+    bare ``lang="fr"``, and NO lang attribute (no span — the signal
+    is never fabricated).  The oracle states the surviving rows."""
+    from zhtml_spark.extract import ExtractConfig
+
+    did = F.col("doc_id")
+    lang_attr = (
+        F.when(did % 3 == 0, F.lit(' lang="EN-us"'))
+        .when(did % 3 == 1, F.lit(' lang="fr"'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html"), lang_attr,
+        F.lit("><head><title>T</title></head><body><p>Doc "),
+        did.cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    ex = _extract_exploded(
+        _wrap_as_interleaved(_docs(spark, sf_dir), html),
+        ExtractConfig(emit_head_meta=True),
+    )
+    return ex.where(F.col("media_ref") == "lang").select(
+        "doc_id", F.col("text").alias("lang")
+    )
+
+
 def _q_pdf_outline(spark, sf_dir):
     """PDF document outline (r5, §12.3.3): per-doc PDF whose catalog
     carries an /Outlines tree — a top-level chapter with one child
@@ -3680,16 +3708,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 35 new
-    (the 21 below + late-session pdf_outline, wet_render,
-    frontier_prioritized, hreflang_clusters, warc_length_audit,
-    resolve_redirects, spans_to_text, recrawl_candidates,
-    host_quota_sample, bpe_pair_stats, fetch_schedule,
-    sitemap_entries, warc_cdx_index, warc_canonical_header) + 7
-    changed (microdata_meta changed AGAIN late-r5: itemref; ALL
-    warc_* re-evidenced for the payload \\z end-anchor fix) + 8
-    r3-green refreshes; NINETEEN r3-greens defer to r6 (see the
-    inline block-A comments).  Earlier r5 state: 21 new + 7 changed
+    Green-row ledger (round → window): r5 FINAL window = 36 new
+    (the 21 below + late-session html_lang_meta, pdf_outline,
+    wet_render, frontier_prioritized, hreflang_clusters,
+    warc_length_audit, resolve_redirects, spans_to_text,
+    recrawl_candidates, host_quota_sample, bpe_pair_stats,
+    fetch_schedule, sitemap_entries, warc_cdx_index,
+    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
+    late-r5: itemref; ALL warc_* re-evidenced for the payload \\z
+    end-anchor fix; extract_meta + every emit_head_meta consumer
+    re-swept for the html-lang harvest) + 7 r3-green refreshes;
+    TWENTY r3-greens defer to r6 (see the inline block-A comments).
+    Earlier r5 state: 21 new + 7 changed
     (winnow plan, pack DIV, components jumping, image JPEG guard,
     warc_extract re-windowed for the parse_warc_records
     payload_ctype + http_te/http_ce changes) + 27 whose latest green
@@ -3715,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — refreshed at age 2, never aging out."""
     return {
         # -- block A: never driver-checked (r5 additions) -------------
+        "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
         "frontier_prioritized": _q_frontier_prioritized,
@@ -3761,7 +3792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
-        "media_resolution": _q_media_resolution,
         # -- block A (cont.): never driver-checked — the TEN
         # late-session additions (warc_length_audit..warc_canonical_
         # header, top of file) pushed the window past 50, so TEN
@@ -3781,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
         # -- deferred to r6 (see above) --------------------------------
+        "media_resolution": _q_media_resolution,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -5210,6 +5241,16 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    agg.n_pages, dis.n_distinct_urls, agg.mean_chars
             FROM agg JOIN dis USING (h)
+        """,
+        "html_lang_meta": """
+            -- stated from construction: EN-us lowercases, fr passes,
+            -- no-attribute docs contribute nothing
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'en-us' AS lang
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'fr'
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "pdf_outline": """
             -- stated from construction (see _q_pdf_outline): one

@@ -922,3 +922,22 @@ def test_meta_refresh_redirect_channel():
     assert _parse_meta_refresh("0, url=/comma") == "/comma"
     assert _parse_meta_refresh("30") == ""
     assert _parse_meta_refresh("garbage") == ""
+
+
+def test_html_lang_harvest():
+    """<html lang> emits a lowercased 'lang' meta span FIRST; absent
+    attribute emits nothing; flag-off parity holds."""
+    html = '<html lang="EN-us"><head><title>T</title></head>' \
+           '<body><p>x</p></body></html>'
+    spans, _ = extract_html(html, ExtractConfig(emit_head_meta=True))
+    md = [s[:3] for s in spans if s[0] == "meta"]
+    assert md[0] == ("meta", "en-us", "lang")
+    assert ("meta", "T", "title") in md
+    no_lang, _ = extract_html(
+        "<head><title>T</title></head><body><p>x</p></body>",
+        ExtractConfig(emit_head_meta=True),
+    )
+    assert not [s for s in no_lang
+                if s[0] == "meta" and s[2] == "lang"]
+    off, _ = extract_html(html)
+    assert not [s for s in off if s[0] == "meta"]

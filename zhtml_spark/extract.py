@@ -310,13 +310,23 @@ def extract_spans(
                         break
                 break
         if cfg.emit_head_meta and html_nid != -1:
+            # the root element's declared language FIRST — <html lang>
+            # is the page-level language signal lang-id pipelines
+            # trust over content heuristics when present; BCP-47 tags
+            # are case-insensitive, lowercased like hreflang keys
+            h_lang = ((tree.attrs[html_nid] or {}).get("lang") or "").strip()
+            if h_lang:
+                head_meta = [("meta", h_lang.lower(), "lang")]
+                head_meta_srcs = [tree.src[html_nid]]
             for c in tree.children(html_nid):
                 if (
                     tree.ntype[c] == N_ELEMENT
                     and tree.name[c] == "head"
                     and tree.ns[c] is None
                 ):
-                    head_meta, head_meta_srcs = _head_meta_spans(tree, c)
+                    hm, hs = _head_meta_spans(tree, c)
+                    head_meta = head_meta + hm
+                    head_meta_srcs = head_meta_srcs + hs
                     break
         if cfg.emit_jsonld:
             ld, ld_srcs = _jsonld_spans(tree, 0)
