@@ -238,3 +238,61 @@ def test_feed_root_re_shared_semantics():
         assert re.match(FEED_ROOT_RE, s), s
     for s in no:
         assert not re.match(FEED_ROOT_RE, s), s
+
+
+def test_self_closed_elements_do_not_open_captures():
+    """ADVICE r5 (high): the greedy attribute-soup group used to
+    swallow the self-closing slash, so `<title/>` opened a capture
+    that silently ate every remaining item, and a pre-title
+    self-closing `<atom:link/>` polluted stack depth and dropped the
+    channel heading.  Both shapes must now parse cleanly."""
+    # <title/> inside an item: the item's body and ALL later items
+    # must survive.
+    rss = (
+        '<rss version="2.0"><channel><title>Chan</title>'
+        "<item><title/><description>first body</description></item>"
+        "<item><title>Second</title><description>second body"
+        "</description></item></channel></rss>"
+    )
+    assert extract_feed_spans(rss) == [
+        ("heading", "Chan", None, 0),
+        ("text", "first body", None, 1),
+        ("heading", "Second", None, 2),
+        ("text", "second body", None, 3),
+    ]
+    # self-closing <atom:link/> BEFORE the channel <title> (ubiquitous
+    # in real RSS/Atom): stack depth must not shift, so the channel
+    # heading is still recognized.
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<atom:link href="http://ex.com/self" rel="self"/>'
+        "<title>FeedT</title>"
+        "<entry><title>E1</title><summary>s1</summary></entry></feed>"
+    )
+    assert extract_feed_spans(atom) == [
+        ("heading", "FeedT", None, 0),
+        ("heading", "E1", None, 1),
+        ("text", "s1", None, 2),
+    ]
+    rss2 = (
+        '<rss version="2.0"><channel>'
+        '<atom:link href="http://ex.com/self" rel="self" />'
+        "<title>Chan2</title>"
+        "<item><title>P</title><description>b</description></item>"
+        "</channel></rss>"
+    )
+    assert extract_feed_spans(rss2)[0] == ("heading", "Chan2", None, 0)
+
+
+def test_unquoted_attr_slash_is_not_self_close():
+    """A '/' inside an unquoted attribute value stays in the soup —
+    the lazy group must only surrender the slash directly before
+    '>'."""
+    rss = (
+        '<rss version="2.0"><channel><title>C</title>'
+        "<item><title>T</title>"
+        "<enclosure url=http://ex.com/a.mp3></enclosure>"
+        "</item></channel></rss>"
+    )
+    spans = extract_feed_spans(rss)
+    assert ("media", "", "http://ex.com/a.mp3", 2) in spans

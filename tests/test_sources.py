@@ -407,6 +407,28 @@ def test_cdx_index_canonicalization(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_cdx_index_length_counts_wire_octets(spark):
+    """ADVICE r5: ``length`` must be the WIRE octet count.  On the
+    byte-faithful ISO-8859-1 carrier one char == one octet, so a
+    payload carrying a high byte (0xE9 — exactly the shape of binary
+    PDF payloads) counts 1, not the 2 octets of its UTF-8
+    re-encoding (the old ``octet_length`` bug)."""
+    from zhtml_spark.sources import cdx_index
+
+    body = "<p>\u00e9</p>"  # 8 wire octets on the latin-1 carrier
+    docs = spark.createDataFrame(
+        [("https://hi.example/p", body)], "url string, body string"
+    )
+    archive = docs.select(
+        warc_record(
+            F.col("url"), F.lit("2024-01-15T12:34:56Z"),
+            F.col("body"), http_headers=True,
+        ).alias("content")
+    )
+    row = cdx_index(parse_warc_records(archive)).collect()[0]
+    assert row["length"] == len(body) == 8
+
+
 def test_warc_http_strip_is_jvm_side(spark):
     archive = _synth_archive(spark, 2)
     plan = (

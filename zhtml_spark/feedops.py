@@ -61,7 +61,12 @@ _TOK_RE = re.compile(
     r"|<!DOCTYPE[^>]*>"  # doctype
     r"|</\s*([^\s>]*)\s*>"  # 2: end-tag name
     r"|<([^!?/\s>][^\s/>]*)"  # 3: start-tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 4: attribute soup
+    # 4: attribute soup — LAZY, or the greedy char class (which must
+    # admit '/' for unquoted values like url=a/b) would swallow the
+    # self-closing slash and group 5 could never match (every
+    # self-closed tag would read as an open tag, so a `<title/>`
+    # capture would silently eat the rest of the feed).
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"
     r"(/?)>",  # 5: self-closing slash
     re.S,
 )

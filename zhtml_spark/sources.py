@@ -906,7 +906,10 @@ def cdx_index(records: DataFrame) -> DataFrame:
       CDX sha1-base32 (no base32 builtin on either engine; the
       engine-pinned md5 convention keeps the column
       oracle-checkable — CLAUDE.md shared-hashing rule);
-    - ``length`` — payload octet length.
+    - ``length`` — payload wire-octet length, computed as the
+      CHARACTER length of the byte-faithful ISO-8859-1 carrier
+      (chars == octets there; ``octet_length`` would count the
+      carrier's UTF-8 re-encoding and inflate every high byte to 2).
 
     Pure JVM (regexp + array ops), one narrow projection, no
     shuffle: at fleet scale the index is written
@@ -960,7 +963,13 @@ def cdx_index(records: DataFrame) -> DataFrame:
         F.when(F.col("http_status") == "", F.lit("-"))
         .otherwise(F.col("http_status")).alias("status"),
         F.md5("html").alias("digest"),
-        F.octet_length("html").alias("length"),
+        # CHARACTER count, not octet_length: records arrive on the
+        # byte-faithful ISO-8859-1 carrier (one char == one wire
+        # octet), and octet_length would count the UTF-8 RE-ENCODING
+        # of that carrier — every high byte (exactly where binary PDF
+        # payloads live) as 2.  Same rationale as length_delta above
+        # (ADVICE r5).
+        F.length("html").alias("length"),
     )
 
 
