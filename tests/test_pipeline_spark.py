@@ -1270,6 +1270,46 @@ def test_host_quota_sample_caps_and_determinism(spark):
     assert 100 in out1
 
 
+def test_host_quota_two_phase_mega_host(spark):
+    """VERDICT r5 #3: the salted two-phase top-k.  On a single
+    mega-host corpus, phase 1 bounds the final per-host window's
+    input to salts x max_per_host rows (the straggler killer), the
+    plan shows the two-stage window shape, and survivors are
+    IDENTICAL to the single-window (salts=1) reference."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import (
+        host_quota_presample,
+        host_quota_sample,
+    )
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://mega.example/p"), F.col("id").cast("string")
+        ).alias("url"),
+    )
+    # pre-window row bound: one host, salts=8, quota=10 -> <= 80 rows
+    pre = host_quota_presample(docs, max_per_host=10, salts=8)
+    assert pre.count() <= 8 * 10
+    two = sorted(
+        r["doc_id"]
+        for r in host_quota_sample(docs, max_per_host=10, salts=8)
+        .collect()
+    )
+    ref = sorted(
+        r["doc_id"]
+        for r in host_quota_sample(docs, max_per_host=10, salts=1)
+        .collect()
+    )
+    assert two == ref and len(two) == 10
+    plan = (
+        host_quota_sample(docs, max_per_host=10, salts=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 2
+
+
 def test_bpe_pair_stats_overlaps_and_gates(spark):
     """Overlapping pairs count ('aaa' → two 'aa'), frequency weights
     multiply, 1-char words contribute nothing, over-long words are
