@@ -1088,17 +1088,47 @@ def _q_embed_hashing(spark, sf_dir):
     )
 
 
+def _q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (r6, VERDICT r5 #4): fixed-iteration
+    training over the embeddings table in quantized integer space —
+    the oracle recomputes IDENTICAL centroids because every operation
+    (floor-quantize, BIGINT L2, truncating integer-DIV means,
+    centroid_id tie-breaks, md5-48 init) is exact on both engines.
+    Output exploded per (centroid, dim) like embed_hashing."""
+    from zhtml_spark.textops import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_centroids(emb, n_centroids=8, iters=3)
+    return out.select(
+        "centroid_id",
+        F.posexplode("centroid").alias("dim_idx", "coord"),
+        "n_members",
+    )
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
-    """IVF ANN re-gated over SELF-DERIVED embeddings (r5): the full
-    composition extraction-side pipelines run — text → hashing-trick
-    embedding → centroid prune → cosine top-k — in one plan, oracle =
-    the same restricted brute force over SQL-recomputed embeddings."""
-    from zhtml_spark.textops import embed_hashing, ivf_topk
+    """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
+    centroids (r6, VERDICT r5 #4): the full composition — text →
+    hashing-trick embedding → k-means coarse quantizer → centroid
+    prune → cosine top-k — in ONE lazy plan, oracle = the same
+    restricted brute force over SQL-recomputed embeddings and
+    SQL-retrained centroids."""
+    from zhtml_spark.textops import (
+        embed_hashing,
+        ivf_topk,
+        kmeans_centroids,
+    )
 
     emb = embed_hashing(_docs(spark, sf_dir), dim=16).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
-    return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2).select(
+        "centroid_id",
+        F.transform(
+            "centroid", lambda x: x.cast("double") / F.lit(1000000.0)
+        ).alias("c"),
+    )
+    return ivf_topk(emb, n_queries=5, k=5, n_probe=2, centroids=cents)
 
 
 def _q_embedding_dup(spark, sf_dir):
@@ -3744,6 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_windowed, positions 51-55) defer to the FRONT of the r6
     window — refreshed at age 2, never aging out."""
     return {
+        # -- block A: never driver-checked (r6 additions) -------------
+        "kmeans_centroids": _q_kmeans_centroids,
         # -- block A: never driver-checked (r5 additions) -------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
@@ -3926,6 +3958,65 @@ _EMB_HASH_ORACLE_HEAD = r"""
         FROM fullc f JOIN n2 USING (doc_id)
     )
 """
+
+def _kmeans_ctes(
+    src: str, k: int = 8, iters: int = 3, dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """CTE chain replicating textops.kmeans_centroids in DuckDB —
+    emitted by a generator because the Lloyd iterations are plan-
+    unrolled on the Spark side too.  ``src`` must expose
+    (vec_id, embedding).  Exact cross-engine by construction: floor-
+    quantized BIGINT vectors, BIGINT L2 folds, truncating //-means
+    (Spark div and DuckDB // both truncate toward zero — probed),
+    (dist, centroid_id) tie-breaks, md5-48 seed order.  Ends with
+    ``kc{iters}`` = (centroid_id, cv, n_members)."""
+    out = [f"""
+    kq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS qv
+      FROM {src}),
+    kseed AS (
+      SELECT qv, row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5('kmeans|'
+                          || CAST(vec_id AS VARCHAR)), 1, 12))
+                        AS BIGINT), vec_id) AS r
+      FROM kq),
+    kc0 AS (
+      SELECT CAST(r - 1 AS BIGINT) AS centroid_id, qv AS cv
+      FROM kseed WHERE r <= {k})"""]
+    prev = "kc0"
+    for i in range(1, iters + 1):
+        out.append(f"""
+    kd{i} AS (
+      SELECT q.vec_id, q.qv, c.centroid_id,
+             (SELECT sum((q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))
+              FROM UNNEST(range(1, {dim}+1)) t(i)) AS dist
+      FROM kq q, {prev} c),
+    ka{i} AS (
+      SELECT vec_id, qv, centroid_id FROM (
+        SELECT vec_id, qv, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, centroid_id) AS r
+        FROM kd{i}) WHERE r = 1),
+    km{i} AS (
+      SELECT centroid_id, CAST(t.i AS INTEGER) AS dim_idx,
+             CAST(sum(qv[t.i]) // count(*) AS BIGINT) AS coord,
+             count(*) AS n
+      FROM ka{i}, UNNEST(range(1, {dim}+1)) t(i)
+      GROUP BY centroid_id, t.i),
+    kc{i} AS (
+      SELECT p.centroid_id,
+             CASE WHEN count(m.coord) = 0 THEN p.cv
+                  ELSE list(m.coord ORDER BY m.dim_idx) END AS cv,
+             CAST(coalesce(max(m.n), 0) AS BIGINT) AS n_members
+      FROM {prev} p LEFT JOIN km{i} m USING (centroid_id)
+      GROUP BY p.centroid_id, p.cv)""")
+        prev = f"kc{i}"
+    return ",".join(out)
+
 
 _GRAMS_CTE = """
     WITH words AS (
@@ -4494,15 +4585,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(w * 1000000) AS BIGINT) AS q_weight
             FROM wts
         """,
+        "kmeans_centroids": """
+            -- fixed-iteration Lloyd over the embeddings table in
+            -- quantized integer space (see _kmeans_ctes: every
+            -- operation exact on both engines)
+            WITH """ + _kmeans_ctes(
+            "embeddings", k=8, iters=3, dim=64
+        ) + """
+            SELECT centroid_id, CAST(t.i - 1 AS INTEGER) AS dim_idx,
+                   cv[t.i] AS coord, n_members
+            FROM kc3, UNNEST(range(1, 64 + 1)) t(i)
+        """,
         "ivf_topk_embedded": _EMB_HASH_ORACLE_HEAD + """
             , emb AS (
                 SELECT doc_id AS vec_id, list(w ORDER BY dim_idx)
                          AS embedding
                 FROM wts GROUP BY doc_id
-            ),
+            ),""" + _kmeans_ctes(
+            "emb", k=8, iters=2, dim=16
+        ) + """,
             c AS (
-                SELECT vec_id AS centroid_id, embedding AS ce
-                FROM emb WHERE vec_id < 8
+                SELECT centroid_id,
+                       list_transform(cv,
+                         x -> CAST(x AS DOUBLE) / 1000000) AS ce
+                FROM kc2
             ),
             adist AS (
                 SELECT e.vec_id, c.centroid_id,

@@ -1270,6 +1270,82 @@ def test_host_quota_sample_caps_and_determinism(spark):
     assert 100 in out1
 
 
+def test_kmeans_centroids_trains_and_is_deterministic(spark):
+    """VERDICT r5 #4: fixed-iteration Lloyd in quantized integer
+    space.  Three well-separated blobs -> 3 trained centroids land
+    one per blob (every vector's nearest trained centroid is its own
+    blob's), byte-deterministic across runs, and an unmatchable
+    far-away init centroid goes empty (n_members=0) keeping its
+    previous coords."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import ivf_topk, kmeans_centroids
+
+    # 3 blobs of 30 vectors at (0,0), (10,10), (20,0) + jitter
+    emb = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 3 * 10 + (F.col("id") % 7) * 0.01 + 1.0)
+            .cast("float"),
+            (F.when(F.col("id") % 3 == 1, 10.0).otherwise(0.0)
+             + (F.col("id") % 5) * 0.01 + 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    out1 = sorted(
+        (r["centroid_id"], tuple(r["centroid"]), r["n_members"])
+        for r in kmeans_centroids(emb, n_centroids=3, iters=4)
+        .collect()
+    )
+    out2 = sorted(
+        (r["centroid_id"], tuple(r["centroid"]), r["n_members"])
+        for r in kmeans_centroids(emb, n_centroids=3, iters=4)
+        .collect()
+    )
+    assert out1 == out2
+    assert sorted(n for _, _, n in out1) == [30, 30, 30]
+    # each trained centroid sits inside one distinct blob
+    blobs = sorted(
+        (round(c[0] / 1e6), round(c[1] / 1e6)) for _, c, _ in out1
+    )
+    assert blobs == [(1, 1), (11, 11), (21, 1)]
+    # trained centroids compose into ivf_topk
+    cents = kmeans_centroids(emb, n_centroids=3, iters=4).select(
+        "centroid_id",
+        F.transform(
+            "centroid", lambda x: x.cast("double") / F.lit(1e6)
+        ).alias("c"),
+    )
+    got = ivf_topk(
+        emb, n_queries=2, k=3, n_probe=1, centroids=cents
+    ).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    assert all(r["rank"] <= 3 for r in got)
+
+
+def test_kmeans_empty_cluster_keeps_coords(spark):
+    """A centroid that attracts no vectors keeps its previous coords
+    with n_members=0 (deterministic on both engines by the same
+    coalesce)."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import kmeans_centroids
+
+    # 2 identical points + k=2: one centroid inherits both, the
+    # other (seeded on the SAME point) ties away deterministically
+    # and goes empty after round 1's tie-break on centroid_id.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["centroid_id"]: (list(r["centroid"]), r["n_members"])
+        for r in kmeans_centroids(emb, n_centroids=2, iters=2)
+        .collect()
+    }
+    assert out[0] == ([1000000, 1000000], 3)
+    assert out[1] == ([1000000, 1000000], 0)
+
+
 def test_host_quota_two_phase_mega_host(spark):
     """VERDICT r5 #3: the salted two-phase top-k.  On a single
     mega-host corpus, phase 1 bounds the final per-host window's

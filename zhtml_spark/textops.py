@@ -667,18 +667,150 @@ def nearest_centroid(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means with a FIXED iteration count
+    (VERDICT r5 #4) — trains the IVF coarse quantizer from the
+    vectors themselves instead of seeding it with the first ``k``
+    rows.  Returns ``(centroid_id, centroid, n_members)`` where
+    ``centroid`` is the mean vector in quantized integer space and
+    ``n_members`` the final assignment count (0 for a cluster that
+    went empty; its coords then carry the previous round's value).
+
+    Cross-engine exactness (the reason for integer space): per-
+    cluster float means are order-dependent sums, so Spark and a SQL
+    oracle would disagree in the last ulp and diverge completely
+    after one reassignment.  Instead every vector is quantized ONCE
+    — ``floor(x * scale)`` as BIGINT, identical both engines — and
+    all k-means arithmetic stays integer: L2 distances are exact
+    BIGINT folds in array order, means use truncating integer
+    division (``div`` / ``//`` both truncate toward zero), ties
+    break on ``centroid_id``.  DuckDB recomputes IDENTICAL centroids
+    from the same parquet.
+
+    Init: the ``n_centroids`` vectors with smallest
+    ``(md5_hash48('kmeans|' || id), id)`` — a deterministic uniform
+    draw (no RNG), labeled 0..k-1 in that order.
+
+    Distributed shape, per iteration: ONE scan of the quantized
+    vectors cross-joined against the BROADCAST k-row centroid table,
+    argmin via ``min_by`` groupBy (map-side partial agg — no skewed
+    window), then posexplode → per-(centroid, dim) sum/count (k×dim
+    groups, trivially parallel).  ``iters`` is a fixed plan-unrolled
+    bound exactly like ``resolve_redirects``'s max_hops self-joins —
+    no driver loop, no collect; the whole training is one lazy plan.
+    At 10^12 vectors each round is a linear scan plus a k×dim-sized
+    reduction — the textbook scalable Lloyd."""
+    if n_centroids < 1 or iters < 1:
+        raise ValueError("n_centroids and iters must be >= 1")
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale).cast("long"),
+        ).alias("qv"),
+    )
+    h = md5_hash48(F.col("vec_id").cast("string"), salt="kmeans|")
+    seed = (
+        q.select("vec_id", "qv", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+    wseed = Window.orderBy("h", "vec_id")
+    cents = seed.select(
+        (F.row_number().over(wseed) - 1)
+        .cast("long")
+        .alias("centroid_id"),
+        F.col("qv").alias("cv"),
+    )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    agg = None
+    for _ in range(iters):
+        ass = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "qv",
+                "centroid_id",
+                _l2(F.col("qv"), F.col("cv")).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "centroid_id", F.struct("dist", "centroid_id")
+                ).alias("centroid_id"),
+                F.first("qv").alias("qv"),
+            )
+        )
+        agg = (
+            ass.select(
+                "centroid_id", F.posexplode("qv").alias("dim_idx", "v")
+            )
+            .groupBy("centroid_id", "dim_idx")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select(
+                "centroid_id",
+                "dim_idx",
+                F.expr("s div n").alias("coord"),
+                "n",
+            )
+        )
+        new = agg.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_idx", "coord"))
+                ),
+                lambda s: s["coord"],
+            ).alias("cv_new"),
+            F.max("n").alias("n_members"),
+        )
+        # an empty cluster keeps its previous coords (deterministic
+        # both engines; n_members 0)
+        cents = (
+            cents.select("centroid_id", "cv")
+            .join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("cv_new", "cv").alias("cv"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            )
+        )
+    return cents.select(
+        "centroid_id", F.col("cv").alias("centroid"), "n_members"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Composed IVF ANN query: centroid prune → cosine rank (VERDICT r1
     next-round #4).  Deterministic centroids (first ``n_centroids``
     vectors, as in ``nearest_centroid``); each query probes its
     ``n_probe`` nearest centroids and ranks cosine top-k ONLY over
     vectors assigned to those buckets.
+
+    Pass ``centroids`` — ``(centroid_id, c: array<double>)``, e.g.
+    :func:`kmeans_centroids` output unscaled back to doubles — to
+    probe a TRAINED coarse quantizer instead of the first-``k`` seed
+    (VERDICT r5 #4); ``n_centroids`` is ignored then.
 
     Distributed shape: centroids broadcast twice (assignment +
     query-probe ranking — both tiny), the probe table (n_queries ×
@@ -691,12 +823,36 @@ def ivf_topk(
     dial it back (the oracle pins EXACTLY this semantics, restricted
     brute force over probed buckets).
     """
-    cents = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    if centroids is None:
+        cents = emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c"),
+        )
+    else:
+        cents = centroids.select("centroid_id", "c")
+    # assignment: one scan, broadcast centroids, argmin (min_by —
+    # map-side partial agg, no skewed window)
+    ad = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("c"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("dist"),
     )
-    # assignment: one scan, broadcast centroids, argmin window
-    assign = nearest_centroid(emb, n_centroids).select(
-        "vec_id", "centroid_id"
+    assign = ad.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("dist", "centroid_id")).alias(
+            "centroid_id"
+        )
     )
     # query → probed centroids (same L2 metric as assignment)
     queries = emb.where(F.col("vec_id") < n_queries).select(
