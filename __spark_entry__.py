@@ -1609,6 +1609,48 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+# held-out sentences (NOT in langid_model.SEED_TEXTS — true test
+# data), shared verbatim by the Spark query and the DuckDB oracle
+_LANGID_ES = (
+    "la casa blanca está cerca de la plaza y los vecinos hablan por "
+    "la tarde con sus amigos de siempre"
+)
+_LANGID_DE = (
+    "das alte haus steht neben dem fluss und die nachbarn sprechen "
+    "am abend mit ihren freunden über das wetter"
+)
+
+
+def _langid_values() -> str:
+    """DuckDB VALUES table of the trigram-NB weights — generated from
+    the SAME Python model the Spark plan embeds as literals
+    (zhtml_spark.langid_model), so no engine ever computes a log."""
+    from zhtml_spark.langid_model import trigram_weights
+
+    rows = ", ".join(
+        f"('{lang}', CAST([{', '.join(map(str, wv))}] AS BIGINT[]))"
+        for lang, wv in sorted(trigram_weights().items())
+    )
+    return f"(VALUES {rows}) t(lang, w)"
+
+
+def _q_lang_id_v2(spark, sf_dir):
+    """Trigram Naive-Bayes language id (r6, VERDICT r5 #7) over a
+    three-language corpus synthesized from documents (held-out es/de
+    sentences on doc_id % 3 ∈ {1,2}; the en-ish document text
+    otherwise) — gates discrimination, not just the scoring path."""
+    from zhtml_spark.textops import lang_id_v2
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 1, F.lit(_LANGID_ES))
+        .when(F.col("doc_id") % 3 == 2, F.lit(_LANGID_DE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return lang_id_v2(d)
+
+
 def _q_token_count(spark, sf_dir):
     from zhtml_spark.textops import token_count
 
@@ -3776,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block A: never driver-checked (r6 additions) -------------
         "kmeans_centroids": _q_kmeans_centroids,
+        "lang_id_v2": _q_lang_id_v2,
         # -- block A: never driver-checked (r5 additions) -------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
@@ -5087,6 +5130,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en >= s_es THEN 'en'
                         ELSE 'es' END AS predicted_lang
             FROM scores
+        """,
+        "lang_id_v2": f"""
+            -- trigram NB: weights are the SAME pre-baked integers
+            -- the Spark plan embeds (see _langid_values); scoring is
+            -- an exact BIGINT sum, argmax by (score DESC, lang ASC),
+            -- 'und' when the doc has no trigram
+            WITH langs AS (SELECT * FROM {_langid_values()}),
+            src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 1 THEN '{_LANGID_ES}'
+                            WHEN doc_id % 3 = 2 THEN '{_LANGID_DE}'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            low AS (SELECT doc_id, lower(text) AS t FROM src),
+            grams AS (
+                SELECT doc_id, substr(t, CAST(i.i AS INTEGER), 3) AS g
+                FROM low, UNNEST(range(1, length(t) - 1)) i(i)
+                WHERE length(t) >= 3
+            ),
+            bk AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                         % 256 AS b
+                FROM grams
+            ),
+            sc AS (
+                SELECT doc_id, l.lang,
+                       CAST(sum(l.w[CAST(b AS INTEGER) + 1]) AS BIGINT)
+                         AS score
+                FROM bk, langs l GROUP BY doc_id, l.lang
+            ),
+            best AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, lang ASC) AS r
+                    FROM sc) WHERE r = 1
+            )
+            SELECT d.doc_id, coalesce(best.lang, 'und')
+                     AS predicted_lang
+            FROM documents d LEFT JOIN best USING (doc_id)
         """,
         "token_count": r"""
             SELECT doc_id,
