@@ -3085,13 +3085,39 @@ def substring_dup_spans(
         "doc_id", F.posexplode(arr).alias("pos", "gram")
     ).select("doc_id", "pos", ghash(F.col("gram")).alias("gh"))
     if max_gram_freq is not None:
+        # df-gate as a BROADCAST semi-join against the SHARED gram
+        # set (r6, VERDICT r5 #5).  Two changes vs the old
+        # keep-shuffle-join, both result-identical by construction:
+        #
+        # * df counts ``count(*)`` over per-doc DISTINCT grams
+        #   (``array_distinct`` before explode) instead of
+        #   ``count_distinct(doc_id)`` over positioned rows — the
+        #   same number, but it partial-aggregates map-side;
+        # * the keep set is ``2 <= df <= cap``, not ``df <= cap``: a
+        #   df=1 gram exists in ONE doc and can never produce a
+        #   cross-doc pair, and every gram inside a genuinely shared
+        #   run has df >= 2, so no island can split.  The keep set is
+        #   then bounded by DUP STRUCTURE (distinct shared grams),
+        #   not corpus size — it broadcasts, and the positioned-gram
+        #   table (one row per corpus character) is filtered to
+        #   shared positions BEFORE its pair-join shuffle.  At 10^12
+        #   docs that turns the dominant shuffle from O(corpus chars)
+        #   into O(duplicated chars); statically the plan drops from
+        #   5 hash exchanges over full-position rows to 3 (one over
+        #   narrow distinct-gram rows + the two filtered join sides).
         keep = (
-            grams.groupBy("gh")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .where(F.col("df") <= max_gram_freq)
+            docs.select(
+                F.explode(F.array_distinct(arr)).alias("gram"),
+            )
+            .select(ghash(F.col("gram")).alias("gh"))
+            .groupBy("gh")
+            .agg(F.count("*").alias("df"))
+            .where(
+                (F.col("df") >= 2) & (F.col("df") <= max_gram_freq)
+            )
             .select("gh")
         )
-        grams = grams.join(keep, "gh")
+        grams = grams.join(F.broadcast(keep), "gh")
     a = grams.alias("a")
     b = grams.alias("b")
     pairs = (
