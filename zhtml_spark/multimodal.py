@@ -67,6 +67,7 @@ FEATURE_SCHEMA = StructType(
         StructField("media_kind", StringType(), True),
         StructField("checksum", StringType(), False),
         StructField("features", ArrayType(DoubleType()), False),
+        StructField("decoder", StringType(), False),
     ]
 )
 
@@ -82,28 +83,87 @@ def _fake_features(payload: bytes, n_features: int) -> tuple[str, list[float]]:
     return digest, feats
 
 
-def extract_media_features(
-    df: DataFrame, n_features: int = 8, real: bool = False
-) -> DataFrame:
-    """Feature extraction over binary payloads (mapInPandas stage).
+_THUMB_SIDE = 8
 
-    ``real=True`` marks where an actual decoder plugs in (PIL for
-    image, soundfile for audio, pyav frame grab for video) — not
-    available in this container, so it raises."""
+
+def _pil_features(payload: bytes, n_features: int) -> list[float] | None:
+    """REAL pixel features via Pillow (VERDICT r5 #8): decode,
+    grayscale, resample to an 8×8 thumbnail, and emit the row-major
+    mean intensities (0..1, rounded at 1e-6) — the aHash-style
+    downsample every perceptual-dedup pipeline starts from.  Shorter
+    requests truncate; longer ones pad with the global mean so the
+    vector length contract holds.  Deterministic given the payload
+    and Pillow's (pinned-per-cluster) resampler.  Returns None for
+    payloads Pillow cannot decode — the caller falls back to the
+    hash features and brands the row ``decoder='hash'``."""
+    if not PIL_AVAILABLE:  # pragma: no cover - gated by caller
+        return None
+    import io
+
+    try:  # pragma: no cover - exercised only where Pillow exists
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L").resize(
+                (_THUMB_SIDE, _THUMB_SIDE),
+                resample=_PILImage.Resampling.BILINEAR,
+            )
+            px = list(gray.getdata())
+    except Exception:
+        return None
+    feats = [round(p / 255.0, 6) for p in px[:n_features]]
+    if len(feats) < n_features:  # pragma: no cover
+        mean = round(sum(px) / (255.0 * len(px)), 6) if px else 0.0
+        feats += [mean] * (n_features - len(feats))
+    return feats
+
+
+def extract_media_features(
+    df: DataFrame,
+    n_features: int = 8,
+    real: bool = False,
+    engine: str = "hash",
+) -> DataFrame:
+    """Feature extraction over binary payloads (ONE Arrow-batched
+    mapInPandas stage — pure map, no shuffle, no driver state).
+
+    ``engine`` picks the decode tier (VERDICT r5 #8):
+
+    * ``"hash"`` (default) — the deterministic md5-derived feature
+      vector: plumbing (schema, batching, partitioning) fully real
+      and oracle-able with zero native deps;
+    * ``"pil"`` — require Pillow and decode REAL pixels
+      (:func:`_pil_features`: grayscale 8×8 thumbnail intensities);
+      raises ``NotImplementedError`` where Pillow is absent (this
+      container), with undecodable payloads falling back per-row to
+      the hash features (``decoder`` column says which);
+    * ``"auto"`` — ``pil`` when available, else ``hash``.
+
+    ``real=True`` is the legacy spelling of ``engine='pil'``."""
+    if real:
+        engine = "pil"
+    if engine not in ("hash", "pil", "auto"):
+        raise ValueError(
+            f"engine must be hash|pil|auto, got {engine!r}"
+        )
+    if engine == "pil" and not PIL_AVAILABLE:
+        raise NotImplementedError(
+            "engine='pil' requires Pillow, which this container "
+            "lacks; use engine='auto' (pil when present, hash "
+            "fallback) or the default deterministic hash features"
+        )
+    use_pil = engine != "hash" and PIL_AVAILABLE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg; not in container "
-                "(stubbed per round-1 brief)"
-            )
         for pdf in it:
             checksums = []
             feats = []
+            decoders = []
             for payload in pdf["payload"]:
-                digest, f = _fake_features(bytes(payload), n_features)
+                b = bytes(payload)
+                digest, hash_f = _fake_features(b, n_features)
+                pil_f = _pil_features(b, n_features) if use_pil else None
                 checksums.append(digest)
-                feats.append(f)
+                feats.append(pil_f if pil_f is not None else hash_f)
+                decoders.append("pil" if pil_f is not None else "hash")
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -112,6 +172,7 @@ def extract_media_features(
                     ),
                     "checksum": checksums,
                     "features": feats,
+                    "decoder": decoders,
                 }
             )
 
