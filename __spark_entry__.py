@@ -921,34 +921,11 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
 
 
-def _q_minhash_signatures(spark, sf_dir):
-    from zhtml_spark.textops import minhash_signatures
-
-    return minhash_signatures(_docs(spark, sf_dir), n=3, seeds=8)
-
-
 def _q_minhash_candidates(spark, sf_dir):
     from zhtml_spark.textops import minhash_dup_candidates
 
     return minhash_dup_candidates(_docs(spark, sf_dir), n=3, seeds=8,
                                   min_agree=2)
-
-
-def _q_dedup_survivors(spark, sf_dir):
-    """Composed exact+near dedup over docs ∪ exact copies ∪ near
-    copies: exact dupes collapse, near dupes are dominated away."""
-    from zhtml_spark.textops import dedup_survivors
-
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    exact_copies = d.select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
-    )
-    near_copies = d.select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
-    )
-    allx = d.unionByName(exact_copies).unionByName(near_copies)
-    return dedup_survivors(allx, n=3, seeds=8, min_agree=4)
 
 
 def _q_minhash_char_signatures(spark, sf_dir):
@@ -1019,12 +996,6 @@ def _q_dedup_survivors_banded(spark, sf_dir):
     return dedup_survivors(allx, n=3, bands=4, rows=2)
 
 
-def _q_simhash(spark, sf_dir):
-    from zhtml_spark.textops import simhash48
-
-    return simhash48(_docs(spark, sf_dir))
-
-
 def _q_simhash60(spark, sf_dir):
     """60-bit simhash (widest BIGINT-sign-safe): the scale path's
     signature — more bits → fewer random near-collisions at 10^12."""
@@ -1058,13 +1029,6 @@ def _q_nearest_centroid(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return nearest_centroid(emb, n_centroids=8)
-
-
-def _q_ivf_topk(spark, sf_dir):
-    from zhtml_spark.textops import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, n_queries=5, k=5, n_centroids=8, n_probe=2)
 
 
 def _q_embed_hashing(spark, sf_dir):
@@ -1190,19 +1154,6 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
-def _q_dedup_by_url(spark, sf_dir):
-    """URL-identity dedup over docs ∪ re-crawls (same page, messier
-    URL form: added fragment + unsorted query)."""
-    from zhtml_spark.textops import dedup_by_url
-
-    urls = _synthetic_urls(spark, sf_dir)
-    recrawl = urls.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat(F.col("url"), F.lit("#utm")).alias("url"),
-    )
-    return dedup_by_url(urls.unionByName(recrawl))
-
-
 def _q_dedup_by_canonical(spark, sf_dir):
     """Gates the canonical-URL dedup tier: odd docs declare
     rel=canonical at their even sibling's URL, so pairs collapse to
@@ -1227,41 +1178,6 @@ def _q_dedup_by_canonical(spark, sf_dir):
         .alias("canonical"),
     )
     return dedup_by_canonical(d)
-
-
-def _q_sitemap_urls(spark, sf_dir):
-    """Gates sitemap <loc> extraction: urlset pages (with XML-escaped
-    query separators and whitespace-padded locs) and sitemapindex
-    docs flagged is_index."""
-    from zhtml_spark.textops import sitemap_urls
-
-    d = F.col("doc_id").cast("string")
-    s7 = (F.col("doc_id") % 7).cast("string")
-    xml = F.when(
-        F.col("doc_id") % 10 == 0,
-        F.concat(
-            F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc> '
-                  "https://site"),
-            s7, F.lit(".example/sub"), d,
-            F.lit(".xml </loc></sitemap><sitemap><loc>https://site"),
-            s7, F.lit(".example/more"), d,
-            F.lit(".xml</loc></sitemap></sitemapindex>"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit('<?xml version="1.0"?><urlset><url><loc>'
-                  "https://site"),
-            s7, F.lit(".example/art"), d,
-            F.lit("?a=1&amp;b=2</loc></url><url><loc> https://site"),
-            s7, F.lit(".example/p"), d,
-            F.lit(" </loc></url></urlset>"),
-        ),
-    )
-    return sitemap_urls(
-        _docs(spark, sf_dir).select(
-            F.concat(F.lit("h"), d).alias("host"), xml.alias("text")
-        )
-    )
 
 
 def _q_line_dedup(spark, sf_dir):
@@ -1649,12 +1565,6 @@ def _q_lang_id_v2(spark, sf_dir):
         .alias("text"),
     )
     return lang_id_v2(d)
-
-
-def _q_token_count(spark, sf_dir):
-    from zhtml_spark.textops import token_count
-
-    return token_count(_docs(spark, sf_dir))
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -2563,15 +2473,6 @@ def _q_order_window_rank(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn",
                 F.round("o_totalprice", 2).alias("price"))
-    )
-
-
-def _q_events_by_type(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.countDistinct("user_id").alias("n_users"),
     )
 
 
@@ -3528,29 +3429,6 @@ def _q_bloom_seen(spark, sf_dir):
     return bloom_gate(urls, bloom, m_bits=2048, k=4)
 
 
-def _q_interval_join(spark, sf_dir):
-    """Bucketed range join: events matched to deterministic
-    maintenance windows (one 45-minute window per day, from the
-    events' own time range)."""
-    from zhtml_spark.timeops import interval_join
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    days = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    windows = days.select(
-        F.date_format("day", "yyyy-MM-dd").alias("window_id"),
-        (F.col("day") + F.expr("INTERVAL 10 HOURS")).alias("start_ts"),
-        (F.col("day") + F.expr("INTERVAL 10 HOURS 45 MINUTES")).alias(
-            "end_ts"
-        ),
-    )
-    joined = interval_join(
-        ev.select("event_id", "ts"), windows, bucket_minutes=60
-    )
-    return joined.select("event_id", "window_id")
-
-
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (r3): a synthetic eval set (first 8
     words of every 10th doc) broadcast-joins against the corpus's
@@ -3758,6 +3636,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_interleaved_passthrough(spark, "/root/testdata/sf0.001")
 
 
+# Evidence-policy inputs for test_registry_evidence_policy (VERDICT r5 #9):
+# update per round. NEW = no driver-green row exists yet; CHANGED = the
+# query's implementation (or a function it calls) changed this round, so
+# old green rows evidence old code.
+NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2']
+CHANGED_THIS_ROUND = ['warc_feed_extract', 'warc_cdx_index', 'host_quota_sample', 'ivf_topk_embedded', 'substring_dup_spans', 'substring_dedup_apply', 'media_features']
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS EVIDENCE POLICY (VERDICT r3 #1/#9, rotation
     per VERDICT r4 #3): the driver checks only the FIRST 50 entries
@@ -3780,156 +3666,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round → window): r5 FINAL window = 36 new
-    (the 21 below + late-session html_lang_meta, pdf_outline,
-    wet_render, frontier_prioritized, hreflang_clusters,
-    warc_length_audit, resolve_redirects, spans_to_text,
-    recrawl_candidates, host_quota_sample, bpe_pair_stats,
-    fetch_schedule, sitemap_entries, warc_cdx_index,
-    warc_canonical_header) + 7 changed (microdata_meta changed AGAIN
-    late-r5: itemref; ALL warc_* re-evidenced for the payload \\z
-    end-anchor fix; extract_meta + every emit_head_meta consumer
-    re-swept for the html-lang harvest) + 7 r3-green refreshes;
-    TWENTY r3-greens defer to r6 (see the inline block-A comments).
-    Earlier r5 state: 21 new + 7 changed
-    (winnow plan, pack DIV, components jumping, image JPEG guard,
-    warc_extract re-windowed for the parse_warc_records
-    payload_ctype + http_te/http_ce changes) + 27 whose latest green
-    is r3 + 8 r4-greens; the 36 tail entries are all r4-green
-    (age ≤ 2 at r6, when they rotate back in) —
-    interval_join_guarded, spans_to_markdown, host_stats, line_dedup,
-    extract_src_offsets, sitemap_urls, and dedup_by_canonical demoted
-    to the tail as pdf_extract / warc_pdf_extract /
-    warc_charset_extract / warc_http_codec_extract /
-    warc_plaintext_extract / warc_feed_extract / warc_extract
-    entered the window; anchor_stats + crawl_frontier +
-    extract_density + bloom_seen + substring_dedup_apply +
-    extract_svg_media + robots_parse + robots_gate (all r4-green,
-    age 1 at r5) slid to the tail as warc_revisit_dedup, rdfa_meta,
-    warc_noindex_gate, warc_redirect_extract, microdata_meta,
-    jsonld_meta, warc_frontier_mixed, extract_srcset,
-    extract_lazy_media, extract_style_media, article_meta_unified,
-    frontier_with_base, and the re-windowed extract_meta
-    (feed/hreflang emission changed its implementation) entered; the
-    window being exactly full, FIVE r3-greens (media_features,
-    quality_filter, events_by_type, order_window_rank,
-    events_windowed, positions 51-55) defer to the FRONT of the r6
-    window — refreshed at age 2, never aging out."""
+    Green-row ledger (round -> window): r6 window = 2 never-checked
+    (kmeans_centroids, lang_id_v2) + 7 changed-this-round
+    (warc_feed_extract, warc_cdx_index, host_quota_sample, ivf_topk_embedded, substring_dup_spans, substring_dedup_apply, media_features)
+    + 14 whose latest green is r3 (the VERDICT r5 #2 rotation, minus
+    the six of the twenty that were retired or re-entered as
+    changed) + 27 oldest r4-greens.  Tail = the remaining 10
+    r4-greens (age 2; front of the r7 window) then the 46 r5-greens.
+    NINE registry twins retired this round (VERDICT r5 #10, coverage
+    argued per removal in STATUS.md): simhash48, ivf_topk,
+    minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
+    events_by_type, token_count, dedup_by_url — registry 115 -> 106.
+    The window invariants are enforced MECHANICALLY by
+    tests/test_entry_oracle.py::test_registry_evidence_policy
+    (VERDICT r5 #9) against NEW_THIS_ROUND / CHANGED_THIS_ROUND
+    below; update those constants when you add or touch queries."""
     return {
-        # -- block A: never driver-checked (r6 additions) -------------
+        # -- block A: never driver-checked (r6) ------------------------
         "kmeans_centroids": _q_kmeans_centroids,
         "lang_id_v2": _q_lang_id_v2,
-        # -- block A: never driver-checked (r5 additions) -------------
-        "html_lang_meta": _q_html_lang_meta,
-        "pdf_outline": _q_pdf_outline,
-        "wet_render": _q_wet_render,
-        "frontier_prioritized": _q_frontier_prioritized,
-        "hreflang_clusters": _q_hreflang_clusters,
-        "warc_length_audit": _q_warc_length_audit,
-        "resolve_redirects": _q_resolve_redirects,
-        "spans_to_text": _q_spans_to_text,
-        "recrawl_candidates": _q_recrawl_candidates,
-        "host_quota_sample": _q_host_quota_sample,
-        "bpe_pair_stats": _q_bpe_pair_stats,
-        "fetch_schedule": _q_fetch_schedule,
-        "sitemap_entries": _q_sitemap_entries,
-        "warc_cdx_index": _q_warc_cdx_index,
-        "warc_canonical_header": _q_warc_canonical_header,
-        "warc_revisit_dedup": _q_warc_revisit_dedup,
-        "rdfa_meta": _q_rdfa_meta,
-        "warc_noindex_gate": _q_warc_noindex_gate,
-        "warc_redirect_extract": _q_warc_redirect_extract,
-        "microdata_meta": _q_microdata_meta,
-        "jsonld_meta": _q_jsonld_meta,
-        "warc_frontier_mixed": _q_warc_frontier_mixed,
+        # -- block A'': implementation changed this round ---------------
         "warc_feed_extract": _q_warc_feed_extract,
-        "warc_plaintext_extract": _q_warc_plaintext_extract,
-        "warc_http_codec_extract": _q_warc_http_codec_extract,
-        "warc_charset_extract": _q_warc_charset_extract,
-        "warc_pdf_extract": _q_warc_pdf_extract,
-        "pdf_extract": _q_pdf_extract,
-        "media_container_meta": _q_media_container_meta,
-        "embed_hashing": _q_embed_hashing,
+        "warc_cdx_index": _q_warc_cdx_index,
+        "host_quota_sample": _q_host_quota_sample,
         "ivf_topk_embedded": _q_ivf_topk_embedded,
-        # -- block A'': implementation changed in r5 (re-evidence) ----
-        "warc_extract": _q_warc_extract,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_dup_candidates": _q_winnow_dup_candidates,
-        "pack_sequences": _q_pack_sequences,
-        "dedup_components": _q_dedup_components,
-        "image_meta": _q_image_meta,
-        "extract_meta": _q_extract_meta,
-        # -- block B: latest green row is r1–r3 (oldest debt first) ---
-        "extract_heading_para": _q_extract_heading_para,
-        "extract_entities": _q_extract_entities,
-        "extract_media": _q_extract_media,
-        "extract_list": _q_extract_list,
-        "extract_boilerplate": _q_extract_boilerplate,
-        "span_kind_counts": _q_span_kind_counts,
-        "interleaved_passthrough": _q_interleaved_passthrough,
-        # -- block A (cont.): never driver-checked — the TEN
-        # late-session additions (warc_length_audit..warc_canonical_
-        # header, top of file) pushed the window past 50, so TEN
-        # MORE r3-greens (lang_id, doc_fingerprint, frame_sample,
-        # token_count, resize_dims, text_quality, nearest_centroid,
-        # cosine_topk, simhash48, dedup_survivors) defer to the r6
-        # window alongside the five already deferred
-        # (media_features, quality_filter, events_by_type,
-        # order_window_rank, events_windowed); their r3 green rows
-        # are age 3 at r6 — the documented cost of keeping every
-        # never-checked query inside the window, the strictly-worse
-        # alternative being a new query shipping driver-unevidenced
-        # (the r3 lesson)
-        "article_meta_unified": _q_article_meta_unified,
-        "extract_style_media": _q_extract_style_media,
-        "frontier_with_base": _q_frontier_with_base,
-        "extract_lazy_media": _q_extract_lazy_media,
-        "extract_srcset": _q_extract_srcset,
-        # -- deferred to r6 (see above) --------------------------------
+        "substring_dup_spans": _q_substring_dup_spans,
+        "substring_dedup_apply": _q_substring_dedup_apply,
+        "media_features": _q_media_features,
+        # -- block B: latest green r3 (VERDICT r5 #2 rotation) ----------
         "media_resolution": _q_media_resolution,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_signatures,
         "minhash_dup_candidates": _q_minhash_candidates,
-        "dedup_survivors": _q_dedup_survivors,
-        "simhash48": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "frame_sample": _q_frame_sample,
-        "token_count": _q_token_count,
         "resize_dims": _q_resize_dims,
-        "media_features": _q_media_features,
         "quality_filter": _q_quality_filter,
-        "events_by_type": _q_events_by_type,
         "order_window_rank": _q_order_window_rank,
         "events_windowed": _q_events_windowed,
-        # -- block B (cont.): latest green row is r4, single green ----
+        # -- block B': oldest r4-greens (refresh) -----------------------
         "anchor_stats": _q_anchor_stats,
         "crawl_frontier": _q_crawl_frontier,
         "extract_density": _q_extract_density,
         "bloom_seen": _q_bloom_seen,
-        "substring_dedup_apply": _q_substring_dedup_apply,
         "extract_svg_media": _q_extract_svg_media,
         "robots_parse": _q_robots_parse,
         "robots_gate": _q_robots_gate,
-        # ---------------- position 51+: r4-green tail ----------------
         "dedup_by_canonical": _q_dedup_by_canonical,
-        "sitemap_urls": _q_sitemap_urls,
         "extract_src_offsets": _q_extract_src_offsets,
         "line_dedup": _q_line_dedup,
         "spans_to_markdown": _q_spans_to_markdown,
         "host_stats": _q_host_stats,
         "interval_join_guarded": _q_interval_join_guarded,
         "media_absolutize": _q_media_absolutize,
-        "substring_dup_spans": _q_substring_dup_spans,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "hash_sample": _q_hash_sample,
-        "interval_join": _q_interval_join,
         "events_rollup": _q_events_rollup,
         "extract_table": _q_extract_table,
         "extract_links": _q_extract_links,
@@ -3939,18 +3736,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_char_signatures": _q_minhash_char_signatures,
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
+        # -- tail: r4-green, age 2 — front of the r7 window -------------
         "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
-        "ivf_topk": _q_ivf_topk,
         "embedding_dup_candidates": _q_embedding_dup,
         "embedding_dedup_survivors": _q_embedding_dedup_survivors,
         "url_normalize": _q_url_normalize,
-        "dedup_by_url": _q_dedup_by_url,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
+        # -- tail: r5-green ---------------------------------------------
+        "html_lang_meta": _q_html_lang_meta,
+        "pdf_outline": _q_pdf_outline,
+        "wet_render": _q_wet_render,
+        "frontier_prioritized": _q_frontier_prioritized,
+        "hreflang_clusters": _q_hreflang_clusters,
+        "warc_length_audit": _q_warc_length_audit,
+        "resolve_redirects": _q_resolve_redirects,
+        "spans_to_text": _q_spans_to_text,
+        "recrawl_candidates": _q_recrawl_candidates,
+        "bpe_pair_stats": _q_bpe_pair_stats,
+        "fetch_schedule": _q_fetch_schedule,
+        "sitemap_entries": _q_sitemap_entries,
+        "warc_canonical_header": _q_warc_canonical_header,
+        "warc_revisit_dedup": _q_warc_revisit_dedup,
+        "rdfa_meta": _q_rdfa_meta,
+        "warc_noindex_gate": _q_warc_noindex_gate,
+        "warc_redirect_extract": _q_warc_redirect_extract,
+        "microdata_meta": _q_microdata_meta,
+        "jsonld_meta": _q_jsonld_meta,
+        "warc_frontier_mixed": _q_warc_frontier_mixed,
+        "warc_plaintext_extract": _q_warc_plaintext_extract,
+        "warc_http_codec_extract": _q_warc_http_codec_extract,
+        "warc_charset_extract": _q_warc_charset_extract,
+        "warc_pdf_extract": _q_warc_pdf_extract,
+        "pdf_extract": _q_pdf_extract,
+        "media_container_meta": _q_media_container_meta,
+        "embed_hashing": _q_embed_hashing,
+        "warc_extract": _q_warc_extract,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_candidates": _q_winnow_dup_candidates,
+        "pack_sequences": _q_pack_sequences,
+        "dedup_components": _q_dedup_components,
+        "image_meta": _q_image_meta,
+        "extract_meta": _q_extract_meta,
+        "extract_heading_para": _q_extract_heading_para,
+        "extract_entities": _q_extract_entities,
+        "extract_media": _q_extract_media,
+        "extract_list": _q_extract_list,
+        "extract_boilerplate": _q_extract_boilerplate,
+        "span_kind_counts": _q_span_kind_counts,
+        "interleaved_passthrough": _q_interleaved_passthrough,
+        "article_meta_unified": _q_article_meta_unified,
+        "extract_style_media": _q_extract_style_media,
+        "frontier_with_base": _q_frontier_with_base,
+        "extract_lazy_media": _q_extract_lazy_media,
+        "extract_srcset": _q_extract_srcset,
     }
 
 
@@ -4522,15 +4365,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.05
         """,
-        "minhash_signatures": _GRAMS_CTE + """
-            , seeded AS (
-                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
-                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
-            )
-            SELECT doc_id, seed,
-                   min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
-            FROM seeded GROUP BY doc_id, seed
-        """,
         "minhash_char_signatures": """
             WITH grams AS (
                 SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gram
@@ -4721,117 +4555,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id AS neighbor_id, rank, cosine
             FROM ranked WHERE rank <= 5
         """,
-        "ivf_topk": """
-            WITH c AS (
-                SELECT vec_id AS centroid_id, embedding AS ce
-                FROM embeddings WHERE vec_id < 8
-            ),
-            adist AS (
-                SELECT e.vec_id, c.centroid_id,
-                       round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
-                                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
-                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
-                FROM embeddings e, c
-            ),
-            assign AS (
-                SELECT vec_id, centroid_id FROM (
-                    SELECT vec_id, centroid_id,
-                           row_number() OVER (
-                               PARTITION BY vec_id
-                               ORDER BY dist ASC, centroid_id ASC
-                           ) AS r
-                    FROM adist
-                ) WHERE r = 1
-            ),
-            q AS (
-                SELECT vec_id AS query_id, embedding AS qe
-                FROM embeddings WHERE vec_id < 5
-            ),
-            qdist AS (
-                SELECT q.query_id, c.centroid_id, q.qe,
-                       round((SELECT sum((CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
-                                       * (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))
-                              FROM UNNEST(range(1, len(ce) + 1)) t(i)), 6) AS dist
-                FROM q, c
-            ),
-            probes AS (
-                SELECT query_id, centroid_id, qe FROM (
-                    SELECT query_id, centroid_id, qe,
-                           row_number() OVER (
-                               PARTITION BY query_id
-                               ORDER BY dist ASC, centroid_id ASC
-                           ) AS r
-                    FROM qdist
-                ) WHERE r <= 2
-            ),
-            cand AS (
-                SELECT p.query_id, e.vec_id, p.qe, e.embedding AS ee
-                FROM probes p
-                JOIN assign a USING (centroid_id)
-                JOIN embeddings e ON e.vec_id = a.vec_id
-                WHERE e.vec_id <> p.query_id
-            ),
-            dots AS (
-                SELECT query_id, vec_id,
-                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS dot,
-                       (SELECT sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(qe) + 1)) t(i)) AS nq,
-                       (SELECT sum(CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))
-                        FROM UNNEST(range(1, len(ee) + 1)) t(i)) AS ne
-                FROM cand
-            ),
-            ranked AS (
-                SELECT query_id, vec_id,
-                       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
-                       CAST(row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC,
-                                    vec_id ASC
-                       ) AS INTEGER) AS rank
-                FROM dots
-            )
-            SELECT query_id, vec_id AS neighbor_id, rank, cosine
-            FROM ranked WHERE rank <= 5
-        """,
-        "dedup_survivors": """
-            WITH allx AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 10000 AS doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 20000 AS doc_id, text || ' zq' AS text
-                FROM documents
-            ),
-            exact AS (
-                SELECT min(doc_id) AS doc_id, text FROM allx GROUP BY text
-            ),
-            words AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM exact
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
-                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
-            ),
-            seeded AS (
-                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
-                FROM grams, (SELECT UNNEST(range(0, 8)) AS seed) s
-            ),
-            sig AS (
-                SELECT doc_id, seed,
-                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
-                FROM seeded GROUP BY doc_id, seed
-            ),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sig a JOIN sig b ON a.seed = b.seed
-                                      AND a.minhash = b.minhash
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2 HAVING count(*) >= 4
-            )
-            SELECT doc_id, text FROM exact
-            WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
-        """,
         "dedup_survivors_banded": """
             WITH allx AS (
                 SELECT doc_id, text FROM documents
@@ -4874,32 +4597,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text FROM exact
             WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
-        """,
-        "simhash48": """
-            WITH wrds AS (
-                SELECT DISTINCT doc_id, w FROM (
-                    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
-                    FROM documents
-                )
-            ),
-            hashed AS (
-                SELECT doc_id,
-                       CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
-                FROM wrds
-            ),
-            bits AS (
-                SELECT doc_id, CAST(s.s AS INTEGER) AS s,
-                       CASE WHEN ((h >> CAST(s.s AS INTEGER)) & 1) = 1
-                            THEN 1 ELSE -1 END AS c
-                FROM hashed, (SELECT UNNEST(range(0, 48)) AS s) s
-            ),
-            per_bit AS (
-                SELECT doc_id, s, sum(c) AS c FROM bits GROUP BY doc_id, s
-            )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << s)
-                                 ELSE 0 END) AS BIGINT) AS simhash
-            FROM per_bit GROUP BY doc_id
         """,
         "simhash_dup_candidates": """
             WITH documents_u AS (
@@ -5038,52 +4735,6 @@ def oracle_sql() -> dict[str, str]:
                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)) AS host
             FROM norm
         """,
-        "dedup_by_url": """
-            WITH urls0 AS (
-                SELECT doc_id,
-                    CASE WHEN doc_id % 3 = 0
-                         THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id AS VARCHAR) || '?z=1&a=2#sec'
-                         WHEN doc_id % 3 = 1
-                         THEN 'https://www.Site.ORG/path/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
-                         ELSE 'https://cdn.Example.net:443/x?q=' || CAST(doc_id AS VARCHAR)
-                    END AS url
-                FROM documents
-            ),
-            urls AS (
-                SELECT doc_id, url FROM urls0
-                UNION ALL
-                SELECT doc_id + 10000 AS doc_id, url || '#utm' AS url
-                FROM urls0
-            ),
-            parts AS (
-                SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM urls
-            ),
-            split AS (
-                SELECT doc_id, u,
-                    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*') AS base,
-                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', '') AS rest
-                FROM parts
-            ),
-            norm AS (
-                SELECT doc_id,
-                    regexp_replace(
-                        regexp_replace(lower(base), '^(http://[^/?]*):80$', '\\1'),
-                        '^(https://[^/?]*):443$', '\\1') AS lb,
-                    regexp_extract(rest, '^[^?]*') AS path,
-                    regexp_extract(rest, '\\?(.*)$', 1) AS query
-                FROM split
-            ),
-            normed AS (
-                SELECT doc_id,
-                    CASE WHEN query = '' THEN lb || path
-                         ELSE lb || path || '?' ||
-                              array_to_string(list_sort(string_split(query, '&')), '&')
-                    END AS norm_url
-                FROM norm
-            )
-            SELECT min(doc_id) AS doc_id, norm_url
-            FROM normed GROUP BY norm_url
-        """,
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -5173,12 +4824,6 @@ def oracle_sql() -> dict[str, str]:
                      AS predicted_lang
             FROM documents d LEFT JOIN best USING (doc_id)
         """,
-        "token_count": r"""
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
-                        AS INTEGER) AS n_tokens
-            FROM documents
-        """,
         "doc_fingerprint": r"""
             SELECT doc_id,
                    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -5254,12 +4899,6 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS price
             FROM orders
             QUALIFY rn <= 3
-        """,
-        "events_by_type": """
-            SELECT event_type, count(*) AS n,
-                   round(sum(value), 2) AS total_value,
-                   count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY event_type
         """,
         "events_windowed": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -5616,34 +5255,6 @@ def oracle_sql() -> dict[str, str]:
                      || '?ref='
                      || CAST((doc_id // 2) * 2 AS VARCHAR) AS norm_url
             FROM documents
-        """,
-        "sitemap_urls": """
-            WITH h AS (
-                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
-                       CAST(doc_id AS VARCHAR) AS d,
-                       CAST(doc_id % 7 AS VARCHAR) AS s7,
-                       doc_id
-                FROM documents
-            )
-            SELECT host,
-                   'https://site' || s7 || '.example/sub' || d
-                     || '.xml' AS url,
-                   TRUE AS is_index
-            FROM h WHERE doc_id % 10 = 0
-            UNION ALL
-            SELECT host,
-                   'https://site' || s7 || '.example/more' || d
-                     || '.xml', TRUE
-            FROM h WHERE doc_id % 10 = 0
-            UNION ALL
-            SELECT host,
-                   'https://site' || s7 || '.example/art' || d
-                     || '?a=1&b=2', FALSE
-            FROM h WHERE doc_id % 10 <> 0
-            UNION ALL
-            SELECT host,
-                   'https://site' || s7 || '.example/p' || d, FALSE
-            FROM h WHERE doc_id % 10 <> 0
         """,
         "robots_gate": """
             WITH h AS (
@@ -6565,19 +6176,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, min(hit) = 1 AS maybe_seen
             FROM hits GROUP BY url
-        """,
-        "interval_join": """
-            WITH windows AS (
-                SELECT DISTINCT
-                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_id,
-                    date_trunc('day', ts) + INTERVAL 10 HOUR AS start_ts,
-                    date_trunc('day', ts) + INTERVAL 10 HOUR
-                        + INTERVAL 45 MINUTE AS end_ts
-                FROM events
-            )
-            SELECT e.event_id, w.window_id
-            FROM events e JOIN windows w
-              ON e.ts >= w.start_ts AND e.ts < w.end_ts
         """,
         "interval_join_guarded": """
             WITH windows AS (

@@ -75,3 +75,62 @@ def test_query_matches_oracle(spark, oracle, name):
     assert sorted(sdf.columns) == sorted(pdf.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     assert got == want, f"{name}: value mismatch"
+
+
+def test_registry_evidence_policy():
+    """Mechanical window-invariant check (VERDICT r5 #9): the driver
+    oracle-checks only the FIRST 50 registry entries, so the order IS
+    the evidence policy.  Enforced:
+
+    1. every never-checked query (no green row in any
+       CORRECTNESS_r*.json) sits inside the window;
+    2. every CHANGED_THIS_ROUND query sits inside the window (old
+       green rows evidence old code);
+    3. refresh slots go to the OLDEST latest-green queries: nothing
+       outside the window is strictly older than a refresh entry
+       inside it;
+    4. nothing outside the window would age past 3 rounds at the
+       coming driver run;
+    5. the declared NEW_THIS_ROUND matches the actually-never-checked
+       set (the constants cannot drift from reality).
+    """
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rn = int("".join(c for c in os.path.basename(f) if c.isdigit()))
+        rounds.append(rn)
+        for q, v in json.load(open(f)).items():
+            if v.get("rows_match") and v.get("hash_match"):
+                latest[q] = max(latest.get(q, 0), rn)
+    current_round = max(rounds) + 1
+    order = list(entry_mod.queries())
+    window, tail = order[:50], order[50:]
+    never = [q for q in order if q not in latest]
+
+    assert sorted(never) == sorted(entry_mod.NEW_THIS_ROUND), (
+        "NEW_THIS_ROUND out of sync with CORRECTNESS history"
+    )
+    for q in never:
+        assert q in window, f"never-checked {q} sits past position 50"
+    for q in entry_mod.CHANGED_THIS_ROUND:
+        assert q in window, f"changed {q} sits past position 50"
+    refresh = [
+        q for q in window
+        if q not in never and q not in entry_mod.CHANGED_THIS_ROUND
+    ]
+    if refresh and tail:
+        newest_inside = max(latest[q] for q in refresh)
+        oldest_outside = min(latest[q] for q in tail)
+        assert oldest_outside >= newest_inside, (
+            f"refresh slots skipped an older query: window holds "
+            f"r{newest_inside}-green entries while r{oldest_outside}-"
+            f"green queries sit in the tail"
+        )
+    for q in tail:
+        assert latest[q] >= current_round - 3, (
+            f"{q} (latest green r{latest[q]}) would age past 3 rounds"
+        )
