@@ -1052,6 +1052,16 @@ def _q_embed_hashing(spark, sf_dir):
     )
 
 
+def _q_trigram_lm_score(spark, sf_dir):
+    """CCNet-style light-LM quality score (r6): mean per-trigram
+    integer log-probability under the en trigram model, quantized by
+    integer div — the filter-perplexity gate between heuristic
+    filtering and dedup.  Docs below one trigram score NULL."""
+    from zhtml_spark.textops import trigram_lm_score
+
+    return trigram_lm_score(_docs(spark, sf_dir), lang="en")
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means (r6, VERDICT r5 #4): fixed-iteration
     training over the embeddings table in quantized integer space —
@@ -3640,7 +3650,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # update per round. NEW = no driver-green row exists yet; CHANGED = the
 # query's implementation (or a function it calls) changed this round, so
 # old green rows evidence old code.
-NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2']
+NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score']
 CHANGED_THIS_ROUND = ['warc_feed_extract', 'warc_cdx_index', 'host_quota_sample', 'ivf_topk_embedded', 'substring_dup_spans', 'substring_dedup_apply', 'media_features']
 
 
@@ -3685,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block A: never driver-checked (r6) ------------------------
         "kmeans_centroids": _q_kmeans_centroids,
         "lang_id_v2": _q_lang_id_v2,
+        "trigram_lm_score": _q_trigram_lm_score,
         # -- block A'': implementation changed this round ---------------
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_cdx_index": _q_warc_cdx_index,
@@ -4781,6 +4792,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en >= s_es THEN 'en'
                         ELSE 'es' END AS predicted_lang
             FROM scores
+        """,
+        "trigram_lm_score": f"""
+            -- mean per-trigram integer log-weight under the en
+            -- model (same pre-baked table as lang_id_v2); integer
+            -- div truncates toward zero on both engines
+            WITH langs AS (SELECT * FROM {_langid_values()}),
+            en AS (SELECT w FROM langs WHERE lang = 'en'),
+            low AS (SELECT doc_id, lower(text) AS t FROM documents),
+            grams AS (
+                SELECT doc_id, substr(t, CAST(i.i AS INTEGER), 3) AS g
+                FROM low, UNNEST(range(1, length(t) - 1)) i(i)
+                WHERE length(t) >= 3
+            ),
+            bk AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                         % 256 AS b
+                FROM grams
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(sum(w[CAST(b AS INTEGER) + 1]) AS BIGINT)
+                         AS t2,
+                       count(*) AS n
+                FROM bk, en GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN sc.n > 0
+                        THEN CAST(sc.t2 // sc.n AS BIGINT) END
+                     AS lm_score,
+                   CAST(coalesce(sc.n, 0) AS INTEGER) AS n_trigrams
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "lang_id_v2": f"""
             -- trigram NB: weights are the SAME pre-baked integers

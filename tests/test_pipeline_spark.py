@@ -2082,3 +2082,35 @@ def test_lang_id_v2_discriminates_held_out(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_trigram_lm_score_orders_text_quality(spark):
+    """CCNet-style LM gate: natural English scores above keyboard
+    mash under the en model; sub-trigram docs score NULL with
+    n_trigrams=0; the plan stays JVM-side."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import trigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the children walk to the school in the morning and "
+                "talk about the rain"),
+            (1, "xq zvk jjw qqp zzx kvq wxz qjq vvz xkx zqw jxv"),
+            (2, "ab"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_lm_score(docs).collect()}
+    assert got[0]["lm_score"] > got[1]["lm_score"]
+    assert got[2]["lm_score"] is None and got[2]["n_trigrams"] == 0
+    assert got[0]["n_trigrams"] > 0
+    plan = (
+        trigram_lm_score(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trigram_lm_score(docs, lang="xx")

@@ -2581,6 +2581,58 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bucketed.select("doc_id", pred.alias("predicted_lang"))
 
 
+def trigram_lm_score(
+    docs: DataFrame, lang: str = "en", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020
+    §4.3 filter perplexity with a small LM; here the repo's hashed
+    trigram model): mean per-trigram integer log-probability of the
+    doc under ``lang``'s :mod:`zhtml_spark.langid_model` weights,
+    scaled 1e-6 — higher (less negative) = more natural text for the
+    language, the standard light-LM quality gate between heuristic
+    filtering and dedup.
+
+    ``lm_score`` is the micro-mean quantized with integer ``div``
+    (exact both engines): ``sum(weights) div n_trigrams``; docs
+    shorter than one trigram score NULL (no evidence ≠ bad text).
+    Same zero-shuffle fold shape as :func:`lang_id_v2` — one md5 per
+    trigram, weights as plan literals, embarrassingly parallel."""
+    from .langid_model import N_BUCKETS, trigram_weights
+
+    weights = trigram_weights()
+    if lang not in weights:
+        raise ValueError(
+            f"no trigram model for {lang!r}; have {sorted(weights)}"
+        )
+    arr = F.array(*[F.lit(w) for w in weights[lang]])
+    grams = F.expr(_char_gram_expr(f"lower({text_col})", 3))
+    bucketed = docs.select(
+        "doc_id",
+        F.transform(
+            grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
+        ).alias("_b"),
+    )
+    total = F.aggregate(
+        F.col("_b"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+    )
+    return (
+        bucketed.select(
+            "doc_id",
+            total.alias("_t"),
+            F.size("_b").alias("n_trigrams"),
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.expr("_t div n_trigrams"),
+            ).alias("lm_score"),
+            "n_trigrams",
+        )
+    )
+
+
 def _n_tokens(col: str) -> Column:
     """The BPE-ish pre-tokenizer count expression (words + punctuation
     singles) — the ONE definition :func:`token_count` and
