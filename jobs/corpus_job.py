@@ -191,6 +191,33 @@ def run(
     n_quality = quality.count()
     stages["quality_filter"]["rows"] = n_quality
 
+    # ---- 4b. language gate (r6): trigram-NB language id + the
+    # CCNet-style light-LM score, both zero-shuffle JVM folds — keep
+    # English docs whose mean trigram log-prob clears a permissive
+    # floor (unseen-trigram weight is ~-7.3e6; natural en sits around
+    # -5e6).  Runs BEFORE dedup: wrong-language and gibberish pages
+    # should never pay the near-dup tiers.
+    def _lang_tier():
+        from zhtml_spark.textops import lang_id_v2, trigram_lm_score
+
+        en = (
+            lang_id_v2(quality)
+            .where(F.col("predicted_lang") == "en")
+            .select("doc_id")
+        )
+        scored = trigram_lm_score(quality).select("doc_id", "lm_score")
+        return (
+            quality.join(en, "doc_id")
+            .join(scored, "doc_id")
+            .where(F.col("lm_score") > -6_500_000)
+            .drop("lm_score")
+            .localCheckpoint()
+        )
+
+    quality = timed("lang_gate", _lang_tier)
+    n_lang = quality.count()
+    stages["lang_gate"]["rows"] = n_lang
+
     # ---- 5. dedup tiers: URL → exact → banded near-dup ------------
     def _url_tier():
         keep = (

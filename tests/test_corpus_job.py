@@ -21,10 +21,12 @@ def test_corpus_job_stages_compose(spark):
     assert 0 < st["frontier"]["allowed"] < st["frontier"]["urls"]
     # tiers only ever shrink the corpus
     n_q = st["quality_filter"]["rows"]
+    n_l = st["lang_gate"]["rows"]
+    assert 0 < n_l <= n_q  # en-ish corpus: the gate passes real text
     n_u = st["dedup_url"]["rows"]
     n_h = st["host_quota"]["rows"]
     n_s = st["dedup_exact_banded"]["rows"]
-    assert 0 < n_s <= n_h <= n_u <= n_q <= 800
+    assert 0 < n_s <= n_h <= n_u <= n_l <= 800
     # the power-law host skew makes the quota tier BIND (not a no-op)
     assert n_h < n_u
     # chains guarantee the banded tier actually removes docs
