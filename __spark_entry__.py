@@ -1062,6 +1062,56 @@ def _q_trigram_lm_score(spark, sf_dir):
     return trigram_lm_score(_docs(spark, sf_dir), lang="en")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup (r6): the documents table is the EXISTING
+    corpus (its minhash_band_index the only state); the new batch is
+    exact copies (+30000), near copies (+40000, one appended token),
+    and novel synthetic docs (+50000, ten md5-derived gibberish words
+    sharing no shingle with anything).  Exact and near copies
+    collide with the index and drop; novel docs survive — without
+    the old corpus ever being rescanned."""
+    from zhtml_spark.textops import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    novel_text = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"nv{i}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                10,
+            )
+            for i in range(10)
+        ],
+    )
+    new_batch = (
+        d.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 40000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                novel_text.alias("text"),
+            )
+        )
+    )
+    index = minhash_band_index(d, n=3, bands=4, rows=2)
+    return dedup_against_index(
+        new_batch, index, n=3, bands=4, rows=2, min_bands=1
+    )
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means (r6, VERDICT r5 #4): fixed-iteration
     training over the embeddings table in quantized integer space —
@@ -3650,7 +3700,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # update per round. NEW = no driver-green row exists yet; CHANGED = the
 # query's implementation (or a function it calls) changed this round, so
 # old green rows evidence old code.
-NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score']
+NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score', 'dedup_incremental']
 CHANGED_THIS_ROUND = ['warc_feed_extract', 'warc_cdx_index', 'host_quota_sample', 'ivf_topk_embedded', 'substring_dup_spans', 'substring_dedup_apply', 'media_features']
 
 
@@ -3696,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": _q_kmeans_centroids,
         "lang_id_v2": _q_lang_id_v2,
         "trigram_lm_score": _q_trigram_lm_score,
+        "dedup_incremental": _q_dedup_incremental,
         # -- block A'': implementation changed this round ---------------
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_cdx_index": _q_warc_cdx_index,
@@ -4824,6 +4875,85 @@ def oracle_sql() -> dict[str, str]:
                      AS lm_score,
                    CAST(coalesce(sc.n, 0) AS INTEGER) AS n_trigrams
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "dedup_incremental": """
+            -- existing corpus = documents; new batch = exact copies
+            -- (+30000), near copies (+40000, ' zq'), novel synthetic
+            -- (+50000).  A new doc drops iff some band's signature
+            -- equals an index bucket (min_bands=1).
+            WITH newdocs AS (
+                SELECT doc_id + 30000 AS doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000 AS doc_id, text || ' zq' AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 50000 AS doc_id,
+                       substr(md5('nv0:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv1:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv2:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv3:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv4:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv5:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv6:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv7:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv8:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || ' ' || substr(md5('nv9:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                         AS text
+                FROM documents
+            ),
+            iw AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            igrams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM iw, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            iseeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM igrams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            isig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM iseeded GROUP BY doc_id, seed
+            ),
+            ibuckets AS (
+                SELECT DISTINCT band, bsig FROM (
+                    SELECT seed // 2 AS band,
+                           md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                          ORDER BY seed)) AS bsig
+                    FROM isig GROUP BY doc_id, seed // 2
+                )
+            ),
+            nw AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM newdocs
+            ),
+            ngrams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM nw, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            nseeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM ngrams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            nsig AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM nseeded GROUP BY doc_id, seed
+            ),
+            nbs AS (
+                SELECT doc_id, seed // 2 AS band,
+                       md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                      ORDER BY seed)) AS bsig
+                FROM nsig GROUP BY doc_id, seed // 2
+            ),
+            dominated AS (
+                SELECT DISTINCT n.doc_id
+                FROM nbs n JOIN ibuckets i
+                  ON n.band = i.band AND n.bsig = i.bsig
+            )
+            SELECT doc_id, text FROM newdocs
+            WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
         """,
         "lang_id_v2": f"""
             -- trigram NB: weights are the SAME pre-baked integers

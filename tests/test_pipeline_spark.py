@@ -2114,3 +2114,59 @@ def test_trigram_lm_score_orders_text_quality(spark):
 
     with _pytest.raises(ValueError):
         trigram_lm_score(docs, lang="xx")
+
+
+def test_dedup_against_index_incremental(spark):
+    """Incremental dedup (r6): exact and near copies of the existing
+    corpus collide with its band index and drop; novel docs survive;
+    the existing corpus itself is never touched.  min_bands raises
+    the collision bar."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta eta theta "
+                f"iota kappa doc {i} lambda mu nu xi")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(base, n=3, bands=4, rows=2)
+    new_batch = spark.createDataFrame(
+        [
+            # exact copy of doc 3
+            (103, "alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa doc 3 lambda mu nu xi"),
+            # near copy of doc 7 (one appended token)
+            (107, "alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa doc 7 lambda mu nu xi zq"),
+            # novel
+            (200, "completely different words about rivers and "
+                  "mountains and the weather in autumn"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(
+            new_batch, index, n=3, bands=4, rows=2
+        ).collect()
+    )
+    assert 200 in survivors and 103 not in survivors
+    # the near copy shares every band with high probability at r=2 on
+    # a 15-word doc with 1 changed shingle region; at minimum it
+    # collides in one band here (deterministic given the seeds)
+    assert 107 not in survivors
+    # min_bands above the collision count keeps everything
+    all_kept = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(
+            new_batch, index, n=3, bands=4, rows=2, min_bands=5
+        ).collect()
+    )
+    assert all_kept == [103, 107, 200]

@@ -319,6 +319,63 @@ def minhash_banded_candidates(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    shingle: str = "word",
+) -> DataFrame:
+    """The persisted LSH bucket index of an EXISTING corpus —
+    ``(doc_id, band, band_sig)`` rows.  Build once, write bucketed on
+    ``(band, band_sig)`` (Iceberg/parquet bucket partitioning), and
+    every incremental crawl joins THIS instead of rescanning corpus
+    text: the index is the only state 10^12-doc incremental dedup
+    keeps."""
+    return _band_signatures(docs, n, bands, rows, shingle)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    shingle: str = "word",
+    min_bands: int = 1,
+) -> DataFrame:
+    """Incremental (asymmetric) near-dup dedup — the pass every
+    growing corpus runs per crawl: drop NEW documents whose banded
+    MinHash signature collides with the EXISTING corpus's
+    :func:`minhash_band_index` in ≥ ``min_bands`` bands; the old
+    corpus is never rescanned and never loses documents.
+
+    Shape: band signatures are computed for the NEW batch only, then
+    one bucketed equality join on ``(band, band_sig)`` against the
+    index's DISTINCT bucket keys (never doc×doc), a per-doc band
+    count, and an anti-join back to the batch.  With the index stored
+    bucketed on the join key the shuffle is one-sided and bounded by
+    the new batch's size — incremental cost does not grow with the
+    corpus.  Deduping the new batch against ITSELF is a separate
+    concern (:func:`dedup_survivors`), run before or after at the
+    pipeline's choice.  Returns surviving ``(doc_id, text)`` rows of
+    ``new_docs``."""
+    sig = _band_signatures(new_docs, n, bands, rows, shingle)
+    buckets = index.select(
+        "band", F.col("band_sig").alias("band_sig")
+    ).distinct()
+    dominated = (
+        sig.join(buckets, ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= min_bands)
+        .select("doc_id")
+    )
+    return new_docs.join(dominated, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+
+
 def _band_signatures(
     docs: DataFrame, n: int, bands: int, rows: int, shingle: str
 ) -> DataFrame:
