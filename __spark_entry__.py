@@ -1112,6 +1112,45 @@ def _q_dedup_incremental(spark, sf_dir):
     )
 
 
+def _q_lang_gate(spark, sf_dir):
+    """Fused one-pass language gate (r6): en docs pass, held-out
+    es/de docs drop on prediction, every 7th doc is md5 gibberish
+    that drops on the LM floor UNDER ITS OWN predicted language, and
+    scoring caps at the 120-char head (the giant-page guard is part
+    of the gated semantics).  Floor -8.15e6: the sf document text is
+    keyword salad scoring around the salad median, so the floor
+    BINDS (some en-predicted docs pass, some drop) instead of
+    degenerating to all-or-nothing."""
+    from zhtml_spark.textops import lang_gate
+
+    gib = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"gb{i}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                10,
+            )
+            for i in range(6)
+        ],
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, gib)
+        .when(F.col("doc_id") % 3 == 1, F.lit(_LANGID_ES))
+        .when(F.col("doc_id") % 3 == 2, F.lit(_LANGID_DE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return lang_gate(
+        d, lang="en", max_chars=120, min_lm_score=-8_150_000
+    ).select("doc_id")
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means (r6, VERDICT r5 #4): fixed-iteration
     training over the embeddings table in quantized integer space —
@@ -1595,6 +1634,9 @@ _LANGID_DE = (
     "das alte haus steht neben dem fluss und die nachbarn sprechen "
     "am abend mit ihren freunden über das wetter"
 )
+
+
+from zhtml_spark.langid_model import N_BUCKETS as _LANGID_B
 
 
 def _langid_values() -> str:
@@ -3700,7 +3742,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # update per round. NEW = no driver-green row exists yet; CHANGED = the
 # query's implementation (or a function it calls) changed this round, so
 # old green rows evidence old code.
-NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score', 'dedup_incremental']
+NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score', 'dedup_incremental', 'lang_gate']
 CHANGED_THIS_ROUND = ['warc_feed_extract', 'warc_cdx_index', 'host_quota_sample', 'ivf_topk_embedded', 'substring_dup_spans', 'substring_dedup_apply', 'media_features']
 
 
@@ -3747,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2": _q_lang_id_v2,
         "trigram_lm_score": _q_trigram_lm_score,
         "dedup_incremental": _q_dedup_incremental,
+        "lang_gate": _q_lang_gate,
         # -- block A'': implementation changed this round ---------------
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_cdx_index": _q_warc_cdx_index,
@@ -4859,7 +4902,7 @@ def oracle_sql() -> dict[str, str]:
             bk AS (
                 SELECT doc_id,
                        CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
-                         % 256 AS b
+                         % {_LANGID_B} AS b
                 FROM grams
             ),
             sc AS (
@@ -4955,6 +4998,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM newdocs
             WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
         """,
+        "lang_gate": f"""
+            -- fused gate: argmax language + LM floor under the
+            -- PREDICTED language, over the 120-char head; gibberish
+            -- docs (doc%7==0) fail the floor, es/de docs fail the
+            -- prediction
+            WITH langs AS (SELECT * FROM {_langid_values()}),
+            src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                            substr(md5('gb0:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            || ' ' || substr(md5('gb1:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            || ' ' || substr(md5('gb2:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            || ' ' || substr(md5('gb3:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            || ' ' || substr(md5('gb4:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            || ' ' || substr(md5('gb5:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                            WHEN doc_id % 3 = 1 THEN '{_LANGID_ES}'
+                            WHEN doc_id % 3 = 2 THEN '{_LANGID_DE}'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            low AS (
+                SELECT doc_id, substr(lower(text), 1, 120) AS t FROM src
+            ),
+            grams AS (
+                SELECT doc_id, substr(t, CAST(i.i AS INTEGER), 3) AS g
+                FROM low, UNNEST(range(1, length(t) - 1)) i(i)
+                WHERE length(t) >= 3
+            ),
+            bk AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                         % {_LANGID_B} AS b
+                FROM grams
+            ),
+            sc AS (
+                SELECT doc_id, l.lang,
+                       CAST(sum(l.w[CAST(b AS INTEGER) + 1]) AS BIGINT)
+                         AS score,
+                       count(*) AS n
+                FROM bk, langs l GROUP BY doc_id, l.lang
+            ),
+            best AS (
+                SELECT doc_id, lang, score, n FROM (
+                    SELECT doc_id, lang, score, n, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, lang ASC) AS r
+                    FROM sc) WHERE r = 1
+            )
+            SELECT doc_id FROM best
+            WHERE lang = 'en' AND score > -8150000 * n
+        """,
         "lang_id_v2": f"""
             -- trigram NB: weights are the SAME pre-baked integers
             -- the Spark plan embeds (see _langid_values); scoring is
@@ -4977,7 +5071,7 @@ def oracle_sql() -> dict[str, str]:
             bk AS (
                 SELECT doc_id,
                        CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
-                         % 256 AS b
+                         % {_LANGID_B} AS b
                 FROM grams
             ),
             sc AS (

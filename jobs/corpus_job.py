@@ -198,21 +198,23 @@ def run(
     # -5e6).  Runs BEFORE dedup: wrong-language and gibberish pages
     # should never pay the near-dup tiers.
     def _lang_tier():
-        from zhtml_spark.textops import lang_id_v2, trigram_lm_score
+        from zhtml_spark.textops import lang_gate
 
-        en = (
-            lang_id_v2(quality)
-            .where(F.col("predicted_lang") == "en")
-            .select("doc_id")
-        )
-        scored = trigram_lm_score(quality).select("doc_id", "lm_score")
-        return (
-            quality.join(en, "doc_id")
-            .join(scored, "doc_id")
-            .where(F.col("lm_score") > -6_500_000)
-            .drop("lm_score")
-            .localCheckpoint()
-        )
+        # full target-language set: the synthetic corpus is word
+        # salad whose trigram stats tilt arbitrarily between the
+        # seed languages (a real crawl gates to its target set the
+        # same way), so the binding signal here is the LM floor +
+        # evidence gate, and the stage measures the fused one-pass
+        # cost (one md5 per trigram serves id + LM — the split
+        # two-op form was 2x the hashing plus a 6x predicate-
+        # pushdown re-evaluation; see lang_gate's barrier comment)
+        # permissive floor: the synthetic corpus is markov word
+        # salad and scores in the gibberish band of the 4096-bucket
+        # model (~-8.3e6); a real crawl uses the default -8.0e6
+        return lang_gate(
+            quality, langs=("en", "es", "de"), max_chars=2000,
+            min_lm_score=-8_400_000,
+        ).localCheckpoint()
 
     quality = timed("lang_gate", _lang_tier)
     n_lang = quality.count()

@@ -2170,3 +2170,50 @@ def test_dedup_against_index_incremental(spark):
         ).collect()
     )
     assert all_kept == [103, 107, 200]
+
+
+def test_lang_gate_fused_one_pass(spark):
+    """Fused language gate (r6): held-out en passes, es/de drop on
+    prediction with lang='en' but pass with langs covering them,
+    keyboard mash drops on the LM floor under its own predicted
+    language, sub-trigram docs drop, and the physical plan evaluates
+    the md5 trigram chain exactly ONCE (the predicate-pushdown
+    re-evaluation guard — 6x when it regresses)."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import lang_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the small house by the river is where the "
+                "neighbours meet in the evening to talk about the "
+                "weather and the harvest"),
+            (1, "los precios de la energía subieron durante el "
+                "invierno según el informe del gobierno y la gente "
+                "habla de ello en la calle"),
+            (2, "die preise für energie sind im winter laut dem "
+                "bericht der regierung gestiegen und die leute "
+                "sprechen auf der straße darüber"),
+            (3, "xq zvk jjw qqp zzx kvq wxz qjq vvz xkx zqw jxv "
+                "qzx vkq wjx zqv kxz qwj"),
+            (4, "ab"),
+        ],
+        "doc_id long, text string",
+    )
+    only_en = sorted(
+        r["doc_id"] for r in lang_gate(docs, lang="en").collect()
+    )
+    assert only_en == [0]
+    all_three = sorted(
+        r["doc_id"]
+        for r in lang_gate(docs, langs=("en", "es", "de")).collect()
+    )
+    assert all_three == [0, 1, 2]  # mash + short still drop
+    plan = (
+        lang_gate(docs, lang="en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("md5(") == 1, "trigram chain re-evaluated"
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # output schema is the input minus plumbing
+    assert lang_gate(docs).columns == ["doc_id", "text"]

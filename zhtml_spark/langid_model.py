@@ -17,13 +17,18 @@ Design constraints, in order:
 * **hashing-trick** — trigram → ``md5-48 % N_BUCKETS`` (the blessed
   cross-engine hash), so the weight table is a fixed
   ``N_BUCKETS``-slot array per language regardless of vocabulary —
-  the same shape as ``textops.embed_hashing``;
+  the same shape as ``textops.embed_hashing``.  N_BUCKETS (4096)
+  deliberately EXCEEDS the seed vocabulary (~1.3k distinct trigrams
+  per language): at 256 buckets gibberish trigrams collided into
+  buckets carrying real mass and scored within ~0.2e6 of natural
+  text (measured r6) — above the vocabulary size, unseen trigrams
+  land on the smoothing floor and the LM gate separates cleanly;
 * **deterministic** — no RNG anywhere; retraining is a pure function
   of the seed text.
 
 At 10^12 docs the scoring pass is embarrassingly parallel: one JVM
 fold per language over the per-doc bucket array, weights broadcast as
-plan literals (k × 256 ints), zero shuffles, zero Python.  Accuracy
+plan literals (k × N_BUCKETS ints), zero shuffles, zero Python.  Accuracy
 is the usual NB-over-trigram story — solid for separating distant
 languages, NOT a replacement for a real fastText-style model; the
 seed corpora are deliberately small and auditable.
@@ -35,7 +40,7 @@ import hashlib
 import math
 from functools import lru_cache
 
-N_BUCKETS = 256
+N_BUCKETS = 4096
 _SCALE = 1_000_000
 
 # Original seed text (written for this repo; lowercase, one string

@@ -2592,7 +2592,7 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hashed char-trigram Naive-Bayes language id (VERDICT r5 #7) —
     the corpus-scale upgrade over :func:`lang_id`'s stopword vote:
     score(doc, ℓ) = Σ over char trigrams of the pre-baked integer
-    log-weight ``W[ℓ][md5-48(gram) % 256]``
+    log-weight ``W[ℓ][md5-48(gram) % 4096]``
     (:mod:`zhtml_spark.langid_model`), argmax with alphabetical
     tie-break, ``und`` for docs shorter than one trigram.
 
@@ -2608,8 +2608,17 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from .langid_model import N_BUCKETS, trigram_weights
 
     weights = trigram_weights()
-    grams = F.expr(_char_gram_expr(f"lower({text_col})", 3))
-    bucketed = docs.select(
+    # lower() FIRST, into a real (multi-referenced) column: passing
+    # "lower(text)" as the gram source inlines an O(n) expression
+    # into the per-position lambda of _char_gram_expr's short-doc
+    # branch — the r5-a quadratic trap, re-found at 2M docs when the
+    # lang gate stragglers ran 30+ min (r6).  _char_gram_expr
+    # references its source many times, so the alias never collapses.
+    low = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("_lt")
+    )
+    grams = F.expr(_char_gram_expr("_lt", 3))
+    bucketed = low.select(
         "doc_id",
         F.transform(
             grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
@@ -2638,6 +2647,118 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bucketed.select("doc_id", pred.alias("predicted_lang"))
 
 
+def lang_gate(
+    docs: DataFrame,
+    lang: str = "en",
+    min_lm_score: int = -8_000_000,
+    max_chars: int | None = 2000,
+    text_col: str = "text",
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """ONE-pass language gate: :func:`lang_id_v2`'s argmax AND
+    :func:`trigram_lm_score`'s LM mean from a SINGLE hashed-bucket
+    array — one md5 per trigram serves both signals, where running
+    the two ops separately pays the trigram hashing twice (measured
+    at 2M docs: the split form was the job's slowest stage).
+
+    ``max_chars`` caps scoring to the document HEAD (default 2000
+    chars): language identity is a head property — fastText/CLD2
+    pipelines sample exactly this way — and it bounds per-doc cost
+    independent of page size, so a giant page can never straggle the
+    gate.  ``None`` scores the full text (the oracle-gated
+    :func:`lang_id_v2`/:func:`trigram_lm_score` semantics).
+
+    Keeps documents predicted ``lang`` (or any of ``langs`` when
+    given — multilingual pipelines gate to their whole target set)
+    whose mean per-trigram log-prob UNDER THE PREDICTED LANGUAGE
+    clears ``min_lm_score`` (1e-6-scaled integer); docs
+    below one trigram drop (no evidence fails a gate whose job is
+    keeping evidenced text).  The default floor is calibrated to the
+    4096-bucket model (measured r6): natural held-out text scores
+    ≈ -7.5e6..-7.8e6 under its own language, keyboard mash ≤ -8.3e6
+    under its BEST-FIT language — -8.0e6 splits them with margin.
+    Synthetic word-salad corpora (markov keyword text) score in the
+    mash band; gate those with an explicit permissive floor.  Returns the input rows minus ``_b``
+    plumbing — zero shuffles, embarrassingly parallel."""
+    from .langid_model import N_BUCKETS, trigram_weights
+
+    weights = trigram_weights()
+    if lang not in weights:
+        raise ValueError(
+            f"no trigram model for {lang!r}; have {sorted(weights)}"
+        )
+    # lower (and the head cap) land in a real multi-referenced column
+    # FIRST — an O(n) expression passed as the gram source would
+    # re-evaluate per position in the short-doc branch (the r5-a
+    # quadratic; see lang_id_v2)
+    src = F.lower(F.col(text_col))
+    if max_chars is not None:
+        # substring from pos 1 is O(max_chars), never O(doc) — the
+        # giant-page guard
+        src = F.substring(src, 1, max_chars)
+    bucketed = docs.withColumn("_lt", src)
+    grams = F.expr(_char_gram_expr("_lt", 3))
+    # ``_b`` carries a value-neutral NONDETERMINISTIC guard
+    # (``when(monotonically_increasing_id() >= 0, ...)`` is always
+    # taken), and that guard is load-bearing (r6, measured 6×): the
+    # gate ends in a Filter whose condition references ``_b`` six
+    # times (argmax chain + LM floor + size); predicate pushdown
+    # substitutes a DETERMINISTIC alias definition once PER REFERENCE
+    # when pushing through a Project, and higher-order-function
+    # subtrees are excluded from codegen subexpression elimination
+    # (LambdaVariable), so the md5-per-trigram chain ran SIX times
+    # per row (44.6 s vs 7.4 s single-evaluation at 20k docs; a
+    # nondeterministic SIBLING column does NOT block the push — only
+    # marking the referenced column itself works, verified on the
+    # physical plan: md5 appears once).  Gate VALUES stay fully
+    # deterministic.
+    bucketed = bucketed.withColumn(
+        "_b",
+        F.when(
+            F.monotonically_increasing_id() >= 0,
+            F.transform(
+                grams,
+                lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS)),
+            ),
+        ),
+    )
+    arrs = {
+        lg: F.array(*[F.lit(w) for w in wv])
+        for lg, wv in weights.items()
+    }
+    scores = {
+        lg: F.aggregate(
+            F.col("_b"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.element_at(arrs[lg], (b + 1).cast("int")),
+        )
+        for lg in weights
+    }
+    all_langs = sorted(scores)
+    pred, best = F.lit(all_langs[0]), scores[all_langs[0]]
+    for lg in all_langs[1:]:
+        better = scores[lg] > best
+        pred = F.when(better, F.lit(lg)).otherwise(pred)
+        best = F.when(better, scores[lg]).otherwise(best)
+    n = F.size("_b")
+    accept = langs if langs is not None else (lang,)
+    for lg in accept:
+        if lg not in weights:
+            raise ValueError(f"no trigram model for {lg!r}")
+    # LM floor under the doc's own PREDICTED language: the quality
+    # question is "is this natural text in the language it claims",
+    # not "is it English-like"
+    lm_ok = F.lit(False)
+    for lg in accept:
+        lm_ok = F.when(
+            pred == lg,
+            scores[lg] > F.lit(min_lm_score).cast("long") * n,
+        ).otherwise(lm_ok)
+    keep = (n > 0) & pred.isin(*accept) & lm_ok
+    return bucketed.where(keep).drop("_b", "_lt")
+
+
 def trigram_lm_score(
     docs: DataFrame, lang: str = "en", text_col: str = "text"
 ) -> DataFrame:
@@ -2662,8 +2783,13 @@ def trigram_lm_score(
             f"no trigram model for {lang!r}; have {sorted(weights)}"
         )
     arr = F.array(*[F.lit(w) for w in weights[lang]])
-    grams = F.expr(_char_gram_expr(f"lower({text_col})", 3))
-    bucketed = docs.select(
+    # lower() into a multi-referenced column first (the r5-a
+    # quadratic trap — see lang_id_v2)
+    low = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("_lt")
+    )
+    grams = F.expr(_char_gram_expr("_lt", 3))
+    bucketed = low.select(
         "doc_id",
         F.transform(
             grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
