@@ -3768,13 +3768,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round -> window): r6 window = 2 never-checked
-    (kmeans_centroids, lang_id_v2) + 7 changed-this-round
-    (warc_feed_extract, warc_cdx_index, host_quota_sample, ivf_topk_embedded, substring_dup_spans, substring_dedup_apply, media_features)
-    + 14 whose latest green is r3 (the VERDICT r5 #2 rotation, minus
-    the six of the twenty that were retired or re-entered as
-    changed) + 27 oldest r4-greens.  Tail = the remaining 10
-    r4-greens (age 2; front of the r7 window) then the 46 r5-greens.
+    Green-row ledger (round -> window): r6 window = 5 never-checked
+    (kmeans_centroids, lang_id_v2, trigram_lm_score,
+    dedup_incremental, lang_gate) + 7 changed-this-round
+    (warc_feed_extract, warc_cdx_index, host_quota_sample,
+    ivf_topk_embedded, substring_dup_spans, substring_dedup_apply,
+    media_features) + 14 whose latest green is r3 (the VERDICT r5 #2
+    rotation, minus the six of the twenty that were retired or
+    re-entered as changed) + the 24 oldest r4-greens that fit.  Tail
+    = the remaining 13 r4-greens (age 2; front of the r7 window)
+    then the 46 r5-greens.
     NINE registry twins retired this round (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
