@@ -451,6 +451,27 @@ def main() -> None:
         ),
     }
 
+    # 5c. trigram tier (r6): the fused one-pass language gate (id +
+    # LM floor from one md5-per-trigram bucket array, 2000-char head
+    # cap) on both corpora — the permissive floor keeps the synthetic
+    # salad flowing so the row measures COST, and the md5-once plan
+    # invariant is pytest-pinned
+    from zhtml_spark.textops import lang_gate
+
+    timed(
+        "lang_gate",
+        lambda: lang_gate(
+            docs_tbl, langs=("en", "es", "de"),
+            min_lm_score=-8_400_000,
+        ).count(),
+    )
+    timed(
+        "adv_lang_gate",
+        lambda: lang_gate(
+            adv, langs=("en", "es", "de"), min_lm_score=-8_400_000
+        ).count(),
+    )
+
     # 6. similarity search: brute force vs composed IVF prune
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("cosine_topk", lambda: cosine_topk(emb, n_queries=100, k=10).count())
