@@ -56,9 +56,15 @@ from pyspark.sql.types import (
 try:  # pragma: no cover - exercised only where Pillow exists
     from PIL import Image as _PILImage
 
+    # Resolve the resampling constant ONCE at import (ADVICE r6): on
+    # Pillow <9.1 `Image.Resampling` does not exist, and resolving it
+    # inside the per-row try/except silently branded every row
+    # decoder='hash' instead of surfacing the version problem.
+    _PIL_BILINEAR = getattr(_PILImage, "Resampling", _PILImage).BILINEAR
     PIL_AVAILABLE = True
 except ImportError:
     _PILImage = None
+    _PIL_BILINEAR = None
     PIL_AVAILABLE = False
 
 FEATURE_SCHEMA = StructType(
@@ -103,11 +109,12 @@ def _pil_features(payload: bytes, n_features: int) -> list[float] | None:
     try:  # pragma: no cover - exercised only where Pillow exists
         with _PILImage.open(io.BytesIO(payload)) as im:
             gray = im.convert("L").resize(
-                (_THUMB_SIDE, _THUMB_SIDE),
-                resample=_PILImage.Resampling.BILINEAR,
+                (_THUMB_SIDE, _THUMB_SIDE), resample=_PIL_BILINEAR
             )
             px = list(gray.getdata())
-    except Exception:
+    except (OSError, ValueError, SyntaxError):
+        # decode errors only (truncated/undecodable payloads);
+        # anything else — including a misresolved resampler — raises
         return None
     feats = [round(p / 255.0, 6) for p in px[:n_features]]
     if len(feats) < n_features:  # pragma: no cover

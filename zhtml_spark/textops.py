@@ -2599,8 +2599,8 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Plan shape: the linear ``_char_gram_expr`` gram array (never the
     quadratic positioned-substring form), ONE md5 per trigram into a
     multi-referenced bucket-array alias (CollapseProject-safe), then
-    one JVM ``aggregate`` fold per language against its 256-slot
-    literal weight array.  Zero shuffles, zero Python, weights ride
+    one JVM ``aggregate`` fold per language against its
+    ``N_BUCKETS``-slot (4096) literal weight array.  Zero shuffles, zero Python, weights ride
     the plan as constants — embarrassingly parallel at any corpus
     size.  All-integer scores keep the DuckDB oracle exact (the SQL
     side indexes the SAME weight table, generated from the same
