@@ -3741,9 +3741,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Evidence-policy inputs for test_registry_evidence_policy (VERDICT r5 #9):
 # update per round. NEW = no driver-green row exists yet; CHANGED = the
 # query's implementation (or a function it calls) changed this round, so
-# old green rows evidence old code.
-NEW_THIS_ROUND = ['kmeans_centroids', 'lang_id_v2', 'trigram_lm_score', 'dedup_incremental', 'lang_gate']
-CHANGED_THIS_ROUND = ['warc_feed_extract', 'warc_cdx_index', 'host_quota_sample', 'ivf_topk_embedded', 'substring_dup_spans', 'substring_dedup_apply', 'media_features']
+# old green rows evidence old code.  LEDGER_ROUND pins WHICH round the
+# constants and the window sort describe (VERDICT r6 #1): the policy test
+# reads CORRECTNESS history only from rounds BEFORE it, so the suite is
+# green both before and after the driver drops this round's results file.
+LEDGER_ROUND = 7
+NEW_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3768,83 +3772,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round -> window): r6 window = 5 never-checked
-    (kmeans_centroids, lang_id_v2, trigram_lm_score,
-    dedup_incremental, lang_gate) + 7 changed-this-round
-    (warc_feed_extract, warc_cdx_index, host_quota_sample,
-    ivf_topk_embedded, substring_dup_spans, substring_dedup_apply,
-    media_features) + 14 whose latest green is r3 (the VERDICT r5 #2
-    rotation, minus the six of the twenty that were retired or
-    re-entered as changed) + the 24 oldest r4-greens that fit.  Tail
-    = the remaining 13 r4-greens (age 2; front of the r7 window)
-    then the 46 r5-greens.
-    NINE registry twins retired this round (VERDICT r5 #10, coverage
+    Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
+    the 13 r4-green queries that would hit age 3 this round (the 3
+    that spilled past position 50 in r6 — minhash_char_signatures,
+    minhash_banded_candidates, dedup_survivors_banded — plus the 10
+    promised tail entries: simhash60, simhash_dup_candidates,
+    embedding_dup_candidates, embedding_dedup_survivors,
+    url_normalize, pricing_summary, top_customers, asof_join,
+    events_sessionized, kmv_distinct) + the oldest r5-greens that
+    fit.  Tail = the remaining r5-greens (age 2) then the 50
+    r6-greens (age 1).
+    NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
-    events_by_type, token_count, dedup_by_url — registry 115 -> 106.
+    events_by_type, token_count, dedup_by_url — registry 113 -> 104
+    before the five late-r6 additions (kmeans_centroids, lang_id_v2,
+    trigram_lm_score, dedup_incremental, lang_gate) brought it to
+    109 (the "115" in earlier drafts of this ledger was the
+    accumulated-green count, not the registry size — ADVICE r6 #3).
     The window invariants are enforced MECHANICALLY by
     tests/test_entry_oracle.py::test_registry_evidence_policy
-    (VERDICT r5 #9) against NEW_THIS_ROUND / CHANGED_THIS_ROUND
-    below; update those constants when you add or touch queries."""
+    (VERDICT r5 #9) against LEDGER_ROUND / NEW_THIS_ROUND /
+    CHANGED_THIS_ROUND below; update those constants when you add or
+    touch queries."""
     return {
-        # -- block A: never driver-checked (r6) ------------------------
-        "kmeans_centroids": _q_kmeans_centroids,
-        "lang_id_v2": _q_lang_id_v2,
-        "trigram_lm_score": _q_trigram_lm_score,
-        "dedup_incremental": _q_dedup_incremental,
-        "lang_gate": _q_lang_gate,
-        # -- block A'': implementation changed this round ---------------
-        "warc_feed_extract": _q_warc_feed_extract,
-        "warc_cdx_index": _q_warc_cdx_index,
-        "host_quota_sample": _q_host_quota_sample,
-        "ivf_topk_embedded": _q_ivf_topk_embedded,
-        "substring_dup_spans": _q_substring_dup_spans,
-        "substring_dedup_apply": _q_substring_dedup_apply,
-        "media_features": _q_media_features,
-        # -- block B: latest green r3 (VERDICT r5 #2 rotation) ----------
-        "media_resolution": _q_media_resolution,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_dup_candidates": _q_minhash_candidates,
-        "cosine_topk": _q_cosine_topk,
-        "nearest_centroid": _q_nearest_centroid,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "frame_sample": _q_frame_sample,
-        "resize_dims": _q_resize_dims,
-        "quality_filter": _q_quality_filter,
-        "order_window_rank": _q_order_window_rank,
-        "events_windowed": _q_events_windowed,
-        # -- block B': oldest r4-greens (refresh) -----------------------
-        "anchor_stats": _q_anchor_stats,
-        "crawl_frontier": _q_crawl_frontier,
-        "extract_density": _q_extract_density,
-        "bloom_seen": _q_bloom_seen,
-        "extract_svg_media": _q_extract_svg_media,
-        "robots_parse": _q_robots_parse,
-        "robots_gate": _q_robots_gate,
-        "dedup_by_canonical": _q_dedup_by_canonical,
-        "extract_src_offsets": _q_extract_src_offsets,
-        "line_dedup": _q_line_dedup,
-        "spans_to_markdown": _q_spans_to_markdown,
-        "host_stats": _q_host_stats,
-        "interval_join_guarded": _q_interval_join_guarded,
-        "media_absolutize": _q_media_absolutize,
-        "decontaminate": _q_decontaminate,
-        "redact_pii": _q_redact_pii,
-        "repetition_stats": _q_repetition_stats,
-        "hash_sample": _q_hash_sample,
-        "events_rollup": _q_events_rollup,
-        "extract_table": _q_extract_table,
-        "extract_links": _q_extract_links,
-        "extract_svg_mixed": _q_extract_svg_mixed,
-        "extract_template": _q_extract_template,
-        "extract_fragment": _q_extract_fragment,
+        # -- block B: latest green r4 — age 3 this round (the r6
+        #    ledger's promise: 3 spilled block-B' entries + the 10
+        #    tail entries) ---------------------------------------------
         "minhash_char_signatures": _q_minhash_char_signatures,
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
-        # -- tail: r4-green, age 2 — front of the r7 window -------------
         "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
         "embedding_dup_candidates": _q_embedding_dup,
@@ -3855,7 +3812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
-        # -- tail: r5-green ---------------------------------------------
+        # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
+        #    37 fit) ---------------------------------------------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
@@ -3894,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
         "extract_list": _q_extract_list,
+        # -- tail: r5-green, age 2 — front of the r8 window -------------
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
@@ -3902,6 +3861,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
+        # -- tail: r6-green (age 1) --------------------------------------
+        "kmeans_centroids": _q_kmeans_centroids,
+        "lang_id_v2": _q_lang_id_v2,
+        "trigram_lm_score": _q_trigram_lm_score,
+        "dedup_incremental": _q_dedup_incremental,
+        "lang_gate": _q_lang_gate,
+        "warc_feed_extract": _q_warc_feed_extract,
+        "warc_cdx_index": _q_warc_cdx_index,
+        "host_quota_sample": _q_host_quota_sample,
+        "ivf_topk_embedded": _q_ivf_topk_embedded,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "substring_dedup_apply": _q_substring_dedup_apply,
+        "media_features": _q_media_features,
+        "media_resolution": _q_media_resolution,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_dup_candidates": _q_minhash_candidates,
+        "cosine_topk": _q_cosine_topk,
+        "nearest_centroid": _q_nearest_centroid,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "frame_sample": _q_frame_sample,
+        "resize_dims": _q_resize_dims,
+        "quality_filter": _q_quality_filter,
+        "order_window_rank": _q_order_window_rank,
+        "events_windowed": _q_events_windowed,
+        "anchor_stats": _q_anchor_stats,
+        "crawl_frontier": _q_crawl_frontier,
+        "extract_density": _q_extract_density,
+        "bloom_seen": _q_bloom_seen,
+        "extract_svg_media": _q_extract_svg_media,
+        "robots_parse": _q_robots_parse,
+        "robots_gate": _q_robots_gate,
+        "dedup_by_canonical": _q_dedup_by_canonical,
+        "extract_src_offsets": _q_extract_src_offsets,
+        "line_dedup": _q_line_dedup,
+        "spans_to_markdown": _q_spans_to_markdown,
+        "host_stats": _q_host_stats,
+        "interval_join_guarded": _q_interval_join_guarded,
+        "media_absolutize": _q_media_absolutize,
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
+        "events_rollup": _q_events_rollup,
+        "extract_table": _q_extract_table,
+        "extract_links": _q_extract_links,
+        "extract_svg_mixed": _q_extract_svg_mixed,
+        "extract_template": _q_extract_template,
+        "extract_fragment": _q_extract_fragment,
     }
 
 
