@@ -360,8 +360,11 @@ def main() -> None:
     # v-suffix = generator version: bump when adversarial_web_corpus
     # changes shape so a stale /tmp cache can never masquerade as the
     # current corpus (the clean corpus has the same property via its
-    # byte-identical seeding)
-    ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42-v2"
+    # byte-identical seeding).  v3: partition layout pinned at 32
+    # files — v2 caches could carry ANY file count (whichever session
+    # wrote them first), and an 8-file v2 cache inflated every adv
+    # row ~+75% through r6 (8-wide scans on a 32-core session).
+    ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42-v3"
     if not os.path.exists(ADV_CACHE):
         adversarial_web_corpus(spark, N_ADV, seed=42).write.mode(
             "overwrite"

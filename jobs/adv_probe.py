@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_ADV = int(os.environ.get("ZX_BENCH_ADV_DOCS", "20000"))
-ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42-v2"
+ADV_CACHE = f"/tmp/zx-bench-adv-{N_ADV}-42-v3"  # v3: pinned 32-file layout
 
 
 def main() -> None:

@@ -238,6 +238,7 @@ def adversarial_web_corpus(
     chain_len: int = 8,
     body_words: int = 120,
     vocab: int = 500,
+    n_partitions: int = 32,
 ):
     """Adversarial WEB-SHAPED dedup corpus (VERDICT r4 #1): the sf
     corpora are boilerplate-free and host-flat, so every scale lever
@@ -282,7 +283,19 @@ def adversarial_web_corpus(
             F.concat(F.lit(f"{seed}:{salt}:"), F.col("doc_id").cast("string"))
         ) / F.lit(float(1 << 48))
 
-    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # PINNED partition count (r7, the adv-suite "+75%" root cause):
+    # a bare spark.range inherits the GENERATING session's default
+    # parallelism, so the cached parquet's file count — and with a
+    # 5 MB corpus, every downstream scan's task count — silently
+    # became a property of whichever job wrote the cache first.  In
+    # r6 an 8-core session regenerated /tmp's adv cache as 8 files
+    # and all three "mutually agreeing" adv-row samples measured a
+    # 32-core session running 8-wide scans (+75% vs r5's 32-file
+    # cache, code byte-identical).  Layout is now seed-stable like
+    # the rows themselves.
+    d = spark.range(0, n_docs, numPartitions=n_partitions).select(
+        F.col("id").alias("doc_id")
+    )
     host_id = F.floor(
         F.pow(F.lit(float(n_hosts)), u01("host"))
     ).cast("int")
