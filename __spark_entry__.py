@@ -1059,7 +1059,9 @@ def _q_trigram_lm_score(spark, sf_dir):
     filtering and dedup.  Docs below one trigram score NULL."""
     from zhtml_spark.textops import trigram_lm_score
 
-    return trigram_lm_score(_docs(spark, sf_dir), lang="en")
+    return trigram_lm_score(
+        _docs(spark, sf_dir), lang="en", hash_fn="md5"
+    )
 
 
 def _q_dedup_incremental(spark, sf_dir):
@@ -1113,14 +1115,17 @@ def _q_dedup_incremental(spark, sf_dir):
 
 
 def _q_lang_gate(spark, sf_dir):
-    """Fused one-pass language gate (r6): en docs pass, held-out
-    es/de docs drop on prediction, every 7th doc is md5 gibberish
-    that drops on the LM floor UNDER ITS OWN predicted language, and
-    scoring caps at the 120-char head (the giant-page guard is part
-    of the gated semantics).  Floor -8.15e6: the sf document text is
-    keyword salad scoring around the salad median, so the floor
-    BINDS (some en-predicted docs pass, some drop) instead of
-    degenerating to all-or-nothing."""
+    """Fused one-pass language gate (r6; multilingual accept set +
+    per-language floors r7): accept = (en, ja) with floors
+    {en: -8.15e6, ja: -8.25e6} — en-predicted salad passes or drops
+    on ITS floor (the sf document text scores around the salad
+    median, so the en floor BINDS), held-out ja passes on the CJK
+    floor, held-out es/zh/ru drop on prediction, every 7th doc is
+    md5 gibberish that drops on the floor UNDER ITS OWN predicted
+    language (ja/zh-attracted under the 10-language model: smallest
+    seed mass = highest smoothing floor), and scoring caps at the
+    120-char head (the giant-page guard is part of the gated
+    semantics).  Pins hash_fn='md5' (engine default xxhash64)."""
     from zhtml_spark.textops import lang_gate
 
     gib = F.concat_ws(
@@ -1141,13 +1146,15 @@ def _q_lang_gate(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0, gib)
-        .when(F.col("doc_id") % 3 == 1, F.lit(_LANGID_ES))
-        .when(F.col("doc_id") % 3 == 2, F.lit(_LANGID_DE))
-        .otherwise(F.col("text"))
+        .otherwise(_langid_case_col(F.col("doc_id") % 11))
         .alias("text"),
     )
     return lang_gate(
-        d, lang="en", max_chars=120, min_lm_score=-8_150_000
+        d,
+        langs=("en", "ja"),
+        max_chars=120,
+        min_lm_score={"en": -8_150_000, "ja": -8_250_000},
+        hash_fn="md5",
     ).select("doc_id")
 
 
@@ -1625,18 +1632,35 @@ def _q_lang_id(spark, sf_dir):
 
 
 # held-out sentences (NOT in langid_model.SEED_TEXTS — true test
-# data), shared verbatim by the Spark query and the DuckDB oracle
-_LANGID_ES = (
-    "la casa blanca está cerca de la plaza y los vecinos hablan por "
-    "la tarde con sus amigos de siempre"
-)
-_LANGID_DE = (
-    "das alte haus steht neben dem fluss und die nachbarn sprechen "
-    "am abend mit ihren freunden über das wetter"
-)
-
-
+# data), shared verbatim by the Spark query and the DuckDB oracle.
+# One per seed language (10 incl. Cyrillic + CJK since r7), in
+# sorted-language order so doc_id % 11 picks deterministically.
+from zhtml_spark.langid_model import HELD_OUT as _LANGID_HELD_OUT
 from zhtml_spark.langid_model import N_BUCKETS as _LANGID_B
+
+_LANGID_LANGS = sorted(_LANGID_HELD_OUT)  # de en es fr it ja nl pt ru zh
+
+
+def _langid_case_sql(expr: str = "doc_id % 11") -> str:
+    """CASE over ``expr``: 1..10 → the held-out sentence of the i-th
+    sorted language, else the document's own text — the DuckDB twin
+    of the Spark-side corpus in _q_lang_id_v2/_q_lang_gate."""
+    whens = "\n".join(
+        f"WHEN {i + 1} THEN '{_LANGID_HELD_OUT[lg].replace(chr(39), chr(39) * 2)}'"
+        for i, lg in enumerate(_LANGID_LANGS)
+    )
+    return f"CASE {expr} {whens} ELSE text END"
+
+
+def _langid_case_col(expr):
+    """Spark twin of :func:`_langid_case_sql`."""
+    c = None
+    for i, lg in enumerate(_LANGID_LANGS):
+        branch = F.when(expr == i + 1, F.lit(_LANGID_HELD_OUT[lg]))
+        c = branch if c is None else c.when(
+            expr == i + 1, F.lit(_LANGID_HELD_OUT[lg])
+        )
+    return c.otherwise(F.col("text"))
 
 
 def _langid_values() -> str:
@@ -1653,20 +1677,20 @@ def _langid_values() -> str:
 
 
 def _q_lang_id_v2(spark, sf_dir):
-    """Trigram Naive-Bayes language id (r6, VERDICT r5 #7) over a
-    three-language corpus synthesized from documents (held-out es/de
-    sentences on doc_id % 3 ∈ {1,2}; the en-ish document text
-    otherwise) — gates discrimination, not just the scoring path."""
+    """Trigram Naive-Bayes language id (r6, VERDICT r5 #7; ten seed
+    languages incl. Cyrillic + CJK since r7, VERDICT r6 #5) over an
+    eleven-way corpus synthesized from documents (doc_id % 11 picks
+    one held-out sentence per language on 1..10; the en-ish document
+    text otherwise) — gates discrimination across the full model,
+    not just the scoring path.  Pins hash_fn='md5' (the cross-engine
+    hash; the engine default is xxhash64)."""
     from zhtml_spark.textops import lang_id_v2
 
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 1, F.lit(_LANGID_ES))
-        .when(F.col("doc_id") % 3 == 2, F.lit(_LANGID_DE))
-        .otherwise(F.col("text"))
-        .alias("text"),
+        _langid_case_col(F.col("doc_id") % 11).alias("text"),
     )
-    return lang_id_v2(d)
+    return lang_id_v2(d, hash_fn="md5")
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -3747,7 +3771,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # green both before and after the driver drops this round's results file.
 LEDGER_ROUND = 7
 NEW_THIS_ROUND: list[str] = []
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = [
+    # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
+    # hash-engine split with md5 pinned in the oracles (#4) +
+    # single-Literal weight arrays; corpora extended to 11-way
+    "lang_id_v2",
+    "trigram_lm_score",
+    "lang_gate",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3796,6 +3827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CHANGED_THIS_ROUND below; update those constants when you add or
     touch queries."""
     return {
+        # -- block A'': implementation changed this round (langid
+        #    tier: 10-language retrain + hash split, r7) ---------------
+        "lang_id_v2": _q_lang_id_v2,
+        "trigram_lm_score": _q_trigram_lm_score,
+        "lang_gate": _q_lang_gate,
         # -- block B: latest green r4 — age 3 this round (the r6
         #    ledger's promise: 3 spilled block-B' entries + the 10
         #    tail entries) ---------------------------------------------
@@ -3849,10 +3885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _q_image_meta,
         "extract_meta": _q_extract_meta,
         "extract_heading_para": _q_extract_heading_para,
+        # -- tail: r5-green, age 2 — front of the r8 window -------------
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
         "extract_list": _q_extract_list,
-        # -- tail: r5-green, age 2 — front of the r8 window -------------
         "extract_boilerplate": _q_extract_boilerplate,
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
@@ -3863,10 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_srcset": _q_extract_srcset,
         # -- tail: r6-green (age 1) --------------------------------------
         "kmeans_centroids": _q_kmeans_centroids,
-        "lang_id_v2": _q_lang_id_v2,
-        "trigram_lm_score": _q_trigram_lm_score,
         "dedup_incremental": _q_dedup_incremental,
-        "lang_gate": _q_lang_gate,
         "warc_feed_extract": _q_warc_feed_extract,
         "warc_cdx_index": _q_warc_cdx_index,
         "host_quota_sample": _q_host_quota_sample,
@@ -5012,10 +5045,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
         """,
         "lang_gate": f"""
-            -- fused gate: argmax language + LM floor under the
-            -- PREDICTED language, over the 120-char head; gibberish
-            -- docs (doc%7==0) fail the floor, es/de docs fail the
-            -- prediction
+            -- fused gate: argmax language + per-language LM floor
+            -- under the PREDICTED language, over the 120-char head;
+            -- accept = (en, ja) with floors (-8.15e6, -8.25e6).
+            -- Gibberish docs (doc%7==0) fail the floor under their
+            -- own best-fit language; es/zh/ru/... fail the
+            -- prediction; held-out ja passes on the CJK floor
             WITH langs AS (SELECT * FROM {_langid_values()}),
             src AS (
                 SELECT doc_id,
@@ -5026,9 +5061,7 @@ def oracle_sql() -> dict[str, str]:
                             || ' ' || substr(md5('gb3:' || CAST(doc_id AS VARCHAR)), 1, 10)
                             || ' ' || substr(md5('gb4:' || CAST(doc_id AS VARCHAR)), 1, 10)
                             || ' ' || substr(md5('gb5:' || CAST(doc_id AS VARCHAR)), 1, 10)
-                            WHEN doc_id % 3 = 1 THEN '{_LANGID_ES}'
-                            WHEN doc_id % 3 = 2 THEN '{_LANGID_DE}'
-                            ELSE text END AS text
+                            ELSE {_langid_case_sql()} END AS text
                 FROM documents
             ),
             low AS (
@@ -5060,19 +5093,20 @@ def oracle_sql() -> dict[str, str]:
                     FROM sc) WHERE r = 1
             )
             SELECT doc_id FROM best
-            WHERE lang = 'en' AND score > -8150000 * n
+            WHERE (lang = 'en' AND score > -8150000 * n)
+               OR (lang = 'ja' AND score > -8250000 * n)
         """,
         "lang_id_v2": f"""
             -- trigram NB: weights are the SAME pre-baked integers
             -- the Spark plan embeds (see _langid_values); scoring is
             -- an exact BIGINT sum, argmax by (score DESC, lang ASC),
-            -- 'und' when the doc has no trigram
+            -- 'und' when the doc has no trigram.  Corpus: one
+            -- held-out sentence per seed language on doc_id % 11 in
+            -- 1..10, document text otherwise
             WITH langs AS (SELECT * FROM {_langid_values()}),
             src AS (
                 SELECT doc_id,
-                       CASE WHEN doc_id % 3 = 1 THEN '{_LANGID_ES}'
-                            WHEN doc_id % 3 = 2 THEN '{_LANGID_DE}'
-                            ELSE text END AS text
+                       {_langid_case_sql()} AS text
                 FROM documents
             ),
             low AS (SELECT doc_id, lower(text) AS t FROM src),

@@ -198,22 +198,26 @@ def run(
     # -5e6).  Runs BEFORE dedup: wrong-language and gibberish pages
     # should never pay the near-dup tiers.
     def _lang_tier():
+        from zhtml_spark.langid_model import SEED_TEXTS
         from zhtml_spark.textops import lang_gate
 
-        # full target-language set: the synthetic corpus is word
-        # salad whose trigram stats tilt arbitrarily between the
-        # seed languages (a real crawl gates to its target set the
-        # same way), so the binding signal here is the LM floor +
-        # evidence gate, and the stage measures the fused one-pass
-        # cost (one md5 per trigram serves id + LM — the split
-        # two-op form was 2x the hashing plus a 6x predicate-
-        # pushdown re-evaluation; see lang_gate's barrier comment)
+        # full target-language set (ALL model languages — 10 since
+        # r7): the synthetic corpus is word salad whose trigram
+        # stats tilt arbitrarily between the seed languages (a real
+        # crawl gates to its target set the same way), so the
+        # binding signal here is the LM floor + evidence gate, and
+        # the stage measures the fused one-pass cost (one hash per
+        # trigram serves id + LM — the split two-op form was 2x the
+        # hashing plus a 6x predicate-pushdown re-evaluation; see
+        # lang_gate's barrier comment).  hash_fn defaults to
+        # xxhash64 since r7 (VERDICT r6 #4 — md5 was 31% of the
+        # 2M-doc job).
         # permissive floor: the synthetic corpus is markov word
         # salad and scores in the gibberish band of the 4096-bucket
         # model (~-8.3e6); a real crawl uses the default -8.0e6
         return lang_gate(
-            quality, langs=("en", "es", "de"), max_chars=2000,
-            min_lm_score=-8_400_000,
+            quality, langs=tuple(sorted(SEED_TEXTS)),
+            max_chars=2000, min_lm_score=-8_400_000,
         ).localCheckpoint()
 
     quality = timed("lang_gate", _lang_tier)

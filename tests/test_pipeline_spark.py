@@ -2209,11 +2209,132 @@ def test_lang_gate_fused_one_pass(spark):
         for r in lang_gate(docs, langs=("en", "es", "de")).collect()
     )
     assert all_three == [0, 1, 2]  # mash + short still drop
+    # single-evaluation guard on BOTH hash engines (r6 found the 6×
+    # pushdown re-evaluation; the engine default is xxhash64 since r7)
     plan = (
         lang_gate(docs, lang="en")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("md5(") == 1, "trigram chain re-evaluated"
+    assert plan.count("xxhash64(") == 1, "trigram chain re-evaluated"
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+    plan_md5 = (
+        lang_gate(docs, lang="en", hash_fn="md5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_md5.count("md5(") == 1, "trigram chain re-evaluated"
     # output schema is the input minus plumbing
     assert lang_gate(docs).columns == ["doc_id", "text"]
+
+
+def test_langid_xxh64_matches_spark(spark):
+    """The pure-Python XXH64 mirror (langid_model.xxh64) must equal
+    Spark's xxhash64(col) — seed 42 over UTF-8 bytes — on every byte
+    path: <4, 4-7, 8-31 (8-byte + 4-byte + tail-byte lanes), and
+    >=32 (stripe path), including multi-byte UTF-8 and CJK."""
+    from zhtml_spark.langid_model import xxh64
+
+    samples = [
+        "a", "abc", "the", "abcd", "abcdefg", "abcdefgh",
+        "straße", "mañana", "犬は公園", "早上邻居",
+        "день недели", "the quick brown fox jumps over the lazy dog",
+        "犬は公園を走り、子どもたちはボールで遊びながら話します",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    import pyspark.sql.functions as F
+
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in samples:
+        assert got[s] == xxh64(s.encode("utf-8")), s
+
+
+def test_lang_id_v2_ten_language_confusion(spark):
+    """Breadth gate (VERDICT r6 #5): every held-out sentence (one per
+    seed language, incl. Cyrillic + the two CJK scripts) classifies
+    as its own language on BOTH hash engines, and the Spark fold
+    matches the pure-Python reference scorer."""
+    from zhtml_spark.langid_model import HELD_OUT, predict
+    from zhtml_spark.textops import lang_id_v2
+
+    langs = sorted(HELD_OUT)
+    assert len(langs) >= 8 and {"ja", "zh", "ru"} <= set(langs)
+    df = spark.createDataFrame(
+        [(i, HELD_OUT[lg]) for i, lg in enumerate(langs)],
+        "doc_id long, text string",
+    )
+    for hf in ("md5", "xxhash64"):
+        got = {
+            r["doc_id"]: r["predicted_lang"]
+            for r in lang_id_v2(df, hash_fn=hf).collect()
+        }
+        assert got == {i: lg for i, lg in enumerate(langs)}, hf
+        # Spark fold == Python reference argmax
+        for i, lg in enumerate(langs):
+            assert predict(HELD_OUT[lg], hash_fn=hf) == got[i]
+
+
+def test_lang_gate_hash_engines_agree(spark):
+    """The winnow-style hash split (VERDICT r6 #4): md5 and xxhash64
+    weight tables are trained separately, but gate DECISIONS agree on
+    the seed + held-out corpora (predictions, not scores — the
+    pytest the VERDICT asked for)."""
+    from zhtml_spark.langid_model import HELD_OUT, SEED_TEXTS
+    from zhtml_spark.textops import lang_gate
+
+    rows = [(i, t) for i, t in enumerate(SEED_TEXTS.values())]
+    rows += [
+        (100 + i, t) for i, t in enumerate(HELD_OUT.values())
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    floors = {lg: -8_250_000 for lg in SEED_TEXTS}
+    out = {}
+    for hf in ("md5", "xxhash64"):
+        out[hf] = sorted(
+            r["doc_id"]
+            for r in lang_gate(
+                df,
+                langs=tuple(sorted(SEED_TEXTS)),
+                min_lm_score=floors,
+                hash_fn=hf,
+            ).collect()
+        )
+    assert out["md5"] == out["xxhash64"]
+    assert out["md5"] == sorted(r[0] for r in rows)  # all natural text passes
+
+
+def test_lang_gate_per_language_floors(spark):
+    """Per-language floor dict: ja held-out passes only with a
+    CJK-calibrated floor; a dict missing an accepted language's
+    floor raises instead of silently defaulting."""
+    import pytest as _pytest
+
+    from zhtml_spark.langid_model import HELD_OUT
+    from zhtml_spark.textops import lang_gate
+
+    df = spark.createDataFrame(
+        [(0, HELD_OUT["en"]), (1, HELD_OUT["ja"])],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in lang_gate(
+            df,
+            langs=("en", "ja"),
+            min_lm_score={"en": -8_000_000, "ja": -8_250_000},
+        ).collect()
+    )
+    assert got == [0, 1]
+    # a single too-tight floor drops ja but keeps en
+    tight = sorted(
+        r["doc_id"]
+        for r in lang_gate(
+            df, langs=("en", "ja"), min_lm_score=-7_900_000
+        ).collect()
+    )
+    assert tight == [0]
+    with _pytest.raises(ValueError):
+        lang_gate(
+            df, langs=("en", "ja"), min_lm_score={"en": -8_000_000}
+        )

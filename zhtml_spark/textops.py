@@ -2588,26 +2588,107 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("predicted_lang"))
 
 
-def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Hashed char-trigram Naive-Bayes language id (VERDICT r5 #7) —
-    the corpus-scale upgrade over :func:`lang_id`'s stopword vote:
+def _langid_buckets(grams: Column, hash_fn: str) -> Column:
+    """Trigram array → bucket-id array under the chosen hash engine
+    (the winnow-style split, VERDICT r6 #4): ``md5`` = md5-48 %
+    N_BUCKETS (the blessed cross-engine hash — every oracle pins it);
+    ``xxhash64`` = pmod(xxhash64, N_BUCKETS) (JVM-native, ~2× cheaper
+    per trigram — the 100-TB engine default).  Each engine scores
+    against ITS OWN weight table (langid_model trains both with a
+    bit-exact Python XXH64 mirror)."""
+    from .langid_model import N_BUCKETS
+
+    if hash_fn == "md5":
+        return F.transform(
+            grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
+        )
+    if hash_fn == "xxhash64":
+        return F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(g), F.lit(N_BUCKETS))
+        )
+    raise ValueError(
+        f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
+    )
+
+
+def _langid_argmax(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax (alphabetical tie-break) as ONE
+    ``array_max`` over ``(score, -rank)`` structs.  NOT the nested
+    when-chain: ``best = when(s > best_prev, s).otherwise(best_prev)``
+    embeds ``best_prev`` TWICE per level, so the expression tree —
+    and, because higher-order-function subtrees are excluded from
+    common-subexpression elimination, the per-row fold WORK — grows
+    2^k in the language count.  Fine at the r6 model's k=3; at the
+    r7 model's k=10 analysis alone took minutes.  Struct comparison
+    is lexicographic, so max picks the highest score, then the
+    highest ``-rank`` = alphabetically FIRST language — the same
+    (score DESC, lang ASC) order every oracle pins.  Each score
+    expression appears exactly once."""
+    langs = sorted(scores)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    scores[lg].alias("s"),
+                    F.lit(-i).alias("nr"),
+                )
+                for i, lg in enumerate(langs)
+            ]
+        )
+    )
+    return F.element_at(
+        F.lit(langs), (-best["nr"] + 1).cast("int")
+    )
+
+
+def _langid_weight_arrays(hash_fn: str) -> dict[str, Column]:
+    """lang → ONE constant-foldable array<long> of its 4096 weights,
+    as ``from_json('[-83…, …]')``.  NOT ``F.array(*4096 lits)`` and
+    NOT ``F.lit(list)`` (which pyspark desugars to the same
+    CreateArray): 4096 child expressions per language walk through
+    analysis / canonicalization / codegen — ~41k nodes at 10
+    languages cost ~20 s of DRIVER time per query and OOMed the
+    driver generating an explain string (NOTES r7-b).  A from_json
+    literal is 2 leaf nodes; Catalyst's ConstantFolding evaluates it
+    ONCE at optimization into a true array Literal (measured: 3.3 s
+    vs 19.6 s for ten 4096-slot folds, identical results)."""
+    import json as _json
+
+    from .langid_model import trigram_weights
+
+    return {
+        lang: F.from_json(
+            F.lit(_json.dumps(list(wv))), "array<bigint>"
+        )
+        for lang, wv in trigram_weights(hash_fn=hash_fn).items()
+    }
+
+
+def lang_id_v2(
+    docs: DataFrame,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashed char-trigram Naive-Bayes language id (VERDICT r5 #7;
+    ten seed languages incl. Cyrillic + CJK since r7) — the
+    corpus-scale upgrade over :func:`lang_id`'s stopword vote:
     score(doc, ℓ) = Σ over char trigrams of the pre-baked integer
-    log-weight ``W[ℓ][md5-48(gram) % 4096]``
+    log-weight ``W[ℓ][hash(gram) % 4096]``
     (:mod:`zhtml_spark.langid_model`), argmax with alphabetical
     tie-break, ``und`` for docs shorter than one trigram.
 
+    ``hash_fn``: engine default ``xxhash64`` (JVM-native, the
+    winnow-style split per VERDICT r6 #4); oracles pin ``md5``.
+
     Plan shape: the linear ``_char_gram_expr`` gram array (never the
-    quadratic positioned-substring form), ONE md5 per trigram into a
+    quadratic positioned-substring form), ONE hash per trigram into a
     multi-referenced bucket-array alias (CollapseProject-safe), then
     one JVM ``aggregate`` fold per language against its
-    ``N_BUCKETS``-slot (4096) literal weight array.  Zero shuffles, zero Python, weights ride
-    the plan as constants — embarrassingly parallel at any corpus
-    size.  All-integer scores keep the DuckDB oracle exact (the SQL
-    side indexes the SAME weight table, generated from the same
-    Python model)."""
-    from .langid_model import N_BUCKETS, trigram_weights
-
-    weights = trigram_weights()
+    ``N_BUCKETS``-slot (4096) literal weight array.  Zero shuffles,
+    zero Python, weights ride the plan as constants — embarrassingly
+    parallel at any corpus size.  All-integer scores keep the DuckDB
+    oracle exact (the SQL side indexes the SAME weight table,
+    generated from the same Python model)."""
     # lower() FIRST, into a real (multi-referenced) column: passing
     # "lower(text)" as the gram source inlines an O(n) expression
     # into the per-position lambda of _char_gram_expr's short-doc
@@ -2620,14 +2701,9 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     grams = F.expr(_char_gram_expr("_lt", 3))
     bucketed = low.select(
         "doc_id",
-        F.transform(
-            grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
-        ).alias("_b"),
+        _langid_buckets(grams, hash_fn).alias("_b"),
     )
-    arrs = {
-        lang: F.array(*[F.lit(w) for w in wv])
-        for lang, wv in weights.items()
-    }
+    arrs = _langid_weight_arrays(hash_fn)
     scores = {
         lang: F.aggregate(
             F.col("_b"),
@@ -2635,14 +2711,9 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda acc, b: acc
             + F.element_at(arrs[lang], (b + 1).cast("int")),
         )
-        for lang in weights
+        for lang in arrs
     }
-    langs = sorted(scores)
-    pred, best = F.lit(langs[0]), scores[langs[0]]
-    for lang in langs[1:]:
-        better = scores[lang] > best
-        pred = F.when(better, F.lit(lang)).otherwise(pred)
-        best = F.when(better, scores[lang]).otherwise(best)
+    pred = _langid_argmax(scores)
     pred = F.when(F.size("_b") == 0, F.lit("und")).otherwise(pred)
     return bucketed.select("doc_id", pred.alias("predicted_lang"))
 
@@ -2650,16 +2721,23 @@ def lang_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_gate(
     docs: DataFrame,
     lang: str = "en",
-    min_lm_score: int = -8_000_000,
+    min_lm_score: int | dict[str, int] = -8_000_000,
     max_chars: int | None = 2000,
     text_col: str = "text",
     langs: tuple[str, ...] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """ONE-pass language gate: :func:`lang_id_v2`'s argmax AND
     :func:`trigram_lm_score`'s LM mean from a SINGLE hashed-bucket
-    array — one md5 per trigram serves both signals, where running
+    array — one hash per trigram serves both signals, where running
     the two ops separately pays the trigram hashing twice (measured
     at 2M docs: the split form was the job's slowest stage).
+
+    ``hash_fn``: engine default ``xxhash64`` (VERDICT r6 #4 — md5 was
+    31% of the 2M-doc pipeline; JVM-native XXH64 halves the gate's
+    hash cost); oracles pin ``md5``.  Each engine uses its own weight
+    table; an md5-vs-xxhash64 prediction-equality pytest pins the
+    split on the seed + held-out corpora.
 
     ``max_chars`` caps scoring to the document HEAD (default 2000
     chars): language identity is a head property — fastText/CLD2
@@ -2671,18 +2749,25 @@ def lang_gate(
     Keeps documents predicted ``lang`` (or any of ``langs`` when
     given — multilingual pipelines gate to their whole target set)
     whose mean per-trigram log-prob UNDER THE PREDICTED LANGUAGE
-    clears ``min_lm_score`` (1e-6-scaled integer); docs
-    below one trigram drop (no evidence fails a gate whose job is
-    keeping evidenced text).  The default floor is calibrated to the
-    4096-bucket model (measured r6): natural held-out text scores
-    ≈ -7.5e6..-7.8e6 under its own language, keyboard mash ≤ -8.3e6
-    under its BEST-FIT language — -8.0e6 splits them with margin.
+    clears ``min_lm_score`` (1e-6-scaled integer, or a
+    ``{lang: floor}`` dict — REQUIRED to cover every accepted
+    language); docs below one trigram drop (no evidence fails a gate
+    whose job is keeping evidenced text).  Floor calibration against
+    the 4096-bucket model (measured r6, re-measured r7 over 10
+    languages): natural held-out text scores ≈ -7.46e6..-7.82e6
+    under its own ALPHABETIC language, keyboard mash ≤ -8.29e6 under
+    its best-fit language — the -8.0e6 default splits those with
+    margin.  CJK bands sit LOWER (ja ≈ -7.96e6, zh ≈ -8.04e6: small
+    seed mass puts more trigrams on the smoothing floor), so
+    multilingual gates covering ja/zh should pass per-language
+    floors, e.g. ``{"ja": -8_200_000, "zh": -8_200_000, ...}``.
     Synthetic word-salad corpora (markov keyword text) score in the
-    mash band; gate those with an explicit permissive floor.  Returns the input rows minus ``_b``
-    plumbing — zero shuffles, embarrassingly parallel."""
-    from .langid_model import N_BUCKETS, trigram_weights
+    mash band; gate those with an explicit permissive floor.
+    Returns the input rows minus ``_b`` plumbing — zero shuffles,
+    embarrassingly parallel."""
+    from .langid_model import trigram_weights
 
-    weights = trigram_weights()
+    weights = trigram_weights(hash_fn=hash_fn)
     if lang not in weights:
         raise ValueError(
             f"no trigram model for {lang!r}; have {sorted(weights)}"
@@ -2706,26 +2791,20 @@ def lang_gate(
     # substitutes a DETERMINISTIC alias definition once PER REFERENCE
     # when pushing through a Project, and higher-order-function
     # subtrees are excluded from codegen subexpression elimination
-    # (LambdaVariable), so the md5-per-trigram chain ran SIX times
+    # (LambdaVariable), so the hash-per-trigram chain ran SIX times
     # per row (44.6 s vs 7.4 s single-evaluation at 20k docs; a
     # nondeterministic SIBLING column does NOT block the push — only
     # marking the referenced column itself works, verified on the
-    # physical plan: md5 appears once).  Gate VALUES stay fully
-    # deterministic.
+    # physical plan: the trigram hash appears once).  Gate VALUES
+    # stay fully deterministic.
     bucketed = bucketed.withColumn(
         "_b",
         F.when(
             F.monotonically_increasing_id() >= 0,
-            F.transform(
-                grams,
-                lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS)),
-            ),
+            _langid_buckets(grams, hash_fn),
         ),
     )
-    arrs = {
-        lg: F.array(*[F.lit(w) for w in wv])
-        for lg, wv in weights.items()
-    }
+    arrs = _langid_weight_arrays(hash_fn)
     scores = {
         lg: F.aggregate(
             F.col("_b"),
@@ -2733,34 +2812,43 @@ def lang_gate(
             lambda acc, b: acc
             + F.element_at(arrs[lg], (b + 1).cast("int")),
         )
-        for lg in weights
+        for lg in arrs
     }
-    all_langs = sorted(scores)
-    pred, best = F.lit(all_langs[0]), scores[all_langs[0]]
-    for lg in all_langs[1:]:
-        better = scores[lg] > best
-        pred = F.when(better, F.lit(lg)).otherwise(pred)
-        best = F.when(better, scores[lg]).otherwise(best)
+    pred = _langid_argmax(scores)
     n = F.size("_b")
     accept = langs if langs is not None else (lang,)
     for lg in accept:
         if lg not in weights:
             raise ValueError(f"no trigram model for {lg!r}")
+        if isinstance(min_lm_score, dict) and lg not in min_lm_score:
+            raise ValueError(
+                f"min_lm_score dict is missing a floor for {lg!r} — "
+                "per-language floors must cover every accepted "
+                "language (CJK bands sit below the alphabetic ones)"
+            )
     # LM floor under the doc's own PREDICTED language: the quality
     # question is "is this natural text in the language it claims",
     # not "is it English-like"
     lm_ok = F.lit(False)
     for lg in accept:
+        floor = (
+            min_lm_score[lg]
+            if isinstance(min_lm_score, dict)
+            else min_lm_score
+        )
         lm_ok = F.when(
             pred == lg,
-            scores[lg] > F.lit(min_lm_score).cast("long") * n,
+            scores[lg] > F.lit(floor).cast("long") * n,
         ).otherwise(lm_ok)
     keep = (n > 0) & pred.isin(*accept) & lm_ok
     return bucketed.where(keep).drop("_b", "_lt")
 
 
 def trigram_lm_score(
-    docs: DataFrame, lang: str = "en", text_col: str = "text"
+    docs: DataFrame,
+    lang: str = "en",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """CCNet-style language-model quality score (Wenzek et al. 2020
     §4.3 filter perplexity with a small LM; here the repo's hashed
@@ -2770,19 +2858,22 @@ def trigram_lm_score(
     language, the standard light-LM quality gate between heuristic
     filtering and dedup.
 
+    ``hash_fn``: engine default ``xxhash64``; oracles pin ``md5``
+    (VERDICT r6 #4 — see :func:`lang_gate`).
+
     ``lm_score`` is the micro-mean quantized with integer ``div``
     (exact both engines): ``sum(weights) div n_trigrams``; docs
     shorter than one trigram score NULL (no evidence ≠ bad text).
-    Same zero-shuffle fold shape as :func:`lang_id_v2` — one md5 per
+    Same zero-shuffle fold shape as :func:`lang_id_v2` — one hash per
     trigram, weights as plan literals, embarrassingly parallel."""
-    from .langid_model import N_BUCKETS, trigram_weights
+    from .langid_model import trigram_weights
 
-    weights = trigram_weights()
+    weights = trigram_weights(hash_fn=hash_fn)
     if lang not in weights:
         raise ValueError(
             f"no trigram model for {lang!r}; have {sorted(weights)}"
         )
-    arr = F.array(*[F.lit(w) for w in weights[lang]])
+    arr = F.lit(list(weights[lang]))
     # lower() into a multi-referenced column first (the r5-a
     # quadratic trap — see lang_id_v2)
     low = docs.select(
@@ -2791,9 +2882,7 @@ def trigram_lm_score(
     grams = F.expr(_char_gram_expr("_lt", 3))
     bucketed = low.select(
         "doc_id",
-        F.transform(
-            grams, lambda g: F.pmod(md5_hash48(g), F.lit(N_BUCKETS))
-        ).alias("_b"),
+        _langid_buckets(grams, hash_fn).alias("_b"),
     )
     total = F.aggregate(
         F.col("_b"),
