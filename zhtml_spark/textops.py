@@ -2835,14 +2835,42 @@ def lang_gate(
         ),
     )
     arrs = _langid_weight_arrays(hash_fn)
+    # Materialize the k per-language fold results ONCE as a guarded
+    # score VECTOR (r7, measured 1.9×: 6.7-7.2 s → 3.5 s warm at 60k
+    # docs, 10 accepted languages — the other half of the gate is the
+    # trigram hashing itself).  The gate's Filter references the
+    # predicted language once per accepted language (the floor chain)
+    # plus the isin — and each `pred` copy embeds ALL k fold
+    # expressions, which higher-order-function subexpression
+    # exclusion then re-evaluates per copy: k folds × ~(k+1) copies =
+    # O(k²) array walks per row at k=10.  With the folds landed in
+    # `_sc`, every downstream reference is an element_at on a
+    # materialized array — exactly k walks.  The nondeterministic
+    # guard is the same load-bearing trick as `_b`'s: it pins the
+    # vector against predicate-pushdown re-inlining.
+    langs_sorted = sorted(arrs)
+    bucketed = bucketed.withColumn(
+        "_sc",
+        F.when(
+            F.monotonically_increasing_id() >= 0,
+            F.array(
+                *[
+                    F.aggregate(
+                        F.col("_b"),
+                        F.lit(0).cast("long"),
+                        lambda acc, b: acc
+                        + F.element_at(
+                            arrs[lg], (b + 1).cast("int")
+                        ),
+                    )
+                    for lg in langs_sorted
+                ]
+            ),
+        ),
+    )
     scores = {
-        lg: F.aggregate(
-            F.col("_b"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc
-            + F.element_at(arrs[lg], (b + 1).cast("int")),
-        )
-        for lg in arrs
+        lg: F.element_at("_sc", i + 1)
+        for i, lg in enumerate(langs_sorted)
     }
     pred = _langid_argmax(scores)
     n = F.size("_b")
@@ -2871,7 +2899,7 @@ def lang_gate(
             scores[lg] > F.lit(floor).cast("long") * n,
         ).otherwise(lm_ok)
     keep = (n > 0) & pred.isin(*accept) & lm_ok
-    return bucketed.where(keep).drop("_b", "_lt")
+    return bucketed.where(keep).drop("_b", "_sc", "_lt")
 
 
 def trigram_lm_score(
