@@ -114,11 +114,17 @@ def _char_gram_expr(text_col: str, k: int) -> str:
 
     Construction, PER ROW by document length:
 
-    * short docs (< ``switch_chars``) — the plain per-position
+    * short docs (< ``switch_chars`` = 48·k) — the plain per-position
       substring transform.  Its byte re-scans are quadratic but
-      allocation-free, which WINS below a few KB: at k=25 the zip
-      form's 2×k object allocations per position cost ~2× on the
-      sf corpus (measured 6.7 → 12.3 s before this hybrid);
+      allocation-free, which WINS below the crossover: the zip form
+      pays ~2×k object allocations per position, so its advantage
+      starts later for wide grams.  Crossover measured r7 at fixed
+      16M total chars (sub/zip ratio by L): k=3 → ~250 chars,
+      k=8 → ~400, k=25 → ~1400, k=64 → ~3500 — linear in k,
+      ≈48·k.  (r6's fixed 4096 switch was calibrated at k=25 only;
+      it made the k=3 lang tier pay a 7× quadratic penalty on
+      2000-char heads.)  Err low: below crossover zip costs at most
+      ~2×, above it substring is quadratic;
     * long docs — ``arrays_zip`` of ``k`` SHIFTED char-array slices,
       then a per-element struct concat.  Every ``split``/``slice``
       is a row-level operand of arrays_zip — evaluated once per row
@@ -136,7 +142,7 @@ def _char_gram_expr(text_col: str, k: int) -> str:
         raise ValueError(
             "char grams wider than 64 need a different plan shape"
         )
-    switch_chars = 4096
+    switch_chars = 48 * k
     ch = f"split({text_col}, '')"
     ln = f"length({text_col}) - {k} + 1"
     slices = ", ".join(f"slice({ch}, {j + 1}, {ln})" for j in range(k))
