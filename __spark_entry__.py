@@ -928,16 +928,6 @@ def _q_minhash_candidates(spark, sf_dir):
                                   min_agree=2)
 
 
-def _q_minhash_char_signatures(spark, sf_dir):
-    """Character-shingle MinHash (the CJK-safe tokenization: word
-    splitting collapses on unsegmented scripts)."""
-    from zhtml_spark.textops import minhash_signatures
-
-    return minhash_signatures(
-        _docs(spark, sf_dir), n=5, seeds=4, shingle="char"
-    )
-
-
 def _q_minhash_banded(spark, sf_dir):
     """b×r banded LSH (r=2): the scale-safe candidate generator."""
     from zhtml_spark.textops import minhash_banded_candidates
@@ -1173,6 +1163,49 @@ def _q_kmeans_centroids(spark, sf_dir):
         "centroid_id",
         F.posexplode("centroid").alias("dim_idx", "coord"),
         "n_members",
+    )
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank (r7 — crawl-quality weight):
+    the edge list is derived DETERMINISTICALLY from the documents
+    table (two arithmetic out-links per non-dangling doc; every
+    doc_id % 7 == 0 node is dangling so the 1-row dangling-mass
+    redistribution is exercised, not just compiled), then 3 unrolled
+    iterations in quantized BIGINT space — the oracle recomputes
+    IDENTICAL ranks because every step (truncating div, damping,
+    teleport, dangling share) is integer-exact on both engines."""
+    from zhtml_spark.textops import pagerank
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    m = ids.agg(F.count("*").alias("m"))
+    base = ids.crossJoin(F.broadcast(m)).where("doc_id % 7 != 0")
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id * 2 + 1) % m").alias("dst"),
+    ).union(
+        base.select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 3 + 7) % m").alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3)
+
+
+def _q_rebalance_sample(spark, sf_dir):
+    """Target-distribution rebalancing sampler (r7): per-language
+    keep rates COMPUTED from the observed counts against a target
+    mix (en 30% / es+zh 20% / de+fr 15%), then the deterministic
+    md5-48 hash-threshold keep rule — rates, survivors, and the
+    sample itself identical on both engines."""
+    from zhtml_spark.textops import rebalance_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rebalance_sample(
+        docs,
+        {"en": 3000, "es": 2000, "zh": 2000, "de": 1500, "fr": 1500},
     )
 
 
@@ -1623,12 +1656,6 @@ def _q_quality_filter(spark, sf_dir):
         max_avg_word_len=6.0,
         min_uniq_ratio=0.35,
     )
-
-
-def _q_lang_id(spark, sf_dir):
-    from zhtml_spark.textops import lang_id
-
-    return lang_id(_docs(spark, sf_dir))
 
 
 # held-out sentences (NOT in langid_model.SEED_TEXTS — true test
@@ -3770,7 +3797,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # reads CORRECTNESS history only from rounds BEFORE it, so the suite is
 # green both before and after the driver drops this round's results file.
 LEDGER_ROUND = 7
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    # r7: fixed-iteration integer PageRank (crawl-quality weight) and
+    # the target-distribution rebalancing sampler
+    "pagerank_links",
+    "rebalance_sample",
+]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
     # hash-engine split with md5 pinned in the oracles (#4) +
@@ -3804,15 +3836,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
     Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
-    the 13 r4-green queries that would hit age 3 this round (the 3
-    that spilled past position 50 in r6 — minhash_char_signatures,
-    minhash_banded_candidates, dedup_survivors_banded — plus the 10
-    promised tail entries: simhash60, simhash_dup_candidates,
-    embedding_dup_candidates, embedding_dedup_survivors,
-    url_normalize, pricing_summary, top_customers, asof_join,
-    events_sessionized, kmv_distinct) + the oldest r5-greens that
-    fit.  Tail = the remaining r5-greens (age 2) then the 50
-    r6-greens (age 1).
+    2 new (pagerank_links, rebalance_sample) + 3 changed (langid
+    tier) + the r4-green queries that would hit age 3 this round
+    (the block-B' spill from r6 — minhash_banded_candidates,
+    dedup_survivors_banded; minhash_char_signatures was promised
+    here but RETIRED as a twin this round, coverage in STATUS.md —
+    plus the 10 promised tail entries: simhash60,
+    simhash_dup_candidates, embedding_dup_candidates,
+    embedding_dedup_survivors, url_normalize, pricing_summary,
+    top_customers, asof_join, events_sessionized, kmv_distinct) +
+    the oldest r5-greens that fit (extract_heading_para demoted to
+    the tail front to make room).  Tail = the remaining r5-greens
+    (age 2) then the r6-greens (age 1).
+    TWO twins retired in r7 (VERDICT r6 #9, coverage in STATUS.md):
+    lang_id (superseded by the 10-language lang_id_v2; op stays,
+    pytest-gated) and minhash_char_signatures (param-only variant of
+    the gated signature fold; pytest-gated vs an independent Python
+    md5 computation) — registry 109 + 2 new − 2 retired = 109.
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -3827,15 +3867,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CHANGED_THIS_ROUND below; update those constants when you add or
     touch queries."""
     return {
+        # -- block A: new this round, never driver-checked (r7:
+        #    integer PageRank + rebalancing sampler) -------------------
+        "pagerank_links": _q_pagerank,
+        "rebalance_sample": _q_rebalance_sample,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
         "trigram_lm_score": _q_trigram_lm_score,
         "lang_gate": _q_lang_gate,
         # -- block B: latest green r4 — age 3 this round (the r6
-        #    ledger's promise: 3 spilled block-B' entries + the 10
-        #    tail entries) ---------------------------------------------
-        "minhash_char_signatures": _q_minhash_char_signatures,
+        #    ledger's promise: block-B' spill + the 10 tail entries;
+        #    minhash_char_signatures was promised here but retired
+        #    this round — twin coverage argued in STATUS.md) -----------
         "minhash_banded_candidates": _q_minhash_banded,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
         "simhash60": _q_simhash60,
@@ -3884,8 +3928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "image_meta": _q_image_meta,
         "extract_meta": _q_extract_meta,
+        # -- tail: r5-green, age 2 — front of the r8 window (incl.
+        #    extract_heading_para, demoted to fit the 2 new block-A
+        #    entries) ---------------------------------------------------
         "extract_heading_para": _q_extract_heading_para,
-        # -- tail: r5-green, age 2 — front of the r8 window -------------
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
         "extract_list": _q_extract_list,
@@ -3914,7 +3960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "frame_sample": _q_frame_sample,
         "resize_dims": _q_resize_dims,
@@ -3995,6 +4040,62 @@ _EMB_HASH_ORACLE_HEAD = r"""
         FROM fullc f JOIN n2 USING (doc_id)
     )
 """
+
+def _pagerank_ctes(
+    iters: int = 3, damping_pct: int = 85, scale: int = 10**12
+) -> str:
+    """CTE chain replicating textops.pagerank in DuckDB — generated
+    because the iterations are plan-unrolled on the Spark side too.
+    Expects an ``e(src, dst)`` CTE (already DISTINCT, self-loop-free)
+    in scope.  Exact cross-engine by construction: all-BIGINT ranks,
+    truncating ``//`` division everywhere Spark uses ``div``, and the
+    dangling mass as an explicit 1-row aggregate per iteration.
+    Final ranks live in ``r{iters}``."""
+    tele = f"(({scale} * {100 - damping_pct}) // 100) // p.n"
+    parts = [
+        """
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        od AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1
+        ),
+        r0 AS (
+            SELECT node, n, """
+        + f"{scale} // n"
+        + """ AS r FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""
+        c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(sum(p.r // od.outdeg) AS BIGINT) AS contrib
+            FROM e JOIN {p} p ON p.node = e.src
+                   JOIN od ON od.node = e.src
+            GROUP BY 1
+        ),
+        d{i} AS (
+            SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dang
+            FROM {p} p LEFT JOIN od ON od.node = p.node
+            WHERE od.node IS NULL
+        ),
+        r{i} AS (
+            SELECT p.node, p.n,
+                   {tele}
+                   + ({damping_pct} * (coalesce(c.contrib, 0)
+                                       + d.dang // p.n)) // 100 AS r
+            FROM {p} p LEFT JOIN c{i} c ON c.node = p.node, d{i} d
+        )"""
+        )
+    return ",".join(parts)
+
 
 def _kmeans_ctes(
     src: str, k: int = 8, iters: int = 3, dim: int = 64,
@@ -4125,8 +4226,6 @@ def _abs_url_sql() -> str:
 
 
 _STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
-_STOP_ES = "['el','la','de','que','y','en','un','es','por','los']"
-_STOP_DE = "['der','die','und','das','ist','ein','zu','mit','den','von']"
 
 
 _EMB_CAND_SQL = """            WITH c AS (
@@ -4516,21 +4615,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.05
         """,
-        "minhash_char_signatures": """
-            WITH grams AS (
-                SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gram
-                FROM documents,
-                     UNNEST(range(1, length(text) - 5 + 2)) AS t(i)
-                WHERE length(text) >= 5
-            ),
-            seeded AS (
-                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
-                FROM grams, (SELECT UNNEST(range(0, 4)) AS seed) s
-            )
-            SELECT doc_id, seed,
-                   min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
-            FROM seeded GROUP BY doc_id, seed
-        """,
         "minhash_dup_candidates": _GRAMS_CTE + """
             , seeded AS (
                 SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
@@ -4612,6 +4696,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dim_idx,
                    CAST(floor(w * 1000000) AS BIGINT) AS q_weight
             FROM wts
+        """,
+        "pagerank_links": """
+            -- fixed-iteration integer PageRank over the derived edge
+            -- list (see _pagerank_ctes: every step BIGINT-exact on
+            -- both engines; doc_id % 7 == 0 nodes are dangling)
+            WITH ids AS (SELECT doc_id FROM documents),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ids),
+            e0 AS (
+                SELECT doc_id AS src, (doc_id * 2 + 1) % m.m AS dst
+                FROM ids, m WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id AS src, (doc_id * 3 + 7) % m.m AS dst
+                FROM ids, m WHERE doc_id % 7 <> 0
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+            ),""" + _pagerank_ctes(iters=3) + """
+            SELECT node, r AS rank_q FROM r3
+        """,
+        "rebalance_sample": """
+            -- target-distribution rebalancing: T = the largest total
+            -- sample every group can fill (min over groups of
+            -- count*10000//share), per-group ppm rate, md5-48
+            -- hash-threshold keep rule (textops.rebalance_sample)
+            WITH g AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents
+                WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+                GROUP BY 1
+            ),
+            s AS (
+                SELECT lang, cnt,
+                       CASE lang WHEN 'en' THEN 3000
+                                 WHEN 'es' THEN 2000
+                                 WHEN 'zh' THEN 2000
+                                 WHEN 'de' THEN 1500
+                                 WHEN 'fr' THEN 1500 END AS share_bp
+                FROM g
+            ),
+            t AS (
+                SELECT min(cnt * 10000 // share_bp) AS t_total FROM s
+            ),
+            r AS (
+                SELECT lang,
+                       ((share_bp * t_total) // 10000) * 1000000
+                           // cnt AS rate_ppm
+                FROM s, t
+            )
+            SELECT d.doc_id, d.lang, r.rate_ppm
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(
+                      md5('rebal|' || CAST(d.doc_id AS VARCHAR)), 1, 12
+                  ))::BIGINT % 1000000 < r.rate_ppm
         """,
         "kmeans_centroids": """
             -- fixed-iteration Lloyd over the embeddings table in
@@ -4914,24 +5051,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_tokens >= 30 AND n_tokens <= 100000
               AND avg_word_len <= 6.0
               AND uniq_ratio >= 0.35
-        """,
-        "lang_id": f"""
-            WITH scores AS (
-                SELECT doc_id,
-                       len(list_filter(string_split(text, ' '),
-                           t -> list_contains({_STOP_DE}, t))) AS s_de,
-                       len(list_filter(string_split(text, ' '),
-                           t -> list_contains({_STOP_EN}, t))) AS s_en,
-                       len(list_filter(string_split(text, ' '),
-                           t -> list_contains({_STOP_ES}, t))) AS s_es
-                FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es) = 0 THEN 'und'
-                        WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
-                        WHEN s_en >= s_es THEN 'en'
-                        ELSE 'es' END AS predicted_lang
-            FROM scores
         """,
         "trigram_lm_score": f"""
             -- mean per-trigram integer log-weight under the en

@@ -2421,3 +2421,139 @@ def test_lang_gate_per_language_floors(spark):
         lang_gate(
             df, langs=("en", "ja"), min_lm_score={"en": -8_000_000}
         )
+
+
+def test_pagerank_matches_independent_integer_reference(spark):
+    """Spark's plan-unrolled integer PageRank vs a dict-based
+    reference implementing the SAME recurrence independently —
+    including a dangling node (no out-edges) so the 1-row
+    redistribution aggregate is exercised, and exact mass
+    conservation (teleport + damping shares sum back to ~scale)."""
+    from zhtml_spark.textops import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (1, 5), (1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df, iters=3).collect()
+    }
+
+    scale, d, iters = 10**12, 85, 3
+    e = sorted(set((s, t) for s, t in edges if s != t))
+    nodes = sorted(set([s for s, _ in e] + [t for _, t in e]))
+    outd: dict[int, int] = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, t in e:
+            contrib[t] += r[s] // outd[s]
+        dang = sum(r[v] for v in nodes if v not in outd)
+        tele = ((scale * (100 - d)) // 100) // n
+        r = {
+            v: tele + (d * (contrib[v] + dang // n)) // 100
+            for v in nodes
+        }
+    assert got == r
+    # integer dust only: each div truncates < 1 unit per node/edge
+    assert abs(sum(got.values()) - scale) < n * (len(e) + 3)
+    # the hub (two in-links incl. the dangling redistribution target)
+    # outranks the leaf that only receives teleport mass
+    assert got[0] > got[3]
+
+
+def test_pagerank_contract_checks(spark):
+    import pytest as _pytest
+
+    from zhtml_spark.textops import pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        pagerank(df, iters=0)
+    with _pytest.raises(ValueError):
+        pagerank(df, damping_pct=100)
+
+
+def test_rebalance_sample_rates_and_determinism(spark):
+    """The sampler solves T = min_g(count_g * 10000 div share_g) and
+    keeps each group near share_g * T: with group b the binding
+    constraint its rate must be 10^6 (keep everything) and group a
+    downsampled to ~its share; reruns are identical (no RNG)."""
+    from zhtml_spark.textops import rebalance_sample
+
+    rows = [(i, "a" if i < 400 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_sample(df, {"a": 5000, "b": 5000})
+    rates = {
+        r["lang"]: r["rate_ppm"]
+        for r in out.select("lang", "rate_ppm").distinct().collect()
+    }
+    # T = min(400*10000//5000, 100*10000//5000) = 200;
+    # want = 100 each; a: 100*1e6//400 = 250000 ppm, b: 10^6 ppm
+    assert rates == {"a": 250_000, "b": 1_000_000}
+    kept = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    assert counts["b"] == 100  # rate 10^6 keeps every b row
+    assert 60 <= counts["a"] <= 140  # binomial noise around 100
+    again = rebalance_sample(df, {"a": 5000, "b": 5000})
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rebalance_sample(df, {})
+    with _pytest.raises(ValueError):
+        rebalance_sample(df, {"a": 0})
+
+
+def test_lang_id_stopword_heuristic(spark):
+    """Pytest gate for the r1 stopword lang_id (its oracle query was
+    retired in r7 — lang_id_v2 supersedes it; the op stays for
+    cheap-pass callers): majority-stopword voting + 'und' fallback."""
+    from zhtml_spark.textops import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of it is on a mat"),
+            (1, "el perro y la casa de los gatos es un lugar"),
+            (2, "qwzx bnmp vvvv"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()
+    }
+    assert got == {0: "en", 1: "es", 2: "und"}
+
+
+def test_minhash_char_shingle_signatures(spark):
+    """Pytest gate for shingle='char' (its oracle twin was retired in
+    r7 — same signature fold as the word path, param only): known
+    5-gram set of a short doc, signature = md5-48 min per seed,
+    verified against an independent Python computation."""
+    import hashlib
+
+    from zhtml_spark.textops import minhash_signatures
+
+    text = "abcdefg"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["seed"]: r["minhash"]
+        for r in minhash_signatures(
+            df, n=5, seeds=2, shingle="char"
+        ).collect()
+    }
+    grams = {text[i : i + 5] for i in range(len(text) - 4)}
+    exp = {
+        s: min(
+            int(
+                hashlib.md5(f"{s}:{g}".encode()).hexdigest()[:12], 16
+            )
+            for g in grams
+        )
+        for s in (0, 1)
+    }
+    assert got == exp

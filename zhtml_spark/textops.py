@@ -3783,3 +3783,155 @@ def absolutize_media_refs(
             absolutize_url(F.col(url_col), F.col(ref_col)),
         ),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a link graph — the classic
+    crawl-quality weight (Common Crawl ranks hosts exactly this way
+    and trains e.g. CCNet/RefinedWeb-style corpus curation on it).
+    Returns ``(node, rank_q)`` with ranks in quantized integer space,
+    ``sum(rank_q) ≈ scale`` (minus integer-truncation dust).
+
+    Cross-engine exactness (the kmeans_centroids recipe): float
+    PageRank sums are order-dependent, so ALL arithmetic stays
+    BIGINT — per-edge contribution ``r div outdeg``, damping
+    ``(85 * x) div 100``, teleport ``((scale * 15) div 100) div n``
+    — identical truncating division both engines.  ``scale`` 10^12
+    keeps 12 significant digits while ``damping_pct * (contrib +
+    share)`` stays under 2^63 at any graph size.
+
+    Distributed shape, per iteration (``iters`` plan-unrolled, no
+    driver loop, no collect): ranks join the (src, dst, outdeg) edge
+    table on src (shuffle on src), per-edge integer contribution,
+    groupBy dst sum — MAP-SIDE COMBINABLE, which is the whole answer
+    to in-degree skew: a page with 10^9 in-links reduces to one
+    partial per task, never one reducer row per link.  Dangling mass
+    (nodes without out-edges) is one 1-row aggregate broadcast per
+    iteration — the textbook redistribution, not the leaky shortcut.
+    Multi-edges are collapsed (DISTINCT src,dst); self-loops dropped.
+    At 10^12 edges each iteration is two shuffles of the edge table
+    and a k-byte broadcast — the reference has no graph surface; this
+    is brief-driven (training-data pipeline tier)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    # ranks carry n so the per-node teleport term needs no re-join
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n", F.expr(f"{scale} div n").alias("r")
+    )
+    edges_w = e.join(outdeg, e["_s"] == outdeg["node"]).select(
+        "_s", "_d", "outdeg"
+    )
+    teleport = f"(({scale} * {100 - damping_pct}) div 100) div n"
+    for _ in range(iters):
+        contrib = (
+            ranks.join(edges_w, ranks["node"] == edges_w["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
+            .select(F.col("dang").cast("long").alias("dang"))
+        )
+        ranks = (
+            ranks.select("node", "n")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"{teleport} + ({damping_pct}"
+                    " * (coalesce(contrib, cast(0 as bigint))"
+                    " + (dang div n))) div 100"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_q"))
+
+
+def rebalance_sample(
+    docs: DataFrame,
+    target_bp: dict[str, int],
+    by: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sample a corpus DOWN to a target group distribution (language
+    rebalancing à la The Pile / CC multilingual mixes): ``target_bp``
+    maps group → share in basis points.  The sampler solves for the
+    LARGEST total sample where every group can fill its share from
+    the rows it has — ``T = min_g(count_g * 10000 div share_g)`` —
+    then keeps each group at ``want_g = share_g * T div 10000`` via
+    the deterministic hash-threshold rule (``md5-48 mod 10^6 <
+    want_g * 10^6 div count_g``), so reruns, resumes, and the DuckDB
+    oracle pick the IDENTICAL sample with no RNG.
+
+    This is :func:`hash_sample`'s keep rule with the rates COMPUTED
+    from the observed distribution instead of hand-set: one tiny
+    group-count aggregate (map-side combinable), a 1-row min, a
+    broadcast of ≤ len(target_bp) rate rows, then a pure scan filter
+    — no window, no sort, no per-group shuffle, which is what lets it
+    run over 10^12 rows (the exact-quota alternative is
+    :func:`host_quota_sample`'s salted top-k shape).  Realized counts
+    deviate from ``want_g`` by O(sqrt) binomial noise — the right
+    trade for distribution matching.  Groups absent from
+    ``target_bp`` are dropped.  Overflow bound: ``want_g * 10^6``
+    needs ``count_g ≤ ~9·10^12`` per group (BIGINT headroom).
+    Returns ``(key_col, by, rate_ppm)`` for the kept rows."""
+    if not target_bp:
+        raise ValueError("target_bp must be non-empty")
+    if any(v <= 0 for v in target_bp.values()):
+        raise ValueError("target shares must be positive")
+    share: Column = F.lit(None).cast("long")
+    for k, bp in sorted(target_bp.items()):
+        share = F.when(F.col(by) == k, F.lit(bp)).otherwise(share)
+    counts = (
+        docs.where(F.col(by).isin(list(target_bp)))
+        .groupBy(by)
+        .agg(F.count("*").alias("cnt"))
+        .select(by, "cnt", share.alias("share_bp"))
+    )
+    t = counts.select(
+        F.expr("cnt * 10000 div share_bp").alias("cap")
+    ).agg(F.min("cap").alias("t_total"))
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        by,
+        F.expr(
+            "((share_bp * t_total) div 10000) * 1000000 div cnt"
+        ).alias("rate_ppm"),
+    )
+    h = md5_hash48(F.col(key_col).cast("string"), salt="rebal|")
+    return (
+        docs.join(F.broadcast(rates), by)
+        .where(h % 1_000_000 < F.col("rate_ppm"))
+        .select(key_col, by, "rate_ppm")
+    )
