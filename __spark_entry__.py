@@ -1209,6 +1209,21 @@ def _q_rebalance_sample(spark, sf_dir):
     )
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC search (r7): m=4 subspace codebooks
+    trained with the quantized-integer Lloyd, vectors encoded to 4
+    codes, asymmetric-distance top-k from the per-query m×k distance
+    table — ALL in one lazy plan; the oracle retrains the codebooks,
+    re-encodes, and re-ranks entirely in SQL (prefix-named kmeans CTE
+    chains, one per subspace)."""
+    from zhtml_spark.textops import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(
+        emb, n_queries=4, topk=5, m=4, k=8, iters=2, dim=64
+    )
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
     """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
     centroids (r6, VERDICT r5 #4): the full composition — text →
@@ -3802,6 +3817,8 @@ NEW_THIS_ROUND: list[str] = [
     # the target-distribution rebalancing sampler
     "pagerank_links",
     "rebalance_sample",
+    # r7: product-quantization ADC search (the memory side of ANN)
+    "pq_adc_topk",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -3836,8 +3853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
     Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
-    2 new (pagerank_links, rebalance_sample) + 3 changed (langid
-    tier) + the r4-green queries that would hit age 3 this round
+    3 new (pagerank_links, rebalance_sample, pq_adc_topk) + 3
+    changed (langid tier) + the r4-green queries that would hit age
+    3 this round
     (the block-B' spill from r6 — minhash_banded_candidates,
     dedup_survivors_banded; minhash_char_signatures was promised
     here but RETIRED as a twin this round, coverage in STATUS.md —
@@ -3845,14 +3863,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simhash_dup_candidates, embedding_dup_candidates,
     embedding_dedup_survivors, url_normalize, pricing_summary,
     top_customers, asof_join, events_sessionized, kmv_distinct) +
-    the oldest r5-greens that fit (extract_heading_para demoted to
-    the tail front to make room).  Tail = the remaining r5-greens
-    (age 2) then the r6-greens (age 1).
+    the oldest r5-greens that fit (extract_meta +
+    extract_heading_para demoted to the tail front to make room).
+    Tail = the remaining r5-greens (age 2) then the r6-greens
+    (age 1).
     TWO twins retired in r7 (VERDICT r6 #9, coverage in STATUS.md):
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 2 new − 2 retired = 109.
+    md5 computation) — registry 109 + 3 new − 2 retired = 110.
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -3868,9 +3887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     touch queries."""
     return {
         # -- block A: new this round, never driver-checked (r7:
-        #    integer PageRank + rebalancing sampler) -------------------
+        #    integer PageRank, rebalancing sampler, PQ ANN) ------------
         "pagerank_links": _q_pagerank,
         "rebalance_sample": _q_rebalance_sample,
+        "pq_adc_topk": _q_pq_adc_topk,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -3927,10 +3947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_components": _q_dedup_components,
         "image_meta": _q_image_meta,
-        "extract_meta": _q_extract_meta,
         # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    extract_heading_para, demoted to fit the 2 new block-A
-        #    entries) ---------------------------------------------------
+        #    extract_meta + extract_heading_para, demoted to fit the
+        #    3 new block-A entries) -------------------------------------
+        "extract_meta": _q_extract_meta,
         "extract_heading_para": _q_extract_heading_para,
         "extract_entities": _q_extract_entities,
         "extract_media": _q_extract_media,
@@ -4097,9 +4117,73 @@ def _pagerank_ctes(
     return ",".join(parts)
 
 
+def _pq_ctes(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 4,
+    scale: int = 1_000_000,
+) -> str:
+    """CTE chain replicating textops.pq_adc_topk in DuckDB: per
+    subspace a prefix-named kmeans training over the sliced
+    embeddings, the nearest-code assignment (same (dist, code)
+    argmin), then the per-query distance table and the ADC sum.
+    Ends with ``adist`` = (query_id, neighbor_id, adist)."""
+    d = dim // m
+    parts = []
+    for j in range(m):
+        p = f"s{j}k"
+        src = (
+            f"(SELECT vec_id, embedding[{j * d + 1}:{(j + 1) * d}]"
+            f" AS embedding FROM embeddings) pqsrc{j}"
+        )
+        parts.append(
+            _kmeans_ctes(src, k=k, iters=iters, dim=d, prefix=p)
+        )
+        parts.append(
+            f"""
+    s{j}code AS (
+      SELECT vec_id, {j} AS sub_idx, centroid_id AS code FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY (SELECT sum((q.qv[i]-c.cv[i])
+                                        *(q.qv[i]-c.cv[i]))
+                             FROM UNNEST(range(1, {d}+1)) t(i)),
+                            c.centroid_id) AS r
+        FROM {p}q q, {p}c{iters} c) WHERE r = 1),
+    s{j}dtab AS (
+      SELECT q.vec_id AS query_id, {j} AS sub_idx,
+             c.centroid_id AS code,
+             (SELECT sum((q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))
+              FROM UNNEST(range(1, {d}+1)) t(i)) AS d
+      FROM {p}q q, {p}c{iters} c WHERE q.vec_id < {n_queries})"""
+        )
+    codes = " UNION ALL ".join(
+        f"SELECT * FROM s{j}code" for j in range(m)
+    )
+    dtab = " UNION ALL ".join(
+        f"SELECT * FROM s{j}dtab" for j in range(m)
+    )
+    parts.append(
+        f"""
+    pqcodes AS ({codes}),
+    pqdtab AS ({dtab}),
+    adist AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(t.d) AS BIGINT) AS adist
+      FROM pqcodes c
+      JOIN pqdtab t ON t.sub_idx = c.sub_idx AND t.code = c.code
+      WHERE c.vec_id <> t.query_id
+      GROUP BY 1, 2)"""
+    )
+    return ",".join(parts)
+
+
 def _kmeans_ctes(
     src: str, k: int = 8, iters: int = 3, dim: int = 64,
-    scale: int = 1_000_000,
+    scale: int = 1_000_000, prefix: str = "k",
 ) -> str:
     """CTE chain replicating textops.kmeans_centroids in DuckDB —
     emitted by a generator because the Lloyd iterations are plan-
@@ -4108,51 +4192,54 @@ def _kmeans_ctes(
     quantized BIGINT vectors, BIGINT L2 folds, truncating //-means
     (Spark div and DuckDB // both truncate toward zero — probed),
     (dist, centroid_id) tie-breaks, md5-48 seed order.  Ends with
-    ``kc{iters}`` = (centroid_id, cv, n_members)."""
+    ``{prefix}c{iters}`` = (centroid_id, cv, n_members); all CTE
+    names carry ``prefix`` so several trainings (PQ subspaces)
+    can share one WITH clause."""
+    p = prefix
     out = [f"""
-    kq AS (
+    {p}q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
                AS qv
       FROM {src}),
-    kseed AS (
+    {p}seed AS (
       SELECT qv, row_number() OVER (
                ORDER BY CAST(('0x' || substr(md5('kmeans|'
                           || CAST(vec_id AS VARCHAR)), 1, 12))
                         AS BIGINT), vec_id) AS r
-      FROM kq),
-    kc0 AS (
+      FROM {p}q),
+    {p}c0 AS (
       SELECT CAST(r - 1 AS BIGINT) AS centroid_id, qv AS cv
-      FROM kseed WHERE r <= {k})"""]
-    prev = "kc0"
+      FROM {p}seed WHERE r <= {k})"""]
+    prev = f"{prefix}c0"
     for i in range(1, iters + 1):
         out.append(f"""
-    kd{i} AS (
+    {p}d{i} AS (
       SELECT q.vec_id, q.qv, c.centroid_id,
              (SELECT sum((q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))
               FROM UNNEST(range(1, {dim}+1)) t(i)) AS dist
-      FROM kq q, {prev} c),
-    ka{i} AS (
+      FROM {p}q q, {prev} c),
+    {p}a{i} AS (
       SELECT vec_id, qv, centroid_id FROM (
         SELECT vec_id, qv, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY dist, centroid_id) AS r
-        FROM kd{i}) WHERE r = 1),
-    km{i} AS (
+        FROM {p}d{i}) WHERE r = 1),
+    {p}m{i} AS (
       SELECT centroid_id, CAST(t.i AS INTEGER) AS dim_idx,
              CAST(sum(qv[t.i]) // count(*) AS BIGINT) AS coord,
              count(*) AS n
-      FROM ka{i}, UNNEST(range(1, {dim}+1)) t(i)
+      FROM {p}a{i}, UNNEST(range(1, {dim}+1)) t(i)
       GROUP BY centroid_id, t.i),
-    kc{i} AS (
+    {p}c{i} AS (
       SELECT p.centroid_id,
              CASE WHEN count(m.coord) = 0 THEN p.cv
                   ELSE list(m.coord ORDER BY m.dim_idx) END AS cv,
              CAST(coalesce(max(m.n), 0) AS BIGINT) AS n_members
-      FROM {prev} p LEFT JOIN km{i} m USING (centroid_id)
+      FROM {prev} p LEFT JOIN {p}m{i} m USING (centroid_id)
       GROUP BY p.centroid_id, p.cv)""")
-        prev = f"kc{i}"
+        prev = f"{prefix}c{i}"
     return ",".join(out)
 
 
@@ -4749,6 +4836,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(
                       md5('rebal|' || CAST(d.doc_id AS VARCHAR)), 1, 12
                   ))::BIGINT % 1000000 < r.rate_ppm
+        """,
+        "pq_adc_topk": """
+            -- product-quantization ADC top-k: m=4 subspace codebooks
+            -- (prefix-named kmeans CTE chains), nearest-code encode,
+            -- per-query distance table, ADC sum (see _pq_ctes)
+            WITH """ + _pq_ctes(
+            m=4, k=8, iters=2, dim=64, n_queries=4
+        ) + """
+            SELECT query_id, neighbor_id,
+                   CAST(rank AS INTEGER) AS rank, adist
+            FROM (
+                SELECT query_id, neighbor_id, adist,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adist, neighbor_id
+                       ) AS rank
+                FROM adist
+            ) WHERE rank <= 5
         """,
         "kmeans_centroids": """
             -- fixed-iteration Lloyd over the embeddings table in

@@ -2557,3 +2557,47 @@ def test_minhash_char_shingle_signatures(spark):
         for s in (0, 1)
     }
     assert got == exp
+
+
+def test_pq_codes_and_adc_rank_near_duplicates_first(spark):
+    """PQ tier: every vector gets exactly m codes in [0, k); a vector
+    that is a near-copy of a query must rank first in the query's ADC
+    top-k (its codes coincide, so the asymmetric distance is the
+    query's own table minimum); reruns identical (md5-seeded Lloyd,
+    no RNG)."""
+    from zhtml_spark.textops import pq_adc_topk, pq_books, pq_codes
+
+    import random
+
+    rng = random.Random(7)
+    dim, m, k = 16, 4, 4
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(20)]
+    # vec 10 := near-copy of query vec 0
+    base[10] = [x + 0.001 for x in base[0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_books(df, m=m, k=k, iters=2, dim=dim)
+    codes = pq_codes(df, books, m=m, dim=dim).collect()
+    per_vec: dict[int, list[int]] = {}
+    for r in codes:
+        assert 0 <= r["code"] < k
+        per_vec.setdefault(r["vec_id"], []).append(r["sub_idx"])
+    assert all(sorted(v) == list(range(m)) for v in per_vec.values())
+    assert len(per_vec) == 20
+
+    top = pq_adc_topk(df, n_queries=1, topk=3, m=m, k=k, iters=2,
+                      dim=dim)
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 10
+    again = sorted(
+        pq_adc_topk(df, n_queries=1, topk=3, m=m, k=k, iters=2,
+                    dim=dim).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_books(df, m=3, dim=dim)  # 16 % 3 != 0

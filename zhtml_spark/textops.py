@@ -3935,3 +3935,169 @@ def rebalance_sample(
         .where(h % 1_000_000 < F.col("rate_ppm"))
         .select(key_col, by, "rate_ppm")
     )
+
+
+def _l2_q(a: Column, b: Column) -> Column:
+    """Exact BIGINT L2 fold over two quantized vectors (array order —
+    deterministic both engines; shared by kmeans assignment and PQ)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_books(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: split each ``dim``-vector into
+    ``m`` subspaces of ``dim/m`` and train ``k`` centroids per
+    subspace with the SAME quantized-integer Lloyd as
+    :func:`kmeans_centroids` (exact cross-engine, md5-48 init) —
+    PQ is the memory side of large-scale ANN (Jégou et al., TPAMI'11):
+    a 64-dim float vector compresses to ``m`` byte-ish codes, so a
+    10^12-vector index fits a cluster's RAM where raw floats never
+    would.  Returns ``(sub_idx, code, cv)`` with ``cv`` the quantized
+    centroid subvector.  Training is m plan-unrolled independent
+    k-means runs — one lazy plan, no driver loop."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    d = dim // m
+    books = None
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * d + 1, d).alias("embedding"),
+        )
+        bk = kmeans_centroids(
+            sub, n_centroids=k, iters=iters, scale=scale
+        ).select(
+            F.lit(j).cast("int").alias("sub_idx"),
+            F.col("centroid_id").alias("code"),
+            F.col("centroid").alias("cv"),
+        )
+        books = bk if books is None else books.unionByName(bk)
+    return books
+
+
+def pq_codes(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoder: assign every vector's j-th quantized subvector to
+    its nearest codebook centroid (exact BIGINT L2, ``(dist, code)``
+    tie-break — the same argmin rule as k-means assignment).
+    Returns exploded ``(vec_id, sub_idx, code)`` — the compressed
+    index, ``m`` small ints per vector.  One scan of the vectors
+    against a BROADCAST m×k codebook, ``min_by`` groupBy argmin
+    (map-side partial agg) — no window, no skew surface."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    d = dim // m
+    parts = None
+    for j in range(m):
+        q = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.slice(F.col(vec_col), j * d + 1, d),
+                lambda x: F.floor(x.cast("double") * scale).cast(
+                    "long"
+                ),
+            ).alias("qv"),
+        )
+        bj = books.where(F.col("sub_idx") == j)
+        ass = (
+            q.crossJoin(F.broadcast(bj))
+            .select(
+                "vec_id",
+                "sub_idx",
+                "code",
+                _l2_q(F.col("qv"), F.col("cv")).alias("dist"),
+            )
+            .groupBy("vec_id", "sub_idx")
+            .agg(
+                F.min_by("code", F.struct("dist", "code")).alias(
+                    "code"
+                )
+            )
+        )
+        parts = ass if parts is None else parts.unionByName(ass)
+    return parts
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 4,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the classic
+    IVFADC-style scan without the coarse stage): each query computes
+    a ``m × k`` distance TABLE to the codebook once, then every
+    candidate's approximate distance is just ``m`` table lookups —
+    never a float op against the raw vector.  Relationally: the
+    distance table (n_queries·m·k rows — broadcastable at any corpus
+    size) joins the code index on ``(sub_idx, code)`` and a
+    map-side-combinable ``groupBy(query, vec) sum`` adds the m
+    lookups; top-k by ``(adist, vec_id)`` row_number.  At 10^12
+    vectors the scan touches only the m-int codes — the compressed
+    index IS the working set, which is the entire point of PQ.
+    Queries are the first ``n_queries`` vectors (like
+    :func:`cosine_topk`); self-matches excluded.  Returns
+    ``(query_id, neighbor_id, rank, adist)``."""
+    if books is None:
+        books = pq_books(
+            emb, m=m, k=k, iters=iters, dim=dim, scale=scale
+        )
+    codes = pq_codes(emb, books, m=m, dim=dim, scale=scale)
+    d = dim // m
+    qsub = None
+    for j in range(m):
+        qs = emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(j).cast("int").alias("sub_idx"),
+            F.transform(
+                F.slice(F.col("embedding"), j * d + 1, d),
+                lambda x: F.floor(x.cast("double") * scale).cast(
+                    "long"
+                ),
+            ).alias("qv"),
+        )
+        qsub = qs if qsub is None else qsub.unionByName(qs)
+    dtab = qsub.join(books, "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        "code",
+        _l2_q(F.col("qv"), F.col("cv")).alias("d"),
+    )
+    adist = (
+        codes.join(F.broadcast(dtab), ["sub_idx", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
