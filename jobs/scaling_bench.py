@@ -37,6 +37,8 @@ sys.path.insert(0, {repo!r})
 import pyspark.sql.functions as F
 from zhtml_spark.pipeline import build_session, extract_documents
 from zhtml_spark.udfs import make_extract_udf, EXTRACT_SCHEMA
+from zhtml_spark.langid_model import SEED_TEXTS
+from zhtml_spark.textops import lang_gate, minhash_banded_candidates
 
 spark = build_session(app="zx-scaling", cores={cores})
 spark.sparkContext.setLogLevel("ERROR")
@@ -44,14 +46,33 @@ docs = spark.read.parquet({corpus!r})
 # identical plan at every parallelism: fixed partition count, only the
 # core count differs (BASELINE.md protocol)
 PARTS = 256
+# the 2M-job's post-extract stages (VERDICT r6 #8): the language gate
+# and one near-dup tier run over the same corpus's text (JVM span
+# join — the gate's 2000-char head cap bounds per-doc cost)
+txt = docs.select(
+    "doc_id",
+    F.array_join(
+        F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))),
+        " ",
+    ).alias("text"),
+)
 
 def one_run():
     t0 = time.time()
     row = (extract_documents(docs, num_partitions=PARTS)
            .agg(F.count("*").alias("d"), F.sum("n_bytes").alias("b"),
                 F.sum("n_spans").alias("s")).collect()[0])
-    return {{"sec": time.time() - t0, "docs": row["d"],
-             "bytes": row["b"], "spans": row["s"]}}
+    t1 = time.time()
+    n_gate = lang_gate(
+        txt, langs=tuple(sorted(SEED_TEXTS)), min_lm_score=-8_400_000
+    ).count()
+    t2 = time.time()
+    n_cand = minhash_banded_candidates(txt, n=3, bands=4, rows=2).count()
+    t3 = time.time()
+    return {{"sec": t1 - t0, "gate_sec": t2 - t1,
+             "dedup_sec": t3 - t2, "docs": row["d"],
+             "bytes": row["b"], "spans": row["s"],
+             "gate_rows": n_gate, "cand_pairs": n_cand}}
 
 one_run()  # full warmup pass: worker forks + page cache + JIT
 results = [one_run() for _ in range({timed_runs})]
@@ -166,15 +187,23 @@ def main() -> None:
     for cores in [int(c) for c in args.configs.split(",")]:
         runs = run_config(cores, corpus, args.timed_runs)
         med_sec = statistics.median(r["sec"] for r in runs)
+        med_gate = statistics.median(r["gate_sec"] for r in runs)
+        med_dedup = statistics.median(r["dedup_sec"] for r in runs)
         docs = runs[0]["docs"]
         nbytes = runs[0]["bytes"]
         report[cores] = {
             "runs_sec": [round(r["sec"], 2) for r in runs],
+            "gate_runs_sec": [round(r["gate_sec"], 2) for r in runs],
+            "dedup_runs_sec": [round(r["dedup_sec"], 2) for r in runs],
             "median_sec": round(med_sec, 2),
+            "gate_median_sec": round(med_gate, 2),
+            "dedup_median_sec": round(med_dedup, 2),
             "docs_per_sec": round(docs / med_sec, 1),
             "mb_per_sec": round(nbytes / med_sec / 1e6, 1),
             "docs": docs,
             "bytes": nbytes,
+            "gate_rows": runs[0]["gate_rows"],
+            "cand_pairs": runs[0]["cand_pairs"],
         }
 
     canary["post_1p"] = round(run_canary(1), 3)
@@ -184,11 +213,39 @@ def main() -> None:
     lo, hi = cores_list[0], cores_list[-1]
     speedup = report[hi]["docs_per_sec"] / report[lo]["docs_per_sec"]
     efficiency = speedup / (hi / lo)
+    stage_eff = {
+        "extract": round(efficiency, 3),
+        "gate": round(
+            (report[lo]["gate_median_sec"] / report[hi]["gate_median_sec"])
+            / (hi / lo),
+            3,
+        ),
+        "dedup": round(
+            (
+                report[lo]["dedup_median_sec"]
+                / report[hi]["dedup_median_sec"]
+            )
+            / (hi / lo),
+            3,
+        ),
+    }
+    tot_lo = (
+        report[lo]["median_sec"]
+        + report[lo]["gate_median_sec"]
+        + report[lo]["dedup_median_sec"]
+    )
+    tot_hi = (
+        report[hi]["median_sec"]
+        + report[hi]["gate_median_sec"]
+        + report[hi]["dedup_median_sec"]
+    )
+    stage_eff["combined"] = round((tot_lo / tot_hi) / (hi / lo), 3)
     summary = {
         "metric": "scaling_efficiency",
-        "value": round(efficiency, 3),
+        "value": stage_eff["combined"],
         "unit": f"(thr@{hi}/thr@{lo})/{hi // lo}",
         "speedup": round(speedup, 2),
+        "stage_efficiency": stage_eff,
         "configs": {str(c): report[c] for c in cores_list},
         "canary": canary,
         "docs": args.docs,
@@ -204,20 +261,27 @@ def main() -> None:
         f"{report[lo]['bytes'] / 1e6:.0f} MB of span text); fresh JVM per",
         "config; 1 warmup + timed runs; median docs/sec from job counters.",
         "",
-        "| config | timed runs (s) | median (s) | docs/sec | MB/sec |",
-        "|---|---|---|---|---|",
+        "| config | extract runs (s) | median | gate runs (s) | median | dedup runs (s) | median | extract docs/sec | MB/sec |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for c in cores_list:
         r = report[c]
         lines.append(
             f"| local[{c}] | {', '.join(str(x) for x in r['runs_sec'])} "
-            f"| {r['median_sec']} | {r['docs_per_sec']} | {r['mb_per_sec']} |"
+            f"| {r['median_sec']} "
+            f"| {', '.join(str(x) for x in r['gate_runs_sec'])} "
+            f"| {r['gate_median_sec']} "
+            f"| {', '.join(str(x) for x in r['dedup_runs_sec'])} "
+            f"| {r['dedup_median_sec']} "
+            f"| {r['docs_per_sec']} | {r['mb_per_sec']} |"
         )
     lines += [
         "",
         f"**Scaling efficiency (local[{lo}] → local[{hi}], {hi // lo}× cores):"
-        f" speedup {speedup:.2f}× → efficiency {efficiency:.3f}**"
-        f" (north-rule target ≥ 0.8).",
+        f" extract {stage_eff['extract']}, lang_gate {stage_eff['gate']},"
+        f" banded-minhash dedup {stage_eff['dedup']} — combined"
+        f" {stage_eff['combined']}** (north-rule target ≥ 0.8;"
+        " per-stage medians, fresh JVM per config).",
         "",
         "Load canary (fixed 400 MB int64 8×-sum per proc, max wall s):",
         f"pre-campaign 1-proc {canary['pre_1p']} s / 16-proc"
@@ -237,8 +301,19 @@ def main() -> None:
         "before the fix); with placement max partition load stays within",
         "the indivisible-largest-doc floor.",
     ]
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # the generated block ends at the first "## " section: the
+    # adjudication + campaign-history sections below it are
+    # hand-maintained and must survive the rewrite (a plain "w" of
+    # the whole file clobbered them once in r7)
+    path = f"{REPO}/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":

@@ -2601,3 +2601,38 @@ def test_pq_codes_and_adc_rank_near_duplicates_first(spark):
 
     with _pytest.raises(ValueError):
         pq_books(df, m=3, dim=dim)  # 16 % 3 != 0
+
+
+def test_pagerank_checkpoint_mode_identical_and_deep(spark):
+    """checkpoint=True (per-round localCheckpoint, production depth)
+    returns bit-identical ranks to the lazy plan, and a 12-iteration
+    run — where the lazy 3^iters plan tree would be ~500k subtrees —
+    completes; storage is freed per round (≤ edges + 2 rank
+    snapshots live, the dedup_components hygiene)."""
+    import pyspark.sql.functions as F
+
+    from zhtml_spark.textops import (
+        _persistent_rdd_ids,
+        pagerank,
+    )
+
+    edges = spark.range(3000).select(
+        (F.col("id") % 600).alias("src"),
+        ((F.col("id") * 7 + 3) % 600).alias("dst"),
+    )
+    lazy = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(edges, iters=3).collect()
+    }
+    chk = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(edges, iters=3, checkpoint=True).collect()
+    }
+    assert lazy == chk
+    before = _persistent_rdd_ids(spark)
+    deep = pagerank(edges, iters=12, checkpoint=True)
+    assert deep.count() == 600
+    leaked = _persistent_rdd_ids(spark) - before
+    # edges_w + at most 2 rank snapshots may still hold blocks
+    # (non-blocking unpersist); never O(rounds)
+    assert len(leaked) <= 4, leaked
