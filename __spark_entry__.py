@@ -1206,7 +1206,7 @@ def _q_rebalance_sample(spark, sf_dir):
     return rebalance_sample(
         docs,
         {"en": 3000, "es": 2000, "zh": 2000, "de": 1500, "fr": 1500},
-    )
+    ).select("doc_id", "lang", "rate_ppm")
 
 
 def _q_pq_adc_topk(spark, sf_dir):

@@ -43,6 +43,7 @@ def run(
     cores: int,
     substring: bool,
     host_quota: int | None = None,
+    rebalance_bp: dict[str, int] | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -218,11 +219,31 @@ def run(
         return lang_gate(
             quality, langs=tuple(sorted(SEED_TEXTS)),
             max_chars=2000, min_lm_score=-8_400_000,
+            with_lang=rebalance_bp is not None,
         ).localCheckpoint()
 
     quality = timed("lang_gate", _lang_tier)
     n_lang = quality.count()
     stages["lang_gate"]["rows"] = n_lang
+
+    # ---- 4b. target-mix rebalance (optional, r7): the gate's own
+    # prediction feeds rebalance_sample — one tiny count agg +
+    # broadcast rates + scan filter, so the stage costs ~a scan even
+    # at full corpus scale
+    if rebalance_bp:
+        from zhtml_spark.textops import rebalance_sample
+
+        def _rebalance():
+            return (
+                rebalance_sample(
+                    quality, rebalance_bp, by="pred_lang"
+                )
+                .drop("rate_ppm", "pred_lang")
+                .localCheckpoint()
+            )
+
+        quality = timed("rebalance", _rebalance)
+        stages["rebalance"]["rows"] = quality.count()
 
     # ---- 5. dedup tiers: URL → exact → banded near-dup ------------
     def _url_tier():
@@ -332,7 +353,18 @@ def main() -> None:
         "--host-quota", type=int, default=None,
         help="max docs kept per host (default: tier off)",
     )
+    ap.add_argument(
+        "--rebalance", default=None,
+        help="target language mix as lang=bp pairs, e.g. "
+        "'en=4000,de=2000,fr=2000,es=2000' (default: tier off)",
+    )
     args = ap.parse_args()
+    rebalance_bp = None
+    if args.rebalance:
+        rebalance_bp = {
+            kv.split("=")[0]: int(kv.split("=")[1])
+            for kv in args.rebalance.split(",")
+        }
     substring = (
         args.substring
         if args.substring is not None
@@ -347,7 +379,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = run(
         spark, args.docs, args.cores, substring,
-        host_quota=args.host_quota,
+        host_quota=args.host_quota, rebalance_bp=rebalance_bp,
     )
     print(json.dumps(out))
     spark.stop()

@@ -2636,3 +2636,34 @@ def test_pagerank_checkpoint_mode_identical_and_deep(spark):
     # edges_w + at most 2 rank snapshots may still hold blocks
     # (non-blocking unpersist); never O(rounds)
     assert len(leaked) <= 4, leaked
+
+
+def test_lang_gate_with_lang_feeds_rebalance(spark):
+    """Composition the corpus job uses (r7): lang_gate(with_lang=True)
+    exposes its own prediction as pred_lang, and rebalance_sample
+    groups on it.  Held-out sentences replicated 10x per language:
+    a {en, ja} target keeps exactly those two groups (both fully —
+    equal counts make every rate 10^6) and drops the rest."""
+    from zhtml_spark.langid_model import HELD_OUT
+    from zhtml_spark.textops import lang_gate, rebalance_sample
+
+    rows = []
+    for i, lg in enumerate(sorted(HELD_OUT)):
+        for j in range(10):
+            rows.append((i * 100 + j, HELD_OUT[lg]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = lang_gate(
+        df,
+        langs=tuple(sorted(HELD_OUT)),
+        min_lm_score=-8_500_000,
+        with_lang=True,
+    )
+    assert "pred_lang" in gated.columns
+    out = rebalance_sample(
+        gated, {"en": 5000, "ja": 5000}, by="pred_lang"
+    )
+    got = {
+        r["pred_lang"]: r["count"]
+        for r in out.groupBy("pred_lang").count().collect()
+    }
+    assert got == {"en": 10, "ja": 10}

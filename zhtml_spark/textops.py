@@ -2762,6 +2762,7 @@ def lang_gate(
     text_col: str = "text",
     langs: tuple[str, ...] | None = None,
     hash_fn: str = "xxhash64",
+    with_lang: bool = False,
 ) -> DataFrame:
     """ONE-pass language gate: :func:`lang_id_v2`'s argmax AND
     :func:`trigram_lm_score`'s LM mean from a SINGLE hashed-bucket
@@ -2905,7 +2906,12 @@ def lang_gate(
             scores[lg] > F.lit(floor).cast("long") * n,
         ).otherwise(lm_ok)
     keep = (n > 0) & pred.isin(*accept) & lm_ok
-    return bucketed.where(keep).drop("_b", "_sc", "_lt")
+    out = bucketed.where(keep)
+    if with_lang:
+        # the prediction is already computed — exposing it is free
+        # and lets downstream stages (rebalance_sample) group on it
+        out = out.withColumn("pred_lang", pred)
+    return out.drop("_b", "_sc", "_lt")
 
 
 def trigram_lm_score(
@@ -3934,7 +3940,7 @@ def rebalance_sample(
     trade for distribution matching.  Groups absent from
     ``target_bp`` are dropped.  Overflow bound: ``want_g * 10^6``
     needs ``count_g ≤ ~9·10^12`` per group (BIGINT headroom).
-    Returns ``(key_col, by, rate_ppm)`` for the kept rows."""
+    Returns the kept rows (all input columns) plus ``rate_ppm``."""
     if not target_bp:
         raise ValueError("target_bp must be non-empty")
     if any(v <= 0 for v in target_bp.values()):
@@ -3958,10 +3964,8 @@ def rebalance_sample(
         ).alias("rate_ppm"),
     )
     h = md5_hash48(F.col(key_col).cast("string"), salt="rebal|")
-    return (
-        docs.join(F.broadcast(rates), by)
-        .where(h % 1_000_000 < F.col("rate_ppm"))
-        .select(key_col, by, "rate_ppm")
+    return docs.join(F.broadcast(rates), by).where(
+        h % 1_000_000 < F.col("rate_ppm")
     )
 
 
