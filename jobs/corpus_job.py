@@ -44,6 +44,7 @@ def run(
     substring: bool,
     host_quota: int | None = None,
     rebalance_bp: dict[str, int] | None = None,
+    pagerank_iters: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -171,6 +172,38 @@ def run(
 
     n_urls, n_allowed = timed("frontier", _frontier)
     stages["frontier"].update({"urls": n_urls, "allowed": n_allowed})
+
+    # ---- 3b. host-graph PageRank (optional, r7): quality weights
+    # from the crawl's OWN link structure — the Common Crawl-style
+    # host ranking a curation pipeline joins against its quota/
+    # sampling tiers.  checkpointed iteration above 5 rounds (the
+    # lazy plan's 3^iters tree — see textops.pagerank).
+    if pagerank_iters:
+        from zhtml_spark.textops import pagerank
+
+        def _pagerank():
+            edges = links.select(
+                F.regexp_extract(
+                    "doc_id", r"^https://([^/]+)/", 1
+                ).alias("src"),
+                F.regexp_extract(
+                    absolutize_url(F.col("doc_id"), F.col("href")),
+                    r"^https://([^/]+)/",
+                    1,
+                ).alias("dst"),
+            ).where((F.col("src") != "") & (F.col("dst") != ""))
+            pr = pagerank(
+                edges,
+                iters=pagerank_iters,
+                checkpoint=pagerank_iters > 5,
+            )
+            top = pr.orderBy(
+                F.col("rank_q").desc(), "node"
+            ).limit(3).collect()
+            return [[r["node"], int(r["rank_q"])] for r in top]
+
+        top_hosts = timed("pagerank_hosts", _pagerank)
+        stages["pagerank_hosts"]["top"] = top_hosts
 
     # ---- 4. text rebuild + quality gate ---------------------------
     text_tbl = (
@@ -358,6 +391,11 @@ def main() -> None:
         help="target language mix as lang=bp pairs, e.g. "
         "'en=4000,de=2000,fr=2000,es=2000' (default: tier off)",
     )
+    ap.add_argument(
+        "--pagerank-iters", type=int, default=None,
+        help="host-graph PageRank rounds (default: tier off; >5 "
+        "switches to checkpointed iteration)",
+    )
     args = ap.parse_args()
     rebalance_bp = None
     if args.rebalance:
@@ -380,6 +418,7 @@ def main() -> None:
     out = run(
         spark, args.docs, args.cores, substring,
         host_quota=args.host_quota, rebalance_bp=rebalance_bp,
+        pagerank_iters=args.pagerank_iters,
     )
     print(json.dumps(out))
     spark.stop()

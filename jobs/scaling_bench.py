@@ -57,6 +57,14 @@ txt = docs.select(
     ).alias("text"),
 )
 
+
+# the dedup stage runs over a DETERMINISTIC quarter of the corpus
+# (xxhash64 slice — byte-identical at both parallelism levels): the
+# full-corpus banded tier needs ~15 min/run at 4 pinned cores, which
+# blew the first C15 campaign's per-config timeout; a fixed slice
+# measures the same scaling ratio at a quarter the wall clock
+txt_q = txt.where(F.expr("pmod(xxhash64(doc_id), 4) = 0"))
+
 def one_run():
     t0 = time.time()
     row = (extract_documents(docs, num_partitions=PARTS)
@@ -67,7 +75,7 @@ def one_run():
         txt, langs=tuple(sorted(SEED_TEXTS)), min_lm_score=-8_400_000
     ).count()
     t2 = time.time()
-    n_cand = minhash_banded_candidates(txt, n=3, bands=4, rows=2).count()
+    n_cand = minhash_banded_candidates(txt_q, n=3, bands=4, rows=2).count()
     t3 = time.time()
     return {{"sec": t1 - t0, "gate_sec": t2 - t1,
              "dedup_sec": t3 - t2, "docs": row["d"],
@@ -147,7 +155,7 @@ def run_config(cores: int, corpus: str, timed_runs: int) -> list[dict]:
         capture_output=True,
         text=True,
         cwd="/tmp",
-        timeout=3600,
+        timeout=10800,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
