@@ -1209,6 +1209,19 @@ def _q_rebalance_sample(spark, sf_dir):
     ).select("doc_id", "lang", "rate_ppm")
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (r7): 4 merge rounds over
+    the documents vocabulary — the oracle replays the IDENTICAL
+    training run because the merge step is a literal replace on the
+    U+001F symbol carrier (non-overlapping left-to-right = BPE's
+    greedy semantics, probed identical on both engines) and the
+    argmax pair is a deterministic total order."""
+    from zhtml_spark.textops import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, n_merges=4)
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     """Product-quantization ADC search (r7): m=4 subspace codebooks
     trained with the quantized-integer Lloyd, vectors encoded to 4
@@ -3819,6 +3832,8 @@ NEW_THIS_ROUND: list[str] = [
     "rebalance_sample",
     # r7: product-quantization ADC search (the memory side of ANN)
     "pq_adc_topk",
+    # r7: distributed BPE tokenizer training (merge-table learner)
+    "bpe_train",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -3853,9 +3868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
     Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
-    3 new (pagerank_links, rebalance_sample, pq_adc_topk) + 3
-    changed (langid tier) + the r4-green queries that would hit age
-    3 this round
+    4 new (pagerank_links, rebalance_sample, pq_adc_topk, bpe_train)
+    + 3 changed (langid tier) + the r4-green queries that would hit
+    age 3 this round
     (the block-B' spill from r6 — minhash_banded_candidates,
     dedup_survivors_banded; minhash_char_signatures was promised
     here but RETIRED as a twin this round, coverage in STATUS.md —
@@ -3863,7 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simhash_dup_candidates, embedding_dup_candidates,
     embedding_dedup_survivors, url_normalize, pricing_summary,
     top_customers, asof_join, events_sessionized, kmv_distinct) +
-    the oldest r5-greens that fit (extract_meta +
+    the oldest r5-greens that fit (image_meta + extract_meta +
     extract_heading_para demoted to the tail front to make room).
     Tail = the remaining r5-greens (age 2) then the r6-greens
     (age 1).
@@ -3871,7 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 3 new − 2 retired = 110.
+    md5 computation) — registry 109 + 4 new − 2 retired = 111.
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -3891,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": _q_pagerank,
         "rebalance_sample": _q_rebalance_sample,
         "pq_adc_topk": _q_pq_adc_topk,
+        "bpe_train": _q_bpe_train,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -3946,10 +3962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "pack_sequences": _q_pack_sequences,
         "dedup_components": _q_dedup_components,
-        "image_meta": _q_image_meta,
         # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    extract_meta + extract_heading_para, demoted to fit the
-        #    3 new block-A entries) -------------------------------------
+        #    image_meta + extract_meta + extract_heading_para, demoted
+        #    to fit the 4 new block-A entries) --------------------------
+        "image_meta": _q_image_meta,
         "extract_meta": _q_extract_meta,
         "extract_heading_para": _q_extract_heading_para,
         "extract_entities": _q_extract_entities,
@@ -4113,6 +4129,49 @@ def _pagerank_ctes(
                                        + d.dang // p.n)) // 100 AS r
             FROM {p} p LEFT JOIN c{i} c ON c.node = p.node, d{i} d
         )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_ctes(n_merges: int = 4, max_word_len: int = 64) -> str:
+    """CTE chain replaying textops.bpe_train in DuckDB — per merge
+    round: vocabulary pair counts (adjacent symbols on the chr(31)
+    carrier), deterministic argmax (count DESC, lhs, rhs), literal
+    replace merge.  An empty round (vocabulary fully merged) makes
+    the cross join empty, exactly like the Spark crossJoin.  Ends
+    with ``t0..t{n-1}`` (one merge row each)."""
+    parts = [
+        f"""
+    bwc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(text,
+                   '[ \t\n\r\f]+')) AS word FROM documents)
+      WHERE length(word) BETWEEN 1 AND {max_word_len}
+        AND NOT contains(word, chr(31))
+        AND NOT contains(word, chr(30))
+      GROUP BY 1),
+    b0 AS (
+      SELECT array_to_string(string_split(word, ''), chr(31)) AS sym,
+             n
+      FROM bwc)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+    p{i} AS (
+      SELECT parts[j] AS lhs, parts[j + 1] AS rhs,
+             CAST(sum(n) AS BIGINT) AS pair_n
+      FROM (SELECT string_split(sym, chr(31)) AS parts, n
+            FROM b{i} WHERE contains(sym, chr(31))),
+           UNNEST(range(1, len(parts))) t(j)
+      GROUP BY 1, 2),
+    t{i} AS (
+      SELECT lhs, rhs, pair_n FROM p{i}
+      ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+    b{i + 1} AS (
+      SELECT replace(sym, lhs || chr(31) || rhs, lhs || rhs) AS sym,
+             n
+      FROM b{i}, t{i})"""
         )
     return ",".join(parts)
 
@@ -4836,6 +4895,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(
                       md5('rebal|' || CAST(d.doc_id AS VARCHAR)), 1, 12
                   ))::BIGINT % 1000000 < r.rate_ppm
+        """,
+        "bpe_train": """
+            -- BPE merge-table training replayed in SQL (see
+            -- _bpe_ctes: literal-replace greedy merges, argmax by
+            -- (count DESC, lhs, rhs))
+            WITH """ + _bpe_ctes(n_merges=4) + """
+            SELECT * FROM (
+                SELECT 0 AS step, lhs, rhs, pair_n FROM t0
+                UNION ALL
+                SELECT 1, lhs, rhs, pair_n FROM t1
+                UNION ALL
+                SELECT 2, lhs, rhs, pair_n FROM t2
+                UNION ALL
+                SELECT 3, lhs, rhs, pair_n FROM t3
+            )
         """,
         "pq_adc_topk": """
             -- product-quantization ADC top-k: m=4 subspace codebooks

@@ -2667,3 +2667,73 @@ def test_lang_gate_with_lang_feeds_rebalance(spark):
         for r in out.groupBy("pred_lang").count().collect()
     }
     assert got == {"en": 10, "ja": 10}
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    """Spark's distributed BPE trainer vs a dict-based reference
+    implementing the same algorithm independently (frequency-weighted
+    vocabulary, greedy left-to-right non-overlapping merges, argmax
+    by (count DESC, lhs ASC, rhs ASC)) — ASCII corpus so both
+    engines' string orders coincide with Python's."""
+    from collections import Counter
+
+    from zhtml_spark.textops import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest low newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_n"])
+        for r in sorted(
+            bpe_train(df, n_merges=6).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+
+    wc = Counter(w for t in texts for w in t.split())
+    syms: dict[tuple, int] = {tuple(w): c for w, c in wc.items()}
+    exp = []
+    for step in range(6):
+        pc: Counter = Counter()
+        for s, c in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (la, rb), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        exp.append((step, la, rb, cnt))
+        merged: dict[tuple, int] = {}
+        for s, c in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == la and s[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            t = tuple(out)
+            merged[t] = merged.get(t, 0) + c
+        syms = merged
+    assert got == exp
+    # rerun identical (no RNG anywhere)
+    again = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_n"])
+        for r in sorted(
+            bpe_train(df, n_merges=6).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    assert got == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)

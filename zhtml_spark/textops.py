@@ -4133,3 +4133,120 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 64,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. ACL'16 —
+    the merge-table learner, completing :func:`bpe_pair_stats`' view
+    of which merge fires first): ``n_merges`` rounds of
+    count-the-pairs → pick the argmax pair → merge it everywhere.
+    Returns the learned merge table ``(step, lhs, rhs, pair_n)``.
+
+    Corpus representation is BPE's own: DISTINCT words weighted by
+    frequency (the pair explode is vocabulary-sized — Heaps' law —
+    never corpus-sized; the single corpus-scale stage is the
+    map-side-combinable word count).  Each word's symbol sequence is
+    a STRING with U+001F between symbols, so the merge step is a
+    plain literal ``replace(sym, lhs‖US‖rhs, lhs‖rhs)`` — both
+    engines' ``replace`` substitutes non-overlapping matches LEFT TO
+    RIGHT, which is exactly BPE's greedy merge semantics ("aaaa"
+    under (a,a) → "aa·aa", probed on Spark and DuckDB), so the
+    DuckDB oracle replays the identical training run.  Argmax pair
+    is a deterministic total order (count DESC, lhs ASC, rhs ASC)
+    via TakeOrderedAndProject; if the vocabulary merges to single
+    symbols early the remaining steps emit no row (the table just
+    ends, mirrored by the oracle's empty cross join).
+
+    Scale: each round = one vocabulary-sized pair explode +
+    combinable sum + a 1-row top-1 broadcast + one ``replace`` scan.
+    The lazy plan references the symbol table ~2× per round (2^K
+    tree — the :func:`pagerank` trade); real vocab-sized runs (K in
+    the tens of thousands) pass ``checkpoint=True`` for per-round
+    materialization at O(K) cost.  Words longer than
+    ``max_word_len`` are dropped (minified/base64 runs are noise to
+    a tokenizer); words containing U+001F/U+001E would corrupt the
+    carrier and are dropped (never legitimate text)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    sep = "\x1f"
+    wc = (
+        docs.select(
+            F.explode(
+                F.split(F.col(text_col), "[ \t\n\r\f]+")
+            ).alias("word")
+        )
+        .where(
+            (F.length("word") >= 1)
+            & (F.length("word") <= max_word_len)
+            & ~F.col("word").contains(sep)
+            & ~F.col("word").contains("\x1e")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    syms = wc.select(
+        F.concat_ws(sep, F.split("word", "")).alias("sym"), "n"
+    )
+    spark = docs.sparkSession
+    if checkpoint:
+        base_ids = _persistent_rdd_ids(spark)
+        syms = syms.localCheckpoint()
+        prev_ids = _persistent_rdd_ids(spark) - base_ids
+    merges = None
+    for step in range(n_merges):
+        # linear pair plan (CLAUDE.md gram rule): split ONCE into a
+        # multi-referenced alias, adjacent pairs = zip of two shifted
+        # slices — never a split inside a lambda
+        pairs = (
+            syms.where(F.col("sym").contains(sep))
+            .select(F.expr(f"split(sym, '{sep}')").alias("parts"), "n")
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(parts, 1, size(parts) - 1)"),
+                        F.expr("slice(parts, 2, size(parts) - 1)"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .select(
+                F.col("p.`0`").alias("lhs"),
+                F.col("p.`1`").alias("rhs"),
+                "n",
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("n").alias("pair_n"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_n").desc(), F.col("lhs").asc(),
+            F.col("rhs").asc(),
+        ).limit(1)
+        merges_step = top.select(
+            F.lit(step).cast("int").alias("step"),
+            "lhs",
+            "rhs",
+            "pair_n",
+        )
+        merges = (
+            merges_step
+            if merges is None
+            else merges.unionByName(merges_step)
+        )
+        syms = syms.crossJoin(F.broadcast(top.select("lhs", "rhs"))).select(
+            F.expr(
+                f"replace(sym, lhs || '{sep}' || rhs, lhs || rhs)"
+            ).alias("sym"),
+            "n",
+        )
+        if checkpoint and step < n_merges - 1:
+            syms = syms.localCheckpoint()
+            live = _persistent_rdd_ids(spark) - base_ids
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = live - prev_ids
+    return merges
