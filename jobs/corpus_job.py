@@ -104,7 +104,12 @@ def run(
         (F.col("doc_id") + 1).cast("string"),
         F.lit('.html">more</a> <img src="/img/'),
         F.col("doc_id").cast("string"),
-        F.lit('.png" alt="fig"></p></body></html>'),
+        # cross-host link so the crawl's host graph has real edges
+        # (every other link is same-host, which PageRank drops as
+        # self-loops after host collapse)
+        F.lit('.png" alt="fig"> see <a href="https://host'),
+        ((F.col("doc_id") % 97) + 1).cast("string"),
+        F.lit('/">partner</a></p></body></html>'),
     )
     archives = adv.select(
         warc_record(

@@ -11,8 +11,11 @@ def test_corpus_job_stages_compose(spark):
     from jobs.corpus_job import run
 
     out = run(spark, n_docs=800, cores=4, substring=True,
-              host_quota=50)
+              host_quota=50, pagerank_iters=3)
     st = out["stages"]
+    # host-graph PageRank stage (r7): ranks the crawl's own hosts
+    assert len(st["pagerank_hosts"]["top"]) == 3
+    assert all(r > 0 for _, r in st["pagerank_hosts"]["top"])
     assert st["warc_parse"]["rows"] == 800
     assert st["extract"]["docs"] == 800
     assert st["extract"]["spans"] > 800  # multiple spans per page
