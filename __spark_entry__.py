@@ -1222,6 +1222,46 @@ def _q_bpe_train(spark, sf_dir):
     return bpe_train(docs, n_merges=4)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """BPE encoding / per-doc token accounting (r7): train 6 merges
+    on the documents vocabulary, apply them to the same corpus (the
+    apply path is SEPARATE code — an in-plan fold over the broadcast
+    merge array against the distinct-word vocabulary), return each
+    document's word and token counts.  The oracle replays training
+    via _bpe_ctes then applies the same literal-replace chain."""
+    from zhtml_spark.textops import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return (
+        bpe_encode(docs, bpe_train(docs, n_merges=6))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def _q_quality_tiers(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail quality tiers (r7):
+    the en trigram-LM score (md5 oracle path) bucketed to integer
+    quanta, cut at 10%/30% per the documents table's own language
+    column via the histogram — no corpus-scale sort."""
+    from zhtml_spark.textops import score_tiers, trigram_lm_score
+
+    scores = trigram_lm_score(
+        _docs(spark, sf_dir),
+        lang="en",
+        hash_fn="md5",
+        keep_cols=("lang",),
+    )
+    return score_tiers(
+        scores,
+        group_col="lang",
+        score_col="lm_score",
+        head_ppm=100_000,
+        middle_ppm=300_000,
+        bucket_q=1000,
+    ).orderBy("doc_id").limit(500)
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     """Product-quantization ADC search (r7): m=4 subspace codebooks
     trained with the quantized-integer Lloyd, vectors encoded to 4
@@ -3834,6 +3874,10 @@ NEW_THIS_ROUND: list[str] = [
     "pq_adc_topk",
     # r7: distributed BPE tokenizer training (merge-table learner)
     "bpe_train",
+    # r7 late adds: BPE encode/token accounting (the apply side of
+    # bpe_train) and CCNet-style per-language quality tiers
+    "bpe_encode",
+    "quality_tiers",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -3868,7 +3912,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
     Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
-    4 new (pagerank_links, rebalance_sample, pq_adc_topk, bpe_train)
+    6 new (pagerank_links, rebalance_sample, pq_adc_topk, bpe_train,
+    plus the late adds bpe_encode and quality_tiers — their two
+    window slots came from demoting the r5-green
+    winnow_dup_candidates and pack_sequences to the tail front,
+    which keeps the oldest-first refresh order intact: the window's
+    remaining refresh entries are r4/r5-green, the tail starts at
+    r5)
     + 3 changed (langid tier) + the r4-green queries that would hit
     age 3 this round
     (the block-B' spill from r6 — minhash_banded_candidates,
@@ -3886,7 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 4 new − 2 retired = 111.
+    md5 computation) — registry 109 + 6 new − 2 retired = 113.
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -3907,6 +3957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_sample": _q_rebalance_sample,
         "pq_adc_topk": _q_pq_adc_topk,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "quality_tiers": _q_quality_tiers,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -4910,6 +4962,123 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 3, lhs, rhs, pair_n FROM t3
             )
+        """,
+        "bpe_encode": """
+            -- BPE apply + per-doc token accounting: replay the
+            -- 6-merge training (_bpe_ctes), then apply t0..t5 to the
+            -- distinct-word vocabulary with the SAME literal-replace
+            -- chain and join token lengths back onto the per-doc
+            -- word stream
+            WITH """ + _bpe_ctes(n_merges=6) + """,
+            ew AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(text,
+                               '[ \t\n\r\f]+')) AS word
+                    FROM documents)
+                WHERE length(word) BETWEEN 1 AND 64
+                  AND NOT contains(word, chr(31))
+                  AND NOT contains(word, chr(30))
+            ),
+            v0 AS (
+                SELECT word,
+                       array_to_string(string_split(word, ''),
+                                       chr(31)) AS sym
+                FROM bwc
+            ),
+            v1 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v0, t0),
+            v2 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v1, t1),
+            v3 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v2, t2),
+            v4 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v3, t3),
+            v5 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v4, t4),
+            v6 AS (SELECT word, replace(sym, lhs || chr(31) || rhs,
+                          lhs || rhs) AS sym FROM v5, t5),
+            vt AS (
+                SELECT word,
+                       CAST(len(string_split(sym, chr(31)))
+                            AS INTEGER) AS tok_n
+                FROM v6
+            )
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(v.tok_n) AS BIGINT) AS n_tokens
+            FROM ew w JOIN vt v USING (word)
+            GROUP BY 1 ORDER BY 1 LIMIT 500
+        """,
+        "quality_tiers": f"""
+            -- CCNet-style per-language head/middle/tail tiers from
+            -- the en trigram-LM score: integer histogram (score div
+            -- 1000 buckets), cumulative-from-top window over the
+            -- tiny histogram, whole buckets land on one side of each
+            -- cut (10% head / 30% middle)
+            WITH langs AS (SELECT * FROM {_langid_values()}),
+            en AS (SELECT w FROM langs WHERE lang = 'en'),
+            low AS (SELECT doc_id, lang,
+                           lower(text) AS t FROM documents),
+            grams AS (
+                SELECT doc_id, substr(t, CAST(i.i AS INTEGER), 3) AS g
+                FROM low, UNNEST(range(1, length(t) - 1)) i(i)
+                WHERE length(t) >= 3
+            ),
+            bk AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                         % {_LANGID_B} AS b
+                FROM grams
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(sum(w[CAST(b AS INTEGER) + 1]) AS BIGINT)
+                         AS t2,
+                       count(*) AS n
+                FROM bk, en GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       CASE WHEN sc.n > 0
+                            THEN CAST(sc.t2 // sc.n AS BIGINT) END
+                         AS lm_score,
+                       CAST(coalesce(sc.n, 0) AS INTEGER)
+                         AS n_trigrams
+                FROM documents d LEFT JOIN sc USING (doc_id)
+            ),
+            rows_q AS (
+                SELECT *, CAST(lm_score // 1000 AS BIGINT)
+                         AS score_bucket
+                FROM scored WHERE lm_score IS NOT NULL
+            ),
+            hist AS (
+                SELECT lang, score_bucket, count(*) AS hn
+                FROM rows_q GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT lang, score_bucket,
+                       coalesce(sum(hn) OVER (
+                           PARTITION BY lang
+                           ORDER BY score_bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS above,
+                       sum(hn) OVER (PARTITION BY lang) AS total
+                FROM hist
+            ),
+            tl AS (
+                SELECT lang, score_bucket,
+                       CASE WHEN above < (total * 100000) // 1000000
+                              THEN 'head'
+                            WHEN above < (total * 400000) // 1000000
+                              THEN 'middle'
+                            ELSE 'tail' END AS tier
+                FROM cum
+            )
+            SELECT r.doc_id, r.lang, r.lm_score, r.n_trigrams,
+                   r.score_bucket, t.tier
+            FROM rows_q r JOIN tl t USING (lang, score_bucket)
+            ORDER BY r.doc_id LIMIT 500
         """,
         "pq_adc_topk": """
             -- product-quantization ADC top-k: m=4 subspace codebooks

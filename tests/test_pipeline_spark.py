@@ -2737,3 +2737,128 @@ def test_bpe_train_matches_independent_reference(spark):
 
     with _pytest.raises(ValueError):
         bpe_train(df, n_merges=0)
+
+
+def test_bpe_encode_matches_independent_apply(spark):
+    """bpe_encode vs an independent Python BPE apply: merges learned
+    by bpe_train, applied word-by-word with greedy left-to-right
+    non-overlapping merges in step order.  Also pins the defining
+    property (encoding the training corpus reproduces the symbol
+    table training ended with), the training filters (overlong words
+    excluded from both counts), unseen-word behavior, and the plan
+    shape (JVM-only, vocabulary broadcast-joined)."""
+    from zhtml_spark.textops import bpe_encode, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest low newer",
+        "x" * 70,  # overlong: excluded from BOTH counts everywhere
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=6)
+    mlist = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(merges.collect(), key=lambda r: r["step"])
+    ]
+
+    def apply_bpe(word: str) -> int:
+        syms = list(word)
+        for la, rb in mlist:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == la
+                    and syms[i + 1] == rb
+                ):
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    enc = bpe_encode(df, merges)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in enc.collect()
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        kept = [w for w in t.split() if 1 <= len(w) <= 64]
+        if kept:
+            exp[i] = (len(kept), sum(apply_bpe(w) for w in kept))
+    # doc 3 (only an overlong word) has no kept words and no row
+    assert got == exp and 3 not in got
+    # unseen words (not in the training vocabulary) still encode:
+    # the merge fold runs on the ENCODE corpus's own vocabulary
+    df2 = spark.createDataFrame(
+        [(0, "lowest newestest zq")], "doc_id long, text string"
+    )
+    got2 = bpe_encode(df2, merges).collect()[0]
+    assert got2["n_words"] == 3
+    assert got2["n_tokens"] == sum(
+        apply_bpe(w) for w in ["lowest", "newestest", "zq"]
+    )
+    # plan: JVM-only; the encoded vocabulary comes back broadcast
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_score_tiers_cut_rule_and_determinism(spark):
+    """score_tiers' integer-histogram cut rule: exact 10/30/60 split
+    when buckets are singletons; whole buckets land on ONE side of a
+    cut; tiny groups lose the head before the middle (integer
+    targets); NULL scores drop; validation guards; plan is one
+    combinable agg + a broadcast join (no corpus-scale sort)."""
+    import pytest as _pytest
+
+    from zhtml_spark.textops import score_tiers
+
+    rows = [("en", i, float(i)) for i in range(1, 101)]
+    rows += [("xx", 1000 + j, 7.0) for j in range(5)]
+    rows += [("en", 9999, None)]
+    df = spark.createDataFrame(
+        [(g, i, s) for g, i, s in rows],
+        "lang string, doc_id long, lm_score double",
+    ).select(
+        "lang", "doc_id", F.col("lm_score").cast("long").alias("lm_score")
+    )
+    out = score_tiers(df, bucket_q=1)
+    got = {
+        (r["lang"], r["doc_id"]): r["tier"] for r in out.collect()
+    }
+    # en: scores 1..100 DESC — top 10 head, next 30 middle, rest tail
+    for i in range(1, 101):
+        want = (
+            "head" if i > 90 else "middle" if i > 60 else "tail"
+        )
+        assert got[("en", i)] == want, (i, got[("en", i)])
+    # xx: ONE bucket of 5 — head target (5*0.1 div 1)=0 so no head;
+    # middle target 2 > 0 so the WHOLE bucket is middle
+    for j in range(5):
+        assert got[("xx", 1000 + j)] == "middle"
+    # the NULL-score row dropped
+    assert ("en", 9999) not in got
+    assert len(got) == 105
+    # deterministic rerun
+    again = {
+        (r["lang"], r["doc_id"]): r["tier"]
+        for r in score_tiers(df, bucket_q=1).collect()
+    }
+    assert got == again
+    with _pytest.raises(ValueError):
+        score_tiers(df, bucket_q=0)
+    with _pytest.raises(ValueError):
+        score_tiers(df, head_ppm=800_000, middle_ppm=300_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

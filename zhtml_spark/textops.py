@@ -2919,6 +2919,7 @@ def trigram_lm_score(
     lang: str = "en",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet-style language-model quality score (Wenzek et al. 2020
     §4.3 filter perplexity with a small LM; here the repo's hashed
@@ -2935,7 +2936,10 @@ def trigram_lm_score(
     (exact both engines): ``sum(weights) div n_trigrams``; docs
     shorter than one trigram score NULL (no evidence ≠ bad text).
     Same zero-shuffle fold shape as :func:`lang_id_v2` — one hash per
-    trigram, weights as plan literals, embarrassingly parallel."""
+    trigram, weights as plan literals, embarrassingly parallel.
+    ``keep_cols`` passes named input columns through unchanged (so a
+    grouping key — e.g. the corpus language for
+    :func:`score_tiers` — rides along without a corpus self-join)."""
     from .langid_model import trigram_weights
 
     weights = trigram_weights(hash_fn=hash_fn)
@@ -2946,12 +2950,14 @@ def trigram_lm_score(
     arr = F.lit(list(weights[lang]))
     # lower() into a multi-referenced column first (the r5-a
     # quadratic trap — see lang_id_v2)
+    keep = list(keep_cols)
     low = docs.select(
-        "doc_id", F.lower(F.col(text_col)).alias("_lt")
+        "doc_id", *keep, F.lower(F.col(text_col)).alias("_lt")
     )
     grams = F.expr(_char_gram_expr("_lt", 3))
     bucketed = low.select(
         "doc_id",
+        *keep,
         _langid_buckets(grams, hash_fn).alias("_b"),
     )
     total = F.aggregate(
@@ -2962,16 +2968,121 @@ def trigram_lm_score(
     return (
         bucketed.select(
             "doc_id",
+            *keep,
             total.alias("_t"),
             F.size("_b").alias("n_trigrams"),
         ).select(
             "doc_id",
+            *keep,
             F.when(
                 F.col("n_trigrams") > 0,
                 F.expr("_t div n_trigrams"),
             ).alias("lm_score"),
             "n_trigrams",
         )
+    )
+
+
+def score_tiers(
+    scores: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "lm_score",
+    head_ppm: int = 100_000,
+    middle_ppm: int = 300_000,
+    bucket_q: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers per group (Wenzek
+    et al. 2020 §4.3: cut each language's corpus at perplexity
+    percentiles; RedPajama-v2/Dolma keep the same three-way split) —
+    WITHOUT the corpus-scale sort a naive ``ntile`` would pay.
+
+    Rows are cut per ``group_col`` by ``score_col`` DESCENDING
+    (higher = better, :func:`trigram_lm_score` convention): the top
+    ``head_ppm`` parts-per-million of the group is ``head``, the
+    next ``middle_ppm`` is ``middle``, the rest ``tail``.  Rows with
+    NULL score are dropped (no evidence — callers gate those
+    separately).
+
+    Distributed shape (the whole point): percentiles come from an
+    integer HISTOGRAM, never a sort — scores quantize to
+    ``score div bucket_q`` buckets (truncating div, identical both
+    engines), the (group, bucket) count is one map-side-combinable
+    aggregation, the cumulative-from-top window runs over the TINY
+    histogram (groups × bounded bucket range — the 1e-6-scaled LM
+    scores span ~10⁴ buckets at the default quantum), and tiers come
+    back as a broadcast join.  At 10^12 rows the corpus is touched
+    by exactly one combinable agg and one broadcast-joined scan.
+
+    Cut rule (deterministic, integer-exact): a bucket belongs to the
+    head iff the count STRICTLY ABOVE it is < ``(total * head_ppm)
+    div 10^6`` — whole buckets land on one side, so realized
+    fractions deviate by at most one bucket's mass (shrink
+    ``bucket_q`` to tighten; ties inside a bucket are
+    indistinguishable by construction).  The reference has no
+    corpus-curation surface; brief-driven (training-data tier)."""
+    if bucket_q < 1:
+        raise ValueError("bucket_q must be >= 1")
+    if head_ppm < 0 or middle_ppm < 0 or head_ppm + middle_ppm > 1_000_000:
+        raise ValueError("tier ppms must be >= 0 and sum <= 1e6")
+    # Guard the score column with the value-neutral NONDETERMINISTIC
+    # wrapper (the lang_gate trick, textops lang tier): this op
+    # filters on the score, buckets it, AND emits it — if the caller
+    # computed it with a higher-order fold (trigram_lm_score), filter
+    # pushdown + CollapseProject would otherwise inline that fold
+    # once PER REFERENCE and HOF subtrees are excluded from
+    # subexpression elimination (measured here at 20k adversarial
+    # docs: 44.7 s unguarded → 3.1 s guarded warm — the same ~6×
+    # blowup lang_gate's guard closed; even a bare
+    # where(isNotNull(lm_score)).count() on the unguarded input pays
+    # 17.5 s).  The guard pins ONE evaluation
+    # per pass; the histogram pass and the labeling pass still each
+    # scan the input (CCNet's own two-pass shape) — callers at
+    # cluster scale persist/checkpoint `scores` when the score is
+    # expensive enough to amortize.
+    scores = scores.withColumn(
+        score_col,
+        F.when(
+            F.monotonically_increasing_id() >= 0, F.col(score_col)
+        ),
+    )
+    g, s = F.col(group_col), F.col(score_col)
+    rows = scores.where(s.isNotNull()).withColumn(
+        "score_bucket", F.expr(f"{score_col} div {bucket_q}")
+    )
+    hist = rows.groupBy(group_col, "score_bucket").agg(
+        F.count("*").alias("_n")
+    )
+    w_above = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    tiers = hist.select(
+        group_col,
+        "score_bucket",
+        F.coalesce(F.sum("_n").over(w_above), F.lit(0)).alias("_above"),
+        F.sum("_n").over(w_all).alias("_total"),
+    ).select(
+        group_col,
+        "score_bucket",
+        F.when(
+            F.col("_above")
+            < F.expr(f"(_total * {head_ppm}) div 1000000"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("_above")
+            < F.expr(
+                f"(_total * {head_ppm + middle_ppm}) div 1000000"
+            ),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )
+    return rows.join(
+        F.broadcast(tiers), [group_col, "score_bucket"]
     )
 
 
@@ -4250,3 +4361,92 @@ def bpe_train(
             _unpersist_rdd_ids(spark, prev_ids)
             prev_ids = live - prev_ids
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 64,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train`) to a
+    corpus and return per-document token accounting ``(doc_id,
+    n_words, n_tokens)`` — the budget arithmetic every training-data
+    pipeline runs before packing (how many tokens does this corpus
+    buy, and which documents are token-dense).
+
+    Merge application is IDENTICAL to training's merge step: one
+    greedy left-to-right literal ``replace`` per merge, in step
+    order, on the U+001F symbol carrier — so encoding the training
+    corpus reproduces exactly the symbol table training ended with
+    (pytest-pinned against an independent Python BPE).  Step order
+    needs no fixpoint loop: a merge's lhs/rhs are symbols created by
+    EARLIER steps only, and concatenating two adjacent symbols never
+    deletes the symbols between two others, so later merges cannot
+    manufacture a new occurrence of an earlier pair.
+
+    Distributed shape: the merge fold runs over the DISTINCT-word
+    vocabulary (Heaps' law — vocabulary-sized, never corpus-sized),
+    with the merge table collected IN-PLAN into one broadcast array
+    row and folded via ``aggregate`` (no driver collect, no K-deep
+    expression chain — one plan node however many merges); the
+    corpus-scale side is one hash join of the encoded vocabulary
+    onto the exploded word stream plus a map-side-combinable per-doc
+    sum.  ``broadcast_vocab`` pins the join broadcast (default —
+    vocabularies up to ~10⁷ words fit executors); at open-web scale
+    where the long-tail vocabulary outgrows that, pass ``False`` and
+    let AQE shuffle the word join instead.  Words failing training's
+    own filters (> ``max_word_len`` chars, or containing
+    U+001F/U+001E) are excluded from BOTH counts, matching what the
+    tokenizer was trained on."""
+    sep = "\x1f"
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.col(text_col), "[ \t\n\r\f]+")
+        ).alias("word"),
+    ).where(
+        (F.length("word") >= 1)
+        & (F.length("word") <= max_word_len)
+        & ~F.col("word").contains(sep)
+        & ~F.col("word").contains("\x1e")
+    )
+    # ONE broadcast row holding the whole merge table in step order
+    # (struct sort is lexicographic on fields, step first)
+    marr = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("step", "lhs", "rhs"))
+        ).alias("_m")
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "word",
+            F.aggregate(
+                "_m",
+                F.concat_ws(sep, F.split("word", "")),
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(m["lhs"], F.lit(sep), m["rhs"]),
+                    F.concat(m["lhs"], m["rhs"]),
+                ),
+            ).alias("_sym"),
+        )
+        .select(
+            "word",
+            F.size(F.split("_sym", sep)).alias("_tok_n"),
+        )
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_tok_n").alias("n_tokens"),
+        )
+    )
