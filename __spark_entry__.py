@@ -1277,6 +1277,58 @@ def _q_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    """MinHash-banded benchmark decontamination (r7): the benchmark
+    set is every 17th document with one appended token — a NEAR copy
+    that shares no long verbatim n-gram run's guarantee but collides
+    in LSH bands; those training docs (and any true near-dups of
+    them) drop, the rest survive.  The bench side reduces to distinct
+    bucket keys and broadcasts."""
+    from zhtml_spark.textops import decontaminate_fuzzy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return decontaminate_fuzzy(docs, bench, n=3, bands=4, rows=2)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (r7): three literal keyword queries over
+    the documents table, k1=1.2/b=0.75 worked into EXACT integer
+    arithmetic — idf via the fixed-point log2 recurrence
+    (with_log2q), tf normalization as one exact rational — so the
+    oracle recomputes bit-identical scores with the same CTE-chained
+    integer log."""
+    from zhtml_spark.textops import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [
+            (1, ["dup", "key"]),
+            (2, ["customer", "join", "slow"]),
+            (3, ["vector", "scan", "the"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (r7): target domain = every 13th
+    document; every document scored by the hashed-unigram
+    log-likelihood ratio (target vs raw, add-one smoothing, 256
+    buckets) — both distributions estimated from the data, the logs
+    computed by the integer fixed-point log2 recurrence on the
+    bucket table, so weights are cross-engine exact."""
+    from zhtml_spark.textops import dsir_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 13 == 0)
+    return dsir_weights(docs, target, n_buckets=256)
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
     """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
     centroids (r6, VERDICT r5 #4): the full composition — text →
@@ -3878,6 +3930,12 @@ NEW_THIS_ROUND: list[str] = [
     # bpe_train) and CCNet-style per-language quality tiers
     "bpe_encode",
     "quality_tiers",
+    # r7 late adds, session 2: fuzzy (MinHash-banded) benchmark
+    # decontamination; BM25 retrieval + DSIR importance weights on
+    # the new cross-engine fixed-point log2 primitive (with_log2q)
+    "decontaminate_fuzzy",
+    "bm25_topk",
+    "dsir_weights",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -3936,7 +3994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 6 new − 2 retired = 113.
+    md5 computation) — registry 109 + 9 new − 2 retired = 116 (the
+    last 3 new: decontaminate_fuzzy, bm25_topk, dsir_weights —
+    their window slots came from demoting the r5-green
+    embed_hashing, warc_extract, winnow_fingerprints to the tail
+    front, keeping the oldest-first refresh order intact).
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -3959,6 +4021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "quality_tiers": _q_quality_tiers,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "bm25_topk": _q_bm25_topk,
+        "dsir_weights": _q_dsir_weights,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -3981,7 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
-        #    37 fit) ---------------------------------------------------
+        #    34 fit after the 3 late block-A adds) ---------------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
@@ -4008,15 +4073,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
+        # -- tail: r5-green, age 2 — front of the r8 window (incl.
+        #    embed_hashing + warc_extract + winnow_fingerprints,
+        #    demoted when the 3 late block-A entries landed, and
+        #    image_meta + extract_meta + extract_heading_para from
+        #    the earlier block-A adds) ----------------------------------
         "embed_hashing": _q_embed_hashing,
         "warc_extract": _q_warc_extract,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_candidates": _q_winnow_dup_candidates,
         "pack_sequences": _q_pack_sequences,
         "dedup_components": _q_dedup_components,
-        # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    image_meta + extract_meta + extract_heading_para, demoted
-        #    to fit the 4 new block-A entries) --------------------------
         "image_meta": _q_image_meta,
         "extract_meta": _q_extract_meta,
         "extract_heading_para": _q_extract_heading_para,
@@ -4225,6 +4292,51 @@ def _bpe_ctes(n_merges: int = 4, max_word_len: int = 64) -> str:
              n
       FROM b{i}, t{i})"""
         )
+    return ",".join(parts)
+
+
+def _log2q_ctes(
+    src: str, prefix: str, x: str, out: str, frac_bits: int = 8
+) -> str:
+    """CTE chain replaying textops.with_log2q in DuckDB: appends
+    column ``out`` = fixed-point log2 (``≈ 2^frac_bits · log2(x)``)
+    of BIGINT column ``x`` (NULL below 1) to every row of CTE
+    ``src``, via the same mantissa-squaring recurrence in pure
+    64-bit integer arithmetic — mantissa in [2^30, 2^31) so squares
+    stay < 2^62; each fractional bit compares the square against
+    2^61 and renormalizes by 31 or 30.  Caller reads ``{prefix}z``.
+    Identical op-for-op with the Spark side, so log-based scores
+    (BM25 idf, DSIR llr) hash-match exactly."""
+    two61 = 1 << 61
+    parts = [
+        f"""
+    {prefix}n AS (
+      SELECT *, CASE WHEN {x} >= 1
+                     THEN CAST(length(bin({x})) - 1 AS BIGINT) END AS _n
+      FROM {src}),
+    {prefix}0 AS (
+      SELECT * EXCLUDE (_n),
+             CASE WHEN _n <= 30 THEN {x} << CAST(30 - _n AS INTEGER)
+                  ELSE {x} >> CAST(_n - 30 AS INTEGER) END AS _m,
+             _n AS _f
+      FROM {prefix}n)"""
+    ]
+    for i in range(frac_bits):
+        parts.append(
+            f"""
+    {prefix}{i + 1} AS (
+      SELECT * EXCLUDE (_m, _f),
+             CASE WHEN _m * _m >= {two61} THEN (_m * _m) >> 31
+                  ELSE (_m * _m) >> 30 END AS _m,
+             _f * 2 + CASE WHEN _m * _m >= {two61}
+                           THEN 1 ELSE 0 END AS _f
+      FROM {prefix}{i})"""
+        )
+    parts.append(
+        f"""
+    {prefix}z AS (
+      SELECT * EXCLUDE (_m, _f), _f AS {out} FROM {prefix}{frac_bits})"""
+    )
     return ",".join(parts)
 
 
@@ -5009,6 +5121,207 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v.tok_n) AS BIGINT) AS n_tokens
             FROM ew w JOIN vt v USING (word)
             GROUP BY 1 ORDER BY 1 LIMIT 500
+        """,
+        "decontaminate_fuzzy": """
+            -- MinHash-banded decontamination: bench = every 17th doc
+            -- + ' zq' (a NEAR copy); training docs colliding with a
+            -- bench doc's band signature in >= 1 band drop
+            WITH bench AS (
+                SELECT doc_id + 90000 AS doc_id, text || ' zq' AS text
+                FROM documents WHERE doc_id % 17 = 0
+            ),
+            bw AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM bench
+            ),
+            bgrams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+2], ' ') AS gram
+                FROM bw, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            bseeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM bgrams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            bsg AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM bseeded GROUP BY doc_id, seed
+            ),
+            bbuckets AS (
+                SELECT DISTINCT band, bsig FROM (
+                    SELECT seed // 2 AS band,
+                           md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                          ORDER BY seed)) AS bsig
+                    FROM bsg GROUP BY doc_id, seed // 2
+                )
+            ),
+            dw AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+            ),
+            dgrams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+2], ' ') AS gram
+                FROM dw, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            dseeded AS (
+                SELECT doc_id, gram, CAST(s.seed AS INTEGER) AS seed
+                FROM dgrams, (SELECT UNNEST(range(0, 8)) AS seed) s
+            ),
+            dsg AS (
+                SELECT doc_id, seed,
+                       min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS minhash
+                FROM dseeded GROUP BY doc_id, seed
+            ),
+            dbs AS (
+                SELECT doc_id, seed // 2 AS band,
+                       md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                      ORDER BY seed)) AS bsig
+                FROM dsg GROUP BY doc_id, seed // 2
+            ),
+            dirty AS (
+                SELECT DISTINCT d.doc_id
+                FROM dbs d JOIN bbuckets b
+                  ON d.band = b.band AND d.bsig = b.bsig
+            )
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "bm25_topk": """
+            -- BM25 (k1=6/5, b=3/4) in exact integer arithmetic:
+            -- idf = log2q(2N-2df+1) - log2q(2df+1) via the fixed-
+            -- point log2 CTE chain; tf norm multiplied through to
+            -- 22*tf*W // (10*tf*W + 3*W + 9*dl*N)
+            WITH qs AS (
+                SELECT * FROM (VALUES
+                    (CAST(1 AS BIGINT), ['dup', 'key']),
+                    (CAST(2 AS BIGINT), ['customer', 'join', 'slow']),
+                    (CAST(3 AS BIGINT), ['vector', 'scan', 'the'])
+                ) AS t(query_id, terms)
+            ),
+            wordsf AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+                WHERE word <> ''
+            ),
+            tf AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM wordsf GROUP BY 1, 2
+            ),
+            dl AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY 1
+            ),
+            nw AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT)
+                        FROM documents) AS n_docs,
+                       (SELECT CAST(count(*) AS BIGINT)
+                        FROM wordsf) AS n_words
+            ),
+            dfreq AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1
+            ),
+            qterms AS (
+                SELECT DISTINCT query_id, unnest(terms) AS word FROM qs
+            ),
+            qdf0 AS (
+                SELECT query_id, qt.word,
+                       2 * n_docs - 2 * df + 1 AS _xa,
+                       2 * df + 1 AS _xb,
+                       n_docs, n_words
+                FROM qterms qt JOIN dfreq USING (word) CROSS JOIN nw
+            ),
+        """ + _log2q_ctes("qdf0", "la", "_xa", "_l2a") + ","
+            + _log2q_ctes("laz", "lb", "_xb", "_l2b") + """,
+            qidf AS (
+                SELECT query_id, word, _l2a - _l2b AS idf_q,
+                       n_docs, n_words
+                FROM lbz
+            ),
+            scored AS (
+                SELECT query_id, t.doc_id,
+                       CAST(sum((idf_q * (22 * t.tf * n_words)) //
+                                (10 * t.tf * n_words + 3 * n_words
+                                 + 9 * d.dl * n_docs))
+                            AS BIGINT) AS score_q
+                FROM tf t JOIN qidf q ON t.word = q.word
+                          JOIN dl d ON t.doc_id = d.doc_id
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score_q,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id)
+                            AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, score_q, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "dsir_weights": """
+            -- DSIR hashed-unigram importance weights: target =
+            -- every 13th doc; llr per 256-way md5 bucket with
+            -- add-one smoothing, logs via the fixed-point log2 chain
+            WITH tdocs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+            ),
+            rtok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('dsir|' || word), 1, 12))
+                            AS BIGINT) % 256 AS bucket
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ),
+            ttok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('dsir|' || word), 1, 12))
+                            AS BIGINT) % 256 AS bucket
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM tdocs)
+                WHERE word <> ''
+            ),
+            rc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS r_b
+                FROM rtok GROUP BY 1
+            ),
+            tc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS t_b
+                FROM ttok GROUP BY 1
+            ),
+            tot0 AS (
+                SELECT (SELECT CAST(sum(r_b) AS BIGINT) FROM rc)
+                           + 256 AS _xr,
+                       (SELECT coalesce(CAST(sum(t_b) AS BIGINT), 0)
+                        FROM tc) + 256 AS _xt
+            ),
+        """ + _log2q_ctes("tot0", "tr", "_xr", "_l2r") + ","
+            + _log2q_ctes("trz", "tw", "_xt", "_l2t") + """,
+            cst AS (SELECT _l2r - _l2t AS llr_const FROM twz),
+            bt0 AS (
+                SELECT rc.bucket,
+                       coalesce(t_b, CAST(0 AS BIGINT)) + 1 AS _xa,
+                       r_b + 1 AS _xb
+                FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+            ),
+        """ + _log2q_ctes("bt0", "ba", "_xa", "_l2a") + ","
+            + _log2q_ctes("baz", "bb", "_xb", "_l2b") + """,
+            llr AS (
+                SELECT bucket,
+                       _l2a - _l2b + (SELECT llr_const FROM cst)
+                           AS llr_q
+                FROM bbz
+            )
+            SELECT r.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(l.llr_q) AS BIGINT) AS dsir_q
+            FROM rtok r JOIN llr l ON r.bucket = l.bucket
+            GROUP BY 1
         """,
         "quality_tiers": f"""
             -- CCNet-style per-language head/middle/tail tiers from

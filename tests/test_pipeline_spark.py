@@ -2862,3 +2862,204 @@ def test_score_tiers_cut_rule_and_determinism(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _log2q_ref(x: int, frac_bits: int = 8):
+    """Independent Python transcription of the mantissa-squaring
+    fixed-point log2 recurrence (the with_log2q contract)."""
+    if x < 1:
+        return None
+    n = x.bit_length() - 1
+    m = x << (30 - n) if n <= 30 else x >> (n - 30)
+    f = n
+    for _ in range(frac_bits):
+        mm = m * m
+        if mm >= 1 << 61:
+            m, f = mm >> 31, f * 2 + 1
+        else:
+            m, f = mm >> 30, f * 2
+    return f
+
+
+def test_with_log2q_matches_independent_reference(spark):
+    """with_log2q vs the independent recurrence on edge values
+    (powers of two, mantissa extremes, >2^31 inputs where the
+    normalization flips to right-shift), plus accuracy vs float
+    log2 (≤1% of a doubling at frac_bits=8) and the NULL guard."""
+    import math
+
+    from zhtml_spark.textops import with_log2q
+
+    vals = [1, 2, 3, 4, 5, 7, 10, 63, 64, 65, 100, 12345, 999983,
+            2**30 - 1, 2**30, 2**31 - 1, 2**31, 2**40 + 123,
+            2**52 + 9, 0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["l2q"] for r in with_log2q(df, "x", "l2q").collect()}
+    for v in vals:
+        assert got[v] == _log2q_ref(v), v
+        if v >= 2:
+            assert abs(got[v] / 256 - math.log2(v)) < 0.01, v
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division — the div semantics BOTH engines
+    share (probed r6: -7 div 2 == -7 // 2 == -3); Python's // floors,
+    so the reference needs this shim for negative scores."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def test_bm25_topk_matches_independent_reference(spark):
+    """bm25_topk vs a dict-based independent BM25 with the identical
+    integer quantization (log2q idf, 22·tf·W / (10·tf·W+3·W+9·dl·N)
+    rational) — covers negative idf (df > N/2), tf saturation, and
+    deterministic tie-breaks."""
+    from zhtml_spark.textops import bm25_topk
+
+    corpus = {
+        0: "rare key value",
+        1: "key value table row table",
+        2: "rare rare rare scan",
+        3: "scan filter merge join hash scan",
+        4: "the a of key",
+        5: "key key key key",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    queries = {1: ["rare"], 2: ["scan", "key"], 3: ["key"]}
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in queries.items()],
+        "query_id long, terms array<string>",
+    )
+    got = [
+        (r["query_id"], r["doc_id"], r["score_q"], r["rank"])
+        for r in bm25_topk(docs, qdf, k=3).collect()
+    ]
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = len(corpus)
+    n_words = sum(len(t) for t in toks.values())
+    df_ = {}
+    for t in toks.values():
+        for w in set(t):
+            df_[w] = df_.get(w, 0) + 1
+    exp = []
+    for q, terms in queries.items():
+        scores = {}
+        for d, t in toks.items():
+            s = 0
+            hit = False
+            for w in set(terms):
+                tf = t.count(w)
+                if tf == 0 or w not in df_:
+                    continue
+                hit = True
+                idf = _log2q_ref(2 * n_docs - 2 * df_[w] + 1) - _log2q_ref(
+                    2 * df_[w] + 1
+                )
+                s += _tdiv(
+                    idf * (22 * tf * n_words),
+                    10 * tf * n_words + 3 * n_words + 9 * len(t) * n_docs,
+                )
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp += [(q, d, s, i + 1) for i, (d, s) in enumerate(ranked)]
+    assert sorted(got) == sorted(exp)
+    # positive-idf term ('rare', df=2 of 6): the tf-heavy doc wins
+    q1 = {d: rk for (q, d, _, rk) in got if q == 1}
+    assert q1[2] == 1 and q1[0] == 2
+    # negative-idf term ('key', df=4 > N/2): more occurrences score
+    # LOWER (classic BM25 df>N/2 behavior) — the tf=4 doc falls out
+    # of the k=3 cut entirely while a tf=1 doc stays
+    q3 = {d for (q, d, _, _) in got if q == 3}
+    assert 5 not in q3 and 0 in q3
+
+
+def test_dsir_weights_matches_independent_reference(spark):
+    """dsir_weights vs a dict-based independent llr computation
+    (hashlib md5 buckets, add-one smoothing, log2q logs), plus the
+    direction check: docs made of target-domain words outweigh
+    off-domain docs."""
+    import hashlib
+
+    from zhtml_spark.textops import dsir_weights
+
+    corpus = {
+        0: "dup dup key dup",
+        1: "table row scan filter",
+        2: "dup key dup key",
+        3: "merge join hash batch",
+    }
+    target = {100: "dup key dup", 101: "dup dup"}
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        list(target.items()), "doc_id long, text string"
+    )
+    nb = 64
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_q"])
+        for r in dsir_weights(docs, tgt, n_buckets=nb).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(f"dsir|{w}".encode()).hexdigest()[:12], 16) % nb
+
+    r_c: dict = {}
+    t_c: dict = {}
+    for t in corpus.values():
+        for w in t.split():
+            r_c[bucket(w)] = r_c.get(bucket(w), 0) + 1
+    for t in target.values():
+        for w in t.split():
+            t_c[bucket(w)] = t_c.get(bucket(w), 0) + 1
+    const = _log2q_ref(sum(r_c.values()) + nb) - _log2q_ref(
+        sum(t_c.values()) + nb
+    )
+    exp = {}
+    for d, t in corpus.items():
+        ws = t.split()
+        s = sum(
+            _log2q_ref(t_c.get(bucket(w), 0) + 1)
+            - _log2q_ref(r_c[bucket(w)] + 1)
+            + const
+            for w in ws
+        )
+        exp[d] = (len(ws), s)
+    assert got == exp
+    # direction: the dup/key docs (target-like) outweigh the rest
+    assert min(got[0][1], got[2][1]) > max(got[1][1], got[3][1])
+
+
+def test_decontaminate_fuzzy_drops_near_copies(spark):
+    """A lightly-edited eval doc (one token appended — shares no
+    verbatim long run, but collides in MinHash bands) contaminates
+    its training source; unrelated docs survive with ALL original
+    columns; exact-copy bench rows drop their source too."""
+    from zhtml_spark.textops import decontaminate_fuzzy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+            (1, "one two three four five six seven eight nine", "en"),
+            (2, "totally unrelated words nothing shared here at all", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (900, "alpha beta gamma delta epsilon zeta eta theta tail"),
+            (901, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate_fuzzy(docs, bench, n=3, bands=4, rows=2)
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert set(rows) == {2}
+    assert rows[2][1] == "de"  # original columns intact
+    # an empty benchmark keeps everything
+    empty = bench.where("doc_id < 0")
+    assert decontaminate_fuzzy(docs, empty, n=3).count() == 3

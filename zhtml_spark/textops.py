@@ -4450,3 +4450,294 @@ def bpe_encode(
             F.sum("_tok_n").alias("n_tokens"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    shingle: str = "word",
+    min_bands: int = 1,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop every training
+    document whose banded MinHash signature collides with an
+    evaluation/benchmark document in ≥ ``min_bands`` bands — the
+    fuzzy companion to :func:`decontaminate` (exact n-gram overlap),
+    catching lightly-edited / paraphrased eval leakage that shares no
+    verbatim 8-gram (the Llama/GPT-4 eval-contamination reports'
+    motivating case).
+
+    Distributed shape: the benchmark side (thousands of eval rows vs
+    billions of train docs) reduces to its DISTINCT ``(band,
+    band_sig)`` bucket keys and BROADCASTS — the corpus-side scan
+    computes batch signatures and probes the broadcast buckets with
+    no shuffle of corpus text; contaminated ids then anti-join back.
+    This is :func:`dedup_against_index`'s asymmetric shape with the
+    index side inverted (tiny and broadcast instead of persisted and
+    bucketed).  Returns the CLEAN subset of ``docs`` (all original
+    columns)."""
+    buckets = (
+        _band_signatures(
+            benchmark.select("doc_id", "text"), n, bands, rows, shingle
+        )
+        .select("band", "band_sig")
+        .distinct()
+    )
+    sig = _band_signatures(
+        docs.select("doc_id", "text"), n, bands, rows, shingle
+    )
+    dirty = (
+        sig.join(F.broadcast(buckets), ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= min_bands)
+        .select("doc_id")
+    )
+    return docs.join(dirty, "doc_id", "left_anti")
+
+
+def with_log2q(
+    df: DataFrame, x_col: str, out_col: str, frac_bits: int = 8
+) -> DataFrame:
+    """Append ``out_col`` = fixed-point log2 of BIGINT column
+    ``x_col``: an integer ≈ ``2^frac_bits · log2(x)`` for ``x ≥ 1``
+    (NULL otherwise), computed by the classic mantissa-squaring digit
+    recurrence in PURE 64-bit integer arithmetic — the primitive that
+    makes data-dependent log scores (BM25 idf, DSIR log-likelihood
+    ratios) cross-engine EXACT.  Float ``ln()`` is libm-dependent
+    (Java Math.log vs DuckDB's C library need not round identically),
+    so any oracle-gated score built on it would be hash-fragile; this
+    recurrence is deterministic integer ops both engines.
+
+    Algorithm: ``n = ilog2(x)`` via ``length(bin(x)) - 1`` (identical
+    string semantics both engines), mantissa normalized to
+    ``[2^30, 2^31)`` (squares stay < 2^62 — no BIGINT overflow), then
+    per fractional bit: square; if the square crosses 2^61 the bit is
+    1 and the shift renormalizes by 31, else 0 and 30.  Result
+    ``n·2^frac_bits + bits``.  Truncation error ≤ ~2 ulp at
+    frac_bits=8 (≈0.8% of a doubling) — scoring-grade resolution,
+    bit-identical everywhere.
+
+    Built as ``frac_bits`` chained projections over multi-referenced
+    aliases (CollapseProject keeps them materialized — CLAUDE.md r5
+    gotcha), so the plan stays linear in frac_bits; intended for
+    SMALL tables (vocabularies, histograms, bucket stats), where the
+    per-row cost is irrelevant."""
+    two61 = 1 << 61
+    df = df.select(
+        "*",
+        F.expr(
+            f"CASE WHEN {x_col} >= 1 THEN "
+            f"CAST(length(bin({x_col})) - 1 AS BIGINT) END"
+        ).alias("_l2n"),
+    )
+    df = df.select(
+        "*",
+        F.expr(
+            f"CASE WHEN _l2n <= 30 THEN shiftleft({x_col}, "
+            f"CAST(30 - _l2n AS INT)) "
+            f"ELSE shiftright({x_col}, CAST(_l2n - 30 AS INT)) END"
+        ).alias("_l2m0"),
+        F.col("_l2n").alias("_l2f0"),
+    ).drop("_l2n")
+    for i in range(frac_bits):
+        df = df.select(
+            "*",
+            F.expr(
+                f"CASE WHEN _l2m{i} * _l2m{i} >= {two61} "
+                f"THEN shiftright(_l2m{i} * _l2m{i}, 31) "
+                f"ELSE shiftright(_l2m{i} * _l2m{i}, 30) END"
+            ).alias(f"_l2m{i + 1}"),
+            F.expr(
+                f"_l2f{i} * 2 + CASE WHEN _l2m{i} * _l2m{i} >= {two61} "
+                f"THEN 1 ELSE 0 END"
+            ).alias(f"_l2f{i + 1}"),
+        ).drop(f"_l2m{i}", f"_l2f{i}")
+    return df.withColumnRenamed(f"_l2f{frac_bits}", out_col).drop(
+        f"_l2m{frac_bits}"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    frac_bits: int = 8,
+) -> DataFrame:
+    """BM25 ranked keyword retrieval (Robertson–Spärck Jones /
+    Okapi): top-``k`` documents per query with the standard
+    ``k1=1.2, b=0.75`` parameterization, scored EXACTLY in integer
+    arithmetic so the DuckDB oracle hash-matches.
+
+    ``queries`` is ``(query_id, terms array<string>)`` — the small
+    side, broadcast.  Scoring works the classic formula into integer
+    form: idf = ln((N−df+0.5)/(df+0.5)) becomes
+    ``log2q(2N−2df+1) − log2q(2df+1)`` (fixed-point log2 via
+    :func:`with_log2q`; base-2 vs base-e only rescales all scores by
+    a constant — ranking-invariant), and the tf normalization
+    ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with k1=6/5, b=3/4 and
+    avgdl = W/N multiplies through to the exact rational
+    ``22·tf·W / (10·tf·W + 3·W + 9·dl·N)`` (W = corpus words, N =
+    docs).  Per-term score = ``idf_q · 22·tf·W div (10·tf·W + 3·W +
+    9·dl·N)``; doc score = Σ terms.
+
+    Distributed shape: tf table = one (doc, word) partial-agg
+    shuffle; df/idf live on the per-TERM table (vocabulary-sized —
+    Heaps' law, never corpus-sized) where the log recurrence runs;
+    query terms + idf broadcast-join the tf table (posting-list
+    access — the scan touches only matching terms); dl joins on the
+    doc key; one per-query top-k window over scored candidates
+    (candidates = posting-list union, never the corpus).  Zero
+    Python.  Overflow: ``idf_q·22·tf·W`` needs ``tf·W ≤ ~1.6e15``
+    (frac_bits=8) — at larger corpora rescale W and N by a common
+    factor before calling (only their ratio enters the score).
+
+    Returns (query_id, doc_id, score_q, rank), rank 1..k by
+    (score desc, doc_id) — ties broken deterministically."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    nw = docs.agg(
+        F.count("*").alias("n_docs"),
+    ).crossJoin(words.agg(F.count("*").alias("n_words")))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("word")
+    ).distinct()
+    qdf = (
+        qterms.join(dfreq, "word")
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "query_id",
+            "word",
+            F.expr("2 * n_docs - 2 * df + 1").alias("_xa"),
+            F.expr("2 * df + 1").alias("_xb"),
+            "n_docs",
+            "n_words",
+        )
+    )
+    qdf = with_log2q(qdf, "_xa", "_l2a", frac_bits)
+    qdf = with_log2q(qdf, "_xb", "_l2b", frac_bits)
+    qidf = qdf.select(
+        "query_id",
+        "word",
+        (F.col("_l2a") - F.col("_l2b")).alias("idf_q"),
+        "n_docs",
+        "n_words",
+    )
+    scored = (
+        tf.join(F.broadcast(qidf), "word")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "idf_q * (22 * tf * n_words) div "
+                    "(10 * tf * n_words + 3 * n_words + 9 * dl * n_docs)"
+                )
+            ).alias("score_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    frac_bits: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by the log-likelihood ratio of its hashed
+    bag-of-words under a TARGET distribution (the high-quality
+    domain you want more of) vs the RAW corpus distribution —
+    ``w(doc) = Σ_tokens [log p_target(bucket) − log p_raw(bucket)]``
+    with add-one smoothing over ``n_buckets`` hashed unigram
+    buckets.  Downstream, compose with :func:`hash_sample` /
+    :func:`rebalance_sample` to keep a deterministic high-weight
+    subset (DSIR's gumbel-noise sampler is RNG; the hash-threshold
+    rule is this repo's reproducible equivalent).
+
+    Both distributions are estimated from the DATA (unlike
+    :mod:`langid_model`'s static seed weights), so the log runs
+    in-engine: :func:`with_log2q`'s integer fixed-point log2 keeps
+    it cross-engine exact.  Expansion (constants fold per corpus):
+    ``llr(b) = log2q(t_b+1) − log2q(r_b+1) + log2q(R+B) −
+    log2q(T+B)`` — computed on the ``n_buckets``-row bucket table,
+    then ONE broadcast join onto the exploded token stream + a
+    map-side-combinable per-doc sum.  The corpus-scale stages are
+    the token explode and that sum; everything logarithmic lives on
+    vocabulary-sized tables.  Zero Python, no windows, no sorts.
+
+    Returns (doc_id, n_tokens, dsir_q); higher = more target-like.
+    Docs with no tokens are absent (no bag to score).  Base-2 vs
+    DSIR's natural log rescales every weight by the same constant —
+    selection-order-invariant."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    bucket = md5_hash48(F.col("word"), salt="dsir|") % n_buckets
+
+    def toks(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.col(text_col), " ")).alias("word"),
+            )
+            .where(F.col("word") != "")
+            .select("doc_id", bucket.alias("bucket"))
+        )
+
+    raw = toks(docs)
+    raw_counts = raw.groupBy("bucket").agg(F.count("*").alias("r_b"))
+    tgt_counts = (
+        toks(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
+    )
+    totals = (
+        raw_counts.agg(F.sum("r_b").alias("r_tot"))
+        .crossJoin(tgt_counts.agg(F.sum("t_b").alias("t_tot")))
+        .select(
+            (F.col("r_tot") + n_buckets).alias("_xr"),
+            (F.col("t_tot") + n_buckets).alias("_xt"),
+        )
+    )
+    totals = with_log2q(totals, "_xr", "_l2r", frac_bits)
+    totals = with_log2q(totals, "_xt", "_l2t", frac_bits)
+    const = totals.select(
+        (F.col("_l2r") - F.col("_l2t")).alias("llr_const")
+    )
+    buckets_tbl = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("t_b"), F.lit(0)) + 1).alias("_xa"),
+            (F.col("r_b") + 1).alias("_xb"),
+        )
+    )
+    buckets_tbl = with_log2q(buckets_tbl, "_xa", "_l2a", frac_bits)
+    buckets_tbl = with_log2q(buckets_tbl, "_xb", "_l2b", frac_bits)
+    llr = buckets_tbl.crossJoin(F.broadcast(const)).select(
+        "bucket",
+        (F.col("_l2a") - F.col("_l2b") + F.col("llr_const")).alias("llr_q"),
+    )
+    return (
+        raw.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("llr_q").alias("dsir_q"),
+        )
+    )
