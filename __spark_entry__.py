@@ -1329,6 +1329,31 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target, n_buckets=256)
 
 
+def _q_doc_line_dedup(spark, sf_dir):
+    """Within-document duplicate-line removal (r7): each document is
+    rendered as 7 lines with three self-repetitions (a duplicated
+    cookie banner, a repeated body, a repeated head slice) plus a
+    blank structural line — the first occurrences and the blank
+    survive, n_removed = 3, all with ZERO shuffles."""
+    from zhtml_spark.textops import dedup_lines_in_doc
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("cookie notice accept all"),
+            F.substring("text", 1, 40),
+            F.lit("cookie notice accept all"),
+            F.col("text"),
+            F.lit(""),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return dedup_lines_in_doc(multi)
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
     """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
     centroids (r6, VERDICT r5 #4): the full composition — text →
@@ -3936,6 +3961,9 @@ NEW_THIS_ROUND: list[str] = [
     "decontaminate_fuzzy",
     "bm25_topk",
     "dsir_weights",
+    # r7 late add: within-document duplicate-line removal (the apply
+    # side of repetition_stats, zero-shuffle HOF plan)
+    "doc_line_dedup",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -3994,11 +4022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 9 new − 2 retired = 116 (the
-    last 3 new: decontaminate_fuzzy, bm25_topk, dsir_weights —
-    their window slots came from demoting the r5-green
-    embed_hashing, warc_extract, winnow_fingerprints to the tail
-    front, keeping the oldest-first refresh order intact).
+    md5 computation) — registry 109 + 10 new − 2 retired = 117 (the
+    last 4 new: decontaminate_fuzzy, bm25_topk, dsir_weights,
+    doc_line_dedup — their window slots came from demoting the
+    r5-green media_container_meta, embed_hashing, warc_extract,
+    winnow_fingerprints to the tail front, keeping the oldest-first
+    refresh order intact).
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
     argued per removal in STATUS.md): simhash48, ivf_topk,
     minhash_signatures, interval_join, sitemap_urls, dedup_survivors,
@@ -4024,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "bm25_topk": _q_bm25_topk,
         "dsir_weights": _q_dsir_weights,
+        "doc_line_dedup": _q_doc_line_dedup,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -4046,7 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
-        #    34 fit after the 3 late block-A adds) ---------------------
+        #    33 fit after the 4 late block-A adds) ---------------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
@@ -4072,12 +4102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset_extract": _q_warc_charset_extract,
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
-        "media_container_meta": _q_media_container_meta,
         # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    embed_hashing + warc_extract + winnow_fingerprints,
-        #    demoted when the 3 late block-A entries landed, and
-        #    image_meta + extract_meta + extract_heading_para from
-        #    the earlier block-A adds) ----------------------------------
+        #    media_container_meta + embed_hashing + warc_extract +
+        #    winnow_fingerprints, demoted when the 4 late block-A
+        #    entries landed, and image_meta + extract_meta +
+        #    extract_heading_para from the earlier block-A adds) --------
+        "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
         "warc_extract": _q_warc_extract,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -5121,6 +5151,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v.tok_n) AS BIGINT) AS n_tokens
             FROM ew w JOIN vt v USING (word)
             GROUP BY 1 ORDER BY 1 LIMIT 500
+        """,
+        "doc_line_dedup": """
+            -- within-doc line dedup: 7 synthesized lines per doc
+            -- (3 self-repetitions + a blank); non-blank lines keep
+            -- first occurrence by md5-48 of the trimmed line,
+            -- blanks always survive
+            WITH multi AS (
+                SELECT doc_id,
+                       text || chr(10) || 'cookie notice accept all'
+                       || chr(10) || substr(text, 1, 40) || chr(10)
+                       || 'cookie notice accept all' || chr(10)
+                       || text || chr(10) || '' || chr(10)
+                       || substr(text, 1, 40) AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i - 1 AS pos, l[i] AS line
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS l
+                      FROM multi),
+                     UNNEST(range(1, len(l) + 1)) t(i)
+            ),
+            keyed AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN trim(line) <> '' THEN
+                         CAST(('0x' || substr(md5(trim(line)), 1, 12))
+                              AS BIGINT)
+                       END AS lk
+                FROM lines
+            ),
+            flagged AS (
+                SELECT doc_id, pos, line,
+                       (lk IS NULL OR row_number() OVER (
+                            PARTITION BY doc_id, lk ORDER BY pos) = 1)
+                           AS keep
+                FROM keyed
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) FILTER (WHERE NOT keep)
+                        AS INTEGER) AS n_removed
+            FROM flagged GROUP BY doc_id
         """,
         "decontaminate_fuzzy": """
             -- MinHash-banded decontamination: bench = every 17th doc

@@ -3063,3 +3063,39 @@ def test_decontaminate_fuzzy_drops_near_copies(spark):
     # an empty benchmark keeps everything
     empty = bench.where("doc_id < 0")
     assert decontaminate_fuzzy(docs, empty, n=3).count() == 3
+
+
+def test_dedup_lines_in_doc_keeps_first_and_blanks(spark):
+    """Within-doc line dedup: first occurrences and blank lines
+    survive, later repeats (incl. whitespace-variant repeats — keys
+    hash the TRIMMED line) drop; order preserved; single-line and
+    all-blank docs pass through; n_removed counts the cuts."""
+    from zhtml_spark.textops import dedup_lines_in_doc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "menu\nbody one\nmenu\n\nbody two\nmenu \nbody one"),
+            (1, "only line"),
+            (2, "\n\n"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines_in_doc(docs).collect()
+    }
+    # doc 0: 'menu'(pos2), 'menu '(pos5, trims equal) and
+    # 'body one'(pos6) drop; the blank stays
+    assert got[0] == ("menu\nbody one\n\nbody two", 3)
+    assert got[1] == ("only line", 0)
+    assert got[2] == ("\n\n", 0)
+    assert got[3] == ("", 0)
+    # zero-shuffle plan: no Exchange anywhere
+    plan = (
+        dedup_lines_in_doc(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -4741,3 +4741,70 @@ def dsir_weights(
             F.sum("llr_q").alias("dsir_q"),
         )
     )
+
+
+def dedup_lines_in_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal (RefinedWeb/Gopher-style
+    repetition scrubbing — the APPLY side of :func:`repetition_stats`'
+    flags): every non-blank line keeps only its FIRST occurrence
+    inside the document; blank lines (structure) always survive.
+    Corpus-level boilerplate is :func:`line_dedup`'s job — this pass
+    removes self-repetition (scraped menus, pagination echoes,
+    retry-duplicated paragraphs) that no cross-doc count can see.
+
+    Plan: ZERO shuffles — one projection chain per row: split,
+    per-line md5-48 keys via ``transform`` (each line hashed ONCE —
+    never an O(text) expression inside the dedup lambda, the r5-a
+    trap), then a positional ``filter`` keeping line i iff its key is
+    absent from keys[0..i).  The keys array is multi-referenced (zip
+    input + slice inside the lambda), so CollapseProject cannot
+    inline it into the lambda body (the single-use-alias
+    re-evaluation trap, CLAUDE.md).  Per-doc cost is O(L²) int
+    compares over L = lines/doc — bounded by the page, not the
+    corpus, and embarrassingly parallel at any scale.  Returns
+    (id_col, text_col, n_removed)."""
+    import re as _re
+
+    df = docs.select(id_col, F.col(text_col).alias("_orig")).select(
+        id_col,
+        F.split(F.col("_orig"), _re.escape(sep)).alias("_lines"),
+    )
+    df = df.select(
+        id_col,
+        "_lines",
+        F.transform(
+            "_lines",
+            lambda l: F.when(
+                F.trim(l) != "",
+                F.conv(F.substring(F.md5(F.trim(l)), 1, 12), 16, 10).cast(
+                    "long"
+                ),
+            ),
+        ).alias("_keys"),
+    )
+    kept = F.filter(
+        F.arrays_zip(F.col("_keys").alias("k"), F.col("_lines").alias("l")),
+        lambda s, i: s["k"].isNull()
+        | (
+            F.coalesce(
+                F.array_position(
+                    F.slice(F.col("_keys"), F.lit(1), i), s["k"]
+                ),
+                F.lit(0),
+            )
+            == 0
+        ),
+    )
+    df = df.select(id_col, "_lines", kept.alias("_kept"))
+    return df.select(
+        id_col,
+        F.array_join(
+            F.transform("_kept", lambda s: s["l"]), sep
+        ).alias(text_col),
+        (F.size("_lines") - F.size("_kept")).cast("int").alias("n_removed"),
+    )
