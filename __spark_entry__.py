@@ -1354,6 +1354,34 @@ def _q_doc_line_dedup(spark, sf_dir):
     return dedup_lines_in_doc(multi)
 
 
+def _q_bigram_selfscore(spark, sf_dir):
+    """Corpus-trained bigram-LM self-perplexity (r7): the LM is
+    estimated from the documents table itself (hashed word bigrams,
+    add-one smoothing, 256 buckets), every doc scored by its mean
+    conditional log2-prob via the integer fixed-point log — CCNet's
+    perplexity filter with the model trained in-plan instead of
+    shipped."""
+    from zhtml_spark.textops import bigram_lm_selfscore
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bigram_lm_selfscore(docs, n_buckets=256)
+
+
+def _q_corpus_kl(spark, sf_dir):
+    """Quantized corpus divergence (r7): KL(zh-labeled slice ‖ whole
+    corpus) over 1024 hashed-unigram buckets with smoothed
+    distributions on both sides — the one-row diagnostic a mixing
+    pipeline watches while tuning rebalance/DSIR rates."""
+    from zhtml_spark.textops import corpus_kl
+
+    docs = _docs(spark, sf_dir)
+    return corpus_kl(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "zh").select("doc_id", "text"),
+        n_buckets=1024,
+    )
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
     """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
     centroids (r6, VERDICT r5 #4): the full composition — text →
@@ -3964,6 +3992,10 @@ NEW_THIS_ROUND: list[str] = [
     # r7 late add: within-document duplicate-line removal (the apply
     # side of repetition_stats, zero-shuffle HOF plan)
     "doc_line_dedup",
+    # r7 late adds: corpus-trained bigram-LM self-perplexity and the
+    # one-row corpus-divergence diagnostic (both on with_log2q)
+    "bigram_selfscore",
+    "corpus_kl",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -4022,10 +4054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 10 new − 2 retired = 117 (the
-    last 4 new: decontaminate_fuzzy, bm25_topk, dsir_weights,
-    doc_line_dedup — their window slots came from demoting the
-    r5-green media_container_meta, embed_hashing, warc_extract,
+    md5 computation) — registry 109 + 12 new − 2 retired = 119 (the
+    last 6 new: decontaminate_fuzzy, bm25_topk, dsir_weights,
+    doc_line_dedup, bigram_selfscore, corpus_kl — their window slots
+    came from demoting the r5-green warc_pdf_extract, pdf_extract,
+    media_container_meta, embed_hashing, warc_extract,
     winnow_fingerprints to the tail front, keeping the oldest-first
     refresh order intact).
     NINE registry twins were retired in r6 (VERDICT r5 #10, coverage
@@ -4054,6 +4087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "dsir_weights": _q_dsir_weights,
         "doc_line_dedup": _q_doc_line_dedup,
+        "bigram_selfscore": _q_bigram_selfscore,
+        "corpus_kl": _q_corpus_kl,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -4076,7 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
-        #    33 fit after the 4 late block-A adds) ---------------------
+        #    31 fit after the 6 late block-A adds) ---------------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
@@ -4100,13 +4135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_plaintext_extract": _q_warc_plaintext_extract,
         "warc_http_codec_extract": _q_warc_http_codec_extract,
         "warc_charset_extract": _q_warc_charset_extract,
+        # -- tail: r5-green, age 2 — front of the r8 window (incl.
+        #    warc_pdf_extract + pdf_extract + media_container_meta +
+        #    embed_hashing + warc_extract + winnow_fingerprints,
+        #    demoted when the 6 late block-A entries landed, and
+        #    image_meta + extract_meta + extract_heading_para from
+        #    the earlier block-A adds) ----------------------------------
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
-        # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    media_container_meta + embed_hashing + warc_extract +
-        #    winnow_fingerprints, demoted when the 4 late block-A
-        #    entries landed, and image_meta + extract_meta +
-        #    extract_heading_para from the earlier block-A adds) --------
         "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
         "warc_extract": _q_warc_extract,
@@ -5151,6 +5187,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v.tok_n) AS BIGINT) AS n_tokens
             FROM ew w JOIN vt v USING (word)
             GROUP BY 1 ORDER BY 1 LIMIT 500
+        """,
+        "bigram_selfscore": """
+            -- corpus-trained bigram LM, scored over itself: pair
+            -- buckets = md5-48('blm|'||word) % 256 of adjacent
+            -- non-empty words; P(b2|b1) add-one smoothed; logs via
+            -- the fixed-point log2 chain (floor log2q(256) = 2048)
+            WITH prs AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('blm|' || w[i]), 1, 12))
+                            AS BIGINT) % 256 AS b1,
+                       CAST(('0x' || substr(md5('blm|' || w[i+1]), 1, 12))
+                            AS BIGINT) % 256 AS b2
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+                      FROM documents),
+                     UNNEST(range(1, len(w))) t(i)
+            ),
+            big0 AS (
+                SELECT b1, b2, CAST(count(*) + 1 AS BIGINT) AS _x12
+                FROM prs GROUP BY 1, 2
+            ),
+        """ + _log2q_ctes("big0", "ca", "_x12", "l2_12") + """,
+            uni0 AS (
+                SELECT b1, CAST(count(*) + 256 AS BIGINT) AS _x1
+                FROM prs GROUP BY 1
+            ),
+        """ + _log2q_ctes("uni0", "cb", "_x1", "l2_1") + """,
+            sc AS (
+                SELECT p.doc_id,
+                       coalesce(g.l2_12, 0)
+                       - coalesce(u.l2_1, 2048) AS lp
+                FROM prs p
+                LEFT JOIN caz g ON p.b1 = g.b1 AND p.b2 = g.b2
+                LEFT JOIN cbz u ON p.b1 = u.b1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(lp) AS BIGINT) AS lm_q,
+                   CAST(sum(lp) AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS mean_q
+            FROM sc GROUP BY 1
+        """,
+        "corpus_kl": """
+            -- KL(zh slice || whole corpus) over 1024 hashed-unigram
+            -- buckets, both distributions add-one smoothed, weight =
+            -- smoothed target mass (Gibbs holds up to quantization);
+            -- absent-from-both buckets contribute 0 (constant folded)
+            WITH rtok AS (
+                SELECT CAST(('0x' || substr(md5('dsir|' || word), 1, 12))
+                            AS BIGINT) % 1024 AS bucket
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ),
+            ttok AS (
+                SELECT CAST(('0x' || substr(md5('dsir|' || word), 1, 12))
+                            AS BIGINT) % 1024 AS bucket
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents WHERE lang = 'zh')
+                WHERE word <> ''
+            ),
+            rc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS r_b
+                FROM rtok GROUP BY 1
+            ),
+            tc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS t_b
+                FROM ttok GROUP BY 1
+            ),
+            j0 AS (
+                SELECT coalesce(t_b, 0) AS t_b,
+                       coalesce(t_b, 0) + 1 AS _xa,
+                       coalesce(r_b, 0) + 1 AS _xb
+                FROM tc FULL OUTER JOIN rc USING (bucket)
+            ),
+        """ + _log2q_ctes("j0", "ka", "_xa", "_l2a") + ","
+            + _log2q_ctes("kaz", "kb", "_xb", "_l2b") + """,
+            tt1 AS (
+                SELECT (SELECT CAST(sum(r_b) AS BIGINT) FROM rc) AS r_tot,
+                       (SELECT CAST(sum(t_b) AS BIGINT) FROM tc) AS t_tot,
+                       (SELECT CAST(sum(r_b) AS BIGINT) FROM rc)
+                           + 1024 AS _xr,
+                       (SELECT CAST(sum(t_b) AS BIGINT) FROM tc)
+                           + 1024 AS _xt
+            ),
+        """ + _log2q_ctes("tt1", "kr", "_xr", "_l2r") + ","
+            + _log2q_ctes("krz", "kw", "_xt", "_l2t") + """,
+            num AS (
+                SELECT CAST(sum((t_b + 1) * (_l2a - _l2b)) AS BIGINT)
+                           AS _wsum
+                FROM kbz
+            )
+            SELECT r_tot AS n_raw_tokens,
+                   t_tot AS n_target_tokens,
+                   (_wsum // (t_tot + 1024)) + (_l2r - _l2t) AS kl_q
+            FROM num, kwz
         """,
         "doc_line_dedup": """
             -- within-doc line dedup: 7 synthesized lines per doc

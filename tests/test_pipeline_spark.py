@@ -3099,3 +3099,103 @@ def test_dedup_lines_in_doc_keeps_first_and_blanks(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bigram_lm_selfscore_matches_independent_reference(spark):
+    """bigram_lm_selfscore vs a dict-based independent LM (hashlib
+    buckets, add-one smoothing, log2q logs): exact per-doc sums;
+    gibberish (no bigram shared with the rest) scores lowest;
+    empty/one-word docs are absent; a separate ref corpus exercises
+    the unseen-bigram/unseen-context floors."""
+    import hashlib
+
+    from zhtml_spark.textops import bigram_lm_selfscore, log2q_int
+
+    nb = 64
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the mat again",
+        2: "zq9 xv7 qqk wpl mmz",
+        3: "the cat",
+        4: "",
+        5: "single",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+
+    def bucket(w):
+        return int(hashlib.md5(f"blm|{w}".encode()).hexdigest()[:12], 16) % nb
+
+    def ref_scores(score_docs, ref_docs):
+        big: dict = {}
+        uni: dict = {}
+        for t in ref_docs.values():
+            ws = [w for w in t.split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                k = (bucket(a), bucket(b))
+                big[k] = big.get(k, 0) + 1
+                uni[k[0]] = uni.get(k[0], 0) + 1
+        exp = {}
+        for d, t in score_docs.items():
+            ws = [w for w in t.split(" ") if w]
+            ps = list(zip(ws, ws[1:]))
+            if not ps:
+                continue
+            s = sum(
+                log2q_int(big.get((bucket(a), bucket(b)), 0) + 1)
+                - log2q_int(uni.get(bucket(a), 0) + nb)
+                for a, b in ps
+            )
+            q = abs(s) // len(ps)
+            exp[d] = (len(ps), s, -q if s < 0 else q)
+        return exp
+
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["lm_q"], r["mean_q"])
+        for r in bigram_lm_selfscore(docs, n_buckets=nb).collect()
+    }
+    assert got == ref_scores(corpus, corpus)
+    assert min(got[0][2], got[1][2], got[3][2]) > got[2][2]
+
+    # cross-corpus: score a batch under a DIFFERENT reference LM —
+    # unseen bigrams and unseen contexts hit the literal floor path
+    batch = {10: "the cat sat", 11: "brand new words here"}
+    bdf = spark.createDataFrame(
+        list(batch.items()), "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: (r["n_pairs"], r["lm_q"], r["mean_q"])
+        for r in bigram_lm_selfscore(bdf, ref=docs, n_buckets=nb).collect()
+    }
+    assert got2 == ref_scores(batch, corpus)
+
+
+def test_corpus_kl_properties(spark):
+    """corpus_kl: exactly 0 against itself, ≥ −quantization-dust
+    always (smoothed-mass weights keep Gibbs), monotone in
+    divergence (disjoint-vocabulary target scores above an
+    in-vocabulary target)."""
+    from zhtml_spark.textops import corpus_kl
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat again"),
+            (2, "a dog ran in the park"),
+        ],
+        "doc_id long, text string",
+    )
+    near_t = spark.createDataFrame(
+        [(100, "the cat sat")], "doc_id long, text string"
+    )
+    far_t = spark.createDataFrame(
+        [(100, "zq9 xv7 qqk")], "doc_id long, text string"
+    )
+    same = corpus_kl(docs, docs, n_buckets=64).collect()[0]
+    assert same["kl_q"] == 0
+    near = corpus_kl(docs, near_t, n_buckets=64).collect()[0]
+    far = corpus_kl(docs, far_t, n_buckets=64).collect()[0]
+    assert near["kl_q"] >= -2 and far["kl_q"] >= -2
+    assert far["kl_q"] > near["kl_q"]
+    assert (near["n_raw_tokens"], near["n_target_tokens"]) == (19, 3)

@@ -4808,3 +4808,207 @@ def dedup_lines_in_doc(
         ).alias(text_col),
         (F.size("_lines") - F.size("_kept")).cast("int").alias("n_removed"),
     )
+
+
+def log2q_int(x: int, frac_bits: int = 8) -> int:
+    """Python twin of :func:`with_log2q` (same mantissa-squaring
+    recurrence, same truncation) — for baking CONSTANT log terms into
+    plans/oracles as literals, e.g. the smoothing floor log2q(V).
+    Raises on x < 1 (callers own their guards for literals)."""
+    if x < 1:
+        raise ValueError("log2q_int requires x >= 1")
+    n = x.bit_length() - 1
+    m = x << (30 - n) if n <= 30 else x >> (n - 30)
+    f = n
+    for _ in range(frac_bits):
+        mm = m * m
+        if mm >= 1 << 61:
+            m, f = mm >> 31, f * 2 + 1
+        else:
+            m, f = mm >> 30, f * 2
+    return f
+
+
+def bigram_lm_selfscore(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    n_buckets: int = 256,
+    frac_bits: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-style quality scoring WITHOUT an external language
+    model: estimate a hashed-bigram LM from ``ref`` (default: the
+    corpus itself) and score every document by its mean conditional
+    log-probability ``mean_i log2 P(w_i | w_{i-1})`` with add-one
+    smoothing — the CCNet/KenLM filtering idea with the LM trained
+    in-plan from the data (low score = text unusual RELATIVE TO THE
+    CORPUS: gibberish, boilerplate soup, wrong-language islands).
+    :func:`trigram_lm_score` scores against STATIC per-language seed
+    models; this op scores against the live corpus distribution.
+
+    ``P(w2|w1) = (c(b1,b2) + 1) / (c(b1) + V)`` over ``V=n_buckets``
+    hashed word buckets, logs via :func:`with_log2q` (cross-engine
+    exact), so ``score_q = Σ [log2q(c12+1) − log2q(c1+V)] div
+    n_pairs`` is oracle-checkable bit-for-bit.  Unseen bigrams
+    contribute ``0 − log2q(V)`` (the literal :func:`log2q_int`
+    floor).
+
+    Distributed shape: bucket arrays are one md5 per WORD (transform,
+    never per-pair rescans); pair streams are map-side explodes into
+    combinable count aggs; the count tables are ≤ V² and ≤ V rows
+    (vocabulary-bounded — Heaps' law caps real mass far below V²) and
+    broadcast back onto the scoring stream; per-doc sum is
+    map-side-combinable.  Docs with fewer than two words have no
+    bigram to score and are absent from the output.  Returns
+    (doc_id, n_pairs, lm_q, mean_q)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if ref is None:
+        ref = docs
+
+    def pairs(d: DataFrame) -> DataFrame:
+        base = d.select(
+            "doc_id",
+            F.filter(
+                F.split(F.col(text_col), " "), lambda w: w != ""
+            ).alias("_w"),
+        ).select(
+            "doc_id",
+            F.transform(
+                "_w",
+                lambda w: md5_hash48(w, salt="blm|") % n_buckets,
+            ).alias("_b"),
+        )
+        # zip the bucket array against its own tail: one row per
+        # adjacent pair; _b is multi-referenced so it stays
+        # materialized (never re-hashed per element)
+        npairs = F.greatest(F.size("_b") - 1, F.lit(0))
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_b"), 1, npairs).alias("b1"),
+                    F.slice(F.col("_b"), 2, npairs).alias("b2"),
+                )
+            ).alias("p"),
+        ).select(
+            "doc_id",
+            F.col("p.b1").alias("b1"),
+            F.col("p.b2").alias("b2"),
+        )
+
+    ref_pairs = pairs(ref)
+    big = ref_pairs.groupBy("b1", "b2").agg(
+        (F.count("*") + 1).alias("_x12")
+    )
+    big = with_log2q(big, "_x12", "l2_12", frac_bits).select(
+        "b1", "b2", "l2_12"
+    )
+    uni = ref_pairs.groupBy("b1").agg(
+        (F.count("*") + n_buckets).alias("_x1")
+    )
+    uni = with_log2q(uni, "_x1", "l2_1", frac_bits).select("b1", "l2_1")
+    floor_v = log2q_int(n_buckets, frac_bits)
+    scored = (
+        pairs(docs)
+        .join(F.broadcast(big), ["b1", "b2"], "left")
+        .join(F.broadcast(uni), ["b1"], "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("l2_12"), F.lit(0))
+                - F.coalesce(F.col("l2_1"), F.lit(floor_v))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_lp").alias("lm_q"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "lm_q",
+            F.expr("lm_q div n_pairs").alias("mean_q"),
+        )
+    )
+
+
+def corpus_kl(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    frac_bits: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row corpus-divergence diagnostic: quantized
+    ``KL(target ‖ raw)`` over the hashed-unigram buckets — the number
+    a corpus-mixing pipeline watches while tuning :func:`dsir_weights`
+    / :func:`rebalance_sample` rates (how far is the raw mix from the
+    target domain, and is it converging).  Same add-one-smoothed
+    distributions and fixed-point logs as :func:`dsir_weights`:
+    ``kl_q = Σ_b (t_b+1)·[log2q-ratio(b)] div (T+V) + totals-const``
+    — the weight is the SMOOTHED target mass (the same (·+1)/(T+V)
+    distribution the ratio uses), so Gibbs' inequality holds and
+    ``kl_q ≥ 0`` up to log-quantization dust (identical corpora give
+    exactly 0; base-2, scaled by 2^frac_bits).  Buckets absent from
+    both corpora contribute 0 to the weighted sum (their smoothed
+    ratio is the totals constant, folded in exactly), so the full
+    V-bucket domain never materializes.  All log arithmetic on the
+    ≤n_buckets-row table; the corpus-scale work is two token
+    explodes into combinable count aggs.  Returns
+    (n_raw_tokens, n_target_tokens, kl_q)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    bucket = md5_hash48(F.col("word"), salt="dsir|") % n_buckets
+
+    def counts(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("word")
+            )
+            .where(F.col("word") != "")
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    rc = counts(docs, "r_b")
+    tc = counts(target, "t_b")
+    # smoothed llr per bucket: log2q((t_b+1)) - log2q((r_b+1)) plus
+    # the totals constant — identical structure to dsir_weights, but
+    # weighted by t_b and folded to one row
+    joined = tc.join(rc, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("t_b"), F.lit(0)).alias("t_b"),
+        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).alias("_xa"),
+        (F.coalesce(F.col("r_b"), F.lit(0)) + 1).alias("_xb"),
+    )
+    joined = with_log2q(joined, "_xa", "_l2a", frac_bits)
+    joined = with_log2q(joined, "_xb", "_l2b", frac_bits)
+    totals = (
+        rc.agg(F.sum("r_b").alias("r_tot"))
+        .crossJoin(tc.agg(F.sum("t_b").alias("t_tot")))
+        .select(
+            "r_tot",
+            "t_tot",
+            (F.col("r_tot") + n_buckets).alias("_xr"),
+            (F.col("t_tot") + n_buckets).alias("_xt"),
+        )
+    )
+    totals = with_log2q(totals, "_xr", "_l2r", frac_bits)
+    totals = with_log2q(totals, "_xt", "_l2t", frac_bits)
+    num = joined.select(
+        F.sum(
+            (F.col("t_b") + 1) * (F.col("_l2a") - F.col("_l2b"))
+        ).alias("_wsum"),
+    )
+    return num.crossJoin(F.broadcast(totals)).select(
+        F.col("r_tot").alias("n_raw_tokens"),
+        F.col("t_tot").alias("n_target_tokens"),
+        F.expr(
+            f"(_wsum div (t_tot + {n_buckets})) + (_l2r - _l2t)"
+        ).alias("kl_q"),
+    )
