@@ -475,6 +475,29 @@ def main() -> None:
         ).count(),
     )
 
+    # 5d. log2q tier (r7): BM25 ranked retrieval over the sf corpus
+    # and the corpus-trained bigram-LM self-score on the adversarial
+    # corpus — both ride the cross-engine fixed-point log2 primitive
+    # (with_log2q); new rows this round, baselines being established
+    from zhtml_spark.textops import bigram_lm_selfscore, bm25_topk
+
+    bm25_queries = spark.createDataFrame(
+        [
+            (1, ["dup", "key"]),
+            (2, ["customer", "join", "slow"]),
+            (3, ["vector", "scan", "the"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    timed(
+        "bm25_topk",
+        lambda: bm25_topk(docs_tbl, bm25_queries, k=10).count(),
+    )
+    timed(
+        "adv_selfscore",
+        lambda: bigram_lm_selfscore(adv, n_buckets=1024).count(),
+    )
+
     # 6. similarity search: brute force vs composed IVF prune
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("cosine_topk", lambda: cosine_topk(emb, n_queries=100, k=10).count())
