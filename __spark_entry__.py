@@ -1382,6 +1382,17 @@ def _q_corpus_kl(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (r7): documents split into ≤16-word
+    chunks with 4-word overlap (stride 12) — exercises the
+    pure-overlap tail-drop rule on every doc whose length lands in
+    the drop window, zero shuffles."""
+    from zhtml_spark.textops import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def _q_ivf_topk_embedded(spark, sf_dir):
     """IVF ANN re-gated over SELF-DERIVED embeddings and TRAINED
     centroids (r6, VERDICT r5 #4): the full composition — text →
@@ -3996,6 +4007,9 @@ NEW_THIS_ROUND: list[str] = [
     # one-row corpus-divergence diagnostic (both on with_log2q)
     "bigram_selfscore",
     "corpus_kl",
+    # r7 late add: sliding-window document chunking (RAG/pretraining
+    # splitting — the inverse-direction pass to pack_sequences)
+    "doc_chunks",
 ]
 CHANGED_THIS_ROUND: list[str] = [
     # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
@@ -4054,10 +4068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
-    md5 computation) — registry 109 + 12 new − 2 retired = 119 (the
-    last 6 new: decontaminate_fuzzy, bm25_topk, dsir_weights,
-    doc_line_dedup, bigram_selfscore, corpus_kl — their window slots
-    came from demoting the r5-green warc_pdf_extract, pdf_extract,
+    md5 computation) — registry 109 + 13 new − 2 retired = 120 (the
+    last 7 new: decontaminate_fuzzy, bm25_topk, dsir_weights,
+    doc_line_dedup, bigram_selfscore, corpus_kl, doc_chunks — their
+    window slots came from demoting the r5-green
+    warc_charset_extract, warc_pdf_extract, pdf_extract,
     media_container_meta, embed_hashing, warc_extract,
     winnow_fingerprints to the tail front, keeping the oldest-first
     refresh order intact).
@@ -4089,6 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "bigram_selfscore": _q_bigram_selfscore,
         "corpus_kl": _q_corpus_kl,
+        "doc_chunks": _q_doc_chunks,
         # -- block A'': implementation changed this round (langid
         #    tier: 10-language retrain + hash split, r7) ---------------
         "lang_id_v2": _q_lang_id_v2,
@@ -4111,7 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_sessionize,
         "kmv_distinct": _q_kmv_distinct,
         # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
-        #    31 fit after the 6 late block-A adds) ---------------------
+        #    30 fit after the 7 late block-A adds) ---------------------
         "html_lang_meta": _q_html_lang_meta,
         "pdf_outline": _q_pdf_outline,
         "wet_render": _q_wet_render,
@@ -4134,13 +4150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_frontier_mixed": _q_warc_frontier_mixed,
         "warc_plaintext_extract": _q_warc_plaintext_extract,
         "warc_http_codec_extract": _q_warc_http_codec_extract,
-        "warc_charset_extract": _q_warc_charset_extract,
         # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    warc_pdf_extract + pdf_extract + media_container_meta +
-        #    embed_hashing + warc_extract + winnow_fingerprints,
-        #    demoted when the 6 late block-A entries landed, and
-        #    image_meta + extract_meta + extract_heading_para from
-        #    the earlier block-A adds) ----------------------------------
+        #    warc_charset_extract + warc_pdf_extract + pdf_extract +
+        #    media_container_meta + embed_hashing + warc_extract +
+        #    winnow_fingerprints, demoted when the 7 late block-A
+        #    entries landed, and image_meta + extract_meta +
+        #    extract_heading_para from the earlier block-A adds) --------
+        "warc_charset_extract": _q_warc_charset_extract,
         "warc_pdf_extract": _q_warc_pdf_extract,
         "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
@@ -5187,6 +5203,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v.tok_n) AS BIGINT) AS n_tokens
             FROM ew w JOIN vt v USING (word)
             GROUP BY 1 ORDER BY 1 LIMIT 500
+        """,
+        "doc_chunks": """
+            -- sliding-window chunking: <=16-word chunks, stride 12,
+            -- 4-word overlap; a final pure-overlap window drops;
+            -- empty docs produce no chunks
+            WITH w1 AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, w, CAST(s AS INTEGER) AS start
+                FROM (SELECT doc_id, w FROM w1 WHERE len(w) > 0),
+                     UNNEST(range(0, len(w), 12)) t(s)
+                WHERE s = 0 OR s + 4 < len(w)
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY start) - 1 AS INTEGER) AS chunk_id,
+                       w[start + 1:start + 16] AS cw
+                FROM starts
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(cw) AS INTEGER) AS n_words,
+                   array_to_string(cw, ' ') AS chunk_text
+            FROM chunks
         """,
         "bigram_selfscore": """
             -- corpus-trained bigram LM, scored over itself: pair

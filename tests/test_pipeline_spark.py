@@ -3199,3 +3199,43 @@ def test_corpus_kl_properties(spark):
     assert near["kl_q"] >= -2 and far["kl_q"] >= -2
     assert far["kl_q"] > near["kl_q"]
     assert (near["n_raw_tokens"], near["n_target_tokens"]) == (19, 3)
+
+
+def test_chunk_documents_windows_and_tail_rule(spark):
+    """Sliding-window chunking: stride = max_tokens - overlap,
+    consecutive chunks share exactly `overlap` words, a final
+    pure-overlap window is dropped, empty docs vanish, and the plan
+    has zero exchanges."""
+    import pytest as _pytest
+
+    from zhtml_spark.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(25))),
+            (1, "a b c"),
+            (2, ""),
+            (3, " ".join(f"x{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=4)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_words"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 0 (25 words): starts 0,6,12,18 — start 24 would carry no
+    # new words (24+4 >= 25) and is dropped
+    assert [rows[(0, i)][0] for i in range(4)] == [10, 10, 10, 7]
+    c0 = rows[(0, 0)][1].split()
+    c1 = rows[(0, 1)][1].split()
+    assert c0[-4:] == c1[:4]  # exactly `overlap` shared words
+    assert rows[(1, 0)] == (3, "a b c")
+    assert not any(d == 2 for d, _ in rows)  # empty doc absent
+    assert [k for k in rows if k[0] == 3] == [(3, 0), (3, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, overlap=10)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)

@@ -5012,3 +5012,63 @@ def corpus_kl(
             f"(_wsum div (t_tot + {n_buckets})) + (_l2r - _l2t)"
         ).alias("kl_q"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the splitting pass between
+    extraction and embedding/packing (RAG indexes, long-doc
+    pretraining, context-window fitting): each document's word
+    sequence becomes chunks of ≤ ``max_tokens`` words starting every
+    ``max_tokens − overlap`` words, so consecutive chunks share
+    ``overlap`` words of context (the standard HF/RAG scheme).  A
+    final window whose content would be PURE overlap of the previous
+    chunk is dropped (nothing new to index); empty documents produce
+    no chunks.  :func:`pack_sequences` is the inverse-direction pass
+    (many small docs → one budgeted pack).
+
+    Plan: ZERO shuffles — per-row HOFs only: the word array is bound
+    once and multi-referenced (filter + the slice lambda — the
+    CollapseProject/single-use-alias trap again), chunk starts are a
+    ``sequence`` filtered by the tail rule, and one ``posexplode``
+    fans chunks out.  Deterministic; embarrassingly parallel;
+    per-row cost O(words).  Returns (doc_id, chunk_id, n_words,
+    chunk_text)."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    df = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: w != ""
+        ).alias("_w"),
+    ).where(F.size("_w") > 0)
+    starts = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("_w") - 1, F.lit(0)),
+            F.lit(stride),
+        ),
+        lambda s: (s == F.lit(0)) | (s + F.lit(overlap) < F.size("_w")),
+    )
+    df = df.select("doc_id", "_w", starts.alias("_starts")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                "_starts",
+                lambda s: F.slice(F.col("_w"), s + 1, max_tokens),
+            )
+        ).alias("chunk_id", "_cw"),
+    )
+    return df.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("_cw").cast("int").alias("n_words"),
+        F.array_join("_cw", " ").alias("chunk_text"),
+    )
