@@ -2700,6 +2700,47 @@ def _langid_weight_arrays(hash_fn: str) -> dict[str, Column]:
     }
 
 
+def _langid_score_vector(
+    bucket_col: Column, hash_fn: str
+) -> tuple[list[str], Column]:
+    """SINGLE-PASS per-language score vector: one ``aggregate`` over
+    the bucket array with a k-slot accumulator, where each trigram
+    does ONE ``element_at`` into a TRANSPOSED constant-folded
+    ``array<array<bigint>>`` literal (``W2[bucket][i]`` = weight of
+    the i-th sorted language) and a ``zip_with`` add.  Replaces k
+    separate folds — the bucket array was walked k times with k
+    lookups per element; at the r7 model's k=10 the isolated fold
+    A/B reads 1.3–1.5× (NOTES r7-k), sums bit-identical (integer
+    adds commute).  The transposed literal is the same from_json
+    constant-folding trick as ``_langid_weight_arrays`` (r7-b: never
+    ``F.array(*N lits)``).  Returns (sorted langs, vector Column);
+    CALLERS must land the vector in a guarded materialized column
+    before referencing it more than once (the pushdown re-inlining
+    trap — see lang_gate's ``_sc``)."""
+    import json as _json
+
+    from .langid_model import N_BUCKETS, trigram_weights
+
+    wt = trigram_weights(hash_fn=hash_fn)
+    langs = sorted(wt)
+    w2 = [
+        [int(wt[lg][i]) for lg in langs] for i in range(N_BUCKETS)
+    ]
+    w2col = F.from_json(
+        F.lit(_json.dumps(w2)), "array<array<bigint>>"
+    )
+    vec = F.aggregate(
+        bucket_col,
+        F.array_repeat(F.lit(0).cast("long"), len(langs)),
+        lambda acc, b: F.zip_with(
+            acc,
+            F.element_at(w2col, (b + 1).cast("int")),
+            lambda x, y: x + y,
+        ),
+    )
+    return langs, vec
+
+
 def lang_id_v2(
     docs: DataFrame,
     text_col: str = "text",
@@ -2719,12 +2760,14 @@ def lang_id_v2(
     Plan shape: the linear ``_char_gram_expr`` gram array (never the
     quadratic positioned-substring form), ONE hash per trigram into a
     multi-referenced bucket-array alias (CollapseProject-safe), then
-    one JVM ``aggregate`` fold per language against its
-    ``N_BUCKETS``-slot (4096) literal weight array.  Zero shuffles,
-    zero Python, weights ride the plan as constants — embarrassingly
-    parallel at any corpus size.  All-integer scores keep the DuckDB
-    oracle exact (the SQL side indexes the SAME weight table,
-    generated from the same Python model)."""
+    ONE single-pass ``aggregate`` fold producing the whole k-language
+    score vector (``_langid_score_vector`` — one transposed-table
+    lookup per trigram instead of k separate folds, r7-k).  Zero
+    shuffles, zero Python, weights ride the plan as constants —
+    embarrassingly parallel at any corpus size.  All-integer scores
+    keep the DuckDB oracle exact (the SQL side indexes the SAME
+    weight table, generated from the same Python model; fold order
+    doesn't matter — integer adds commute)."""
     # lower() FIRST, into a real (multi-referenced) column: passing
     # "lower(text)" as the gram source inlines an O(n) expression
     # into the per-position lambda of _char_gram_expr's short-doc
@@ -2739,19 +2782,20 @@ def lang_id_v2(
         "doc_id",
         _langid_buckets(grams, hash_fn).alias("_b"),
     )
-    arrs = _langid_weight_arrays(hash_fn)
+    langs_sorted, vec = _langid_score_vector(F.col("_b"), hash_fn)
+    # land the vector in a guarded materialized column: the argmax
+    # references it k times, and only a nondeterministic guard pins
+    # it against re-inlining (the lang_gate `_sc` pattern)
+    scored = bucketed.withColumn(
+        "_sc", F.when(F.monotonically_increasing_id() >= 0, vec)
+    )
     scores = {
-        lang: F.aggregate(
-            F.col("_b"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc
-            + F.element_at(arrs[lang], (b + 1).cast("int")),
-        )
-        for lang in arrs
+        lg: F.element_at("_sc", i + 1)
+        for i, lg in enumerate(langs_sorted)
     }
     pred = _langid_argmax(scores)
     pred = F.when(F.size("_b") == 0, F.lit("und")).otherwise(pred)
-    return bucketed.select("doc_id", pred.alias("predicted_lang"))
+    return scored.select("doc_id", pred.alias("predicted_lang"))
 
 
 def lang_gate(
@@ -2841,10 +2885,9 @@ def lang_gate(
             _langid_buckets(grams, hash_fn),
         ),
     )
-    arrs = _langid_weight_arrays(hash_fn)
-    # Materialize the k per-language fold results ONCE as a guarded
-    # score VECTOR (r7, measured 1.9×: 6.7-7.2 s → 3.5 s warm at 60k
-    # docs, 10 accepted languages — the other half of the gate is the
+    # Materialize the per-language scores ONCE as a guarded score
+    # VECTOR (r7, measured 1.9×: 6.7-7.2 s → 3.5 s warm at 60k docs,
+    # 10 accepted languages — the other half of the gate is the
     # trigram hashing itself).  The gate's Filter references the
     # predicted language once per accepted language (the floor chain)
     # plus the isin — and each `pred` copy embeds ALL k fold
@@ -2854,26 +2897,14 @@ def lang_gate(
     # `_sc`, every downstream reference is an element_at on a
     # materialized array — exactly k walks.  The nondeterministic
     # guard is the same load-bearing trick as `_b`'s: it pins the
-    # vector against predicate-pushdown re-inlining.
-    langs_sorted = sorted(arrs)
+    # vector against predicate-pushdown re-inlining.  Since r7-k the
+    # vector itself is ONE single-pass transposed-table fold
+    # (_langid_score_vector) instead of k separate folds — one
+    # bucket-array walk total.
+    langs_sorted, _vec = _langid_score_vector(F.col("_b"), hash_fn)
     bucketed = bucketed.withColumn(
         "_sc",
-        F.when(
-            F.monotonically_increasing_id() >= 0,
-            F.array(
-                *[
-                    F.aggregate(
-                        F.col("_b"),
-                        F.lit(0).cast("long"),
-                        lambda acc, b: acc
-                        + F.element_at(
-                            arrs[lg], (b + 1).cast("int")
-                        ),
-                    )
-                    for lg in langs_sorted
-                ]
-            ),
-        ),
+        F.when(F.monotonically_increasing_id() >= 0, _vec),
     )
     scores = {
         lg: F.element_at("_sc", i + 1)
