@@ -1028,7 +1028,14 @@ def warc_interleaved_spans(
     from .pipeline import extract_documents
 
     from .feedops import FEED_ROOT_RE, decode_feed_spans
+    from .textops import fan_out
 
+    # scan-width guard (r8, optimization guide §2.5): a small
+    # single-file archive scan arrives as ONE task, and every row
+    # below here — the HTTP decode, the fused HTML extraction, the
+    # pdfops/feedops Arrow decoders — would serialize on one core.
+    # Wide archive layouts pass through untouched.
+    records = fan_out(records, key="warc_url")
     records = decode_http_payloads(records)
     # 3xx-with-Location records are crawl-graph EDGES, not documents:
     # emit one ('redirect', status, location) span and keep the stub

@@ -32,6 +32,38 @@ STOPWORDS = {
 }
 
 
+def fan_out(df: DataFrame, key: str | None = "doc_id") -> DataFrame:
+    """Scale-adaptive scan-width guard (optimization guide §2.5 "input
+    skew: one huge unsplittable file → repartition immediately after
+    the read").
+
+    A small single-file parquet table arrives as ONE scan task, so
+    every map-side pass over it — gram building, per-position hashing,
+    Arrow-batched Python decoders — serializes on one core while the
+    rest of the session idles (r8: the sf documents/embeddings tables
+    are single-row-group files, and the whole dedup/textops family was
+    paying cores× for it).  Repartition to the session's default
+    parallelism ONLY when the scan is narrower than that; wide inputs
+    — any real corpus layout — pass through untouched, so the extra
+    exchange exists exactly where it buys ~cores× and costs one
+    shuffle of a few MB.  Hash on ``key`` when present (deterministic,
+    and skips round-robin's sort-before-repartition pass); plain
+    round-robin otherwise.  Results are partition-agnostic everywhere
+    this is used — only the physical layout changes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        width = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans; never narrow
+        return df
+    if width >= target:
+        return df
+    if key is not None and key in df.columns:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def md5_hash48(col: Column, salt: str = "", hexchars: int = 12) -> Column:
     """Cross-engine integer hash (the ONE blessed form per CLAUDE.md):
     first ``hexchars`` hex chars of md5 as BIGINT — identical in Spark
@@ -157,6 +189,52 @@ def _char_gram_expr(text_col: str, k: int) -> str:
     )
 
 
+def _char_gram_hash_expr(text_col: str, k: int, hash_fn: str) -> str:
+    """SQL expr for the array of per-position k-gram HASHES of
+    ``text_col`` — :func:`_char_gram_expr`'s length-hybrid plan with
+    the hash fused into the gram lambda (r8): each gram string is
+    hashed where it is built and discarded, so the intermediate
+    ``array<string>`` of gram text (k-char allocations per position,
+    then a second transform pass) never materializes — the per-row
+    intermediate is one ``array<bigint>`` at 8 B/position.  Branch
+    structure, switch point (48·k) and gram VALUES are identical to
+    the unfused builder, so every downstream hash is byte-identical.
+
+    ``hash_fn``: ``xxhash64`` (engine default) or ``md5`` (the
+    blessed cross-engine md5-48 form the oracles pin)."""
+    if hash_fn == "xxhash64":
+        def h(g: str) -> str:
+            return f"xxhash64({g})"
+    elif hash_fn == "md5":
+        def h(g: str) -> str:
+            return (
+                f"CAST(conv(substring(md5({g}), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            )
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    if k > 64:
+        raise ValueError(
+            "char grams wider than 64 need a different plan shape"
+        )
+    switch_chars = 48 * k
+    ch = f"split({text_col}, '')"
+    ln = f"length({text_col}) - {k} + 1"
+    slices = ", ".join(f"slice({ch}, {j + 1}, {ln})" for j in range(k))
+    fields = ", ".join(f"s.`{j}`" for j in range(k))
+    return (
+        f"CASE WHEN length({text_col}) < {k} THEN "
+        f"CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN length({text_col}) < {switch_chars} THEN "
+        f"transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" i -> {h(f'substring({text_col}, i, {k})')}) "
+        f"ELSE transform(arrays_zip({slices}),"
+        f" s -> {h(f'concat({fields})')}) END"
+    )
+
+
 # ------------------------------------------------------------- dedup
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on text: one survivor (min doc_id) per distinct text."""
@@ -167,18 +245,24 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _gram_array(n: int, shingle: str) -> Column:
+    """Per-row DISTINCT shingle array (word or CJK-safe char grams) —
+    the shared source for the gram table and the per-row signature
+    folds."""
+    if shingle == "word":
+        return word_ngrams(n)
+    # char shingles via the linear arrays_zip gram builder — the
+    # substring() form is quadratic in doc length (r5)
+    return F.array_distinct(F.expr(_char_gram_expr("text", n)))
+
+
 def ngram_gram_table(
     docs: DataFrame, n: int = 3, shingle: str = "word"
 ) -> DataFrame:
     # doc_id keeps its input type (numeric OR string ids both order)
-    if shingle == "word":
-        return docs.select(
-            "doc_id", F.explode(word_ngrams(n)).alias("gram")
-        )
-    # char shingles via the linear arrays_zip gram builder — the
-    # substring() form is quadratic in doc length (r5)
-    grams = F.array_distinct(F.expr(_char_gram_expr("text", n)))
-    return docs.select("doc_id", F.explode(grams).alias("gram"))
+    return fan_out(docs).select(
+        "doc_id", F.explode(_gram_array(n, shingle)).alias("gram")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -208,7 +292,20 @@ def ngram_jaccard_pairs(
             F.col("doc_freq") <= F.lit(max_doc_freq)
         ).select("gram")
         grams = grams.join(keep, "gram")
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        # post-cap sizes: count the SURVIVING grams (shared and sizes
+        # both computed post-cap — the documented semantics)
+        sizes = grams.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams")
+        )
+    else:
+        # uncapped sizes = the per-row distinct-gram array length —
+        # same number the explode+groupBy computed, minus one full
+        # shuffle branch and a recompute of the gram build (r8; the
+        # inner joins below only ever see docs that produced grams,
+        # so the gramless-doc rows this adds are join-invisible)
+        sizes = fan_out(docs).select(
+            "doc_id", F.size(word_ngrams(n)).alias("n_grams")
+        )
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (
@@ -241,32 +338,62 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def _minhash_min_table(
+    docs: DataFrame, n: int, seeds: int, shingle: str
+) -> DataFrame:
+    """One row per doc with the whole signature as ``seeds`` columns
+    ``_mh0.._mh{seeds-1}`` — the shared r8 core of the minhash tier.
+
+    Shape: gram explode (fan-out guarded) → ``seeds`` md5-48 columns
+    in ONE whole-stage-codegen projection → ONE map-side-combinable
+    ``min`` aggregation.  The r1–r7 form exploded a second seeds× row
+    blow-up and shuffled twice (seed minima, then the per-band
+    collect); a per-row higher-order fold was measured SLOWER on wide
+    inputs (HigherOrderFunction bodies are interpreted, not
+    codegen'd — 1.8× on the adversarial corpus), so the hash stays in
+    the row engine and only the row machinery is gone.  Hash values
+    (md5 of ``"{seed}:{gram}"``) are byte-identical to every earlier
+    round's."""
+    grams = ngram_gram_table(docs, n, shingle)
+    return grams.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{s}:"), F.col("gram"))
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"_mh{s}")
+            for s in range(seeds)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, seeds: int = 8, shingle: str = "word"
 ) -> DataFrame:
     """MinHash signature matrix: (doc_id, seed, minhash) — md5-salted
-    per-seed hashes, map-side explode + one partial-agg shuffle.
-    ``shingle='char'`` switches to character shingles (CJK-safe)."""
-    grams = ngram_gram_table(docs, n, shingle)
-    seeded = grams.select(
+    per-seed hashes.  ``shingle='char'`` switches to character
+    shingles (CJK-safe).
+
+    Plan (r8): one gram explode, ``seeds`` codegen md5 columns, ONE
+    partial-agg ``min`` shuffle (narrow: seeds longs per doc per map
+    partition), then a posexplode back to rows —
+    :func:`_minhash_min_table`.  Docs too short for any gram emit
+    nothing, as before (they produce no gram rows)."""
+    mins = _minhash_min_table(docs, n, seeds, shingle)
+    return mins.select(
         "doc_id",
-        "gram",
-        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
+        F.posexplode(
+            F.array(*[F.col(f"_mh{s}") for s in range(seeds)])
+        ).alias("seed", "minhash"),
     )
-    hashed = seeded.withColumn(
-        "h",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                               F.col("gram"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def minhash_dup_candidates(
@@ -416,32 +543,36 @@ def _band_signatures(
     docs: DataFrame, n: int, bands: int, rows: int, shingle: str
 ) -> DataFrame:
     """(doc_id, band, band_sig) rows — the b×r LSH bucket keys shared
-    by ``minhash_banded_candidates`` and ``minhash_band_stats``."""
-    sig = minhash_signatures(docs, n, seeds=bands * rows, shingle=shingle)
-    banded = sig.withColumn("band", F.expr(f"seed DIV {rows}"))
-    # band signature: md5 over the band's minhashes in seed order
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_sig"),
-            F.count("*").alias("n_rows"),
-        )
-        # docs too short to produce any gram have no rows at all (no
-        # partial bands exist: every (doc, seed) either exists for all
-        # seeds or none) — keep the guard for clarity
-        .where(F.col("n_rows") == rows)
-        .drop("n_rows")
+    by ``minhash_banded_candidates`` and ``minhash_band_stats``.
+
+    Plan (r8): ONE shuffle — the signature lands as ``seeds`` min
+    columns in a single partial-agg pass (:func:`_minhash_min_table`)
+    and each band's md5-over-its-r-minhashes is a plain projection
+    over them; the old form shuffled a second time through a
+    per-(doc, band) collect_list.  The band signature string —
+    minhashes in seed order, comma-joined — is byte-identical to the
+    aggregated form's."""
+    mins = _minhash_min_table(docs, n, bands * rows, shingle)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_mh{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
     )
+    return mins.select(
+        "doc_id", F.explode(band_structs).alias("_bs")
+    ).select("doc_id", "_bs.band", "_bs.band_sig")
 
 
 def minhash_band_stats(
@@ -481,22 +612,47 @@ def simhash_bits(docs: DataFrame, bits: int = 48) -> DataFrame:
     if bits > 60:
         # contract check, not a debug assert: must survive python -O
         raise ValueError("BIGINT sign-safety: at most 60 bits (15 hex chars)")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
-    ).withColumn("h", md5_hash48(F.col("w"), hexchars=(bits + 3) // 4))
-    bits_df = words.select(
+    # r8 plan: ZERO shuffles.  The old form exploded every distinct
+    # word ×bits rows (48× the corpus word volume) through TWO
+    # aggregation shuffles just to sum ±1 contributions per bit; the
+    # sums are per-row quantities, so compute them as ``bits``
+    # higher-order folds over ONE materialized hash array (one md5
+    # per distinct word — unchanged, oracle-pinned) and pack the sign
+    # bits in the same projection.  Bit-sum order differs but integer
+    # adds commute — values identical.
+    base = fan_out(docs).select(
         "doc_id",
-        "h",
-        F.explode(F.array(*[F.lit(s) for s in range(bits)])).alias("s"),
-    ).withColumn("contrib", F.expr("(shiftright(h, s) & 1) * 2 - 1"))
-    per_bit = bits_df.groupBy("doc_id", "s").agg(
-        F.sum("contrib").alias("c")
+        F.transform(
+            F.array_distinct(_words()),
+            lambda w: md5_hash48(w, hexchars=(bits + 3) // 4),
+        ).alias("_h"),
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), s) "
-                   "ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def bit_balance(s: int) -> Column:
+        # (shiftright(h, s) & 1) * 2 - 1 ≡ bit-set test on mask 1<<s.
+        # Closure factory, NOT a default-arg lambda: pyspark treats a
+        # 3-param merge lambda as (acc, element, index) (CLAUDE.md
+        # HOF-arity gotcha), and the F.shiftright wrapper misfires
+        # inside lambda bodies besides.
+        mask = F.lit(1 << s).cast("long")
+
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(h.bitwiseAND(mask) != 0, one).otherwise(neg)
+
+        return F.aggregate(F.col("_h"), zero, merge)
+
+    packed = None
+    for s in range(bits):
+        c = bit_balance(s)
+        term = F.when(c > 0, F.lit(1 << s).cast("long")).otherwise(zero)
+        packed = term if packed is None else packed + term
+    # null text → null word array → no output row (explode semantics
+    # of the r1–r7 form, preserved)
+    return base.where(F.col("_h").isNotNull()).select(
+        "doc_id", packed.alias("simhash")
     )
 
 
@@ -697,17 +853,28 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     construction), one scan over embeddings, per-query top-k window.
     The 100 TB path swaps the scan side for the IVF bucket
     (nearest_centroid) before ranking."""
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    # norms once per ROW, not once per (vector, query) pair (r8): the
+    # projections sit below the join, so each vector's norm is one
+    # array walk instead of n_queries of them (and each query's one
+    # instead of N).  Identical doubles — same fold over the same
+    # array — so the rounded cosine is bit-identical.
+    emb = fan_out(emb, key="vec_id")
+    scan = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("_en")
     )
-    pairs = emb.crossJoin(F.broadcast(queries)).where(
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    pairs = scan.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
     sim = pairs.withColumn(
         "cosine",
         F.round(
             _dot(F.col("q"), F.col("embedding"))
-            / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+            / (F.col("_qn") * F.col("_en")),
             6,
         ),
     )
@@ -916,6 +1083,7 @@ def ivf_topk(
     dial it back (the oracle pins EXACTLY this semantics, restricted
     brute force over probed buckets).
     """
+    emb = fan_out(emb, key="vec_id")
     if centroids is None:
         cents = emb.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("centroid_id"),
@@ -973,17 +1141,25 @@ def ivf_topk(
     probes = (
         qd.withColumn("prank", F.row_number().over(wq))
         .where(F.col("prank") <= n_probe)
-        .select("query_id", "centroid_id", "q")
+        .select(
+            "query_id", "centroid_id", "q",
+            # query norm once per probe row (≤ n_probe per query),
+            # not once per candidate pair (r8) — identical doubles
+            _norm(F.col("q")).alias("_qn"),
+        )
     )
-    # candidates: vectors in probed buckets (probe table broadcast)
-    cand = emb.join(assign, "vec_id").join(
+    # candidates: vectors in probed buckets (probe table broadcast);
+    # vector norms once per scan row, below the joins (r8)
+    cand = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("_en")
+    ).join(assign, "vec_id").join(
         F.broadcast(probes), "centroid_id"
     ).where(F.col("vec_id") != F.col("query_id"))
     sim = cand.withColumn(
         "cosine",
         F.round(
             _dot(F.col("q"), F.col("embedding"))
-            / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+            / (F.col("_qn") * F.col("_en")),
             6,
         ),
     )
@@ -1653,11 +1829,12 @@ def winnow_fingerprints(
     - 1 contributes at least one shared fingerprint; expected
     selection density ~2/(window+1).
 
-    Plan: ZERO shuffle — per-row higher-order functions build the
-    k-gram hash array and the windowed minima (``slice`` +
-    ``array_min`` inside ``transform``), ``array_distinct`` dedups
-    per doc, then one explode.  A pure map stage at any scale; memory
-    per row is O(n_chars).
+    Plan: pure per-row map — higher-order functions build the k-gram
+    hash array and the windowed minima (``slice`` + ``array_min``
+    inside ``transform``), ``array_distinct`` dedups per doc, then
+    one explode; memory per row is O(n_chars).  The only exchange is
+    :func:`fan_out`'s scan-width guard, and only when the input scan
+    is narrower than the session (r8).
 
     ``hash_fn`` picks the per-k-gram hash (VERDICT r3 #4: one hash
     per CHARACTER POSITION is this op's whole constant factor):
@@ -1681,18 +1858,9 @@ def winnow_fingerprints(
     # grams from the linear arrays_zip builder, not per-position
     # substring(text, j, k): positional substring re-scans from byte
     # 0 per call → quadratic per doc; giant web pages made this 20×
-    # (r5, _char_gram_expr)
-    gram = "g"
-    if hash_fn == "xxhash64":
-        gh = f"xxhash64({gram})"
-    elif hash_fn == "md5":
-        gh = f"CAST(conv(substring(md5({gram}), 1, 12), 16, 10) AS BIGINT)"
-    else:
-        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    hashes = (
-        f"CASE WHEN length({text_col}) < {k} THEN {empty} ELSE "
-        f"transform({_char_gram_expr(text_col, k)}, g -> {gh}) END"
-    )
+    # (r5, _char_gram_expr).  r8: hash fused into the gram lambda —
+    # the gram-string array never materializes (_char_gram_hash_expr)
+    hashes = _char_gram_hash_expr(text_col, k, hash_fn)
     # window minimum as a flat least() chain of element_at lookups —
     # stays inside codegen with no per-position slice() array
     # allocation (VERDICT r4 #5: the post-xxhash64 cost is this stage's
@@ -1724,7 +1892,8 @@ def winnow_fingerprints(
         "(v, i) -> i = 0 OR v <> m[greatest(i - 1, 0)]))"
     )
     return (
-        docs.select(id_col, text_col)
+        fan_out(docs, key=id_col)
+        .select(id_col, text_col)
         .withColumn("h", F.expr(hashes))
         .withColumn("m", F.expr(mins))
         .select(id_col, F.explode(F.expr(fps)).alias("fp"))
@@ -2774,7 +2943,7 @@ def lang_id_v2(
     # branch — the r5-a quadratic trap, re-found at 2M docs when the
     # lang gate stragglers ran 30+ min (r6).  _char_gram_expr
     # references its source many times, so the alias never collapses.
-    low = docs.select(
+    low = fan_out(docs).select(
         "doc_id", F.lower(F.col(text_col)).alias("_lt")
     )
     grams = F.expr(_char_gram_expr("_lt", 3))
@@ -2862,7 +3031,7 @@ def lang_gate(
         # substring from pos 1 is O(max_chars), never O(doc) — the
         # giant-page guard
         src = F.substring(src, 1, max_chars)
-    bucketed = docs.withColumn("_lt", src)
+    bucketed = fan_out(docs).withColumn("_lt", src)
     grams = F.expr(_char_gram_expr("_lt", 3))
     # ``_b`` carries a value-neutral NONDETERMINISTIC guard
     # (``when(monotonically_increasing_id() >= 0, ...)`` is always
@@ -2982,7 +3151,7 @@ def trigram_lm_score(
     # lower() into a multi-referenced column first (the r5-a
     # quadratic trap — see lang_id_v2)
     keep = list(keep_cols)
-    low = docs.select(
+    low = fan_out(docs).select(
         "doc_id", *keep, F.lower(F.col(text_col)).alias("_lt")
     )
     grams = F.expr(_char_gram_expr("_lt", 3))
@@ -3608,18 +3777,15 @@ def substring_dup_spans(
         raise ValueError(
             f"max_gram_freq must be >= 1 or None, got {max_gram_freq}"
         )
-    if hash_fn == "xxhash64":
-        ghash = F.xxhash64
-    elif hash_fn == "md5":
-        ghash = md5_hash48
-    else:
-        raise ValueError(
-            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
-        )
-    arr = F.expr(_char_gram_expr(text_col, k))
+    # fused gram→hash builder (r8): the positioned pass and the
+    # df-gate pass below both explode an array<bigint> of gram hashes
+    # directly — the k-char gram-string array never materializes in
+    # either branch (_char_gram_hash_expr; also validates hash_fn)
+    arr_h = F.expr(_char_gram_hash_expr(text_col, k, hash_fn))
+    docs = fan_out(docs)
     grams = docs.select(
-        "doc_id", F.posexplode(arr).alias("pos", "gram")
-    ).select("doc_id", "pos", ghash(F.col("gram")).alias("gh"))
+        "doc_id", F.posexplode(arr_h).alias("pos", "gh")
+    )
     if max_gram_freq is not None:
         # df-gate as a BROADCAST semi-join against the SHARED gram
         # set (r6, VERDICT r5 #5).  Two changes vs the old
@@ -3641,11 +3807,15 @@ def substring_dup_spans(
         #   into O(duplicated chars); statically the plan drops from
         #   5 hash exchanges over full-position rows to 3 (one over
         #   narrow distinct-gram rows + the two filtered join sides).
+        # r8: the per-doc distinct runs on the HASH array (8-byte
+        # comparisons) instead of the gram-string array — same df
+        # counts (distinct grams and distinct hashes coincide short
+        # of a 2^-64 collision, which this op's contract already
+        # accepts for pair generation)
         keep = (
             docs.select(
-                F.explode(F.array_distinct(arr)).alias("gram"),
+                F.explode(F.array_distinct(arr_h)).alias("gh"),
             )
-            .select(ghash(F.col("gram")).alias("gh"))
             .groupBy("gh")
             .agg(F.count("*").alias("df"))
             .where(
@@ -4628,7 +4798,7 @@ def bm25_topk(
 
     Returns (query_id, doc_id, score_q, rank), rank 1..k by
     (score desc, doc_id) — ties broken deterministically."""
-    words = docs.select(
+    words = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -4896,6 +5066,8 @@ def bigram_lm_selfscore(
         raise ValueError("n_buckets must be >= 2")
     if ref is None:
         ref = docs
+    docs = fan_out(docs)
+    ref = fan_out(ref)
 
     def pairs(d: DataFrame) -> DataFrame:
         base = d.select(
