@@ -2326,13 +2326,8 @@ def _q_warc_charset_extract(spark, sf_dir):
         .otherwise(rec(utf16))
         .alias("content")
     )
-    from zhtml_spark.textops import fan_out
-
-    # scan-width guard (r8): the sf documents table is one file → one
-    # scan task, which serialized the whole render→sniff→extract
-    # pipeline on a single core (guide §2.5 input skew)
     recs = decode_sniffed_payloads(
-        parse_warc_records(fan_out(archives, key=None)),
+        parse_warc_records(archives),
         default_charset="windows-1252",
         extended=False,
     )

@@ -255,6 +255,15 @@ def parse_warc_records(
     never lose content to the sniff).  A truncated HTTP payload with
     no blank line yields an empty body (headers are never HTML) —
     ADVICE r2 #1."""
+    from .textops import fan_out
+
+    # scan-width guard BEFORE the record split and the ~11 regex
+    # columns (r8, guide §2.5): these projections sit below any later
+    # exchange, so fanning out downstream leaves the whole header
+    # parse on the scan's task count — one core for a single-file
+    # archive table.  The exchange moves raw archive strings only;
+    # wide layouts pass through untouched.
+    archives = fan_out(archives, key=None)
     recs = _split_warc_rows(archives, content_col)
     # \z (true end-of-input), NOT $: Java's $ also matches BEFORE a
     # final line terminator, and combined with the non-greedy capture
@@ -1028,14 +1037,21 @@ def warc_interleaved_spans(
     from .pipeline import extract_documents
 
     from .feedops import FEED_ROOT_RE, decode_feed_spans
-    from .textops import fan_out
-
-    # scan-width guard (r8, optimization guide §2.5): a small
-    # single-file archive scan arrives as ONE task, and every row
-    # below here — the HTTP decode, the fused HTML extraction, the
-    # pdfops/feedops Arrow decoders — would serialize on one core.
-    # Wide archive layouts pass through untouched.
-    records = fan_out(records, key="warc_url")
+    # Materialize the parsed records behind ONE exchange (r8): the
+    # multi-format dispatch below filters `records` five ways, the
+    # HTTP decode another two, and Spark recomputes a projected
+    # subtree once PER branch — measured at sf0.1 as a 320-task stage
+    # burning 288 executor-core-seconds re-running the ~6 ms/record
+    # header parse (the giant regex chain exceeds the 64 KB codegen
+    # limit and evaluates interpreted) up to ten times per record.
+    # With an explicit repartition on top, every branch reads the
+    # ReusedExchange of COMPUTED columns instead: the parse runs
+    # once, and (with parse_warc_records' own scan-width guard) in
+    # parallel.  At archive scale the trade is one shuffle of parsed
+    # records against five-to-ten re-parses of every payload — the
+    # exchange wins long before 100 TB.
+    target = records.sparkSession.sparkContext.defaultParallelism
+    records = records.repartition(target, F.col("warc_url"))
     records = decode_http_payloads(records)
     # 3xx-with-Location records are crawl-graph EDGES, not documents:
     # emit one ('redirect', status, location) span and keep the stub

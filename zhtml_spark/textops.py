@@ -3777,15 +3777,50 @@ def substring_dup_spans(
         raise ValueError(
             f"max_gram_freq must be >= 1 or None, got {max_gram_freq}"
         )
-    # fused gram→hash builder (r8): the positioned pass and the
-    # df-gate pass below both explode an array<bigint> of gram hashes
-    # directly — the k-char gram-string array never materializes in
-    # either branch (_char_gram_hash_expr; also validates hash_fn)
+    # fused gram→hash builder (r8): the df-gate pass below explodes
+    # an array<bigint> of gram hashes directly — the k-char
+    # gram-string array never materializes (_char_gram_hash_expr;
+    # also validates hash_fn)
     arr_h = F.expr(_char_gram_hash_expr(text_col, k, hash_fn))
     docs = fan_out(docs)
-    grams = docs.select(
+    # Positioned pass as a ROW-ENGINE hybrid (r8): higher-order
+    # lambdas evaluate interpreted (no whole-stage codegen), and at
+    # one lambda call per corpus CHARACTER that interpreter overhead
+    # — not the hashing — dominated the gram stage (~14 µs/gram
+    # measured, 230 executor-core-s at 20k adversarial docs).  Short
+    # docs therefore explode their position range and hash
+    # ``substring(text, pos+1, k)`` as plain row expressions (codegen;
+    # the O(pos) substring re-scan is bounded by the 48·k switch —
+    # the same crossover _char_gram_expr uses); giant docs keep the
+    # linear interpreted zip build, where quadratic re-scans would
+    # dwarf interpreter overhead.  Gram strings, hashes, positions
+    # are identical in both branches.
+    if hash_fn == "xxhash64":
+        row_hash = f"xxhash64(substring({text_col}, pos + 1, {k}))"
+    else:
+        row_hash = (
+            f"CAST(conv(substring(md5(substring({text_col}, pos + 1,"
+            f" {k})), 1, 12), 16, 10) AS BIGINT)"
+        )
+    switch_chars = 48 * k
+    pos_range = (
+        f"CASE WHEN length({text_col}) < {k} THEN "
+        f"CAST(array() AS ARRAY<INT>) "
+        f"ELSE sequence(0, length({text_col}) - {k}) END"
+    )
+    short = (
+        docs.where(F.length(text_col) < switch_chars)
+        .select(
+            "doc_id",
+            F.col(text_col),
+            F.explode(F.expr(pos_range)).alias("pos"),
+        )
+        .select("doc_id", "pos", F.expr(row_hash).alias("gh"))
+    )
+    giant = docs.where(F.length(text_col) >= switch_chars).select(
         "doc_id", F.posexplode(arr_h).alias("pos", "gh")
     )
+    grams = short.unionByName(giant)
     if max_gram_freq is not None:
         # df-gate as a BROADCAST semi-join against the SHARED gram
         # set (r6, VERDICT r5 #5).  Two changes vs the old
