@@ -3980,44 +3980,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # constants and the window sort describe (VERDICT r6 #1): the policy test
 # reads CORRECTNESS history only from rounds BEFORE it, so the suite is
 # green both before and after the driver drops this round's results file.
-LEDGER_ROUND = 7
+LEDGER_ROUND = 8
 NEW_THIS_ROUND: list[str] = [
-    # r7: fixed-iteration integer PageRank (crawl-quality weight) and
-    # the target-distribution rebalancing sampler
-    "pagerank_links",
-    "rebalance_sample",
-    # r7: product-quantization ADC search (the memory side of ANN)
-    "pq_adc_topk",
-    # r7: distributed BPE tokenizer training (merge-table learner)
-    "bpe_train",
-    # r7 late adds: BPE encode/token accounting (the apply side of
-    # bpe_train) and CCNet-style per-language quality tiers
-    "bpe_encode",
-    "quality_tiers",
-    # r7 late adds, session 2: fuzzy (MinHash-banded) benchmark
-    # decontamination; BM25 retrieval + DSIR importance weights on
-    # the new cross-engine fixed-point log2 primitive (with_log2q)
-    "decontaminate_fuzzy",
-    "bm25_topk",
-    "dsir_weights",
-    # r7 late add: within-document duplicate-line removal (the apply
-    # side of repetition_stats, zero-shuffle HOF plan)
-    "doc_line_dedup",
-    # r7 late adds: corpus-trained bigram-LM self-perplexity and the
-    # one-row corpus-divergence diagnostic (both on with_log2q)
-    "bigram_selfscore",
-    "corpus_kl",
-    # r7 late add: sliding-window document chunking (RAG/pretraining
-    # splitting — the inverse-direction pass to pack_sequences)
-    "doc_chunks",
+    # r8 (optimization round): no new queries — every registry entry
+    # has a driver-green row in r1-r7
 ]
 CHANGED_THIS_ROUND: list[str] = [
-    # r7: langid tier retrained at 10 languages (VERDICT r6 #5) +
-    # hash-engine split with md5 pinned in the oracles (#4) +
-    # single-Literal weight arrays; corpora extended to 11-way
-    "lang_id_v2",
-    "trigram_lm_score",
+    # r8 optimization round: every query whose implementation (or a
+    # textops/sources function it calls) was reworked this round —
+    # scan-width fan-out, the one-shuffle minhash signature fold,
+    # zero-shuffle simhash, fused gram-hash builders, row-engine
+    # substring grams, per-row cosine/ivf norms, and the shared-
+    # exchange WARC parse.  Old green rows evidence the old plans,
+    # so all 36 re-enter the window.
+    "bigram_selfscore",
+    "bm25_topk",
+    "cosine_topk",
+    "decontaminate_fuzzy",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_survivors_banded",
+    "ivf_topk_embedded",
     "lang_gate",
+    "lang_id_v2",
+    "minhash_banded_candidates",
+    "minhash_dup_candidates",
+    "ngram_jaccard_pairs",
+    "quality_tiers",
+    "recrawl_candidates",
+    "resolve_redirects",
+    "simhash60",
+    "simhash_dup_candidates",
+    "substring_dedup_apply",
+    "substring_dup_spans",
+    "trigram_lm_score",
+    "warc_canonical_header",
+    "warc_cdx_index",
+    "warc_charset_extract",
+    "warc_extract",
+    "warc_feed_extract",
+    "warc_frontier_mixed",
+    "warc_http_codec_extract",
+    "warc_length_audit",
+    "warc_noindex_gate",
+    "warc_pdf_extract",
+    "warc_plaintext_extract",
+    "warc_redirect_extract",
+    "warc_revisit_dedup",
+    "winnow_dup_candidates",
+    "winnow_fingerprints",
 ]
 
 
@@ -4043,28 +4054,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query whose implementation changed.  The local sweep
     (`python jobs/oracle_sweep.py`) still covers ALL entries.
 
-    Green-row ledger (round -> window): r7 window (LEDGER_ROUND=7) =
-    6 new (pagerank_links, rebalance_sample, pq_adc_topk, bpe_train,
-    plus the late adds bpe_encode and quality_tiers — their two
-    window slots came from demoting the r5-green
-    winnow_dup_candidates and pack_sequences to the tail front,
-    which keeps the oldest-first refresh order intact: the window's
-    remaining refresh entries are r4/r5-green, the tail starts at
-    r5)
-    + 3 changed (langid tier) + the r4-green queries that would hit
-    age 3 this round
-    (the block-B' spill from r6 — minhash_banded_candidates,
-    dedup_survivors_banded; minhash_char_signatures was promised
-    here but RETIRED as a twin this round, coverage in STATUS.md —
-    plus the 10 promised tail entries: simhash60,
-    simhash_dup_candidates, embedding_dup_candidates,
-    embedding_dedup_survivors, url_normalize, pricing_summary,
-    top_customers, asof_join, events_sessionized, kmv_distinct) +
-    the oldest r5-greens that fit (image_meta + extract_meta +
-    extract_heading_para demoted to the tail front to make room).
-    Tail = the remaining r5-greens (age 2) then the r6-greens
-    (age 1).
-    TWO twins retired in r7 (VERDICT r6 #9, coverage in STATUS.md):
+    Green-row ledger (round -> window): r8 window (LEDGER_ROUND=8) =
+    0 new (every registry entry has a driver-green row by r7) +
+    36 CHANGED (the optimization round's rework — fan-out, the
+    one-shuffle minhash fold, zero-shuffle simhash, fused gram-hash
+    builders, row-engine substring grams, per-row cosine/ivf norms,
+    shared-exchange WARC parse; the whole list is
+    CHANGED_THIS_ROUND) + 14 refresh slots holding the oldest
+    latest-green entries (all r5-green: pdf_extract …
+    article_meta_unified, in prior registry order).  Tail = the four
+    remaining r5-greens first (extract_style_media,
+    frontier_with_base, extract_lazy_media, extract_srcset — they
+    lead the r9 window), then the r6-greens, then the r7-green block
+    rotated out; nothing in the tail is older than r5 = age 3 at the
+    r8 run.
+    History (r7): 13 new + 3 changed (langid tier) + r4-green
+    refreshes; TWO twins retired in r7 (VERDICT r6 #9, coverage in
+    STATUS.md):
     lang_id (superseded by the 10-language lang_id_v2; op stays,
     pytest-gated) and minhash_char_signatures (param-only variant of
     the gated signature fold; pytest-gated vs an independent Python
@@ -4090,82 +4096,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CHANGED_THIS_ROUND below; update those constants when you add or
     touch queries."""
     return {
-        # -- block A: new this round, never driver-checked (r7:
-        #    integer PageRank, rebalancing sampler, PQ ANN) ------------
-        "pagerank_links": _q_pagerank,
-        "rebalance_sample": _q_rebalance_sample,
-        "pq_adc_topk": _q_pq_adc_topk,
-        "bpe_train": _q_bpe_train,
-        "bpe_encode": _q_bpe_encode,
-        "quality_tiers": _q_quality_tiers,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "bm25_topk": _q_bm25_topk,
-        "dsir_weights": _q_dsir_weights,
-        "doc_line_dedup": _q_doc_line_dedup,
+        # -- block A'': implementation changed this round (r8
+        #    optimization rework — see CHANGED_THIS_ROUND) ------------
         "bigram_selfscore": _q_bigram_selfscore,
-        "corpus_kl": _q_corpus_kl,
-        "doc_chunks": _q_doc_chunks,
-        # -- block A'': implementation changed this round (langid
-        #    tier: 10-language retrain + hash split, r7) ---------------
-        "lang_id_v2": _q_lang_id_v2,
-        "trigram_lm_score": _q_trigram_lm_score,
-        "lang_gate": _q_lang_gate,
-        # -- block B: latest green r4 — age 3 this round (the r6
-        #    ledger's promise: block-B' spill + the 10 tail entries;
-        #    minhash_char_signatures was promised here but retired
-        #    this round — twin coverage argued in STATUS.md) -----------
-        "minhash_banded_candidates": _q_minhash_banded,
+        "bm25_topk": _q_bm25_topk,
+        "cosine_topk": _q_cosine_topk,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "dedup_components": _q_dedup_components,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_survivors_banded": _q_dedup_survivors_banded,
+        "ivf_topk_embedded": _q_ivf_topk_embedded,
+        "lang_gate": _q_lang_gate,
+        "lang_id_v2": _q_lang_id_v2,
+        "minhash_banded_candidates": _q_minhash_banded,
+        "minhash_dup_candidates": _q_minhash_candidates,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "quality_tiers": _q_quality_tiers,
+        "recrawl_candidates": _q_recrawl_candidates,
+        "resolve_redirects": _q_resolve_redirects,
         "simhash60": _q_simhash60,
         "simhash_dup_candidates": _q_simhash_candidates,
-        "embedding_dup_candidates": _q_embedding_dup,
-        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
-        "url_normalize": _q_url_normalize,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "asof_join": _q_asof_join,
-        "events_sessionized": _q_sessionize,
-        "kmv_distinct": _q_kmv_distinct,
-        # -- block B': oldest r5-greens (refresh; all 46 tie at r5,
-        #    30 fit after the 7 late block-A adds) ---------------------
-        "html_lang_meta": _q_html_lang_meta,
-        "pdf_outline": _q_pdf_outline,
-        "wet_render": _q_wet_render,
-        "frontier_prioritized": _q_frontier_prioritized,
-        "hreflang_clusters": _q_hreflang_clusters,
-        "warc_length_audit": _q_warc_length_audit,
-        "resolve_redirects": _q_resolve_redirects,
-        "spans_to_text": _q_spans_to_text,
-        "recrawl_candidates": _q_recrawl_candidates,
-        "bpe_pair_stats": _q_bpe_pair_stats,
-        "fetch_schedule": _q_fetch_schedule,
-        "sitemap_entries": _q_sitemap_entries,
+        "substring_dedup_apply": _q_substring_dedup_apply,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "trigram_lm_score": _q_trigram_lm_score,
         "warc_canonical_header": _q_warc_canonical_header,
-        "warc_revisit_dedup": _q_warc_revisit_dedup,
-        "rdfa_meta": _q_rdfa_meta,
-        "warc_noindex_gate": _q_warc_noindex_gate,
-        "warc_redirect_extract": _q_warc_redirect_extract,
-        "microdata_meta": _q_microdata_meta,
-        "jsonld_meta": _q_jsonld_meta,
-        "warc_frontier_mixed": _q_warc_frontier_mixed,
-        "warc_plaintext_extract": _q_warc_plaintext_extract,
-        "warc_http_codec_extract": _q_warc_http_codec_extract,
-        # -- tail: r5-green, age 2 — front of the r8 window (incl.
-        #    warc_charset_extract + warc_pdf_extract + pdf_extract +
-        #    media_container_meta + embed_hashing + warc_extract +
-        #    winnow_fingerprints, demoted when the 7 late block-A
-        #    entries landed, and image_meta + extract_meta +
-        #    extract_heading_para from the earlier block-A adds) --------
+        "warc_cdx_index": _q_warc_cdx_index,
         "warc_charset_extract": _q_warc_charset_extract,
+        "warc_extract": _q_warc_extract,
+        "warc_feed_extract": _q_warc_feed_extract,
+        "warc_frontier_mixed": _q_warc_frontier_mixed,
+        "warc_http_codec_extract": _q_warc_http_codec_extract,
+        "warc_length_audit": _q_warc_length_audit,
+        "warc_noindex_gate": _q_warc_noindex_gate,
         "warc_pdf_extract": _q_warc_pdf_extract,
+        "warc_plaintext_extract": _q_warc_plaintext_extract,
+        "warc_redirect_extract": _q_warc_redirect_extract,
+        "warc_revisit_dedup": _q_warc_revisit_dedup,
+        "winnow_dup_candidates": _q_winnow_dup_candidates,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        # -- block B: refresh — the 14 oldest latest-green entries
+        #    (all r5-green; 4 more r5-greens head the tail and lead
+        #    the r9 window) ------------------------------------------
         "pdf_extract": _q_pdf_extract,
         "media_container_meta": _q_media_container_meta,
         "embed_hashing": _q_embed_hashing,
-        "warc_extract": _q_warc_extract,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_dup_candidates": _q_winnow_dup_candidates,
         "pack_sequences": _q_pack_sequences,
-        "dedup_components": _q_dedup_components,
         "image_meta": _q_image_meta,
         "extract_meta": _q_extract_meta,
         "extract_heading_para": _q_extract_heading_para,
@@ -4176,25 +4151,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_counts": _q_span_kind_counts,
         "interleaved_passthrough": _q_interleaved_passthrough,
         "article_meta_unified": _q_article_meta_unified,
+        # -- tail: r5-green front (next window), then r6-green, then
+        #    the r7-green block rotated out --------------------------
         "extract_style_media": _q_extract_style_media,
         "frontier_with_base": _q_frontier_with_base,
         "extract_lazy_media": _q_extract_lazy_media,
         "extract_srcset": _q_extract_srcset,
-        # -- tail: r6-green (age 1) --------------------------------------
         "kmeans_centroids": _q_kmeans_centroids,
-        "dedup_incremental": _q_dedup_incremental,
-        "warc_feed_extract": _q_warc_feed_extract,
-        "warc_cdx_index": _q_warc_cdx_index,
         "host_quota_sample": _q_host_quota_sample,
-        "ivf_topk_embedded": _q_ivf_topk_embedded,
-        "substring_dup_spans": _q_substring_dup_spans,
-        "substring_dedup_apply": _q_substring_dedup_apply,
         "media_features": _q_media_features,
         "media_resolution": _q_media_resolution,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_dup_candidates": _q_minhash_candidates,
-        "cosine_topk": _q_cosine_topk,
         "nearest_centroid": _q_nearest_centroid,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -4227,6 +4194,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_svg_mixed": _q_extract_svg_mixed,
         "extract_template": _q_extract_template,
         "extract_fragment": _q_extract_fragment,
+        "pagerank_links": _q_pagerank,
+        "rebalance_sample": _q_rebalance_sample,
+        "pq_adc_topk": _q_pq_adc_topk,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "dsir_weights": _q_dsir_weights,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "corpus_kl": _q_corpus_kl,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_dup_candidates": _q_embedding_dup,
+        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
+        "url_normalize": _q_url_normalize,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "asof_join": _q_asof_join,
+        "events_sessionized": _q_sessionize,
+        "kmv_distinct": _q_kmv_distinct,
+        "html_lang_meta": _q_html_lang_meta,
+        "pdf_outline": _q_pdf_outline,
+        "wet_render": _q_wet_render,
+        "frontier_prioritized": _q_frontier_prioritized,
+        "hreflang_clusters": _q_hreflang_clusters,
+        "spans_to_text": _q_spans_to_text,
+        "bpe_pair_stats": _q_bpe_pair_stats,
+        "fetch_schedule": _q_fetch_schedule,
+        "sitemap_entries": _q_sitemap_entries,
+        "rdfa_meta": _q_rdfa_meta,
+        "microdata_meta": _q_microdata_meta,
+        "jsonld_meta": _q_jsonld_meta,
     }
 
 

@@ -2041,54 +2041,70 @@ def dedup_components(
     # loop; everything newer gets freed one round later
     keep_ids = _persistent_rdd_ids(spark) - before_ids
     prev_round_ids: set = set()
-    for rnd in range(max_iter):
+
+    def _step(lbl: DataFrame, with_jump: bool) -> DataFrame:
+        """One min-label propagation step (neighbour min + pointer
+        jump) as a lazy plan over ``lbl``; emits (doc_id, component,
+        _chg).  ``with_jump=False`` skips the label-of-label join —
+        valid ONLY for the very first step, where every label is its
+        own id and the jump is the identity (r8: one join+shuffle
+        saved per call)."""
         neigh = (
-            sym.join(
-                labels, sym["doc_b"] == labels["doc_id"]
-            )
+            sym.join(lbl, sym["doc_b"] == lbl["doc_id"])
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("n_comp"))
         )
-        # pointer jump: the label of my label (components are always
-        # vertex ids present in `labels`, so the inner self-join is
-        # total; left+coalesce guards the invariant anyway)
-        jump = labels.select(
-            F.col("component").alias("_j_src"),
-        ).distinct().join(
-            labels.select(
-                F.col("doc_id").alias("_j_src"),
-                F.col("component").alias("j_comp"),
-            ),
-            "_j_src",
-            "left",
-        )
-        merged = (
-            labels.join(neigh, "doc_id", "left")
-            .join(
+        merged = lbl.join(neigh, "doc_id", "left")
+        if with_jump:
+            # pointer jump: the label of my label (components are
+            # always vertex ids present in the labelling, so the
+            # inner self-join is total; left+coalesce guards the
+            # invariant anyway)
+            jump = lbl.select(
+                F.col("component").alias("_j_src"),
+            ).distinct().join(
+                lbl.select(
+                    F.col("doc_id").alias("_j_src"),
+                    F.col("component").alias("j_comp"),
+                ),
+                "_j_src",
+                "left",
+            )
+            merged = merged.join(
                 jump.select(
                     F.col("_j_src").alias("component"), "j_comp"
                 ),
                 "component",
                 "left",
             )
-            .select(
-                "doc_id",
+        else:
+            merged = merged.withColumn("j_comp", F.lit(None))
+        return merged.select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce("n_comp", "component"),
+                F.coalesce("j_comp", "component"),
+            ).alias("new_component"),
+            (
                 F.least(
-                    F.col("component"),
                     F.coalesce("n_comp", "component"),
                     F.coalesce("j_comp", "component"),
-                ).alias("new_component"),
-                (
-                    F.least(
-                        F.coalesce("n_comp", "component"),
-                        F.coalesce("j_comp", "component"),
-                    )
-                    < F.col("component")
-                ).cast("int").alias("_chg"),
-            )
-            .withColumnRenamed("new_component", "component")
-            .localCheckpoint()
-        )
+                )
+                < F.col("component")
+            ).cast("int").alias("_chg"),
+        ).withColumnRenamed("new_component", "component")
+
+    for rnd in range(max_iter):
+        # ONE step per materialized round.  (r8 measured dead end,
+        # recorded: fusing two steps per checkpoint halves the
+        # checkpoint+collect overhead but step 2 references step 1's
+        # UNmaterialized plan four times — neighbour join, the two
+        # jump sides, and the merge base — so step 1's joins re-run
+        # 4×: the lazy-tree trap this op's own docstring warns about,
+        # and probes read 2-3× slower.  The cheap win that survives
+        # is skipping the round-0 jump, where labels are all self.)
+        merged = _step(labels, with_jump=(rnd > 0)).localCheckpoint()
         changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
         # the new round is materialized — the round before LAST is no
         # longer reachable by any plan; free its blocks now
